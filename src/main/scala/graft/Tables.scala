@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All queries take the scale-factor directory at call time so the same
+  * plan runs at sf0.001 (smoke), sf0.01 (correctness), sf0.1 (bench) and,
+  * by construction, at any path on a real cluster (the reads are plain
+  * parquet scans — partition pruning / column pruning / filter pushdown
+  * all apply).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** A named bundle of queries plus (where SQL-expressible) DuckDB oracle SQL.
+  * SparkEntry unions the packs; keys must be globally unique.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  /** Subset of `queries` keys → equivalent ANSI SQL for DuckDB on the same
+    * parquet tables. Queries absent here get a weaker rows-only check. */
+  def oracles: Map[String, String]
+}

@@ -1,0 +1,352 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish tables.
+  *
+  * The reference (`/root/reference`, see SURVEY.md §2 "Explicit absences")
+  * has no relational layer at all; these queries populate the operator
+  * inventory that a Spark-native engine gets from Catalyst: scans with
+  * pushdown, hash/broadcast joins, semi/anti joins, hash aggregation,
+  * rollup, window functions, sorts/limits, set operations, scalar
+  * functions, and decorrelated subqueries.
+  *
+  * Determinism contract (for the DuckDB oracle hash-compare):
+  *  - every query ends in an orderBy over a unique key set, no nulls in
+  *    sort keys;
+  *  - double aggregates rounded to 2 decimals and aliased identically in
+  *    Spark and SQL;
+  *  - timestamps are emitted as formatted strings, never raw.
+  *
+  * Scale notes (100 TB design points):
+  *  - dimension tables (region/nation/part/supplier/customer) are joined
+  *    with explicit `broadcast()` — at any scale these stay far below the
+  *    fact tables, so no shuffle of the big side;
+  *  - fact-fact joins (orders⋈lineitem) rely on shuffle hash/sort-merge
+  *    with AQE; keys are the natural partition keys so co-partitioning
+  *    holds across stages;
+  *  - aggregations are declarative groupBy/agg → partial (map-side)
+  *    aggregation comes free from Catalyst.
+  */
+object Relational extends QueryPack {
+
+  // TPC-H Q1: full-scan aggregation; partial agg + 2-col grouping means the
+  // shuffle carries only |flags|×|status| rows per task at any scale.
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // Filter + projection: both reach the parquet scan (PushedFilters/ReadSchema).
+  private def q2Filter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-07-01").cast("timestamp") &&
+              col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              round(col("l_extendedprice"), 2).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // TPC-H Q3 shape: broadcast the filtered customer dim, shuffle-join the facts.
+  private def q3JoinTopK(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // Star-join over broadcast dims: region ⋈ nation ⋈ customer.
+  private def q4StarJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("r_name")
+
+  // Window function: top-3 parts by price within each brand.
+  private def q5WindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"),
+              round(col("p_retailprice"), 2).as("p_retailprice"), col("rn"))
+      .orderBy("p_brand", "rn")
+  }
+
+  // Global top-k: sort + limit (Spark runs TakeOrderedAndProject — no full sort).
+  private def q6TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice"), 2).as("o_totalprice"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // Multiple exact distinct aggregates (expand + two-phase agg in Spark).
+  private def q7DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+           countDistinct("l_partkey").as("n_part"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private def buildingCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+
+  private def bigSpenders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("c_custkey"))
+
+  // Set op: INTERSECT (Spark plans a left-semi aggregate join).
+  private def q8Intersect(s: SparkSession, d: String): DataFrame =
+    buildingCustomers(s, d).intersect(bigSpenders(s, d)).orderBy("c_custkey")
+
+  // Set op: EXCEPT (left-anti + distinct).
+  private def q9Except(s: SparkSession, d: String): DataFrame =
+    buildingCustomers(s, d).except(bigSpenders(s, d)).orderBy("c_custkey")
+
+  // ROLLUP with subtotal rows; names coalesced so sort keys are non-null.
+  // Uses the SQL surface (path-qualified tables, no temp-view state): the
+  // DataFrame `.rollup(...).select(coalesce(...))` form trips Spark's
+  // ambiguous-self-join lineage check, and SQL is the clearer spelling.
+  private def q10Rollup(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(r_name, 'ALL') AS region,
+                 coalesce(n_name, 'ALL') AS nation,
+                 count(*) AS n_customers,
+                 round(sum(c_acctbal), 2) AS total_acctbal
+          FROM parquet.`$d/customer.parquet` c
+          JOIN parquet.`$d/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+          JOIN parquet.`$d/region.parquet` r ON n.n_regionkey = r.r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY region, nation""")
+
+  // Left-semi join (EXISTS).
+  private def q11SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  // Left-anti join (NOT EXISTS): customers with no URGENT order.
+  private def q12AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  // Scalar function library: string + math, all codegen'd built-ins.
+  private def q13ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        (col("p_size") % 5).as("size_mod"),
+        round(sqrt(col("p_retailprice")), 2).as("price_sqrt"))
+      .orderBy("p_partkey")
+
+  // Date functions + month-grain aggregation.
+  private def q14DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("order_month")
+
+  // Conditional aggregation (TPC-H Q14 shape): PROMO revenue share per year.
+  private def q15CaseAgg(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev) * 100, 2)
+             .as("promo_share"))
+      .orderBy("ship_year")
+  }
+
+  // HAVING: post-aggregation filter.
+  private def q16Having(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .filter(col("n_customers") >= 5)
+      .orderBy("n_name")
+
+  // Decorrelated aggregate subquery: customers above their nation's average
+  // balance. Expressed as join-with-derived-aggregate — the plan Catalyst
+  // (and any optimizer) rewrites the correlated form into.
+  private def q17SubqueryAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val nationAvg = c.groupBy("c_nationkey")
+      .agg(avg("c_acctbal").as("nation_avg"))
+      .withColumnRenamed("c_nationkey", "nk")
+    c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"          -> q1Agg _,
+    "q2_filter"       -> q2Filter _,
+    "q3_join_topk"    -> q3JoinTopK _,
+    "q4_star_join"    -> q4StarJoin _,
+    "q5_window_topn"  -> q5WindowTopN _,
+    "q6_topk"         -> q6TopK _,
+    "q7_distinct_agg" -> q7DistinctAgg _,
+    "q8_intersect"    -> q8Intersect _,
+    "q9_except"       -> q9Except _,
+    "q10_rollup"      -> q10Rollup _,
+    "q11_semi_join"   -> q11SemiJoin _,
+    "q12_anti_join"   -> q12AntiJoin _,
+    "q13_scalar_funcs"-> q13ScalarFuncs _,
+    "q14_date_funcs"  -> q14DateFuncs _,
+    "q15_case_agg"    -> q15CaseAgg _,
+    "q16_having"      -> q16Having _,
+    "q17_subquery_agg"-> q17SubqueryAgg _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         round(avg(l_extendedprice), 2) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         round(l_extendedprice, 2) AS l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-07-01'
+           AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_join_topk" ->
+      """SELECT o_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10""",
+    "q4_star_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q5_window_topn" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rn
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS rn
+               FROM part) t
+         WHERE rn <= 3 ORDER BY p_brand, rn""",
+    "q6_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q7_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q8_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+         ORDER BY c_custkey""",
+    "q9_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+         ORDER BY c_custkey""",
+    "q10_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+         coalesce(n_name, 'ALL') AS nation,
+         count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region, nation""",
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q13_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+         length(p_name) AS name_len, substr(p_name, 1, 5) AS name_pfx,
+         p_brand || '-' || p_type AS brand_type,
+         p_size % 5 AS size_mod,
+         round(sqrt(p_retailprice), 2) AS price_sqrt
+         FROM part ORDER BY p_partkey""",
+    "q14_date_funcs" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY order_month""",
+    "q15_case_agg" ->
+      """SELECT year(l_shipdate) AS ship_year,
+         round(sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)) * 100, 2) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY ship_year""",
+    "q16_having" ->
+      """SELECT n_name, count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name HAVING count(*) >= 5
+         ORDER BY n_name""",
+    "q17_subquery_agg" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+  )
+}
