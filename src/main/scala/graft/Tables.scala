@@ -21,7 +21,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects at scan
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long (legacy conf) and
+    * convert with integer division — `ts div 1000` keeps full precision
+    * (a double would lose it: ns-since-2024 ≈ 1.7e18 > 2^53), truncating
+    * toward zero exactly like DuckDB's `::TIMESTAMP` ns→µs cast.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
