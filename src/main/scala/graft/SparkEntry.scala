@@ -13,6 +13,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     operators.Relational,
     operators.EventOps,
+    operators.TextAnalysis,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

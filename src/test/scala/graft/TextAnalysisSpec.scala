@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("langIdScored identifies real multilingual sentences") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the quick brown fox is in the yard and it is fast"),
+      (2L, "der hund ist nicht in das haus und die katze ist hier"),
+      (3L, "el perro es una mascota que vive en la casa por las tardes"),
+      (4L, "le chat est dans la maison qui est pas loin des arbres"),
+      (5L, "你好世界这是一个测试文档"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdScored(samples)
+      .select("doc_id", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "fr")
+    assert(out(5L) == "zh")
+  }
+
+  test("q34 fingerprint is stable and collides only for identical shingle sets") {
+    val fp = TextAnalysis.queries("q34_fingerprint")(spark, sfDir)
+    val n = fp.count()
+    assert(n == Tables.documents(spark, sfDir).count())
+    // deterministic across runs
+    val a = fp.collect().map(_.toSeq)
+    val b = TextAnalysis.queries("q34_fingerprint")(spark, sfDir).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("q35 near-dup pairs have genuinely high shingle overlap") {
+    val pairs = TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "testdata should contain planted near-duplicates")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("q30 token counts are positive and ws_tokens <= re_tokens + punct slack") {
+    val rows = TextAnalysis.queries("q30_tokens")(spark, sfDir).collect()
+    assert(rows.forall(_.getInt(1) > 0))
+  }
+}
