@@ -14,6 +14,8 @@ object SparkEntry {
     operators.Relational,
     operators.EventOps,
     operators.TextAnalysis,
+    operators.Similarity,
+    operators.Dedup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

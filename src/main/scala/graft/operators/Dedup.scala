@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalable near-duplicate detection over `documents` (SURVEY.md §2 rows
+  * 11-12 [extension]): MinHash + banded LSH (the 100 TB-scale path for
+  * Jaccard near-dup) and SimHash (64-bit content signature).
+  *
+  * Exact dedup lives in EventOps (q22/q23); the exact pairwise-Jaccard
+  * baseline is TextAnalysis.q35. Here:
+  *
+  *  - q42 MinHash+LSH: 64 hash functions → 16 bands × 4 rows. Candidates
+  *    are pairs sharing ≥1 band key (a shuffle keyed by band hash, never
+  *    all-pairs); candidates are then verified with EXACT Jaccard, so the
+  *    output equals q35's exact pair set whenever LSH recall is 1 — which
+  *    is why q35's SQL doubles as this query's DuckDB oracle. Miss
+  *    probability for a true 0.9-Jaccard pair: (1 - 0.9⁴)¹⁶ ≈ 4e-8.
+  *  - q43 SimHash: per-token 64-bit hashes vote bitwise; the signed sum's
+  *    sign becomes the signature bit. Near-identical token multisets flip
+  *    few votes → small Hamming distance (asserted in DedupSpec).
+  *
+  * Scale notes: both are linear scans + one shuffle on short keys
+  * (band hash / signature). The shingle→minhash work is per-row map-side
+  * compute inside codegen (higher-order functions, no UDF). Hot-band
+  * skew at extreme scale is bounded by a band-bucket size cap (df-cut),
+  * the standard mitigation; not applied at test scale to preserve
+  * exactness.
+  */
+object Dedup extends QueryPack {
+
+  private val nHashes = 64
+  private val nBands = 16
+  private val rowsPerBand = 4
+
+  /** doc_id + distinct shingle set. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(TextExprs.shingleSet).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** doc_id, sh, mh: 64 minhashes; mh[j] = min over shingles of
+    * xxhash64(j, shingle). `sh` is let-bound (TextExprs.let1) so the
+    * shingle set is computed once per row, not once per hash function —
+    * CollapseProject would otherwise inline its defining expression into
+    * all 64 lambda bodies. */
+  private[graft] def withMinhash(df: DataFrame): DataFrame =
+    df.withColumn("mh",
+      expr(TextExprs.let1("sh", "s0",
+        s"""transform(sequence(0, ${nHashes - 1}),
+              j -> array_min(transform(s0, x -> xxhash64(j, x))))""")))
+
+  /** Band keys: hash of each 4-minhash slice (1-based slice()); mh
+    * let-bound for the same reason. */
+  private[graft] def withBands(df: DataFrame): DataFrame =
+    df.withColumn("bands",
+      expr(TextExprs.let1("mh", "m",
+        s"""transform(sequence(0, ${nBands - 1}),
+              b -> xxhash64(b, concat_ws(',',
+                     transform(slice(m, b * $rowsPerBand + 1, $rowsPerBand),
+                               x -> cast(x as string)))))""")))
+
+  // MinHash + banded LSH near-dup, exact-Jaccard verified.
+  private def q42MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val banded = withBands(withMinhash(sh))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
+            Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification: re-join shingle sets, Jaccard via array ops
+    val aSh = sh.select(col("doc_id").as("a_id"), col("sh").as("ash"))
+    val bSh = sh.select(col("doc_id").as("b_id"), col("sh").as("bsh"))
+    cand.join(aSh, "a_id").join(bSh, "b_id")
+      .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
+      .withColumn("jac_raw",
+        col("common") / (size(col("ash")) + size(col("bsh")) - col("common")))
+      .filter(col("jac_raw") >= 0.8)
+      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash from whitespace tokens: bit i is set iff the count of
+    * tokens whose xxhash64 has bit i set is >= half the token count.
+    * Declarative bit-vote: per bit, an aggregate over the token array.
+    */
+  private def q43Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(TextExprs.let1(
+          s"transform(${TextExprs.toks}, t -> xxhash64(t))", "th",
+          """aggregate(sequence(0, 63), 0L, (acc, i) ->
+               acc + IF(aggregate(th, 0L, (a2, h) ->
+                          a2 + IF((shiftrightunsigned(h, i) & 1) = 1, 1L, -1L)) >= 0,
+                        shiftleft(1L, i), 0L))""")).as("simhash"))
+      .orderBy("doc_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_minhash_lsh" -> q42MinhashLsh _,
+    "q43_simhash"     -> q43Simhash _,
+  )
+
+  // q42's oracle is the EXACT pair set (LSH + exact verification ≡ exact
+  // join at recall 1; see scaladoc). q43 has no cross-engine oracle (hash
+  // function differs) — rows-only + DedupSpec.
+  override val oracles: Map[String, String] = Map(
+    "q42_minhash_lsh" -> TextAnalysis.oracles("q35_ngram_jaccard"),
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.VectorExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 row 12
+  * [extension]): brute-force cosine top-k as the exactness baseline, a
+  * random-hyperplane LSH bucketed variant as the scale path, and
+  * threshold-based cosine near-dup pairing.
+  *
+  * Scale notes:
+  *  - q40 broadcasts the (small, fixed) query set against the corpus scan —
+  *    one pass over N corpus vectors, no shuffle of the big side; per-query
+  *    top-k via window. At 100 TB the same plan holds: the only shuffle is
+  *    the |Q|×k result.
+  *  - q41 replaces the all-pairs O(N²) with signature-bucket equi-joins:
+  *    candidates are generated per 8-bit band bucket (expected bucket size
+  *    N/256) and verified by exact cosine. At 1000× data, band width /
+  *    count are the tuning knobs — the plan shape (explode → shuffle on
+  *    band key → in-bucket pairing) is the standard distributed ANN/LSH
+  *    pattern.
+  *  - q44 does exact all-pairs (correct at test scale, quadratic); its
+  *    scale path IS q41 — kept separately so the oracle can verify the
+  *    exact result.
+  */
+object Similarity extends QueryPack {
+
+  /** corpus with double vectors + precomputed L2 norm (computed once per
+    * row at scan time — norms are reused across all query comparisons). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
+      .withColumn("nrm", VectorExprs.norm("v"))
+
+  // Brute-force cosine top-5 for query vectors vec_id < 10.
+  private def q40CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", VectorExprs.dot("v", "qv") / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
+              (floor(col("cos") * 100000) / 100000).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` × 64 gaussians, fixed seed. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Add `nBands` signature columns (sig_0 …), each an `bitsPerBand`-bit
+    * sign-pattern of dots against fixed hyperplanes (SimHash for cosine). */
+  private[graft] def withSignatures(df: DataFrame, nBands: Int, bitsPerBand: Int): DataFrame = {
+    val planes = hyperplanes(nBands * bitsPerBand)
+    (0 until nBands).foldLeft(df.withColumn("H", typedlit(planes))) { (acc, b) =>
+      acc.withColumn(s"sig_$b",
+        expr(s"""aggregate(sequence(0, ${bitsPerBand - 1}), 0L, (acc, i) ->
+                   acc + IF(aggregate(zip_with(v, H[${b} * ${bitsPerBand} + i],
+                                               (x, h) -> x * h),
+                                      cast(0 as double), (a2, x) -> a2 + x) >= 0,
+                            shiftleft(1L, i), 0L))"""))
+    }.drop("H")
+  }
+
+  // LSH-bucketed ANN: 2 bands × 8 bits; candidates share at least one band
+  // bucket; verified by exact cosine >= 0.2. Rows-only driver check (ANN
+  // quality = recall, asserted against brute force in SimilaritySpec).
+  private def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = withSignatures(corpus(s, d), nBands = 2, bitsPerBand = 8)
+    val bands = (0 until 2).map { b =>
+      sig.select(col("vec_id"), col("v"), col("nrm"), lit(b).as("band"),
+                 col(s"sig_$b").as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
+                         col("v").as("av"), col("nrm").as("an"))
+    val b = bands.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
+                         col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              (VectorExprs.dot("av", "bv") / (col("an") * col("bn"))).as("cos"))
+      .groupBy("a_id", "b_id").agg(first("cos").as("cos"))  // dedup multi-band hits
+      .filter(col("cos") >= 0.2)
+      .select(col("a_id"), col("b_id"),
+              (floor(col("cos") * 100000) / 100000).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // Exact cosine near-dup pairs (threshold 0.4 — the synthetic vectors are
+  // near-orthogonal, see BENCH notes). Oracle-verified all-pairs baseline.
+  private def q44CosineNearDup(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val a = c.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = c.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", VectorExprs.dot("av", "bv") / (col("an") * col("bn")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"),
+              (floor(col("cos") * 100000) / 100000).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk"     -> q40CosineTopK _,
+    "q41_ann_lsh"         -> q41AnnLsh _,
+    "q44_cosine_neardup"  -> q44CosineNearDup _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT q_id, e.vec_id AS n_id,
+                           list_cosine_similarity(e.v, q.qv) AS c
+                    FROM e, q WHERE e.vec_id <> q.q_id),
+         ranked AS (SELECT q_id, n_id, c,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY c DESC, n_id) AS rnk
+                    FROM scored)
+         SELECT q_id, rnk, n_id, floor(c * 100000) / 100000 AS cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "q44_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                floor(list_cosine_similarity(a.v, b.v) * 100000) / 100000 AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ORDER BY a_id, b_id""",
+  )
+}

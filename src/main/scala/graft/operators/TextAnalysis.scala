@@ -22,16 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryPack {
 
-  /** Whitespace tokens of trimmed text (parity: DuckDB
-    * `string_split_regex(trim(text), '\s+')`). */
-  private val toksExpr = "split(trim(text), '\\\\s+')"
-
-  /** Word 3-gram shingles (0-based array indexing), empty if < 3 tokens. */
-  private val shinglesExpr =
-    s"""CASE WHEN size($toksExpr) >= 3 THEN
-          transform(sequence(0, size($toksExpr) - 3),
-                    i -> concat_ws(' ', $toksExpr[i], $toksExpr[i+1], $toksExpr[i+2]))
-        ELSE array() END"""
+  private val toksExpr = graft.functions.TextExprs.toks
+  private val shinglesExpr = graft.functions.TextExprs.shingles
 
   // Token counting: whitespace tokens + a BPE-ish regex tokenization
   // (letter runs | digit runs | single punctuation), plus avg word length.
