@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.AvroFunctions
+import graft.sources.{AvroSchemaConverter, ClasspathSchemaRegistry, InMemorySchemaRegistry}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-trip tests for the hand-built Avro decode/encode path — the
+  * reference's rows 2/3/10 (binary Avro, no magic byte, schema from a
+  * topic-keyed registry; values mirror the reference producer, see
+  * FIXTURES.md A).
+  */
+class AvroSpec extends SparkTestBase {
+
+  private val registry = ClasspathSchemaRegistry.forTopics(Seq("item-view-event"))
+  private val schemaJson = registry.schemaJson("item-view-event")
+  private val avroSchema = registry.avroSchema("item-view-event")
+
+  /** Test-harness serializer (plays the reference producer's role). */
+  private def serialize(rec: GenericRecord): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get.binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](avroSchema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def deserialize(bytes: Array[Byte]): GenericRecord = {
+    val dec = DecoderFactory.get.binaryDecoder(bytes, null)
+    new GenericDatumReader[GenericRecord](avroSchema).read(null, dec)
+  }
+
+  private def mkRecord(i: Int): GenericRecord = {
+    val base = new GenericData.Record(avroSchema.getField("baseProperties").schema())
+    base.put("eventType", "item-view-event")
+    base.put("timestamp", 1470000000000L + i)
+    base.put("url", s"http://any-url$i")
+    base.put("uid", s"uid-$i")
+    base.put("deviceType", "MOBILE")
+    base.put("domain", "kafka.com")
+    // referer/pcid/serviceId/version/site left null (nullable unions)
+    val rec = new GenericData.Record(avroSchema)
+    rec.put("baseProperties", base)
+    rec.put("itemId", s"any-item-id$i")
+    rec.put("price", 168000L + i)
+    rec.put("tags", java.util.List.of("a", s"tag$i"))
+    rec.put("attrs", java.util.Map.of("k", i.toLong))
+    rec
+  }
+
+  test("schema converter maps the registry schema to the documented StructType") {
+    val st = registry.sparkSchema("item-view-event")
+    assert(st("baseProperties").dataType.isInstanceOf[StructType])
+    val base = st("baseProperties").dataType.asInstanceOf[StructType]
+    assert(!base("eventType").nullable)       // plain string
+    assert(base("timestamp").nullable)        // union ["null","long"]
+    assert(base("timestamp").dataType == LongType)
+    assert(st("price").dataType == LongType && st("price").nullable)
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = false))
+    assert(st("attrs").dataType == MapType(StringType, LongType, valueContainsNull = false))
+  }
+
+  test("from_avro_bytes decodes reference-producer-shaped records") {
+    import spark.implicits._
+    val rows = (0 until 10).map(i => (i, serialize(mkRecord(i))))
+    val df = rows.toDF("key", "value")
+      .select(col("key"), AvroFunctions.from_avro_bytes(col("value"), schemaJson).as("event"))
+      .select(col("key"), col("event.baseProperties.eventType").as("et"),
+              col("event.baseProperties.timestamp").as("ts"),
+              col("event.baseProperties.referer").as("ref"),
+              col("event.itemId"), col("event.price"), col("event.tags"),
+              col("event.attrs"))
+      .orderBy("key")
+    val got = df.collect()
+    assert(got.length == 10)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("et") == "item-view-event")
+      assert(r.getAs[Long]("ts") == 1470000000000L + i)
+      assert(r.isNullAt(r.fieldIndex("ref")), "null union field must decode to null")
+      assert(r.getAs[String]("itemId") == s"any-item-id$i")
+      assert(r.getAs[Long]("price") == 168000L + i)
+      assert(r.getAs[scala.collection.Seq[String]]("tags").toList == List("a", s"tag$i"))
+      assert(r.getAs[scala.collection.Map[String, Long]]("attrs").toMap == Map("k" -> i.toLong))
+    }
+  }
+
+  test("to_avro_bytes inverts from_avro_bytes (engine-side round trip)") {
+    import spark.implicits._
+    val rows = (0 until 10).map(i => (i, serialize(mkRecord(i))))
+    val back = rows.toDF("key", "value")
+      .select(col("key"),
+        AvroFunctions.to_avro_bytes(
+          AvroFunctions.from_avro_bytes(col("value"), schemaJson), schemaJson).as("re"))
+      .orderBy("key").collect()
+    back.zipWithIndex.foreach { case (r, i) =>
+      val rec = deserialize(r.getAs[Array[Byte]]("re"))
+      assert(rec.get("itemId").toString == s"any-item-id$i")
+      val base = rec.get("baseProperties").asInstanceOf[GenericRecord]
+      assert(base.get("timestamp") == (1470000000000L + i))
+      assert(base.get("referer") == null)
+    }
+  }
+
+  test("SQL surface: avro_decode registered and usable from spark.sql") {
+    import spark.implicits._
+    AvroFunctions.register(spark)
+    Seq((1, serialize(mkRecord(7)))).toDF("key", "value")
+      .createOrReplaceTempView("avro_wire")
+    val esc = schemaJson.replace("'", "''")
+    val r = spark.sql(
+      s"SELECT avro_decode(value, '$esc').itemId AS item FROM avro_wire").collect()
+    assert(r.head.getString(0) == "any-item-id7")
+  }
+
+  test("registry failure modes: unknown topic fails fast") {
+    intercept[NoSuchElementException](registry.schemaJson("nope"))
+    intercept[IllegalArgumentException](
+      new ClasspathSchemaRegistry(Map("t" -> "missing/path.avsc")).schemaJson("t"))
+    val inMem = new InMemorySchemaRegistry(Map("t" -> schemaJson))
+    assert(inMem.sparkSchema("t").fieldNames.contains("itemId"))
+  }
+}
