@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.functions.AvroFunctions
+import graft.sources.SchemaRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's whole product, Spark-first: a streaming Avro→Parquet
+  * ETL pipeline (SURVEY.md §3 "Spark mapping of the lifecycle").
+  *
+  * Reference API (`KafkaETLParquetConsumer.java:44-69`):
+  * `new KafkaETLParquetConsumer(kafkaProps, topics, pollTimeout,
+  * parquetProps, registry).run()`. Mapping here:
+  *
+  *  - kafkaProps → `EtlSource.Kafka(options)` passed through verbatim to
+  *    `readStream.format("kafka")` (bootstrap servers, groupId, …);
+  *  - topics → one StreamingQuery per topic (schemas differ per topic;
+  *    the reference likewise keys writers by topic, `ETLTask.java:42`);
+  *  - pollTimeout / roll interval (`CONF_INTERVAL`,
+  *    `KafkaETLParquetConsumer.java:21-22`) → `Trigger.ProcessingTime`:
+  *    one file set per micro-batch IS the reference's time-based file
+  *    rolling (`ETLTask.java:285-296`), with no custom writer state;
+  *  - per-record Avro decode (`AbstractAvroDeserializeService.java:46-60`)
+  *    → the native `AvroDecode` expression, schema embedded at plan time;
+  *  - path layout `<out>/<topic>/<date>/...` + Snappy
+  *    (`ETLTask.java:144-219`) → per-topic output dir + partitionBy(dt,
+  *    hour) + parquet compression option;
+  *  - hand-rolled close-then-commitSync offset transactionality
+  *    (`ETLTask.java:332-382`, at-least-once with the off-by-one noted in
+  *    SURVEY §2 row 7) → `checkpointLocation`: Structured Streaming's
+  *    offset WAL + `_spark_metadata` file-sink commit log give
+  *    exactly-once file output — strictly stronger, zero code;
+  *  - rebalance listener (`PartitionRebalancer.java:33-62`) → nothing:
+  *    the Kafka source manages assignment; scale-out is executor-level;
+  *  - shutdown hook drain (`KafkaETLParquetConsumer.java:78-104`) →
+  *    `stop()` (graceful per-query stop) + optional `registerShutdownHook()`.
+  *
+  * Scale: decode is stateless per-record map work (one Spark partition per
+  * Kafka partition, no shuffle anywhere in the plan); the sink writes one
+  * file per partition per micro-batch. At 1000 executors the plan is
+  * unchanged — parallelism follows the topic's partition count.
+  */
+final class KafkaEtlPipeline(
+    spark: SparkSession,
+    registry: SchemaRegistry,
+    config: EtlConfig) {
+
+  @volatile private var queries: Seq[StreamingQuery] = Nil
+
+  /** Wire-format stream: columns (topic string, value binary [, ...]). */
+  private def wireStream(): DataFrame = config.source match {
+    case EtlSource.Kafka(options) =>
+      options.foldLeft(
+        spark.readStream.format("kafka")
+          .option("subscribe", config.topics.mkString(","))
+      ) { case (r, (k, v)) => r.option(k, v) }.load()
+    case EtlSource.Stream(df) => df
+  }
+
+  /** Decode one topic's records and stamp event/processing-time buckets. */
+  private[streaming] def decoded(wire: DataFrame, topic: String): DataFrame = {
+    val json = registry.schemaJson(topic)
+    val flat = wire
+      .filter(col("topic") === topic)
+      .select(AvroFunctions.from_avro_bytes(col("value"), json).as("event"))
+      .select("event.*")
+    val ts = config.eventTimeColumn match {
+      case Some(c) => to_timestamp(col(c) / 1000.0) // epoch-millis payload field
+      case None    => current_timestamp()           // reference parity: processing time
+    }
+    flat.withColumn("dt", date_format(ts, "yyyy-MM-dd"))
+        .withColumn("hour", date_format(ts, "HH"))
+  }
+
+  /** Start one query per topic; returns the running queries. */
+  def start(): Seq[StreamingQuery] = synchronized {
+    require(queries.isEmpty, "pipeline already started")
+    val wire = wireStream()
+    queries = config.topics.map { topic =>
+      decoded(wire, topic)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"${config.outputPath}/$topic")
+        .option("checkpointLocation", s"${config.checkpointLocation}/$topic")
+        .option("compression", config.compression)
+        .partitionBy("dt", "hour")
+        .trigger(config.trigger)
+        .queryName(s"graft-etl-$topic")
+        .start()
+    }
+    queries
+  }
+
+  /** Graceful drain (reference: wakeup → flush → commitSync → close,
+    * `ETLTask.java:301-312`): stop each query; in-flight micro-batches
+    * complete and commit before stop returns. */
+  def stop(): Unit = synchronized {
+    queries.foreach(_.stop())
+    queries = Nil
+  }
+
+  /** Reference's ShutdownHookThread (`KafkaETLParquetConsumer.java:78-104`). */
+  def registerShutdownHook(): Unit =
+    sys.addShutdownHook { stop() }
+
+  def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
+}
+
+/** Source selector: live Kafka (options passed through untouched, so
+  * broker parity holds) or any pre-built streaming DataFrame with the wire
+  * schema (MemoryStream / file source) for broker-free tests — mirroring
+  * the reference's choice to keep broker-dependent tests out of CI
+  * (SURVEY.md §5).
+  */
+sealed trait EtlSource
+object EtlSource {
+  final case class Kafka(options: Map[String, String]) extends EtlSource
+  final case class Stream(df: DataFrame) extends EtlSource
+}
+
+/** @param eventTimeColumn payload field holding epoch millis; None =
+  *   processing-time bucketing (exact reference parity, `ETLTask.java:164-167`).
+  */
+final case class EtlConfig(
+    topics: Seq[String],
+    source: EtlSource,
+    outputPath: String,
+    checkpointLocation: String,
+    trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+    compression: String = "snappy",
+    eventTimeColumn: Option[String] = None)

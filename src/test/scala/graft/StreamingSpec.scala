@@ -1,0 +1,146 @@
+package graft
+
+import graft.sources.ClasspathSchemaRegistry
+import graft.streaming.{EtlConfig, EtlSource, KafkaEtlPipeline, StreamOps}
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end streaming parity tests (SURVEY.md §5): the full reference
+  * dataflow — wire bytes → per-topic Avro decode → time-bucketed Snappy
+  * parquet with transactional commit — driven by MemoryStream instead of
+  * live brokers, exactly as the reference keeps Kafka-dependent tests out
+  * of CI.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private val topic = "item-view-event"
+  private val registry = ClasspathSchemaRegistry.forTopics(Seq(topic))
+  private lazy val avroSchema = registry.avroSchema(topic)
+
+  private def serialize(rec: GenericRecord): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get.binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](avroSchema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def wireBytes(i: Int): Array[Byte] = {
+    val base = new GenericData.Record(avroSchema.getField("baseProperties").schema())
+    base.put("eventType", topic)
+    base.put("timestamp", 1470000000000L + i * 1000L)
+    val rec = new GenericData.Record(avroSchema)
+    rec.put("baseProperties", base)
+    rec.put("itemId", s"item-$i")
+    rec.put("price", 100L + i)
+    rec.put("tags", java.util.List.of[String]())
+    rec.put("attrs", java.util.Map.of[String, java.lang.Long]())
+    serialize(rec)
+  }
+
+  test("pipeline e2e: decode, bucket, snappy parquet, trigger rolling, recovery") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    val mem = MemoryStream[(String, Array[Byte])]
+    val wire = mem.toDF().toDF("topic", "value")
+    val cfg = EtlConfig(Seq(topic), EtlSource.Stream(wire), out, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"))
+    val pipe = new KafkaEtlPipeline(spark, registry, cfg)
+
+    // batch 1 + batch 2 → two micro-batches = two file-roll cycles
+    val Seq(q) = pipe.start()
+    mem.addData((0 until 5).map(i => (topic, wireBytes(i))))
+    q.processAllAvailable()
+    mem.addData((5 until 10).map(i => (topic, wireBytes(i))))
+    q.processAllAvailable()
+    pipe.stop()
+
+    val files = new java.io.File(s"$out/$topic").listFiles()
+    assert(files != null, "per-topic output dir must exist")
+    val back1 = spark.read.parquet(s"$out/$topic")
+    assert(back1.count() == 10)
+    assert(back1.select("itemId").collect().map(_.getString(0)).toSet ==
+      (0 until 10).map(i => s"item-$i").toSet)
+    assert(back1.columns.contains("dt") && back1.columns.contains("hour"))
+    // two commits → at least two data files (per-trigger rolling)
+    val parts = Files.walk(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_spark_metadata"))
+    assert(parts.length >= 2, s"expected >=2 rolled files, got ${parts.length}")
+    // snappy codec actually used
+    assert(parts.exists(_.contains("snappy")))
+
+    // recovery: same stream + same checkpoint → continues, no duplicates
+    val pipe2 = new KafkaEtlPipeline(spark, registry, cfg)
+    val Seq(q2) = pipe2.start()
+    mem.addData((10 until 15).map(i => (topic, wireBytes(i))))
+    q2.processAllAvailable()
+    pipe2.stop()
+    val back2 = spark.read.parquet(s"$out/$topic")
+    assert(back2.count() == 15, "restart must not duplicate or lose rows")
+  }
+
+  test("event-time bucketing mode stamps dt/hour from the payload field") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = Files.createTempDirectory("graft-et-out").toString
+    val ckpt = Files.createTempDirectory("graft-et-ckpt").toString
+    val mem = MemoryStream[(String, Array[Byte])]
+    val cfg = EtlConfig(Seq(topic), EtlSource.Stream(mem.toDF().toDF("topic", "value")),
+      out, ckpt, eventTimeColumn = Some("baseProperties.timestamp"))
+    val pipe = new KafkaEtlPipeline(spark, registry, cfg)
+    val Seq(q) = pipe.start()
+    mem.addData(Seq((topic, wireBytes(0))))
+    q.processAllAvailable()
+    pipe.stop()
+    val r = spark.read.parquet(s"$out/$topic").select("dt", "hour").collect()(0)
+    // 1470000000000 ms = 2016-07-31 21:20:00 UTC
+    assert(r.get(0).toString == "2016-07-31")
+    assert(r.get(1).toString.toInt == 21)
+  }
+
+  test("streaming exact dedup within watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = StreamOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData(Seq((1L, t0, 1.0), (1L, t0, 1.0), (2L, t0, 2.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, Timestamp.valueOf("2024-01-01 00:05:00"), 1.0))) // dup, within watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L)), s"got ${got.toSeq}")
+  }
+
+  test("streaming event-time window agg emits closed windows only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.eventTimeCounts(df, "ts", "5 minutes", "10 minutes", "event_type")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    mem.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "click", 2.0)))
+    q.processAllAvailable()
+    // advance watermark far past the first window → it closes and emits
+    mem.addData(Seq((Timestamp.valueOf("2024-01-01 01:00:00"), "click", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+    assert(rows.length == 1, s"exactly the closed window, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("total_value") == 3.0)
+  }
+}
