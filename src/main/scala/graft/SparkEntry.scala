@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Similarity,
     operators.Dedup,
+    operators.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

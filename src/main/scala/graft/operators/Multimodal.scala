@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2 row 14 [extension]): image/audio/video
+  * carried as opaque `binary` columns with typed relational metadata,
+  * processed in executor-side batches.
+  *
+  * The Spark-side plumbing is real: schema (BinaryType + metadata
+  * columns), partition-parallel batched processing via `mapPartitions`
+  * (the JVM analogue of `mapInPandas` — one codec instance per partition,
+  * iterator-in/iterator-out, no per-row setup), deterministic frame
+  * sampling, and metadata aggregation with a SQL oracle.
+  *
+  * The actual media DECODE is stubbed (`StubMediaCodec`): this container
+  * ships no image/audio libraries, so the codec derives deterministic fake
+  * "features" from the bytes. Swapping in a real codec changes ONE class —
+  * the operator shapes (batching, schema, partitioning) are what's under
+  * test, exactly as the driver prompt specifies.
+  *
+  * Scale: assets are processed where they live (no shuffle before feature
+  * extraction); per-partition codec reuse amortizes model/codec init, the
+  * same property that makes mapInPandas batches efficient. Feature output
+  * is k floats per asset — the downstream similarity ops (Similarity.*)
+  * then apply unchanged.
+  */
+object Multimodal extends QueryPack {
+
+  /** One decoded-feature row. */
+  final case class MediaFeature(asset_id: Long, media_type: String,
+                                feature_dim: Int, feature_norm: Double)
+
+  /** Codec boundary: bytes + declared type → fixed-width feature vector.
+    * Implementations must be Serializable (constructed on the driver,
+    * one instance used per executor partition).
+    */
+  trait MediaCodec extends Serializable {
+    def dim: Int
+    def decodeAndEmbed(mediaType: String, content: Array[Byte]): Array[Float]
+  }
+
+  /** STUB — deterministic fake decode (no media libs in this container).
+    * FNV-1a over the bytes seeds a tiny LCG that fills the vector; real
+    * deployments replace this with an actual image/audio decoder + model.
+    */
+  final class StubMediaCodec(val dim: Int = 16) extends MediaCodec {
+    override def decodeAndEmbed(mediaType: String, content: Array[Byte]): Array[Float] = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < content.length) {
+        h ^= content(i); h *= 0x100000001b3L; i += 1
+      }
+      h ^= mediaType.hashCode.toLong
+      val out = new Array[Float](dim)
+      var s = h
+      var j = 0
+      while (j < dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        out(j) = ((s >>> 40).toInt % 1000) / 1000.0f
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Synthetic asset table derived deterministically from `documents`:
+    * text bytes play the role of the opaque media payload. At 100 TB the
+    * binary column would be parquet-backed media blobs; everything
+    * downstream is payload-agnostic.
+    */
+  private[graft] def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+                 (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("content"),
+      octet_length(col("text")).as("n_bytes"),
+      (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("n_frames"))
+
+  // Metadata aggregation over the multimodal table (pure relational —
+  // binary payloads prune away; the scan reads only media_type/n_bytes).
+  private def q50MediaMeta(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_assets"),
+           sum("n_bytes").as("total_bytes"),
+           max("n_bytes").as("max_bytes"))
+      .orderBy("media_type")
+
+  /** Batched feature extraction: one codec per partition, iterator
+    * in/out — the mapInPandas batch shape on the JVM. */
+  private[graft] def extractFeatures(ds: DataFrame, codec: MediaCodec)
+                                    (implicit s: SparkSession): Dataset[MediaFeature] = {
+    import s.implicits._
+    ds.select("asset_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec (init once, reused across the whole batch)
+        val c = codec
+        it.map { case (id, mt, bytes) =>
+          val f = c.decodeAndEmbed(mt, bytes)
+          val norm = math.sqrt(f.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+          MediaFeature(id, mt, f.length, math.floor(norm * 1000) / 1000)
+        }
+      }
+  }
+
+  // Feature extraction end-to-end (rows-only check: the stub codec has no
+  // cross-engine oracle; MultimodalSpec asserts determinism + batch shape).
+  private def q51MediaFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(assets(s, d), new StubMediaCodec(16))(s)
+      .toDF()
+      .orderBy("asset_id")
+
+  // Deterministic frame sampling for video assets: explode up to 5 frame
+  // indices, fingerprint each sampled frame (md5 of payload + index) —
+  // SQL-expressible, so oracle-checked.
+  private def q52FrameSample(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .filter(col("media_type") === "video")
+      .select(col("asset_id"),
+              explode(expr("sequence(0, least(n_frames, 5) - 1)")).as("frame_idx"),
+              col("content"))
+      .select(col("asset_id"), col("frame_idx"),
+              md5(concat(col("content").cast("string"), lit(":"),
+                         col("frame_idx").cast("string"))).as("frame_sig"))
+      .orderBy("asset_id", "frame_idx")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_media_meta"     -> q50MediaMeta _,
+    "q51_media_features" -> q51MediaFeatures _,
+    "q52_frame_sample"   -> q52FrameSample _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q50_media_meta" ->
+      """SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+         max(n_bytes) AS max_bytes
+         FROM (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+               octet_length(encode(text)) AS n_bytes FROM documents)
+         GROUP BY media_type ORDER BY media_type""",
+    "q52_frame_sample" ->
+      """SELECT doc_id AS asset_id, frame_idx,
+         md5(text || ':' || frame_idx::VARCHAR) AS frame_sig
+         FROM (SELECT doc_id, text, (doc_id % 4 + 2)::INT AS n_frames,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type
+               FROM documents) a,
+         unnest(range(0, least(n_frames, 5))) AS t(frame_idx)
+         WHERE media_type = 'video'
+         ORDER BY asset_id, frame_idx""",
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("asset table: binary payload + typed metadata schema") {
+    val a = Multimodal.assets(spark, sfDir)
+    val sch = a.schema
+    assert(sch("content").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(sch("media_type").dataType == org.apache.spark.sql.types.StringType)
+    val types = a.select("media_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction: deterministic, fixed-dim, partition-batched") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assets(spark, sfDir).repartition(7), new Multimodal.StubMediaCodec(16))
+    val rows = feats.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    assert(rows.forall(_.feature_dim == 16))
+    // determinism across runs and partitionings
+    val again = Multimodal.extractFeatures(
+      Multimodal.assets(spark, sfDir).repartition(3), new Multimodal.StubMediaCodec(16))
+      .collect()
+    assert(rows.map(r => r.asset_id -> r.feature_norm).toMap ==
+           again.map(r => r.asset_id -> r.feature_norm).toMap)
+  }
+
+  test("frame sampling explodes only video assets, capped at 5 frames") {
+    val fs = Multimodal.queries("q52_frame_sample")(spark, sfDir)
+    val byAsset = fs.groupBy("asset_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { case (id, n) =>
+      assert(n >= 2 && n <= 5)
+      assert((id % 3 + 1) == 3, s"asset $id is not video-typed")
+    }
+  }
+}
