@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.functions.TextExprs
+import graft.functions.{NativeExprs, TextExprs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,38 +35,21 @@ object Dedup extends QueryPack {
   private val nBands = 16
   private val rowsPerBand = 4
 
-  /** doc_id + distinct shingle set. */
+  /** doc_id + distinct shingle set (native one-pass expression). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), expr(TextExprs.shingleSet).as("sh"))
+      .select(col("doc_id"), NativeExprs.word_shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** doc_id, sh, mh: 64 minhashes; mh[j] = min over shingles of
-    * xxhash64(j, shingle). `sh` is let-bound (TextExprs.let1) so the
-    * shingle set is computed once per row, not once per hash function —
-    * CollapseProject would otherwise inline its defining expression into
-    * all 64 lambda bodies. */
-  private[graft] def withMinhash(df: DataFrame): DataFrame =
-    df.withColumn("mh",
-      expr(TextExprs.let1("sh", "s0",
-        s"""transform(sequence(0, ${nHashes - 1}),
-              j -> array_min(transform(s0, x -> xxhash64(j, x))))""")))
-
-  /** Band keys: hash of each 4-minhash slice (1-based slice()); mh
-    * let-bound for the same reason. */
-  private[graft] def withBands(df: DataFrame): DataFrame =
-    df.withColumn("bands",
-      expr(TextExprs.let1("mh", "m",
-        s"""transform(sequence(0, ${nBands - 1}),
-              b -> xxhash64(b, concat_ws(',',
-                     transform(slice(m, b * $rowsPerBand + 1, $rowsPerBand),
-                               x -> cast(x as string)))))""")))
-
-  // MinHash + banded LSH near-dup, exact-Jaccard verified.
+  // MinHash + banded LSH near-dup, exact-Jaccard verified. The 64-minhash
+  // → 16-band-key computation is a single native expression (tight loop;
+  // the declarative nested-transform form dominated BENCH at 12.9s).
   private def q42MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    val banded = withBands(withMinhash(sh))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val banded = sh
+      .select(col("doc_id"),
+              posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+                .as(Seq("band", "bkey")))
     val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
             Seq("band", "bkey"))

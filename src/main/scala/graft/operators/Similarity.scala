@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import graft.functions.VectorExprs
+import graft.functions.{NativeExprs, VectorExprs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,28 +28,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryPack {
 
-  /** corpus with double vectors + precomputed L2 norm (computed once per
-    * row at scan time — norms are reused across all query comparisons). */
-  private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
-      .withColumn("nrm", VectorExprs.norm("v"))
-
-  // Brute-force cosine top-5 for query vectors vec_id < 10.
+  // Brute-force cosine top-5 for query vectors vec_id < 10. Cosine is the
+  // native CosineSim expression (tight primitive loop, math identical to
+  // the declarative double-widened fold — see NativeExprs).
   private def q40CosineTopK(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(s, d)
-    val q = c.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    c.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", VectorExprs.dot("v", "qv") / (col("nrm") * col("qn")))
+      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
               (floor(col("cos") * 100000) / 100000).as("cosine"))
       .orderBy("q_id", "rnk")
   }
+
+  /** corpus with double vectors (for the LSH signature dot products). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
 
   /** Deterministic random hyperplanes: `nPlanes` × 64 gaussians, fixed seed. */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int = 64, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -77,17 +77,17 @@ object Similarity extends QueryPack {
   private def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
     val sig = withSignatures(corpus(s, d), nBands = 2, bitsPerBand = 8)
     val bands = (0 until 2).map { b =>
-      sig.select(col("vec_id"), col("v"), col("nrm"), lit(b).as("band"),
+      sig.select(col("vec_id"), col("v"), lit(b).as("band"),
                  col(s"sig_$b").as("bucket"))
     }.reduce(_ unionByName _)
     val a = bands.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
-                         col("v").as("av"), col("nrm").as("an"))
+                         col("v").as("av"))
     val b = bands.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
-                         col("v").as("bv"), col("nrm").as("bn"))
+                         col("v").as("bv"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-              (VectorExprs.dot("av", "bv") / (col("an") * col("bn"))).as("cos"))
+              NativeExprs.cosine_sim(col("av"), col("bv")).as("cos"))
       .groupBy("a_id", "b_id").agg(first("cos").as("cos"))  // dedup multi-band hits
       .filter(col("cos") >= 0.2)
       .select(col("a_id"), col("b_id"),
@@ -98,12 +98,12 @@ object Similarity extends QueryPack {
   // Exact cosine near-dup pairs (threshold 0.4 — the synthetic vectors are
   // near-orthogonal, see BENCH notes). Oracle-verified all-pairs baseline.
   private def q44CosineNearDup(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(s, d)
-    val a = c.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-    val b = c.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", VectorExprs.dot("av", "bv") / (col("an") * col("bn")))
+      .withColumn("cos", NativeExprs.cosine_sim(col("av"), col("bv")))
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"),
               (floor(col("cos") * 100000) / 100000).as("cosine"))

@@ -116,7 +116,7 @@ object TextAnalysis extends QueryPack {
   private def q34Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-              expr(s"array_distinct($shinglesExpr)").as("sh"))
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
       .select(col("doc_id"),
               expr("array_min(transform(sh, x -> md5(x)))").as("fingerprint"),
               size(col("sh")).as("n_shingles"))
@@ -127,7 +127,8 @@ object TextAnalysis extends QueryPack {
   private def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
     def exploded(role: String): DataFrame =
       Tables.documents(s, d)
-        .select(col("doc_id"), expr(s"array_distinct($shinglesExpr)").as("sh"))
+        .select(col("doc_id"),
+                graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
         .select(col("doc_id").as(s"${role}_id"),
                 size(col("sh")).as(s"${role}sz"),
                 explode(col("sh")).as("s"))
