@@ -95,8 +95,19 @@ object EventOps extends QueryPack {
       .orderBy("user_id", "session_id")
   }
 
+  // Semi-structured payload access: events.props is a JSON string (the
+  // reference carries payloads opaquely; here we project into them).
+  private def q25JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+           min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_ingest_bucket" -> q20IngestBucket _,
+    "q25_json_extract"  -> q25JsonExtract _,
     "q21_event_window"  -> q21EventWindow _,
     "q22_dedup_exact"   -> q22DedupExact _,
     "q23_dedup_first"   -> q23DedupFirst _,
@@ -104,6 +115,12 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q25_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+         min(CAST(props->>'k' AS BIGINT)) AS k_min,
+         max(CAST(props->>'k' AS BIGINT)) AS k_max
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q20_ingest_bucket" ->
       """SELECT event_id, event_type AS topic,
          strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hour,

@@ -219,7 +219,70 @@ object Relational extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // CUBE over two order dimensions (all 4 grouping combinations). SQL
+  // surface for the same lineage-check reason as q10.
+  private def q18Cube(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total
+          FROM parquet.`$d/orders.parquet`
+          GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          ORDER BY status, priority""")
+
+  // Exact interpolated percentiles. Computed over integer-valued
+  // quantities so the lerp is IEEE-exact in any evaluation order —
+  // cross-engine comparable without rounding.
+  private def q19Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+           expr("percentile(l_quantity, 0.5)").as("p50"),
+           expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy("l_returnflag")
+
+  // Date arithmetic: day offsets and shifted dates.
+  private def q26DateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+              datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+                .cast("long").as("days_since"),
+              date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"))
+      .orderBy("o_orderkey")
+
+  /** As-of join (events ←latest-prior— orders, keyed by a 25-way customer
+    * bucket): the canonical time-series operator Spark lacks natively.
+    * Composed from built-ins per the preference order — a tagged union
+    * sorted per key, with `last(ignoreNulls)` carrying the most recent
+    * order forward; one shuffle on the bucket key, scales as a window,
+    * never a range cross-join. Orders are pre-aggregated per (bucket, ts)
+    * so ties are deterministic in both engines. Oracle: DuckDB ASOF JOIN.
+    */
+  private def q27AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(pmod(col("o_custkey"), lit(25)).as("bucket"),
+               col("o_orderdate").as("t"))
+      .agg(max("o_orderkey").as("ok"))
+      .select(col("bucket"), col("t"), lit(0).as("kind"),
+              lit(null).cast("long").as("event_id"), col("ok"))
+    val e = Tables.events(s, d)
+      .select(pmod(col("user_id"), lit(25)).as("bucket"), col("ts").as("t"),
+              lit(1).as("kind"), col("event_id"), lit(null).cast("long").as("ok"))
+    val w = Window.partitionBy("bucket").orderBy("t", "kind")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.unionByName(e)
+      .withColumn("o_orderkey", last("ok", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("o_orderkey").isNotNull)
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_cube"        -> q18Cube _,
+    "q19_percentiles" -> q19Percentiles _,
+    "q26_date_arith"  -> q26DateArith _,
+    "q27_asof_join"   -> q27AsofJoin _,
     "q1_agg"          -> q1Agg _,
     "q2_filter"       -> q2Filter _,
     "q3_join_topk"    -> q3JoinTopK _,
@@ -240,6 +303,32 @@ object Relational extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q18_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q19_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q26_date_arith" ->
+      """SELECT o_orderkey,
+         date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+         strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+         FROM orders ORDER BY o_orderkey""",
+    "q27_asof_join" ->
+      """WITH o2 AS (SELECT o_custkey % 25 AS bucket, o_orderdate,
+                     max(o_orderkey) AS ok
+                     FROM orders GROUP BY 1, 2),
+         e AS (SELECT event_id, user_id % 25 AS bucket, ts FROM events)
+         SELECT e.event_id, o2.ok AS o_orderkey
+         FROM e ASOF JOIN o2
+           ON e.bucket = o2.bucket AND e.ts >= o2.o_orderdate
+         ORDER BY event_id""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

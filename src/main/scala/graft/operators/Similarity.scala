@@ -110,10 +110,44 @@ object Similarity extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF-style ANN (the scale path alongside q41's LSH): a fixed coarse
+    * quantizer (every 10th vector serves as a centroid — deterministic,
+    * k-means-free), nprobe=1. Assignment is a broadcast cross-score +
+    * argmax (max over (cos, id) structs — deterministic tie-break);
+    * search touches only the query's own cell. At 100 TB the corpus is
+    * PARTITIONED BY centroid id, so a query reads one cell's partitions
+    * — the standard IVF layout. Rows-only check; recall asserted against
+    * brute force in SimilaritySpec.
+    */
+  private def q45AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.c_id").as("centroid"))
+      .join(e, "vec_id")
+    val qs = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
+              col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(qs), col("centroid") === col("q_centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
+              (floor(col("cos") * 100000) / 100000).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk"     -> q40CosineTopK _,
     "q41_ann_lsh"         -> q41AnnLsh _,
     "q44_cosine_neardup"  -> q44CosineNearDup _,
+    "q45_ann_ivf"         -> q45AnnIvf _,
   )
 
   override val oracles: Map[String, String] = Map(

@@ -143,7 +143,22 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  // Edit distance between adjacent documents' 80-char prefixes (capped so
+  // the O(len²) DP stays bounded; Spark and DuckDB both implement the
+  // classic Levenshtein count).
+  private def q36EditDistance(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.documents(s, d)
+      .select(col("doc_id").as("a_id"), substring(col("text"), 1, 80).as("a_txt"))
+    val b = Tables.documents(s, d)
+      .select(col("doc_id").as("b_id"), substring(col("text"), 1, 80).as("b_txt"))
+    a.join(b, col("b_id") === col("a_id") + 1)
+      .select(col("a_id"), col("b_id"),
+              levenshtein(col("a_txt"), col("b_txt")).cast("long").as("edit_dist"))
+      .orderBy("a_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_edit_distance" -> q36EditDistance _,
     "q30_tokens"        -> q30Tokens _,
     "q31_lang_stats"    -> q31LangStats _,
     "q32_quality"       -> q32Quality _,
@@ -153,6 +168,11 @@ object TextAnalysis extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q36_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         ORDER BY a_id""",
     "q30_tokens" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -42,6 +42,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed ${missed.size} near-identical pairs")
   }
 
+  test("q45 IVF: same-cell search finds cluster neighbors (testdata)") {
+    val ivf = Similarity.queries("q45_ann_ivf")(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    // every query returns <=5 ranked, cosine-descending neighbors from its cell
+    ivf.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.sameElements(cs.sortBy(-_)))
+    }
+  }
+
   test("q42 MinHash+LSH equals the exact ngram-jaccard pair set") {
     val lsh = Dedup.queries("q42_minhash_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
