@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming-native operators layered on the ETL pipeline — the event-time
   * semantics the reference lacks (SURVEY.md §2 "Explicit absences": no
@@ -35,4 +36,66 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
               col("n_events"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp,
+                              n_events: Long, total_value: Double)
+  final case class SessionAgg(start: Long, end: Long, n: Long, total: Double)
+
+  /** Gap-based streaming sessionization via custom keyed state
+    * (`flatMapGroupsWithState`, event-time timeout) — the streaming twin
+    * of EventOps.q24. A session closes when no event arrives within
+    * `gapMs` of its last event; the close is detected by the state
+    * timeout once the watermark passes session_end + gap.
+    *
+    * State per key is one open session (4 longs) — at 100 TB/day the
+    * state store scales with ACTIVE users only, and event-time timeout
+    * guarantees eviction.
+    */
+  def sessionizeStream(ds: Dataset[SessionEvent], gapMs: Long,
+                       watermarkDelay: String)
+                      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def toOut(uid: Long, s: SessionAgg): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+                 s.n, s.total)
+
+    def update(uid: Long, events: Iterator[SessionEvent],
+               state: GroupState[SessionAgg]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = toOut(uid, state.get)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        val sorted = events.toSeq.sortBy(_.ts.getTime)
+        var open = state.getOption
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            case Some(s) if t - s.end <= gapMs =>
+              open = Some(SessionAgg(s.start, math.max(s.end, t), s.n + 1,
+                                     s.total + e.value))
+            case Some(s) =>
+              closed += toOut(uid, s)
+              open = Some(SessionAgg(t, t, 1, e.value))
+            case None =>
+              open = Some(SessionAgg(t, t, 1, e.value))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

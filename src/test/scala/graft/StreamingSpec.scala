@@ -123,6 +123,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(Array(1L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("streaming sessionization: gap closes sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val q = StreamOps.sessionizeStream(mem.toDS(), gapMs = 30 * 60 * 1000,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    def ev(t: String, v: Double) =
+      StreamOps.SessionEvent(1L, Timestamp.valueOf(t), v)
+    mem.addData(Seq(ev("2024-01-01 00:00:00", 1.0), ev("2024-01-01 00:10:00", 2.0)))
+    q.processAllAvailable()
+    // 2h later: watermark passes session_end+gap → session times out + emits
+    mem.addData(Seq(ev("2024-01-01 02:00:00", 5.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(ev("2024-01-01 06:00:00", 7.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").orderBy("session_start").collect()
+    assert(rows.length >= 1, s"first session must have closed, got ${rows.toSeq}")
+    val first = rows(0)
+    assert(first.getAs[Long]("n_events") == 2)
+    assert(first.getAs[Double]("total_value") == 3.0)
+    assert(first.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(first.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:10:00"))
+  }
+
   test("streaming event-time window agg emits closed windows only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
