@@ -19,9 +19,11 @@ object SparkEntry {
     operators.Multimodal,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole dataflow in batch form: per-record projection +
+    * topic routing + time-bucketing (SURVEY.md §7 M0). */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    operators.EventOps.queries("q20_ingest_bucket")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
