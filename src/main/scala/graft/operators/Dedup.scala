@@ -44,6 +44,14 @@ object Dedup extends QueryPack {
   // MinHash + banded LSH near-dup, exact-Jaccard verified. The 64-minhash
   // → 16-band-key computation is a single native expression (tight loop;
   // the declarative nested-transform form dominated BENCH at 12.9s).
+  //
+  // Candidate generation: equi-self-join on the exploded (band, bkey)
+  // postings — band keys are near-unique for non-dups, so the join output
+  // is ≈ self-matches + true collisions. (A groupBy-bucket pairing
+  // variant — one shuffle, in-bucket pair expansion — was measured
+  // warm-equal but 3s slower cold from codegen of the collect_list +
+  // nested-transform pipeline; at extreme scale the switch, plus a
+  // bucket-size cap for skew, is mechanical.)
   private def q42MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val banded = sh
@@ -55,10 +63,11 @@ object Dedup extends QueryPack {
             Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification: re-join shingle sets, Jaccard via array ops
+    // exact verification: re-join shingle sets (candidates are tiny —
+    // broadcast them so neither verification join shuffles the corpus)
     val aSh = sh.select(col("doc_id").as("a_id"), col("sh").as("ash"))
     val bSh = sh.select(col("doc_id").as("b_id"), col("sh").as("bsh"))
-    cand.join(aSh, "a_id").join(bSh, "b_id")
+    broadcast(broadcast(cand).join(aSh, "a_id")).join(bSh, "b_id")
       .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
       .withColumn("jac_raw",
         col("common") / (size(col("ash")) + size(col("bsh")) - col("common")))
