@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scale-pattern tests: salted joins preserve semantics; bucketed tables
+  * make co-partitioned joins shuffle-free; approximate sketches track
+  * exact answers.
+  */
+class ScaleSpec extends SparkTestBase {
+
+  test("salted join equals the plain join (skew mitigation is semantics-free)") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.agg(round(sum(col("l_quantity") * col("o_totalprice")), 2)).collect()(0).getDouble(0)
+    val b = salted.agg(round(sum(col("l_quantity") * col("o_totalprice")), 2)).collect()(0).getDouble(0)
+    assert(a == b)
+  }
+
+  test("bucketed tables join without a shuffle on the join key") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(li_bucketed) */ count(*) AS n
+         FROM li_bucketed JOIN o_bucketed ON l_orderkey = o_orderkey""")
+    // materialize so AQE finalizes the plan, then inspect the executed plan
+    val n = joined.collect()(0).getLong(0)
+    assert(n == Tables.lineitem(spark, sfDir).count())
+    val executed = joined.queryExecution.executedPlan
+    val finalPlan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collect { case s: ShuffleExchangeExec => s }
+    // the join itself must be shuffle-free (bucket layout co-partitions);
+    // only the single-row count aggregation may exchange
+    assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+      s"join-side shuffle found: ${shuffles.map(_.outputPartitioning)}")
+  }
+
+  test("approximate sketches track exact answers within tolerance") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+      countDistinct("l_partkey").as("exact_d"),
+      approx_count_distinct("l_partkey", 0.02).as("approx_d"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      .collect()(0)
+    val (exactD, approxD) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL off by >5%: exact=$exactD approx=$approxD")
+    val (ep, ap) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(ap - ep) / ep < 0.05, s"approx p50 off: exact=$ep approx=$ap")
+  }
+}
