@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2 row 13
@@ -157,7 +158,66 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id")
   }
 
+  // End-to-end curation pipeline (the LLM-data shape: score → filter →
+  // near-dup-collapse → per-language yield): quality-gate documents,
+  // collapse fingerprint duplicates to the smallest doc_id, report kept
+  // counts per language. One scan + one shuffle on the fingerprint + one
+  // on lang — the whole pipeline is three hash exchanges at any scale.
+  private def q37Curation(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("n_tokens", expr(s"size($toksExpr)"))
+      .withColumn("n_stop", expr(s"size(filter($toksExpr, t -> t IN $stopList))"))
+      .withColumn("quality",
+        floor((lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0)
+             + lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens"))) * 1000) / 1000)
+      .filter(col("quality") >= 0.6)
+      .withColumn("sh", graft.functions.NativeExprs.word_shingles(col("text")))
+      .withColumn("fp", expr("array_min(transform(sh, x -> md5(x)))"))
+    // keep the smallest doc_id per fingerprint: one shuffle on fp (a
+    // window), not a groupBy + join-back that recomputes the scan twice
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           (floor(avg("n_tokens") * 100) / 100).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  // Corpus vocabulary: token frequency + document frequency.
+  private def q38Vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy("token")
+
+  // TF-IDF: top-3 scoring tokens for the first 100 documents (scores over
+  // the WHOLE corpus; output capped for the harness). ln/idf computed the
+  // same way both engines; floor-truncated at 1e-6.
+  private def q39Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val perDoc = docs
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"),
+              expr(s"size($toksExpr)").as("doc_len"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"), first("doc_len").as("doc_len"))
+    val dfTab = perDoc.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    perDoc.join(dfTab, "token")
+      .withColumn("score",
+        floor(col("cnt") / col("doc_len") * log(lit(n) / col("df")) * 1000000) / 1000000)
+      .filter(col("doc_id") < 100)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "token", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_curation"      -> q37Curation _,
+    "q38_vocab"         -> q38Vocab _,
+    "q39_tfidf"         -> q39Tfidf _,
     "q36_edit_distance" -> q36EditDistance _,
     "q30_tokens"        -> q30Tokens _,
     "q31_lang_stats"    -> q31LangStats _,
@@ -168,6 +228,71 @@ object TextAnalysis extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q33_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, length(text) AS n_len,
+           length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS score_cjk,
+           len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it'))) AS score_en,
+           len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit'))) AS score_de,
+           len(list_filter(toks, t -> t IN ('el','la','los','las','es','una','que','por'))) AS score_es,
+           len(list_filter(toks, t -> t IN ('le','les','des','est','une','dans','qui','pas'))) AS score_fr
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN score_cjk > n_len * 0.3 THEN 'zh'
+                WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           score_en, score_de, score_es, score_fr, score_cjk
+         FROM s ORDER BY doc_id""",
+    "q37_curation" ->
+      """WITH scored AS (
+           SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t IN ('the','a','of','and','in','to'))) AS n_stop
+           FROM documents),
+         q AS (SELECT *, floor((0.5 * least(1.0, n_tokens / 100.0)
+                   + 0.5 * (1.0 - n_stop / n_tokens)) * 1000) / 1000 AS quality
+               FROM scored),
+         fpt AS (SELECT doc_id, lang, n_tokens,
+             list_min([md5(x) for x in list_distinct(
+               CASE WHEN len(t2) >= 3 THEN
+                 [t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] for i in range(1, len(t2) - 1)]
+               ELSE [] END)]) AS fp
+           FROM (SELECT *, string_split_regex(trim(text), '\s+') AS t2
+                 FROM q WHERE quality >= 0.6)),
+         surv AS (SELECT fp, min(doc_id) AS doc_id FROM fpt GROUP BY fp)
+         SELECT k.lang, count(*) AS n_kept,
+                floor(avg(k.n_tokens) * 100) / 100 AS avg_tokens
+         FROM fpt k JOIN surv s ON k.fp = s.fp AND k.doc_id = s.doc_id
+         GROUP BY k.lang ORDER BY k.lang""",
+    "q38_vocab" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY token""",
+    "q39_tfidf" ->
+      """WITH per AS (SELECT doc_id, token, count(*) AS cnt,
+             any_value(doc_len) AS doc_len
+           FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS token,
+                 len(string_split_regex(trim(text), '\s+')) AS doc_len
+                 FROM documents)
+           GROUP BY doc_id, token),
+         dfv AS (SELECT token, count(DISTINCT doc_id) AS df FROM per GROUP BY token),
+         nn AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT p.doc_id, p.token,
+             floor(p.cnt / p.doc_len * ln((SELECT n FROM nn) / d.df) * 1000000) / 1000000 AS score
+           FROM per p JOIN dfv d ON p.token = d.token
+           WHERE p.doc_id < 100),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, token) AS rnk FROM scored)
+         SELECT doc_id, rnk, token, score FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q36_edit_distance" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
