@@ -27,16 +27,28 @@ object Ingest {
 
   /** Batch form of the reference's whole pipeline: bucket + partitioned
     * Snappy parquet append. `topicCol` plays the reference's topic role.
+    *
+    * Parquet physical knobs mirror the reference's writer config
+    * (`ETLTask.java:146-148`, `:197`): 256 MiB row groups
+    * (`CONF_BLOCK_SIZE` default), 64 KiB pages (`CONF_PAGE_SIZE`),
+    * dictionary encoding on. Exposed the Spark way — per-write options
+    * picked up by the parquet output format.
     */
   def writePartitioned(df: DataFrame, out: String,
                        topicCol: String = "event_type",
                        tsCol: String = "ts",
-                       mode: SaveMode = SaveMode.Append): Unit =
+                       mode: SaveMode = SaveMode.Append,
+                       blockSize: Long = 256L * 1024 * 1024,
+                       pageSize: Int = 64 * 1024,
+                       dictionary: Boolean = true): Unit =
     withBucketColumns(df, tsCol)
       .withColumn("topic", col(topicCol))
       .write
       .mode(mode)
       .partitionBy("topic", "dt", "hour")
       .option("compression", "snappy")
+      .option("parquet.block.size", blockSize.toString)
+      .option("parquet.page.size", pageSize.toString)
+      .option("parquet.enable.dictionary", dictionary.toString)
       .parquet(out)
 }
