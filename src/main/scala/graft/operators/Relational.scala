@@ -278,8 +278,42 @@ object Relational extends QueryPack {
       .orderBy("event_id")
   }
 
+  // Approximate sketches (HLL distinct count, approx percentile). Raw
+  // sketch outputs differ per engine, so the oracle-comparable output is
+  // the exact value plus within-tolerance booleans — both engines' HLL
+  // implementations sit well inside 5% at this cardinality, so the
+  // booleans agree deterministically.
+  private def q28ApproxAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("exact_d"),
+           approx_count_distinct("l_suppkey", 0.02).as("approx_d"),
+           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      .select(col("l_returnflag"), col("exact_d"),
+              (abs(col("approx_d") - col("exact_d")) < col("exact_d") * 0.05).as("hll_ok"),
+              (abs(col("approx_p50") - col("exact_p50")) < col("exact_p50") * 0.05).as("p50_ok"))
+      .orderBy("l_returnflag")
+
+  // Window-frame variants: lag/lead, 3-row moving average, ntile.
+  private def q29WindowFrames(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .withColumn("prev_price", round(lag("o_totalprice", 1, 0.0).over(byCust), 2))
+      .withColumn("next_price", round(lead("o_totalprice", 1, 0.0).over(byCust), 2))
+      .withColumn("mov_avg",
+        floor(avg("o_totalprice").over(byCust.rowsBetween(-2, 0)) * 100) / 100)
+      .withColumn("quartile", ntile(4).over(byCust))
+      .select(col("o_orderkey"), col("o_custkey"), col("prev_price"),
+              col("next_price"), col("mov_avg"), col("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_cube"        -> q18Cube _,
+    "q28_approx_agg"  -> q28ApproxAgg _,
+    "q29_window_frames" -> q29WindowFrames _,
     "q19_percentiles" -> q19Percentiles _,
     "q26_date_arith"  -> q26DateArith _,
     "q27_asof_join"   -> q27AsofJoin _,
@@ -303,6 +337,25 @@ object Relational extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q28_approx_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS exact_d,
+         abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))
+           < count(DISTINCT l_suppkey) * 0.05 AS hll_ok,
+         abs(approx_quantile(l_extendedprice, 0.5)
+             - quantile_cont(l_extendedprice, 0.5))
+           < quantile_cont(l_extendedprice, 0.5) * 0.05 AS p50_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q29_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+         round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+         round(lead(o_totalprice, 1, 0.0) OVER w, 2) AS next_price,
+         floor(avg(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100 AS mov_avg,
+         ntile(4) OVER w AS quartile
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q18_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority,
