@@ -106,6 +106,58 @@ class StreamingSpec extends SparkTestBase {
     assert(r.get(1).toString.toInt == 21)
   }
 
+  test("multi-topic fan-out: one query per topic, rows routed by topic") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val topics = Seq("item-view-event", "item-click-event")
+    // both topics share the same schema resource (per-topic registry keys)
+    val reg2 = new graft.sources.ClasspathSchemaRegistry(
+      topics.map(_ -> "avro/item-view-event.avsc").toMap)
+    val out = Files.createTempDirectory("graft-mt-out").toString
+    val ckpt = Files.createTempDirectory("graft-mt-ckpt").toString
+    val mem = MemoryStream[(String, Array[Byte])]
+    val cfg = EtlConfig(topics, EtlSource.Stream(mem.toDF().toDF("topic", "value")),
+      out, ckpt)
+    val pipe = new KafkaEtlPipeline(spark, reg2, cfg)
+    val qs = pipe.start()
+    assert(qs.length == 2, "one StreamingQuery per topic")
+    mem.addData(Seq(
+      (topics(0), wireBytes(1)), (topics(0), wireBytes(2)),
+      (topics(1), wireBytes(3))))
+    qs.foreach(_.processAllAvailable())
+    pipe.stop()
+    assert(spark.read.parquet(s"$out/${topics(0)}").count() == 2)
+    val clicks = spark.read.parquet(s"$out/${topics(1)}")
+    assert(clicks.count() == 1)
+    assert(clicks.select("itemId").collect()(0).getString(0) == "item-3")
+  }
+
+  test("streaming dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val df = mem.toDF().toDF("event_id", "ts", "value")
+      val q = StreamOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+        .writeStream.format("memory").queryName("rocks_out").outputMode("append").start()
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData(Seq((1L, t0, 1.0), (1L, t0, 1.0), (2L, t0, 2.0)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("rocks_out").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(Array(1L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming exact dedup within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
