@@ -108,6 +108,50 @@ final class KafkaEtlPipeline(
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 
+object KafkaEtlPipeline {
+
+  /** The reference's public config keys (`KafkaETLParquetConsumer.java:16-22`)
+    * — the drop-in property surface a migrating user already has. */
+  val ConfOutput = "output"
+  val ConfInterval = "interval"
+  val ConfIntervalUnit = "interval.unit" // DAY | HOUR | MINUTE (enum `:33-42`)
+  val ConfBlockSize = "block.size"
+  val ConfPageSize = "page.size"
+  val ConfDateFormat = "date.format"
+
+  /** Drop-in adapter for the reference's constructor shape
+    * (`KafkaETLParquetConsumer.java:44-56`): Kafka consumer properties +
+    * topics + parquet sink properties + registry → a configured pipeline.
+    * The roll interval (`interval` × `interval.unit`, ms math at
+    * `ETLTask.java:121-137`) becomes the processing-time trigger; Kafka
+    * props pass through as source options (auto-commit is irrelevant —
+    * offsets live in the checkpoint, `:49`'s force-disable comes free).
+    */
+  def fromProperties(spark: SparkSession,
+                     kafkaConsumerProps: Map[String, String],
+                     topics: Seq[String],
+                     parquetProps: Map[String, String],
+                     registry: SchemaRegistry,
+                     checkpointLocation: String): KafkaEtlPipeline = {
+    val interval = parquetProps.getOrElse(ConfInterval, "1").toInt
+    val unitMs = parquetProps.getOrElse(ConfIntervalUnit, "MINUTE") match {
+      case "DAY"    => 24L * 60 * 60 * 1000
+      case "HOUR"   => 60L * 60 * 1000
+      case "MINUTE" => 60L * 1000
+      case other => throw new IllegalArgumentException(
+        s"unknown $ConfIntervalUnit: $other (expected DAY|HOUR|MINUTE)")
+    }
+    val cfg = EtlConfig(
+      topics = topics,
+      source = EtlSource.Kafka(kafkaConsumerProps),
+      outputPath = parquetProps.getOrElse(ConfOutput,
+        throw new IllegalArgumentException(s"missing required '$ConfOutput'")),
+      checkpointLocation = checkpointLocation,
+      trigger = Trigger.ProcessingTime(interval * unitMs))
+    new KafkaEtlPipeline(spark, registry, cfg)
+  }
+}
+
 /** Source selector: live Kafka (options passed through untouched, so
   * broker parity holds) or any pre-built streaming DataFrame with the wire
   * schema (MemoryStream / file source) for broker-free tests — mirroring

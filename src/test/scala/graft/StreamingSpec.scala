@@ -158,6 +158,29 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("fromProperties: reference config keys map to trigger/output") {
+    val pipe = KafkaEtlPipeline.fromProperties(spark,
+      kafkaConsumerProps = Map("kafka.bootstrap.servers" -> "broker:9092",
+                               "kafka.group.id" -> "g1"),
+      topics = Seq(topic),
+      parquetProps = Map(
+        KafkaEtlPipeline.ConfOutput -> "/tmp/unused-out",
+        KafkaEtlPipeline.ConfInterval -> "5",
+        KafkaEtlPipeline.ConfIntervalUnit -> "MINUTE"),
+      registry = registry,
+      checkpointLocation = "/tmp/unused-ckpt")
+    assert(pipe != null)
+    intercept[IllegalArgumentException] {
+      KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
+        Map(KafkaEtlPipeline.ConfIntervalUnit -> "FORTNIGHT",
+            KafkaEtlPipeline.ConfOutput -> "x"), registry, "y")
+    }
+    intercept[IllegalArgumentException] {
+      KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
+        Map.empty, registry, "y")
+    }
+  }
+
   test("streaming exact dedup within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
