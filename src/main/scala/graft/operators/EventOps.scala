@@ -117,7 +117,7 @@ object EventOps extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q25_json_extract" ->
       """SELECT event_type, count(*) AS n,
-         sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
          min(CAST(props->>'k' AS BIGINT)) AS k_min,
          max(CAST(props->>'k' AS BIGINT)) AS k_max
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -149,8 +149,8 @@ object EventOps extends QueryPack {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
          ), numbered AS (
            SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM flagged
          )
          SELECT user_id, session_id, count(*) AS n_events,

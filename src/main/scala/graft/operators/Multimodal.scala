@@ -86,7 +86,7 @@ object Multimodal extends QueryPack {
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),
            sum("n_bytes").as("total_bytes"),
-           max("n_bytes").as("max_bytes"))
+           max("n_bytes").cast("long").as("max_bytes"))
       .orderBy("media_type")
 
   /** Batched feature extraction: one codec per partition, iterator
@@ -121,7 +121,7 @@ object Multimodal extends QueryPack {
     assets(s, d)
       .filter(col("media_type") === "video")
       .select(col("asset_id"),
-              explode(expr("sequence(0, least(n_frames, 5) - 1)")).as("frame_idx"),
+              explode(expr("sequence(0L, cast(least(n_frames, 5) - 1 AS LONG))")).as("frame_idx"),
               col("content"))
       .select(col("asset_id"), col("frame_idx"),
               md5(concat(col("content").cast("string"), lit(":"),
@@ -136,7 +136,7 @@ object Multimodal extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q50_media_meta" ->
-      """SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+      """SELECT media_type, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          max(n_bytes) AS max_bytes
          FROM (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
                octet_length(encode(text)) AS n_bytes FROM documents)

@@ -89,7 +89,7 @@ object Relational extends QueryPack {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("p_brand"), col("p_partkey"),
-              round(col("p_retailprice"), 2).as("p_retailprice"), col("rn"))
+              round(col("p_retailprice"), 2).as("p_retailprice"), col("rn").cast("long").as("rn"))
       .orderBy("p_brand", "rn")
   }
 
@@ -169,7 +169,7 @@ object Relational extends QueryPack {
       .select(
         col("p_partkey"),
         upper(col("p_name")).as("name_upper"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         substring(col("p_name"), 1, 5).as("name_pfx"),
         concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
         (col("p_size") % 5).as("size_mod"),
@@ -190,7 +190,7 @@ object Relational extends QueryPack {
     val p = Tables.part(s, d)
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
       .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev) * 100, 2)
              .as("promo_share"))
       .orderBy("ship_year")
@@ -304,7 +304,7 @@ object Relational extends QueryPack {
       .withColumn("next_price", round(lead("o_totalprice", 1, 0.0).over(byCust), 2))
       .withColumn("mov_avg",
         floor(avg("o_totalprice").over(byCust.rowsBetween(-2, 0)) * 100) / 100)
-      .withColumn("quartile", ntile(4).over(byCust))
+      .withColumn("quartile", ntile(4).over(byCust).cast("long"))
       .select(col("o_orderkey"), col("o_custkey"), col("prev_price"),
               col("next_price"), col("mov_avg"), col("quartile"))
       .orderBy("o_custkey", "o_orderkey")

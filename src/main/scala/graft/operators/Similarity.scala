@@ -41,7 +41,7 @@ object Similarity extends QueryPack {
       .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id").as("n_id"),
               (floor(col("cos") * 100000) / 100000).as("cosine"))
       .orderBy("q_id", "rnk")
   }
@@ -138,7 +138,7 @@ object Similarity extends QueryPack {
       .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id").as("n_id"),
               (floor(col("cos") * 100000) / 100000).as("cosine"))
       .orderBy("q_id", "rnk")
   }

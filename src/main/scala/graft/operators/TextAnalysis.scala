@@ -32,9 +32,9 @@ object TextAnalysis extends QueryPack {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        expr(s"size($toksExpr)").as("ws_tokens"),
+        expr(s"size($toksExpr)").cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
         // floor-truncate, don't round: ratios of small ints can land exactly
         // on a rounding midpoint (4.725), where Spark's round (decimal
         // re-interpretation via Double.toString) and DuckDB's (raw binary)
@@ -59,7 +59,7 @@ object TextAnalysis extends QueryPack {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        expr(s"size($toksExpr)").as("n_tokens"),
+        expr(s"size($toksExpr)").cast("long").as("n_tokens"),
         expr(s"size(filter($toksExpr, t -> t IN $stopList))").as("n_stop"))
       .withColumn("stop_ratio",
         floor(col("n_stop") / col("n_tokens") * 1000) / 1000)
@@ -107,8 +107,11 @@ object TextAnalysis extends QueryPack {
   private def q33LangId(s: SparkSession, d: String): DataFrame =
     langIdScored(Tables.documents(s, d))
       .select(col("doc_id"), col("predicted_lang"),
-              col("score_en"), col("score_de"), col("score_es"),
-              col("score_fr"), col("score_cjk"))
+              col("score_en").cast("long").as("score_en"),
+              col("score_de").cast("long").as("score_de"),
+              col("score_es").cast("long").as("score_es"),
+              col("score_fr").cast("long").as("score_fr"),
+              col("score_cjk").cast("long").as("score_cjk"))
       .orderBy("doc_id")
 
   // Document fingerprint: min of md5 over word-3-gram shingles (MinHash
@@ -120,7 +123,7 @@ object TextAnalysis extends QueryPack {
               graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
       .select(col("doc_id"),
               expr("array_min(transform(sh, x -> md5(x)))").as("fingerprint"),
-              size(col("sh")).as("n_shingles"))
+              size(col("sh")).cast("long").as("n_shingles"))
       .orderBy("doc_id")
 
   // N-gram Jaccard near-dup pairs via inverted shingle index (no cross
@@ -210,7 +213,7 @@ object TextAnalysis extends QueryPack {
       .filter(col("doc_id") < 100)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
-      .select("doc_id", "rnk", "token", "score")
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("token"), col("score"))
       .orderBy("doc_id", "rnk")
   }
 
@@ -307,7 +310,7 @@ object TextAnalysis extends QueryPack {
          FROM documents ORDER BY doc_id""",
     "q31_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "q32_quality" ->
       """SELECT doc_id, n_tokens,

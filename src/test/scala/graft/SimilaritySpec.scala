@@ -11,7 +11,7 @@ class SimilaritySpec extends SparkTestBase {
     val byQ = rows.groupBy(_.getLong(0))
     assert(byQ.keySet == (0L until 10L).toSet)
     byQ.values.foreach { g =>
-      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val cs = g.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(cs.sameElements(cs.sortBy(-_)), "cosines must descend with rank")
       assert(g.forall(r => r.getLong(2) != r.getLong(0)), "self-match leaked")
     }
@@ -47,7 +47,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.nonEmpty)
     // every query returns <=5 ranked, cosine-descending neighbors from its cell
     ivf.groupBy(_.getLong(0)).foreach { case (_, g) =>
-      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val cs = g.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(cs.sameElements(cs.sortBy(-_)))
     }
   }

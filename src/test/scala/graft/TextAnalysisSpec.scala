@@ -42,6 +42,6 @@ class TextAnalysisSpec extends SparkTestBase {
 
   test("q30 token counts are positive and ws_tokens <= re_tokens + punct slack") {
     val rows = TextAnalysis.queries("q30_tokens")(spark, sfDir).collect()
-    assert(rows.forall(_.getInt(1) > 0))
+    assert(rows.forall(_.getLong(1) > 0))
   }
 }

@@ -48,6 +48,9 @@ def main(sfdir, outdir):
         if len(spark_df) != len(duck_df):
             print(f"FAIL  {name}: rows spark={len(spark_df)} duck={len(duck_df)}"); n_fail += 1; continue
         s, k = spark_df[sc].reset_index(drop=True), duck_df[sc].reset_index(drop=True)
+        for c in sc:
+            if s[c].dtype != k[c].dtype:
+                print(f"WARN  {name}: dtype mismatch on {c}: spark={s[c].dtype} duck={k[c].dtype}")
         bad = []
         for c in sc:
             a, b = s[c], k[c]
