@@ -1,12 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query runs under a per-query timeout (default 180 s, env
+  * SPARK_GRAFT_QUERY_TIMEOUT_SEC) in its own job group: a pathological
+  * plan gets its jobs cancelled and is reported as failed, instead of
+  * hanging the whole round's correctness gate.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "180").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,13 +24,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+    val pool = Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try task.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          task.cancel(true)
+          System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getCause match {
+            case null => e.getMessage
+            case c => c.getMessage
+          }}")
       }
     }
+    pool.shutdownNow()
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
