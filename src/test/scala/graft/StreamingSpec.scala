@@ -158,6 +158,31 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("file-stream wire source: pipeline consumes newly arriving files") {
+    import spark.implicits._
+    val wireDir = Files.createTempDirectory("graft-wire").toString
+    val out = Files.createTempDirectory("graft-fs-out").toString
+    val ckpt = Files.createTempDirectory("graft-fs-ckpt").toString
+    // first wire batch lands before the query starts
+    Seq((topic, wireBytes(1)), (topic, wireBytes(2)))
+      .toDF("topic", "value").write.parquet(s"$wireDir/b1")
+    val wire = spark.readStream
+      .schema("topic STRING, value BINARY")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$wireDir/*")
+    val pipe = new KafkaEtlPipeline(spark, registry,
+      EtlConfig(Seq(topic), EtlSource.Stream(wire), out, ckpt))
+    val Seq(q) = pipe.start()
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$out/$topic").count() == 2)
+    // new files arriving while running are discovered and appended
+    Seq((topic, wireBytes(3))).toDF("topic", "value")
+      .write.parquet(s"$wireDir/b2")
+    q.processAllAvailable()
+    pipe.stop()
+    assert(spark.read.parquet(s"$out/$topic").count() == 3)
+  }
+
   test("fromProperties: reference config keys map to trigger/output") {
     val pipe = KafkaEtlPipeline.fromProperties(spark,
       kafkaConsumerProps = Map("kafka.bootstrap.servers" -> "broker:9092",
