@@ -310,8 +310,50 @@ object Relational extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // TPC-H Q5 shape: six-table join with a cross-dimension equality
+  // (supplier and customer in the same nation) — exercises Catalyst's
+  // join ordering; dims broadcast, facts shuffle on their keys.
+  private def q60MultiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  // GROUPING SETS with disjoint groupings (neither rollup nor cube).
+  private def q61GroupingSets(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total
+          FROM parquet.`$d/orders.parquet`
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          ORDER BY status, priority""")
+
+  // Pivot: event values spread into per-type columns (Spark's pivot API;
+  // the oracle spells the equivalent conditional aggregation).
+  private def q62Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum("value"), 2))
+      .na.fill(0.0)
+      .orderBy("user_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_cube"        -> q18Cube _,
+    "q60_multi_join"  -> q60MultiJoin _,
+    "q61_grouping_sets" -> q61GroupingSets _,
+    "q62_pivot"       -> q62Pivot _,
     "q28_approx_agg"  -> q28ApproxAgg _,
     "q29_window_frames" -> q29WindowFrames _,
     "q19_percentiles" -> q19Percentiles _,
@@ -337,6 +379,32 @@ object Relational extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q60_multi_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q61_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY status, priority""",
+    "q62_pivot" ->
+      """SELECT user_id,
+         coalesce(round(sum(CASE WHEN event_type = 'click' THEN "value" END), 2), 0) AS click,
+         coalesce(round(sum(CASE WHEN event_type = 'view' THEN "value" END), 2), 0) AS view,
+         coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 2), 0) AS purchase,
+         coalesce(round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 2), 0) AS signup,
+         coalesce(round(sum(CASE WHEN event_type = 'error' THEN "value" END), 2), 0) AS error
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q28_approx_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS exact_d,
          abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))
