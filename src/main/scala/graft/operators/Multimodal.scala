@@ -77,7 +77,9 @@ object Multimodal extends QueryPack {
                  (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("content"),
       octet_length(col("text")).as("n_bytes"),
-      (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("n_frames"))
+      (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("n_frames"),
+      ((pmod(col("doc_id"), lit(8)) + 1) * 64).cast("int").as("width"),
+      ((pmod(col("doc_id"), lit(6)) + 1) * 64).cast("int").as("height"))
 
   // Metadata aggregation over the multimodal table (pure relational —
   // binary payloads prune away; the scan reads only media_type/n_bytes).
@@ -114,6 +116,43 @@ object Multimodal extends QueryPack {
       .toDF()
       .orderBy("asset_id")
 
+  /** One resized-asset row (payload re-encoded by the stub codec). */
+  final case class ResizedAsset(asset_id: Long, media_type: String,
+                                width: Int, height: Int,
+                                out_width: Int, out_height: Int,
+                                out_bytes: Int, content_sig: Long)
+
+  /** Batched resize through the codec boundary: aspect-preserving target
+    * dims computed relationally; the pixel work happens per partition in
+    * the (stubbed) codec. Deterministic: the fake "resampled" payload is
+    * an FNV-weighted byte fold sized to the target dims.
+    */
+  private[graft] def resize(ds: DataFrame, maxDim: Int)
+                           (implicit s: SparkSession): Dataset[ResizedAsset] = {
+    import s.implicits._
+    ds.select("asset_id", "media_type", "content", "width", "height")
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, mt, bytes, w, h) =>
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // STUB resample: deterministic byte fold to the target size
+          val outLen = math.max(1, math.min(bytes.length, ow * oh / 64))
+          var sig = 0xcbf29ce484222325L
+          var i = 0
+          while (i < bytes.length) {
+            sig ^= bytes(i) * (i % outLen + 1); sig *= 0x100000001b3L; i += 1
+          }
+          ResizedAsset(id, mt, w, h, ow, oh, outLen, sig)
+        }
+      }
+  }
+
+  // Resize end-to-end (rows-only: stub codec; MultimodalSpec asserts the
+  // aspect-ratio math and determinism).
+  private def q53Resize(s: SparkSession, d: String): DataFrame =
+    resize(assets(s, d), maxDim = 128)(s).toDF().orderBy("asset_id")
+
   // Deterministic frame sampling for video assets: explode up to 5 frame
   // indices, fingerprint each sampled frame (md5 of payload + index) —
   // SQL-expressible, so oracle-checked.
@@ -132,6 +171,7 @@ object Multimodal extends QueryPack {
     "q50_media_meta"     -> q50MediaMeta _,
     "q51_media_features" -> q51MediaFeatures _,
     "q52_frame_sample"   -> q52FrameSample _,
+    "q53_resize"         -> q53Resize _,
   )
 
   override val oracles: Map[String, String] = Map(

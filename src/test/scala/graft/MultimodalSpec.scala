@@ -29,6 +29,26 @@ class MultimodalSpec extends SparkTestBase {
            again.map(r => r.asset_id -> r.feature_norm).toMap)
   }
 
+  test("resize: aspect-preserving dims, capped at maxDim, deterministic") {
+    implicit val s = spark
+    val r = Multimodal.resize(Multimodal.assets(spark, sfDir), maxDim = 128)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { a =>
+      assert(math.max(a.out_width, a.out_height) <= 128)
+      // aspect ratio preserved within integer truncation
+      val inRatio = a.width.toDouble / a.height
+      val outRatio = a.out_width.toDouble / a.out_height
+      assert(math.abs(inRatio - outRatio) / inRatio < 0.05,
+        s"asset ${a.asset_id}: ratio $inRatio -> $outRatio")
+      // no upscale
+      assert(a.out_width <= a.width && a.out_height <= a.height)
+    }
+    val again = Multimodal.resize(Multimodal.assets(spark, sfDir), 128).collect()
+    assert(r.map(a => a.asset_id -> a.content_sig).toMap ==
+           again.map(a => a.asset_id -> a.content_sig).toMap)
+  }
+
   test("frame sampling explodes only video assets, capped at 5 frames") {
     val fs = Multimodal.queries("q52_frame_sample")(spark, sfDir)
     val byAsset = fs.groupBy("asset_id").agg(count(lit(1)).as("n"))
