@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape regression tests: the physical properties the queries are
+  * designed around (scan pushdown/pruning, broadcast dims) must survive
+  * refactors — a correct-but-full-scan plan is a perf bug at 100 TB.
+  */
+class PlanSpec extends SparkTestBase {
+
+  /** All physical nodes, descending through AQE wrappers and query
+    * stages (QueryStageExec has children = Nil; its plan is a field). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+      case _ => Nil
+    }
+    p +: (p.children.flatMap(allNodes) ++ nested)
+  }
+
+  private def executed(df: DataFrame) = {
+    df.collect() // materialize so AQE finalizes
+    allNodes(df.queryExecution.executedPlan)
+  }
+
+  test("q2: filters and projection are pushed into the parquet scan") {
+    val plan = executed(Relational.queries("q2_filter")(spark, sfDir))
+    val scans = plan.collect { case s: FileSourceScanExec => s }.toSeq
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.dataFilters.nonEmpty, "filters must reach the scan")
+    // projection pruning: far fewer columns than lineitem's 11
+    assert(scan.requiredSchema.fields.length <= 5,
+      s"expected pruned ReadSchema, got ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q4: dimension joins execute as broadcast hash joins") {
+    val plan = executed(Relational.queries("q4_star_join")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }.toSeq
+    assert(bhj.size >= 2, s"expected 2 broadcast joins, got ${bhj.size}")
+    val bex = plan.collect { case b: BroadcastExchangeExec => b }.toSeq
+    assert(bex.nonEmpty)
+  }
+
+  test("q1: aggregation is two-phase (partial before the exchange)") {
+    val plan = executed(Relational.queries("q1_agg")(spark, sfDir))
+    val aggModes = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.aggregateExpressions.map(_.mode)
+    }.toSeq.flatten
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    assert(aggModes.contains(Partial), "map-side partial aggregation missing")
+    assert(aggModes.contains(Final))
+  }
+}
