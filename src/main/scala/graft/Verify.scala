@@ -26,7 +26,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
 
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
-    val pool = Executors.newSingleThreadExecutor()
+    // One worker thread per query lifetime: after a timeout the cancelled
+    // task may keep the thread busy in a non-interruptible phase, so the
+    // pool is rebuilt — the next query always starts on a fresh thread and
+    // its timeout clock isn't charged for queue wait behind a stuck one.
+    var pool = Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
@@ -41,6 +45,8 @@ object Verify {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           task.cancel(true)
+          pool.shutdownNow()
+          pool = Executors.newSingleThreadExecutor()
           System.err.println(s"[verify] $name failed: timeout after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getCause match {

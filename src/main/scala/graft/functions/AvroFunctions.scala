@@ -110,6 +110,18 @@ case class AvroEncode(child: Expression, schemaJson: String)
 /** Recursive Avro GenericRecord ↔ Catalyst InternalRow converters. */
 private[functions] object AvroCatalyst {
 
+  /** Avro decimal wire form (big-endian two's-complement unscaled value)
+    * → Spark Decimal at the logical type's precision/scale. */
+  private def decimalFromBytes(bytes: Array[Byte], d: org.apache.avro.LogicalTypes.Decimal): Decimal =
+    Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), d.getScale),
+      d.getPrecision, d.getScale)
+
+  /** Spark Decimal → Avro decimal wire form (minimal-length two's-complement
+    * unscaled bytes; FIXED callers pad to width). */
+  private def decimalToBytes(dec: Decimal, dt: DecimalType): Array[Byte] =
+    dec.toJavaBigDecimal.setScale(dt.scale).unscaledValue().toByteArray
+
   /** Avro runtime value → Catalyst value, guided by the Avro schema. */
   def toCatalyst(value: Any, schema: Schema): Any = {
     if (value == null) return null
@@ -130,8 +142,16 @@ private[functions] object AvroCatalyst {
         val bb = value.asInstanceOf[java.nio.ByteBuffer]
         val arr = new Array[Byte](bb.remaining())
         bb.duplicate().get(arr)
-        arr
-      case Schema.Type.FIXED => value.asInstanceOf[GenericFixed].bytes().clone()
+        AvroSchemaConverter.nonNull(schema).getLogicalType match {
+          case d: org.apache.avro.LogicalTypes.Decimal => decimalFromBytes(arr, d)
+          case _ => arr
+        }
+      case Schema.Type.FIXED =>
+        val arr = value.asInstanceOf[GenericFixed].bytes().clone()
+        AvroSchemaConverter.nonNull(schema).getLogicalType match {
+          case d: org.apache.avro.LogicalTypes.Decimal => decimalFromBytes(arr, d)
+          case _ => arr
+        }
       case Schema.Type.RECORD =>
         val s = AvroSchemaConverter.nonNull(schema)
         val rec = value.asInstanceOf[GenericRecord]
@@ -174,8 +194,22 @@ private[functions] object AvroCatalyst {
       case (Schema.Type.STRING, _) => new Utf8(value.toString)
       case (Schema.Type.ENUM, _) =>
         new GenericData.EnumSymbol(s, value.toString)
+      case (Schema.Type.BYTES, dt: DecimalType) =>
+        java.nio.ByteBuffer.wrap(decimalToBytes(value.asInstanceOf[Decimal], dt))
       case (Schema.Type.BYTES, _) =>
         java.nio.ByteBuffer.wrap(value.asInstanceOf[Array[Byte]])
+      case (Schema.Type.FIXED, dt: DecimalType) =>
+        // Avro fixed decimals are exact-width: sign-extend the unscaled
+        // two's-complement bytes to the schema's fixed size.
+        val unscaled = decimalToBytes(value.asInstanceOf[Decimal], dt)
+        val size = s.getFixedSize
+        if (unscaled.length > size) throw new ArithmeticException(
+          s"decimal unscaled value needs ${unscaled.length} bytes, fixed(${size}) too small")
+        val padded = new Array[Byte](size)
+        val sign: Byte = if (unscaled(0) < 0) -1 else 0
+        java.util.Arrays.fill(padded, 0, size - unscaled.length, sign)
+        System.arraycopy(unscaled, 0, padded, size - unscaled.length, unscaled.length)
+        new GenericData.Fixed(s, padded)
       case (Schema.Type.FIXED, _) =>
         new GenericData.Fixed(s, value.asInstanceOf[Array[Byte]])
       case (Schema.Type.RECORD, st: StructType) =>

@@ -48,21 +48,25 @@ final class KafkaEtlPipeline(
 
   @volatile private var queries: Seq[StreamingQuery] = Nil
 
-  /** Wire-format stream: columns (topic string, value binary [, ...]). */
-  private def wireStream(): DataFrame = config.source match {
+  /** Wire-format stream for one topic: columns (topic string, value binary
+    * [, ...]). Kafka gets a per-topic subscription so each StreamingQuery
+    * reads only its own topic's records — N queries over N topics read each
+    * record once, not N times (one source instance per query either way;
+    * subscribing all N topics from every query would multiply broker reads
+    * by N). A shared test Stream still needs the topic filter below.
+    */
+  private def wireStream(topic: String): DataFrame = config.source match {
     case EtlSource.Kafka(options) =>
       options.foldLeft(
-        spark.readStream.format("kafka")
-          .option("subscribe", config.topics.mkString(","))
+        spark.readStream.format("kafka").option("subscribe", topic)
       ) { case (r, (k, v)) => r.option(k, v) }.load()
-    case EtlSource.Stream(df) => df
+    case EtlSource.Stream(df) => df.filter(col("topic") === topic)
   }
 
   /** Decode one topic's records and stamp event/processing-time buckets. */
   private[streaming] def decoded(wire: DataFrame, topic: String): DataFrame = {
     val json = registry.schemaJson(topic)
     val flat = wire
-      .filter(col("topic") === topic)
       .select(AvroFunctions.from_avro_bytes(col("value"), json).as("event"))
       .select("event.*")
     val ts = config.eventTimeColumn match {
@@ -76,9 +80,8 @@ final class KafkaEtlPipeline(
   /** Start one query per topic; returns the running queries. */
   def start(): Seq[StreamingQuery] = synchronized {
     require(queries.isEmpty, "pipeline already started")
-    val wire = wireStream()
     queries = config.topics.map { topic =>
-      decoded(wire, topic)
+      decoded(wireStream(topic), topic)
         .writeStream
         .format("parquet")
         .outputMode("append")

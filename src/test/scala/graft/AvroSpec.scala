@@ -115,6 +115,59 @@ class AvroSpec extends SparkTestBase {
     assert(r.head.getString(0) == "any-item-id7")
   }
 
+  test("decimal logical type on bytes/fixed round-trips as Spark Decimal") {
+    import spark.implicits._
+    val decSchemaJson =
+      """{"type":"record","name":"Priced","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |{"name":"fixedAmt","type":{"type":"fixed","name":"Amt","size":8,
+        |  "logicalType":"decimal","precision":12,"scale":3}}]}""".stripMargin
+    val decSchema = new org.apache.avro.Schema.Parser().parse(decSchemaJson)
+    val st = AvroSchemaConverter.toSqlType(decSchema).asInstanceOf[StructType]
+    assert(st("amount").dataType == DecimalType(10, 2))
+    assert(st("fixedAmt").dataType == DecimalType(12, 3))
+
+    def mk(id: Long, amt: java.math.BigDecimal, fx: java.math.BigDecimal): Array[Byte] = {
+      val rec = new GenericData.Record(decSchema)
+      rec.put("id", id)
+      rec.put("amount", java.nio.ByteBuffer.wrap(amt.unscaledValue().toByteArray))
+      val unscaled = fx.unscaledValue().toByteArray
+      val padded = new Array[Byte](8)
+      val sign: Byte = if (unscaled(0) < 0) -1 else 0
+      java.util.Arrays.fill(padded, 0, 8 - unscaled.length, sign)
+      System.arraycopy(unscaled, 0, padded, 8 - unscaled.length, unscaled.length)
+      rec.put("fixedAmt", new GenericData.Fixed(
+        decSchema.getField("fixedAmt").schema(), padded))
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get.binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](decSchema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+
+    val a1 = new java.math.BigDecimal("12345.67")
+    val f1 = new java.math.BigDecimal("-98765.432")
+    val df = Seq((1L, mk(1L, a1, f1))).toDF("key", "value")
+      .select(AvroFunctions.from_avro_bytes(col("value"), decSchemaJson).as("e"))
+      .select(col("e.id"), col("e.amount"), col("e.fixedAmt"), col("e").as("whole"))
+    val r = df.collect().head
+    assert(r.getAs[java.math.BigDecimal]("amount").compareTo(a1) == 0)
+    assert(r.getAs[java.math.BigDecimal]("fixedAmt").compareTo(f1) == 0)
+
+    // encode back and decode with plain Avro: byte-level round trip
+    val back = df.select(AvroFunctions.to_avro_bytes(col("whole"), decSchemaJson).as("re"))
+      .collect().head.getAs[Array[Byte]]("re")
+    val dec2 = DecoderFactory.get.binaryDecoder(back, null)
+    val rec2 = new GenericDatumReader[GenericRecord](decSchema).read(null, dec2)
+    val amtBytes = rec2.get("amount").asInstanceOf[java.nio.ByteBuffer]
+    val arr = new Array[Byte](amtBytes.remaining()); amtBytes.duplicate().get(arr)
+    assert(new java.math.BigDecimal(new java.math.BigInteger(arr), 2).compareTo(a1) == 0)
+    val fxBytes = rec2.get("fixedAmt").asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()
+    assert(fxBytes.length == 8)
+    assert(new java.math.BigDecimal(new java.math.BigInteger(fxBytes), 3).compareTo(f1) == 0)
+  }
+
   test("registry failure modes: unknown topic fails fast") {
     intercept[NoSuchElementException](registry.schemaJson("nope"))
     intercept[IllegalArgumentException](

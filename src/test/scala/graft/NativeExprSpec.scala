@@ -22,6 +22,28 @@ class NativeExprSpec extends SparkTestBase {
     assert(df(4L) == Nil)
   }
 
+  test("word_shingles: distinct=false preserves duplicate shingles in order") {
+    import spark.implicits._
+    val rows = Seq((1L, "w w w w"), (2L, "a b c a b c a b c"))
+      .toDF("id", "text")
+      .select(col("id"), NativeExprs.word_shingles(col("text"), 3, distinct = false).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(rows(1L) == List("w w w", "w w w"))
+    assert(rows(2L) == List("a b c", "b c a", "c a b", "a b c",
+                            "b c a", "c a b", "a b c"))
+  }
+
+  test("cosine_sim: non-array argument is an analysis error, not a runtime cast") {
+    import spark.implicits._
+    val df = Seq((1L, "not an array", Array(1.0f))).toDF("id", "s", "v")
+    val e = intercept[Exception] {
+      df.select(NativeExprs.cosine_sim(col("s"), col("v"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+           e.getMessage.contains("DATATYPE_MISMATCH"),
+           s"expected analysis-time type error, got: ${e.getMessage}")
+  }
+
   test("cosine_sim: orthogonal, opposite, zero-vector (NaN) semantics") {
     import spark.implicits._
     val df = Seq(
