@@ -28,19 +28,25 @@ object TextAnalysis extends QueryPack {
 
   // Token counting: whitespace tokens + a BPE-ish regex tokenization
   // (letter runs | digit runs | single punctuation), plus avg word length.
+  // The whitespace split is let-bound so it runs ONCE per row even though
+  // two output columns derive from it (CollapseProject would otherwise
+  // inline the regex split into each referencing expression).
   private def q30Tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        expr(s"size($toksExpr)").cast("long").as("ws_tokens"),
+        expr(graft.functions.TextExprs.let1(s"size($toksExpr)", "n",
+          // floor-truncate, don't round: ratios of small ints can land exactly
+          // on a rounding midpoint (4.725), where Spark's round (decimal
+          // re-interpretation via Double.toString) and DuckDB's (raw binary)
+          // disagree. floor(x*100)/100 is pure IEEE → bit-identical engines.
+          """struct(cast(n AS bigint) AS ws_tokens,
+                    floor(length(regexp_replace(text, '\\s+', '')) / n * 100) / 100
+                      AS avg_word_len)""")).as("t"),
         size(regexp_extract_all(col("text"),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
-        // floor-truncate, don't round: ratios of small ints can land exactly
-        // on a rounding midpoint (4.725), where Spark's round (decimal
-        // re-interpretation via Double.toString) and DuckDB's (raw binary)
-        // disagree. floor(x*100)/100 is pure IEEE → bit-identical engines.
-        (floor(length(regexp_replace(col("text"), "\\s+", ""))
-          / expr(s"size($toksExpr)") * 100) / 100).as("avg_word_len"))
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"))
+      .select(col("doc_id"), col("t.ws_tokens").as("ws_tokens"),
+              col("re_tokens"), col("t.avg_word_len").as("avg_word_len"))
       .orderBy("doc_id")
 
   // Per-language corpus stats.
@@ -54,19 +60,25 @@ object TextAnalysis extends QueryPack {
 
   private val stopList = "('the','a','of','and','in','to')"
 
+  /** One whitespace split per row: both token stats come from a single
+    * let-bound struct (same IEEE arithmetic as the unfused form — int/long
+    * division promotes to double identically, so the oracle is unchanged).
+    */
+  private def tokenStats: String =
+    graft.functions.TextExprs.let1(toksExpr, "tk",
+      s"struct(size(tk) AS nt, size(filter(tk, t -> t IN $stopList)) AS ns)")
+
   // Quality scoring: length/stopword/char-ratio heuristics → one score.
   private def q32Quality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokenStats).as("t"))
       .select(
         col("doc_id"),
-        expr(s"size($toksExpr)").cast("long").as("n_tokens"),
-        expr(s"size(filter($toksExpr, t -> t IN $stopList))").as("n_stop"))
-      .withColumn("stop_ratio",
-        floor(col("n_stop") / col("n_tokens") * 1000) / 1000)
-      .withColumn("quality_score",
-        floor((lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0)
-             + lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens"))) * 1000) / 1000)
-      .select("doc_id", "n_tokens", "stop_ratio", "quality_score")
+        col("t.nt").cast("long").as("n_tokens"),
+        (floor(col("t.ns") / col("t.nt") * 1000) / 1000).as("stop_ratio"),
+        (floor((lit(0.5) * least(lit(1.0), col("t.nt") / 100.0)
+             + lit(0.5) * (lit(1.0) - col("t.ns") / col("t.nt"))) * 1000) / 1000)
+          .as("quality_score"))
       .orderBy("doc_id")
 
   /** Language-ID heuristic: marker-word hit counts per language plus an
@@ -168,8 +180,9 @@ object TextAnalysis extends QueryPack {
   // on lang — the whole pipeline is three hash exchanges at any scale.
   private def q37Curation(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d)
-      .withColumn("n_tokens", expr(s"size($toksExpr)"))
-      .withColumn("n_stop", expr(s"size(filter($toksExpr, t -> t IN $stopList))"))
+      .withColumn("ts", expr(tokenStats))
+      .withColumn("n_tokens", col("ts.nt"))
+      .withColumn("n_stop", col("ts.ns"))
       .withColumn("quality",
         floor((lit(0.5) * least(lit(1.0), col("n_tokens") / 100.0)
              + lit(0.5) * (lit(1.0) - col("n_stop") / col("n_tokens"))) * 1000) / 1000)
