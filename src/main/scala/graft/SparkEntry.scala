@@ -12,8 +12,10 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     operators.Relational,
+    operators.Relational2,
     operators.EventOps,
     operators.TextAnalysis,
+    operators.Curation,
     operators.Similarity,
     operators.Dedup,
     operators.Multimodal,

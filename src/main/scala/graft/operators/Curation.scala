@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` (SURVEY.md §2 rows
+  * 11-13 [extension] — the LLM-pipeline surface beyond what round 1
+  * shipped): sequence packing, PII scrubbing, benchmark-contamination
+  * checks, and repetition-based quality signals.
+  *
+  * All declarative Spark SQL; every query has a DuckDB oracle.
+  *
+  * Scale notes (100 TB design points):
+  *  - q46 packs within (lang) partitions — the running sum is a windowed
+  *    cumsum per partition, never a global single-partition window; at
+  *    extreme scale add a shard column to the partition key and pack
+  *    per (lang, shard);
+  *  - q47/q49 are embarrassingly parallel per-doc map/agg work;
+  *  - q48 broadcasts the benchmark shingle set (benchmarks are KB-MB at
+  *    any corpus scale) — the corpus is never shuffled.
+  */
+object Curation extends QueryPack {
+
+  private val toksExpr = graft.functions.TextExprs.toks
+
+  /** Sequence packing: assign docs to fixed token-budget bins (2048) in
+    * doc_id order within each language — the "concatenate-and-chunk"
+    * shape of LLM pre-training batch prep. A doc lands in the bin where
+    * its prefix-sum starts; bins can overflow by at most one doc (the
+    * standard streaming-packing semantic).
+    */
+  private def q46PackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(s"size($toksExpr)").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").cast("long").as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+
+  /** PII scrubbing: count email/URL matches per doc and the post-redaction
+    * length (matches replaced by fixed tags). Pure regex map work. */
+  private def q47PiiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        length(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+                              urlRe, "<URL>")).cast("long").as("scrubbed_len"))
+      .orderBy("doc_id")
+
+  /** Benchmark-contamination check: fraction of each corpus doc's 3-gram
+    * shingles that appear anywhere in the "benchmark" set (doc_id < 20
+    * stands in for an eval suite). The benchmark's distinct shingle set is
+    * broadcast; the corpus side stays partition-local until the per-doc
+    * count agg.
+    */
+  private def q48Contamination(s: SparkSession, d: String): DataFrame = {
+    def shingled: DataFrame = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 20)
+      .select(explode(col("sh")).as("s")).distinct()
+    shingled.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id", "nsh")
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination", floor(col("n_hit") / col("nsh") * 1000) / 1000)
+      .filter(col("contamination") >= 0.2)
+      .select(col("doc_id"), col("n_hit"), col("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signals: distinct-token ratio and top-token share per doc
+    * (gopher-style quality heuristics). One explode + two keyed aggs. */
+  private def q49Repetition(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("token"))
+    freq.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_tokens"),
+           count(lit(1)).cast("long").as("n_distinct"),
+           max(when(col("rn") === 1, col("token"))).as("top_token"),
+           max(when(col("rn") === 1, col("cnt"))).cast("long").as("top_cnt"))
+      .withColumn("distinct_ratio", floor(col("n_distinct") / col("n_tokens") * 1000) / 1000)
+      .withColumn("top_share", floor(col("top_cnt") / col("n_tokens") * 1000) / 1000)
+      .select("doc_id", "n_tokens", "n_distinct", "top_token", "top_share", "distinct_ratio")
+      .orderBy("doc_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_pack_sequences" -> q46PackSequences _,
+    "q47_pii_scrub"      -> q47PiiScrub _,
+    "q48_contamination"  -> q48Contamination _,
+    "q49_repetition"     -> q49Repetition _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q46_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         SELECT lang, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM c GROUP BY lang, bin ORDER BY lang, bin""",
+    "q47_pii_scrub" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         length(regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g')) AS scrubbed_len
+         FROM documents ORDER BY doc_id""",
+    "q48_contamination" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20)
+         SELECT doc_id, count(*) AS n_hit,
+                floor(count(*) / any_value(nsh) * 1000) / 1000 AS contamination
+         FROM corpus JOIN bench USING (s)
+         GROUP BY doc_id
+         HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
+         ORDER BY doc_id""",
+    "q49_repetition" ->
+      """WITH freq AS (
+           SELECT doc_id, token, count(*) AS cnt
+           FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS token
+                 FROM documents)
+           GROUP BY doc_id, token),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, token) AS rn FROM freq),
+         agg AS (SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
+                   max(CASE WHEN rn = 1 THEN token END) AS top_token,
+                   CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt
+                 FROM ranked GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct, top_token,
+                floor(top_cnt / n_tokens * 1000) / 1000 AS top_share,
+                floor(n_distinct / n_tokens * 1000) / 1000 AS distinct_ratio
+         FROM agg ORDER BY doc_id""",
+  )
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Scalable near-duplicate detection over `documents` (SURVEY.md §2 rows
   * 11-12 [extension]): MinHash + banded LSH (the 100 TB-scale path for
-  * Jaccard near-dup) and SimHash (64-bit content signature).
+  * Jaccard near-dup) and SimHash (60-bit content signature).
   *
   * Exact dedup lives in EventOps (q22/q23); the exact pairwise-Jaccard
   * baseline is TextAnalysis.q35. Here:
@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *    output equals q35's exact pair set whenever LSH recall is 1 — which
   *    is why q35's SQL doubles as this query's DuckDB oracle. Miss
   *    probability for a true 0.9-Jaccard pair: (1 - 0.9⁴)¹⁶ ≈ 4e-8.
-  *  - q43 SimHash: per-token 64-bit hashes vote bitwise; the signed sum's
-  *    sign becomes the signature bit. Near-identical token multisets flip
-  *    few votes → small Hamming distance (asserted in DedupSpec).
+  *  - q43 SimHash: per-token 60-bit md5-derived hashes vote bitwise; the
+  *    signed sum's sign becomes the signature bit. Near-identical token
+  *    multisets flip few votes → small Hamming distance (asserted in
+  *    DedupSpec); md5 makes the signature cross-engine oracle-checkable.
   *
   * Scale notes: both are linear scans + one shuffle on short keys
   * (band hash / signature). The shingle→minhash work is per-row map-side
@@ -77,16 +78,21 @@ object Dedup extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash from whitespace tokens: bit i is set iff the count of
-    * tokens whose xxhash64 has bit i set is >= half the token count.
-    * Declarative bit-vote: per bit, an aggregate over the token array.
+  /** 60-bit SimHash from whitespace tokens: bit i of the signature is set
+    * iff the signed bit-vote over all token hashes is non-negative.
+    * The token hash is the top 60 bits of md5 (15 hex chars) — md5 exists
+    * in every engine, which makes the signature cross-engine checkable
+    * (the DuckDB oracle computes the identical signature). In production
+    * swap the per-token hash for xxhash64 (one line) — the vote/signature
+    * logic is hash-agnostic, and DedupSpec's Hamming-distance property
+    * holds for any mixing hash.
     */
   private def q43Simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         expr(TextExprs.let1(
-          s"transform(${TextExprs.toks}, t -> xxhash64(t))", "th",
-          """aggregate(sequence(0, 63), 0L, (acc, i) ->
+          s"transform(${TextExprs.toks}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))", "th",
+          """aggregate(sequence(0, 59), 0L, (acc, i) ->
                acc + IF(aggregate(th, 0L, (a2, h) ->
                           a2 + IF((shiftrightunsigned(h, i) & 1) = 1, 1L, -1L)) >= 0,
                         shiftleft(1L, i), 0L))""")).as("simhash"))
@@ -98,9 +104,21 @@ object Dedup extends QueryPack {
   )
 
   // q42's oracle is the EXACT pair set (LSH + exact verification ≡ exact
-  // join at recall 1; see scaladoc). q43 has no cross-engine oracle (hash
-  // function differs) — rows-only + DedupSpec.
+  // join at recall 1; see scaladoc). q43's oracle recomputes the identical
+  // md5-based signature in DuckDB (bit-exact integer arithmetic).
   override val oracles: Map[String, String] = Map(
     "q42_minhash_lsh" -> TextAnalysis.oracles("q35_ngram_jaccard"),
+    "q43_simhash" ->
+      """WITH t AS (SELECT doc_id,
+             [CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+              for tok in string_split_regex(trim(text), '\s+')] AS th
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_sum(
+             [CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+                                  for h in th]) >= 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(0, 60)]) AS BIGINT) AS simhash
+         FROM t ORDER BY doc_id""",
   )
 }

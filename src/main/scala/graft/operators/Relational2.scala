@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational pack (round 2): range join, correlated scalar
+  * subqueries, deterministic hash sampling, exact integral correlation,
+  * gap detection, and array aggregation — operator families the round-1
+  * pack didn't exercise.
+  *
+  * Scale notes (100 TB design points):
+  *  - q63's band side is a 10-row literal relation — broadcast nested-loop
+  *    is the right physical plan (per-row band lookup, no shuffle of part);
+  *    a monotone band function could also be computed as floor(price/width),
+  *    but the query exercises the general inequality-join path;
+  *  - q64's correlated scalars decorrelate into one broadcastable per-brand
+  *    aggregate joined back — never per-row subquery execution;
+  *  - q67's sampling is a pure per-row hash filter (no sort, no shuffle
+  *    before the tiny per-lang agg) — the streaming-friendly way to sample;
+  *  - q69 computes correlation from exact integer power sums (quantity is
+  *    integral, price scaled to cents): partial aggregation is exact in
+  *    decimal/int128, so the result is bit-identical regardless of
+  *    partitioning — no float-summation-order nondeterminism;
+  *  - q70/q71 window/aggregate within o_custkey partitions — parallel by
+  *    customer at any scale.
+  */
+object Relational2 extends QueryPack {
+
+  /** Range (band) join: parts priced into 10-wide bands via an
+    * inequality-only join against a literal band relation. */
+  private def q63RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(0, 10).select(
+      col("id").as("band"),
+      (lit(900.0) + col("id") * 10.0).as("lo"),
+      (lit(900.0) + (col("id") + 1) * 10.0).as("hi"))
+    Tables.part(s, d)
+      .join(broadcast(bands),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+           round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("band")
+  }
+
+  /** Correlated scalar subqueries: parts priced >2% above their brand's
+    * average. The comparison is pure integer arithmetic on exact sums
+    * (cents x count x 50 > sum_cents x 51), so membership is deterministic
+    * across engines — no float-average boundary flips. */
+  private def q64AboveBrandAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM part p
+         WHERE CAST(round(p_retailprice * 100) AS bigint)
+               * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) * 50
+             > (SELECT sum(CAST(round(p3.p_retailprice * 100) AS bigint))
+                FROM part p3 WHERE p3.p_brand = p.p_brand) * 51
+         ORDER BY p_partkey""")
+  }
+
+  /** Deterministic stratified sampling: keep a doc iff the first 4 hex
+    * chars of md5(salt || doc_id) fall under the stratum's threshold
+    * (en 50%, other langs 20%). Reproducible across engines and runs;
+    * no shuffle until the tiny per-lang count. */
+  private def q67HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h", substring(md5(concat(lit("salt1:"), col("doc_id").cast("string"))), 1, 4))
+      .filter((col("lang") === "en" && col("h") < "8000") ||
+              (col("lang") =!= "en" && col("h") < "3333"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+
+  /** Pearson correlation of quantity vs price per return flag, computed
+    * from exact integer power sums (quantity integral; price in cents;
+    * squares summed as 38-digit decimals). The only floating-point steps
+    * are the final casts and one fixed expression tree — deterministic
+    * under any partitioning, unlike corr()'s running-moment formula. */
+  private def q69CorrExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+              expr("CAST(l_quantity AS decimal(19,0))").as("x"),
+              expr("CAST(round(l_extendedprice * 100) AS decimal(19,0))").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        (floor(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+             * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          * 1000000) / 1000000).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Gap detection: per-customer order sequences with >180-day silences
+    * (lag window partitioned by customer — parallel at any scale). */
+  private def q70OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .filter(col("gap_days") > 180)
+      .select(col("o_custkey"), col("o_orderkey"),
+              date_format(col("prev_date"), "yyyy-MM-dd").as("prev_order"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("curr_order"),
+              col("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Array aggregation: each customer's distinct order years as a sorted
+    * comma-joined string (string form keeps the oracle hash comparable). */
+  private def q71ArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .groupBy("o_custkey")
+      .agg(expr("concat_ws(',', transform(array_sort(collect_set(yr)), x -> CAST(x AS string)))")
+             .as("order_years"),
+           countDistinct("yr").as("n_years"))
+      .orderBy("o_custkey")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_range_join"   -> q63RangeJoin _,
+    "q64_corr_subquery" -> q64AboveBrandAvg _,
+    "q67_hash_sample"  -> q67HashSample _,
+    "q69_corr_exact"   -> q69CorrExact _,
+    "q70_order_gaps"   -> q70OrderGaps _,
+    "q71_array_agg"    -> q71ArrayAgg _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q63_range_join" ->
+      """SELECT b.band, count(*) AS n_parts,
+                round(avg(p_retailprice), 2) AS avg_price
+         FROM part p
+         JOIN (SELECT range AS band, 900.0 + range * 10.0 AS lo,
+                      900.0 + (range + 1) * 10.0 AS hi FROM range(0, 10)) b
+           ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+         GROUP BY b.band ORDER BY b.band""",
+    "q64_corr_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM part p
+         WHERE CAST(round(p_retailprice * 100) AS BIGINT)
+               * (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) * 50
+             > (SELECT sum(CAST(round(p3.p_retailprice * 100) AS BIGINT))
+                FROM part p3 WHERE p3.p_brand = p.p_brand) * 51
+         ORDER BY p_partkey""",
+    "q67_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM (SELECT lang, doc_id,
+                 substr(md5('salt1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+               FROM documents)
+         WHERE (lang = 'en' AND h < '8000') OR (lang <> 'en' AND h < '3333')
+         GROUP BY lang ORDER BY lang""",
+    "q69_corr_exact" ->
+      """WITH t AS (SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+         a AS (SELECT l_returnflag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+               FROM t GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1000000) / 1000000 AS corr_qty_price
+         FROM a ORDER BY l_returnflag""",
+    "q70_order_gaps" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_date
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+                strftime(prev_date, '%Y-%m-%d') AS prev_order,
+                strftime(o_orderdate, '%Y-%m-%d') AS curr_order,
+                datediff('day', prev_date, o_orderdate) AS gap_days
+         FROM w WHERE datediff('day', prev_date, o_orderdate) > 180
+         ORDER BY o_custkey, o_orderkey""",
+    "q71_array_agg" ->
+      """SELECT o_custkey,
+                array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',')
+                  AS order_years,
+                count(DISTINCT year(o_orderdate)) AS n_years
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Semantics + plan-shape checks for the round-2 packs (Curation,
+  * Relational2). Oracle parity is covered by the Verify gate; these
+  * assert the properties the oracle can't see — physical plan shapes and
+  * partitioning-independence.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private def executed(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => collectAll(r.child)
+      case _ => Nil
+    }
+    (p +: p.children.flatMap(collectAll)) ++ nested
+  }
+
+  test("q46 pack: bins are contiguous per lang and token-bounded") {
+    val rows = SparkEntry.queries("q46_pack_sequences")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, bins) =>
+      val ids = bins.map(_.getLong(1)).sorted
+      assert(ids.head == 0, "first bin starts at 0")
+      assert(ids.distinct.length == ids.length, "bin ids unique per lang")
+      assert(bins.forall(_.getLong(2) > 0), "every bin holds at least one doc")
+      // token conservation: bins partition the corpus exactly
+      val packed = bins.map(_.getLong(3)).sum
+      val total = Tables.documents(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("lang") === lang)
+        .selectExpr(s"sum(size(${graft.functions.TextExprs.toks}))")
+        .collect().head.getLong(0)
+      assert(packed == total, s"$lang: packed $packed != corpus $total")
+    }
+  }
+
+  test("q48 contamination: benchmark shingle set is broadcast") {
+    val joins = collectAll(executed("q48_contamination"))
+    assert(joins.exists(p => p.isInstanceOf[BroadcastHashJoinExec]),
+           "benchmark side must broadcast — the corpus is never shuffled for the probe")
+  }
+
+  test("q63 range join: inequality-only join broadcasts the band relation") {
+    val joins = collectAll(executed("q63_range_join"))
+    assert(joins.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+           "band join should plan as broadcast nested loop (10-row build side)")
+  }
+
+  test("q67 sampling is reproducible and stratified") {
+    val a = SparkEntry.queries("q67_hash_sample")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q67_hash_sample")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "hash sampling must be deterministic across runs")
+    // en stratum samples at ~50%, others ~20% — at 500 docs the counts
+    // must at least rank that way per doc share
+    val docs = Tables.documents(spark, sfDir)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      val lang = r.getString(0); val n = r.getLong(1)
+      val rate = n.toDouble / totals(lang)
+      if (lang == "en") assert(rate > 0.3 && rate < 0.7, s"en rate $rate")
+      else assert(rate < 0.45, s"$lang rate $rate")
+    }
+  }
+
+  test("q69 exact correlation is partitioning-independent") {
+    def run(): Seq[(String, Double)] =
+      SparkEntry.queries("q69_corr_exact")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val r1 = run()
+    // shrink input splits so the scan (and thus partial aggregation) runs
+    // over a different partitioning — exact integer sums must not care
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "65536")
+      val r2 = run()
+      assert(r1 == r2, "power-sum correlation must be bit-identical under any partitioning")
+    } finally spark.conf.set(key, prev)
+    r1.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
+  }
+
+  test("q49 repetition: ratios are consistent and bounded") {
+    SparkEntry.queries("q49_repetition")(spark, sfDir).collect().foreach { r =>
+      val nTokens = r.getLong(1); val nDistinct = r.getLong(2)
+      val topShare = r.getDouble(4); val distinctRatio = r.getDouble(5)
+      assert(nDistinct <= nTokens)
+      assert(topShare > 0 && topShare <= 1.0)
+      assert(distinctRatio > 0 && distinctRatio <= 1.0)
+    }
+  }
+}
