@@ -37,6 +37,28 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col(keyCol),
               col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream inner join: enrich an event stream with a
+    * second stream keyed the same way, matching only within a bounded
+    * event-time band. Both sides carry watermarks and the join condition
+    * bounds their time difference, so Spark can size and evict the join
+    * state on both sides — without the band, stream-stream state grows
+    * forever. At 100 TB/day state is `2 × band × per-key rate`, and the
+    * shuffle is keyed by the join key exactly like the batch plan.
+    */
+  def enrichStream(events: DataFrame, enrich: DataFrame,
+                   key: String, tsCol: String, delay: String,
+                   band: String): DataFrame = {
+    val l = events.withWatermark(tsCol, delay)
+    val r = enrich
+      .withColumnRenamed(key, s"r_$key")
+      .withColumnRenamed(tsCol, s"r_$tsCol")
+      .withWatermark(s"r_$tsCol", delay)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+      col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $band") &&
+      col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $band"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp,

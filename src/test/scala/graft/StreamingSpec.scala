@@ -250,6 +250,34 @@ class StreamingSpec extends SparkTestBase {
     assert(first.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:10:00"))
   }
 
+  test("stream-stream banded join matches in-band rows and evicts state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evMem = MemoryStream[(Long, Timestamp, Double)]
+    val enMem = MemoryStream[(Long, Timestamp, String)]
+    val events = evMem.toDF().toDF("user_id", "ts", "value")
+    val enrich = enMem.toDF().toDF("user_id", "ts", "label")
+    val q = StreamOps.enrichStream(events, enrich, "user_id", "ts",
+        delay = "5 minutes", band = "10 minutes")
+      .select(col("user_id"), col("value"), col("label"))
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    val t = (s: String) => Timestamp.valueOf(s)
+    evMem.addData(Seq((1L, t("2024-01-01 00:00:00"), 1.0),
+                      (2L, t("2024-01-01 00:00:00"), 2.0)))
+    enMem.addData(Seq((1L, t("2024-01-01 00:05:00"), "in-band"),      // +5m: match
+                      (2L, t("2024-01-01 00:30:00"), "out-of-band"))) // +30m: no match
+    q.processAllAvailable()
+    // advance both watermarks so in-band results finalize
+    evMem.addData(Seq((9L, t("2024-01-01 02:00:00"), 0.0)))
+    enMem.addData(Seq((9L, t("2024-01-01 02:00:00"), "tick")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows.contains((1L, "in-band")), s"expected the banded match, got $rows")
+    assert(!rows.exists(_._2 == "out-of-band"), "out-of-band row must not join")
+  }
+
   test("streaming event-time window agg emits closed windows only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
