@@ -37,6 +37,12 @@ object NativeExprs {
     GraftColumnBridge.column(MinHashBandKeys(
       GraftColumnBridge.expression(shingles), nHashes, nBands))
 
+  def hyperplane_sigs(v: Column, planes: Seq[Seq[Double]],
+                      nBands: Int, bitsPerBand: Int): Column =
+    GraftColumnBridge.column(HyperplaneSigs(
+      GraftColumnBridge.expression(v), planes.map(_.toArray).toArray,
+      nBands, bitsPerBand))
+
   /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` for the
     * SQL surface of an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -132,6 +138,62 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH signatures (SimHash-for-cosine) in one pass:
+  * band b's signature has bit i set iff the vector's dot product with
+  * plane (b * bitsPerBand + i) is non-negative. Math is bit-identical to
+  * the declarative nested-aggregate form it replaced (element widened to
+  * double, left-to-right dot fold) — only the evaluation path changes;
+  * the interpreted form allocated a zip_with array per bit per row.
+  * Returns array<long> of length `nBands`.
+  */
+case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
+                          nBands: Int, bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes.length == nBands * bitsPerBand,
+    s"need ${nBands * bitsPerBand} planes, got ${planes.length}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val plane = planes(b * bitsPerBand + i)
+        val m = math.min(n, plane.length)
+        var dot = 0.0
+        var j = 0
+        while (j < m) {
+          val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+          dot += x * plane(j)
+          j += 1
+        }
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -58,17 +58,17 @@ object Similarity extends QueryPack {
   }
 
   /** Add `nBands` signature columns (sig_0 …), each an `bitsPerBand`-bit
-    * sign-pattern of dots against fixed hyperplanes (SimHash for cosine). */
+    * sign-pattern of dots against fixed hyperplanes (SimHash for cosine).
+    * One native-expression pass computes all bands (the interpreted
+    * nested-aggregate form allocated a zip_with array per bit per row and
+    * dominated this query's bench time). */
   private[graft] def withSignatures(df: DataFrame, nBands: Int, bitsPerBand: Int): DataFrame = {
     val planes = hyperplanes(nBands * bitsPerBand)
-    (0 until nBands).foldLeft(df.withColumn("H", typedlit(planes))) { (acc, b) =>
-      acc.withColumn(s"sig_$b",
-        expr(s"""aggregate(sequence(0, ${bitsPerBand - 1}), 0L, (acc, i) ->
-                   acc + IF(aggregate(zip_with(v, H[${b} * ${bitsPerBand} + i],
-                                               (x, h) -> x * h),
-                                      cast(0 as double), (a2, x) -> a2 + x) >= 0,
-                            shiftleft(1L, i), 0L))"""))
-    }.drop("H")
+    val withArr = df.withColumn("sigs",
+      NativeExprs.hyperplane_sigs(col("v"), planes, nBands, bitsPerBand))
+    (0 until nBands).foldLeft(withArr) { (acc, b) =>
+      acc.withColumn(s"sig_$b", col("sigs").getItem(b))
+    }.drop("sigs")
   }
 
   // LSH-bucketed ANN: 2 bands × 8 bits; candidates share at least one band
