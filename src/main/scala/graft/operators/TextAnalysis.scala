@@ -159,6 +159,36 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** q35's inverted index with a document-frequency cut: shingles seen in
+    * more than `maxDf` docs are dropped from the index before the
+    * self-join. Join work falls from Σ df² to Σ min(df, maxDf)² — the
+    * standard bound for hot-shingle skew at corpus scale (boilerplate
+    * headers/footers shared by millions of docs would otherwise dominate
+    * the shuffle). Jaccard denominators still use the FULL shingle sets,
+    * so the computed score is a lower bound of the true Jaccard and the
+    * output is a subset of the exact q35 pair set; with maxDf >= corpus
+    * size the result is exactly q35 (asserted in ScaleSpec).
+    */
+  private[graft] def ngramJaccardDfCut(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("s")
+    val pruned = ex.join(keep, "s")
+    pruned.select(col("s"), col("doc_id").as("a_id"), col("sz").as("asz"))
+      .join(pruned.select(col("s"), col("doc_id").as("b_id"), col("sz").as("bsz")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "asz", "bsz")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac_raw", col("common") / (col("asz") + col("bsz") - col("common")))
+      .filter(col("jac_raw") >= 0.8)
+      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   // Edit distance between adjacent documents' 80-char prefixes (capped so
   // the O(len²) DP stays bounded; Spark and DuckDB both implement the
   // classic Levenshtein count).

@@ -52,6 +52,25 @@ class ScaleSpec extends SparkTestBase {
       s"join-side shuffle found: ${shuffles.map(_.outputPartitioning)}")
   }
 
+  test("df-cut near-dup index: exact at maxDf=corpus, bounded + subset below") {
+    import graft.operators.TextAnalysis
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir))
+    val uncut = pairs(TextAnalysis.ngramJaccardDfCut(spark, sfDir, maxDf = 1000000L))
+    assert(uncut == exact, "with no effective cut the result must equal exact q35")
+    val cut = pairs(TextAnalysis.ngramJaccardDfCut(spark, sfDir, maxDf = 2L))
+    assert(cut.subsetOf(exact),
+      "df-cut jaccard is a lower bound, so pairs can only be lost, never invented")
+    // the cut actually prunes the index: postings for hot shingles drop out
+    val ex = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.NativeExprs.word_shingles(col("text"))).as("s"))
+    val total = ex.count()
+    val kept = ex.groupBy("s").count().filter(col("count") <= 2)
+      .agg(sum("count")).collect().head.getLong(0)
+    assert(kept < total, "testdata has shingles above the cut, so work shrinks")
+  }
+
   test("approximate sketches track exact answers within tolerance") {
     val li = Tables.lineitem(spark, sfDir)
     val r = li.agg(
