@@ -167,11 +167,31 @@ object Multimodal extends QueryPack {
                          col("frame_idx").cast("string"))).as("frame_sig"))
       .orderBy("asset_id", "frame_idx")
 
+  /** Exact dedup of binary assets by content digest — the "same file
+    * uploaded twice" case. A deterministic re-upload set (every 7th asset,
+    * re-keyed) is unioned in, then one shuffle keyed by the 128-bit md5
+    * keeps the smallest asset_id per distinct payload. The shuffle carries
+    * only (digest, id) — the binary column is hashed map-side and never
+    * moves, which is what makes this viable when payloads are MB-scale.
+    */
+  private def q54MediaDedup(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d).select(col("asset_id"), col("content"))
+    val reuploads = base.filter(pmod(col("asset_id"), lit(7)) === 0)
+      .select((col("asset_id") + 100000).as("asset_id"), col("content"))
+    base.unionByName(reuploads)
+      .select(md5(col("content")).as("sig"), col("asset_id"))
+      .groupBy("sig")
+      .agg(min("asset_id").as("kept_id"), count(lit(1)).as("n_copies"))
+      .select("kept_id", "n_copies")
+      .orderBy("kept_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_media_meta"     -> q50MediaMeta _,
     "q51_media_features" -> q51MediaFeatures _,
     "q52_frame_sample"   -> q52FrameSample _,
     "q53_resize"         -> q53Resize _,
+    "q54_media_dedup"    -> q54MediaDedup _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -181,6 +201,14 @@ object Multimodal extends QueryPack {
          FROM (SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
                octet_length(encode(text)) AS n_bytes FROM documents)
          GROUP BY media_type ORDER BY media_type""",
+    "q54_media_dedup" ->
+      """WITH base AS (SELECT doc_id AS asset_id, text FROM documents),
+         reup AS (SELECT asset_id + 100000 AS asset_id, text FROM base
+                  WHERE asset_id % 7 = 0),
+         unioned AS (SELECT * FROM base UNION ALL SELECT * FROM reup)
+         SELECT min(asset_id) AS kept_id, count(*) AS n_copies
+         FROM unioned GROUP BY md5(text)
+         ORDER BY kept_id""",
     "q52_frame_sample" ->
       """SELECT doc_id AS asset_id, frame_idx,
          md5(text || ':' || frame_idx::VARCHAR) AS frame_sig
