@@ -99,6 +99,25 @@ object Relational2 extends QueryPack {
           * 1000000) / 1000000).as("corr_qty_price"))
       .orderBy("l_returnflag")
 
+  /** Equal-width histogram of order totals: pass 1 computes global
+    * min/max (one tiny agg), pass 2 broadcasts them and bins map-side —
+    * the shuffle carries only 20 bin counters per task. The binning
+    * expression is the identical IEEE tree in both engines, so bin
+    * membership is deterministic. */
+  private def q68Histogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_totalprice"))
+    val mm = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    o.crossJoin(broadcast(mm))
+      .select(
+        least(lit(19), floor((col("o_totalprice") - col("mn"))
+                             / ((col("mx") - col("mn")) / 20))).cast("long").as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+           round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("bin")
+  }
+
   /** Gap detection: per-customer order sequences with >180-day silences
     * (lag window partitioned by customer — parallel at any scale). */
   private def q70OrderGaps(s: SparkSession, d: String): DataFrame = {
@@ -129,6 +148,7 @@ object Relational2 extends QueryPack {
     "q63_range_join"   -> q63RangeJoin _,
     "q64_corr_subquery" -> q64AboveBrandAvg _,
     "q67_hash_sample"  -> q67HashSample _,
+    "q68_histogram"    -> q68Histogram _,
     "q69_corr_exact"   -> q69CorrExact _,
     "q70_order_gaps"   -> q70OrderGaps _,
     "q71_array_agg"    -> q71ArrayAgg _,
@@ -159,6 +179,13 @@ object Relational2 extends QueryPack {
                FROM documents)
          WHERE (lang = 'en' AND h < '8000') OR (lang <> 'en' AND h < '3333')
          GROUP BY lang ORDER BY lang""",
+    "q68_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                     FROM orders)
+         SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20)))
+                  AS BIGINT) AS bin,
+                count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+         FROM orders, mm GROUP BY bin ORDER BY bin""",
     "q69_corr_exact" ->
       """WITH t AS (SELECT l_returnflag,
              CAST(l_quantity AS BIGINT) AS x,
