@@ -27,7 +27,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val w0 = System.nanoTime()
     warmup(spark, sfDir)
+    val warmupSec = (System.nanoTime() - w0) / 1e9
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -37,7 +39,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

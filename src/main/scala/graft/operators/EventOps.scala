@@ -95,6 +95,22 @@ object EventOps extends QueryPack {
       .orderBy("user_id", "session_id")
   }
 
+  // Latest-event-per-key (CDC "current state" materialization): one
+  // partial-aggregatable max over (ts, event_id, value) structs — struct
+  // ordering is lexicographic, so this is argmax by (ts, event_id) with a
+  // unique tie-break. Deliberately NOT a row_number window: the agg form
+  // combines map-side, so the shuffle carries one row per live key
+  // instead of the full history.
+  private def q72LatestPerKey(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+              col("last.event_id").as("latest_event_id"),
+              date_format(col("last.ts"), tsFmt).as("latest_ts"),
+              round(col("last.value"), 2).as("value"))
+      .orderBy("user_id", "event_type")
+
   // Semi-structured payload access: events.props is a JSON string (the
   // reference carries payloads opaquely; here we project into them).
   private def q25JsonExtract(s: SparkSession, d: String): DataFrame =
@@ -112,9 +128,17 @@ object EventOps extends QueryPack {
     "q22_dedup_exact"   -> q22DedupExact _,
     "q23_dedup_first"   -> q23DedupFirst _,
     "q24_sessionize"    -> q24Sessionize _,
+    "q72_latest_per_key" -> q72LatestPerKey _,
   )
 
   override val oracles: Map[String, String] = Map(
+    "q72_latest_per_key" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         SELECT user_id, event_type, event_id AS latest_event_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+                round("value", 2) AS "value"
+         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
     "q25_json_extract" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
