@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *  - q43 SimHash: per-token 60-bit md5-derived hashes vote bitwise; the
   *    signed sum's sign becomes the signature bit. Near-identical token
   *    multisets flip few votes → small Hamming distance (asserted in
-  *    DedupSpec); md5 makes the signature cross-engine oracle-checkable.
+  *    SimilaritySpec); md5 makes the signature cross-engine oracle-checkable.
   *
   * Scale notes: both are linear scans + one shuffle on short keys
   * (band hash / signature). The shingle→minhash work is per-row map-side
@@ -84,7 +84,7 @@ object Dedup extends QueryPack {
     * in every engine, which makes the signature cross-engine checkable
     * (the DuckDB oracle computes the identical signature). In production
     * swap the per-token hash for xxhash64 (one line) — the vote/signature
-    * logic is hash-agnostic, and DedupSpec's Hamming-distance property
+    * logic is hash-agnostic, and SimilaritySpec's Hamming-distance property
     * holds for any mixing hash.
     */
   private def q43Simhash(s: SparkSession, d: String): DataFrame =

@@ -41,24 +41,41 @@ object Multimodal extends QueryPack {
     def decodeAndEmbed(mediaType: String, content: Array[Byte]): Array[Float]
   }
 
+  /** Top 60 bits of md5(payload ++ suffix) as a non-negative long — the
+    * cross-engine-checkable digest primitive the stub codec is built on
+    * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`, same trick as
+    * q43's SimHash token hash). */
+  private[graft] def md5Top60(payload: Array[Byte], suffix: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload)
+    md.update(suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest()
+    val hex = new StringBuilder(15)
+    var i = 0
+    while (hex.length < 15) { // 7.5 bytes → 15 hex chars
+      val b = d(i) & 0xff
+      hex.append(Character.forDigit(b >> 4, 16))
+      if (hex.length < 15) hex.append(Character.forDigit(b & 0xf, 16))
+      i += 1
+    }
+    java.lang.Long.parseLong(hex.toString, 16)
+  }
+
   /** STUB — deterministic fake decode (no media libs in this container).
-    * FNV-1a over the bytes seeds a tiny LCG that fills the vector; real
-    * deployments replace this with an actual image/audio decoder + model.
+    * Each feature is an md5-derived lattice point k/1024 (k in [0,1024) —
+    * a power-of-two denominator, so every feature value and its square are
+    * EXACT in float/double; downstream norms are single-rounded IEEE and
+    * therefore cross-engine reproducible, which is what lets q51 be
+    * DuckDB-oracle-checked end-to-end). Real deployments replace this
+    * class with an actual image/audio decoder + model.
     */
   final class StubMediaCodec(val dim: Int = 16) extends MediaCodec {
     override def decodeAndEmbed(mediaType: String, content: Array[Byte]): Array[Float] = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < content.length) {
-        h ^= content(i); h *= 0x100000001b3L; i += 1
-      }
-      h ^= mediaType.hashCode.toLong
       val out = new Array[Float](dim)
-      var s = h
       var j = 0
       while (j < dim) {
-        s = s * 6364136223846793005L + 1442695040888963407L
-        out(j) = ((s >>> 40).toInt % 1000) / 1000.0f
+        val k = md5Top60(content, s":$mediaType:$j") % 1024
+        out(j) = k / 1024.0f
         j += 1
       }
       out
@@ -109,8 +126,9 @@ object Multimodal extends QueryPack {
       }
   }
 
-  // Feature extraction end-to-end (rows-only check: the stub codec has no
-  // cross-engine oracle; MultimodalSpec asserts determinism + batch shape).
+  // Feature extraction end-to-end (oracle-checked: the md5-lattice stub
+  // features are exact in float/double, so the norm is bit-reproducible in
+  // DuckDB; MultimodalSpec asserts determinism + batch shape).
   private def q51MediaFeatures(s: SparkSession, d: String): DataFrame =
     extractFeatures(assets(s, d), new StubMediaCodec(16))(s)
       .toDF()
@@ -124,8 +142,9 @@ object Multimodal extends QueryPack {
 
   /** Batched resize through the codec boundary: aspect-preserving target
     * dims computed relationally; the pixel work happens per partition in
-    * the (stubbed) codec. Deterministic: the fake "resampled" payload is
-    * an FNV-weighted byte fold sized to the target dims.
+    * the (stubbed) codec. Deterministic: the fake "resampled" payload
+    * signature is md5 of the source bytes + target dims (cross-engine
+    * checkable — q53's DuckDB oracle recomputes it exactly).
     */
   private[graft] def resize(ds: DataFrame, maxDim: Int)
                            (implicit s: SparkSession): Dataset[ResizedAsset] = {
@@ -136,20 +155,17 @@ object Multimodal extends QueryPack {
         it.map { case (id, mt, bytes, w, h) =>
           val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
           val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          // STUB resample: deterministic byte fold to the target size
+          // STUB resample: deterministic digest sized to the target dims
           val outLen = math.max(1, math.min(bytes.length, ow * oh / 64))
-          var sig = 0xcbf29ce484222325L
-          var i = 0
-          while (i < bytes.length) {
-            sig ^= bytes(i) * (i % outLen + 1); sig *= 0x100000001b3L; i += 1
-          }
+          val sig = md5Top60(bytes, s":${ow}x$oh")
           ResizedAsset(id, mt, w, h, ow, oh, outLen, sig)
         }
       }
   }
 
-  // Resize end-to-end (rows-only: stub codec; MultimodalSpec asserts the
-  // aspect-ratio math and determinism).
+  // Resize end-to-end (oracle-checked: the dim math is pure integer/IEEE
+  // arithmetic and the stub signature is md5-derived; MultimodalSpec
+  // asserts the aspect-ratio invariants and determinism).
   private def q53Resize(s: SparkSession, d: String): DataFrame =
     resize(assets(s, d), maxDim = 128)(s).toDF().orderBy("asset_id")
 
@@ -218,5 +234,39 @@ object Multimodal extends QueryPack {
          unnest(range(0, least(n_frames, 5))) AS t(frame_idx)
          WHERE media_type = 'video'
          ORDER BY asset_id, frame_idx""",
+    // q51: recompute the md5-lattice features (k_j = top-60-bits-of-md5 mod
+    // 1024; feature j's value is k_j/1024, exact in float/double) and the
+    // single-rounded norm. sqrt(S)/1024 ≡ Spark's sqrt(S/2^20): power-of-2
+    // scaling commutes with one correctly-rounded sqrt.
+    "q51_media_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+               text FROM documents),
+         k AS (SELECT asset_id, media_type,
+               [('0x' || substr(md5(text || ':' || media_type || ':' || j::VARCHAR), 1, 15))::BIGINT % 1024
+                for j in range(0, 16)] AS ks FROM a)
+         SELECT asset_id, media_type, 16::INT AS feature_dim,
+                floor(sqrt(list_sum([x * x for x in ks])::DOUBLE) / 1024 * 1000) / 1000 AS feature_norm
+         FROM k ORDER BY asset_id""",
+    // q53: identical scale/truncation arithmetic (double ops in the same
+    // order → same IEEE results) + md5-derived signature.
+    "q53_resize" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+               text,
+               octet_length(encode(text))::INT AS n_bytes,
+               ((doc_id % 8 + 1) * 64)::INT AS width,
+               ((doc_id % 6 + 1) * 64)::INT AS height
+             FROM documents),
+         r AS (SELECT *, least(1.0::DOUBLE, 128.0::DOUBLE / greatest(width, height)) AS scale
+               FROM a),
+         t AS (SELECT asset_id, media_type, width, height,
+                      greatest(1, trunc(width * scale)::INT)::INT AS out_width,
+                      greatest(1, trunc(height * scale)::INT)::INT AS out_height,
+                      text, n_bytes FROM r)
+         SELECT asset_id, media_type, width, height, out_width, out_height,
+                greatest(1, least(n_bytes, (out_width * out_height) // 64))::INT AS out_bytes,
+                ('0x' || substr(md5(text || ':' || out_width::VARCHAR || 'x' || out_height::VARCHAR), 1, 15))::BIGINT AS content_sig
+         FROM t ORDER BY asset_id""",
   )
 }

@@ -8,23 +8,32 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2 row 12
   * [extension]): brute-force cosine top-k as the exactness baseline, a
-  * random-hyperplane LSH bucketed variant as the scale path, and
-  * threshold-based cosine near-dup pairing.
+  * random-hyperplane LSH bucketed variant and an IVF cell search as the
+  * scale paths, and threshold-based cosine near-dup pairing.
   *
   * Scale notes:
   *  - q40 broadcasts the (small, fixed) query set against the corpus scan —
   *    one pass over N corpus vectors, no shuffle of the big side; per-query
   *    top-k via window. At 100 TB the same plan holds: the only shuffle is
   *    the |Q|×k result.
-  *  - q41 replaces the all-pairs O(N²) with signature-bucket equi-joins:
-  *    candidates are generated per 8-bit band bucket (expected bucket size
-  *    N/256) and verified by exact cosine. At 1000× data, band width /
-  *    count are the tuning knobs — the plan shape (explode → shuffle on
-  *    band key → in-bucket pairing) is the standard distributed ANN/LSH
-  *    pattern.
-  *  - q44 does exact all-pairs (correct at test scale, quadratic); its
-  *    scale path IS q41 — kept separately so the oracle can verify the
-  *    exact result.
+  *  - q41 replaces the all-pairs O(N²) with signature-bucket equi-joins.
+  *    The candidate shuffle carries ONLY (band, bucket, vec_id) — vectors
+  *    never move with the postings; the exact-cosine verification re-joins
+  *    vectors against the (tiny, broadcast) candidate pair set, so the
+  *    corpus is never shuffled at all. Bits per band are sized to the
+  *    corpus (`bitsFor`): expected bucket size stays ~constant as N grows,
+  *    so in-bucket pairing is O(N · bucket) — linear, not O(N²/const).
+  *  - q45 is IVF with a CONSTANT-size coarse quantizer (k independent of
+  *    N): assignment is one broadcast of k centroid rows + a map-side
+  *    argmax folded into a partial-aggregatable max(struct) — O(N·k)
+  *    compute, one shuffle of N rows. `ivfIndex`/`ivfSearch` make the
+  *    "corpus partitioned by centroid id" layout real: the index is
+  *    written `partitionBy(centroid)` and a probe reads only its cells'
+  *    partitions (partition pruning, asserted in ScaleSpec).
+  *  - q44 does exact all-pairs — DELIBERATE oracle-grade baseline, not a
+  *    production path (quadratic; its scale paths ARE q41/q45). Kept so
+  *    the DuckDB oracle can verify the exact pair set; production callers
+  *    bound its input or use the LSH/IVF operators.
   */
 object Similarity extends QueryPack {
 
@@ -57,6 +66,20 @@ object Similarity extends QueryPack {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Bits per band sized to the corpus: target expected bucket size
+    * `targetBucket`, floor 8 (bucket quality at tiny N), cap 20 (signature
+    * comfortably in a long; at N beyond 2^20·target the bucket size grows
+    * linearly again and band COUNT is the next knob). This is what keeps
+    * in-bucket pairing O(N·targetBucket) instead of O(N²/2^const).
+    */
+  private[graft] def bitsFor(n: Long, targetBucket: Int = 32): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+      math.log(2.0)).toInt
+    math.min(20, math.max(8, needed))
+  }
+
+  private val lshBands = 2
+
   /** Add `nBands` signature columns (sig_0 …), each an `bitsPerBand`-bit
     * sign-pattern of dots against fixed hyperplanes (SimHash for cosine).
     * One native-expression pass computes all bands (the interpreted
@@ -71,24 +94,34 @@ object Similarity extends QueryPack {
     }.drop("sigs")
   }
 
-  // LSH-bucketed ANN: 2 bands × 8 bits; candidates share at least one band
-  // bucket; verified by exact cosine >= 0.2. Rows-only driver check (ANN
-  // quality = recall, asserted against brute force in SimilaritySpec).
+  // LSH-bucketed ANN: candidates share at least one band bucket; verified
+  // by exact cosine >= 0.2. Bits/band come from `bitsFor` (corpus-sized);
+  // the corpus count is a plan-time parameter lookup (parquet metadata
+  // count — the one-time ANALYZE-style stat every LSH deployment needs),
+  // not part of the per-row dataflow. The posting shuffle carries only
+  // (band, bucket, vec_id); vectors are re-joined against the broadcast
+  // candidate set for verification (q42's pattern), so the corpus itself
+  // is never shuffled. Oracle: the SAME hyperplane LSH replicated in
+  // DuckDB SQL (generated plane literals, identical left-to-right IEEE
+  // dot folds) — a true cross-engine check of the ANN semantics, not just
+  // a rows count.
   private def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = withSignatures(corpus(s, d), nBands = 2, bitsPerBand = 8)
-    val bands = (0 until 2).map { b =>
-      sig.select(col("vec_id"), col("v"), lit(b).as("band"),
-                 col(s"sig_$b").as("bucket"))
+    val n = Tables.embeddings(s, d).count() // metadata-only column-pruned count
+    val bits = bitsFor(n)
+    val sig = withSignatures(corpus(s, d), nBands = lshBands, bitsPerBand = bits)
+    val posting = (0 until lshBands).map { b =>
+      sig.select(lit(b).as("band"), col(s"sig_$b").as("bucket"), col("vec_id"))
     }.reduce(_ unionByName _)
-    val a = bands.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
-                         col("v").as("av"))
-    val b = bands.select(col("band"), col("bucket"), col("vec_id").as("b_id"),
-                         col("v").as("bv"))
-    a.join(b, Seq("band", "bucket"))
+    val cand = posting.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      .join(posting.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
+            Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-              NativeExprs.cosine_sim(col("av"), col("bv")).as("cos"))
-      .groupBy("a_id", "b_id").agg(first("cos").as("cos"))  // dedup multi-band hits
+      .select("a_id", "b_id").distinct()
+    val e = corpus(s, d)
+    val av = e.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val bv = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    broadcast(broadcast(cand).join(av, "a_id")).join(bv, "b_id")
+      .withColumn("cos", NativeExprs.cosine_sim(col("av"), col("bv")))
       .filter(col("cos") >= 0.2)
       .select(col("a_id"), col("b_id"),
               (floor(col("cos") * 100000) / 100000).as("cosine"))
@@ -96,7 +129,11 @@ object Similarity extends QueryPack {
   }
 
   // Exact cosine near-dup pairs (threshold 0.4 — the synthetic vectors are
-  // near-orthogonal, see BENCH notes). Oracle-verified all-pairs baseline.
+  // near-orthogonal, see BENCH notes). ORACLE-GRADE BASELINE, deliberately
+  // quadratic: it exists to pin down the exact pair set that q41/q42-style
+  // LSH must reproduce, and to be trivially DuckDB-checkable. NOT a
+  // production operator — at scale use q41 (LSH) / q45 (IVF), or bound the
+  // input to a candidate set first.
   private def q44CosineNearDup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
@@ -110,25 +147,60 @@ object Similarity extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
-  /** IVF-style ANN (the scale path alongside q41's LSH): a fixed coarse
-    * quantizer (every 10th vector serves as a centroid — deterministic,
-    * k-means-free), nprobe=1. Assignment is a broadcast cross-score +
-    * argmax (max over (cos, id) structs — deterministic tie-break);
-    * search touches only the query's own cell. At 100 TB the corpus is
-    * PARTITIONED BY centroid id, so a query reads one cell's partitions
-    * — the standard IVF layout. Rows-only check; recall asserted against
-    * brute force in SimilaritySpec.
+  /** IVF coarse-quantizer size — CONSTANT, independent of corpus size (a
+    * production deployment trains/ships a codebook; the deterministic
+    * "first k vectors" stand-in keeps the same complexity: broadcast k
+    * rows, O(N·k) assignment work). */
+  private[graft] val ivfK = 16
+
+  /** Assign every vector to its best centroid (nprobe=1 cell).
+    * One broadcast of k centroid rows; the ×k score expansion collapses
+    * map-side (max(struct) and first() are partial-aggregatable), so the
+    * only shuffle is N rows keyed by vec_id. Output: vec_id, centroid,
+    * embedding. */
+  private[graft] def ivfAssign(e: DataFrame, k: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), col("c_id"))).as("best"),
+           first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("best.c_id").as("centroid"), col("embedding"))
+  }
+
+  /** Materialize the IVF layout: corpus written PARTITIONED BY centroid id
+    * — the standard IVF file layout, for real. A probe of `nprobe` cells
+    * then reads only those cells' partitions (partition pruning; ScaleSpec
+    * asserts the scan's partition filters). */
+  def ivfIndex(e: DataFrame, k: Int, path: String): Unit =
+    ivfAssign(e, k).write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** Search a materialized IVF index: per query, scan only the probed
+    * cell's partitions and rank by exact cosine. */
+  def ivfSearch(s: SparkSession, path: String, queries: DataFrame, topK: Int): DataFrame = {
+    val idx = s.read.parquet(path)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    idx.join(broadcast(queries), col("centroid") === col("q_centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+              col("vec_id").as("n_id"),
+              (floor(col("cos") * 100000) / 100000).as("cosine"))
+  }
+
+  /** IVF-style ANN (the scale path alongside q41's LSH): fixed-k coarse
+    * quantizer (`ivfK`, constant — NOT a function of corpus size), nprobe=1.
+    * Search touches only the query's own cell. Oracle: the identical
+    * quantizer + argmax + in-cell ranking replicated in DuckDB SQL (same
+    * deterministic centroid rule, same tie-breaks), a full cross-engine
+    * semantic check.
     */
   private def q45AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(pmod(col("vec_id"), lit(10)) === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cos_c"), col("c_id"))).as("best"))
-      .select(col("vec_id"), col("best.c_id").as("centroid"))
-      .join(e, "vec_id")
+    val assigned = ivfAssign(e, ivfK)
     val qs = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
               col("embedding").as("qv"))
@@ -150,6 +222,82 @@ object Similarity extends QueryPack {
     "q45_ann_ivf"         -> q45AnnIvf _,
   )
 
+  // ---- generated DuckDB oracles -------------------------------------------
+
+  /** Format a double so DuckDB parses back the identical IEEE value
+    * (Double.toString is the shortest round-tripping decimal; DuckDB
+    * accepts both plain and scientific notation). */
+  private def fmt(x: Double): String = x.toString
+
+  /** q41's oracle: the SAME hyperplane LSH in DuckDB SQL. Plane
+    * coefficients are embedded as literals; each dot product is the same
+    * left-to-right IEEE double fold the native expression runs, so the
+    * sign pattern — and therefore the candidate set — is bit-identical.
+    * Generated for bits = bitsFor(N) at the driver's verify scale (bitsFor
+    * floors at 8 for N ≤ 8192·... — all shipped testdata SFs).
+    */
+  private[graft] def lshOracleSql(nBands: Int, bits: Int): String = {
+    val planes = hyperplanes(nBands * bits)
+    def dotSql(p: Seq[Double]): String =
+      p.zipWithIndex.map { case (c, j) => s"v[${j + 1}]*(${fmt(c)})" }.mkString(" + ")
+    val dotCols = planes.zipWithIndex
+      .map { case (p, i) => s"(${dotSql(p)}) AS d$i" }.mkString(",\n              ")
+    val bucketCols = (0 until nBands).map { b =>
+      val terms = (0 until bits).map { i =>
+        s"(CASE WHEN d${b * bits + i} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($terms) AS b$b"
+    }.mkString(",\n              ")
+    val postings = (0 until nBands)
+      .map(b => s"SELECT $b AS band, b$b AS bucket, vec_id FROM s")
+      .mkString("\n              UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         d AS (SELECT vec_id, v,
+              $dotCols
+              FROM e),
+         s AS (SELECT vec_id,
+              $bucketCols
+              FROM d),
+         p AS ($postings),
+         cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                  FROM p a JOIN p b USING (band, bucket)
+                  WHERE a.vec_id < b.vec_id)
+         SELECT a_id, b_id,
+                floor(list_cosine_similarity(ea.v, eb.v) * 100000) / 100000 AS cosine
+         FROM cand
+         JOIN e ea ON ea.vec_id = cand.a_id
+         JOIN e eb ON eb.vec_id = cand.b_id
+         WHERE list_cosine_similarity(ea.v, eb.v) >= 0.2
+         ORDER BY a_id, b_id"""
+  }
+
+  /** q45's oracle: identical fixed-k quantizer + argmax (ties: highest
+    * cosine, then highest centroid id — matching max(struct(cos, id))) +
+    * nprobe=1 in-cell top-5. */
+  private def ivfOracleSql(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $k),
+        sc AS (SELECT e.vec_id, c.c_id,
+                      list_cosine_similarity(e.v, c.cv) AS cc FROM e, c),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, c_id DESC) AS rn FROM sc)
+                WHERE rn = 1),
+        ae AS (SELECT asg.vec_id, asg.centroid, e.v
+               FROM asg JOIN e USING (vec_id)),
+        q AS (SELECT vec_id AS q_id, centroid AS q_centroid, v AS qv
+              FROM ae WHERE vec_id < 10),
+        sc2 AS (SELECT q.q_id, ae.vec_id AS n_id,
+                       list_cosine_similarity(ae.v, q.qv) AS cos
+                FROM ae JOIN q ON ae.centroid = q.q_centroid
+                WHERE ae.vec_id <> q.q_id),
+        r AS (SELECT q_id, n_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, n_id) AS rnk FROM sc2)
+        SELECT q_id, rnk, n_id, floor(cos * 100000) / 100000 AS cosine
+        FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   override val oracles: Map[String, String] = Map(
     "q40_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -170,5 +318,7 @@ object Similarity extends QueryPack {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY a_id, b_id""",
+    "q41_ann_lsh" -> lshOracleSql(lshBands, 8),
+    "q45_ann_ivf" -> ivfOracleSql(ivfK),
   )
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * S sub-keys by a deterministic hash of the whole key (so one hot key
   * becomes S tasks); the small side is replicated S× by exploding a salt
   * sequence. Join on (key, salt), then drop the salt. Semantics are
-  * exactly inner-join equality on `key` — asserted in SkewSpec against
+  * exactly inner-join equality on `key` — asserted in ScaleSpec against
   * the unsalted join.
   */
 object Skew {

@@ -239,10 +239,12 @@ object TextAnalysis extends QueryPack {
 
   // TF-IDF: top-3 scoring tokens for the first 100 documents (scores over
   // the WHOLE corpus; output capped for the harness). ln/idf computed the
-  // same way both engines; floor-truncated at 1e-6.
+  // same way both engines; floor-truncated at 1e-6. The corpus size N is a
+  // broadcast one-row aggregate (q68's pattern), not a driver-side count():
+  // the whole query is one lazily-composable plan, one job per invocation.
   private def q39Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val perDoc = docs
       .select(col("doc_id"), explode(expr(toksExpr)).as("token"),
               expr(s"size($toksExpr)").as("doc_len"))
@@ -251,8 +253,9 @@ object TextAnalysis extends QueryPack {
     val dfTab = perDoc.groupBy("token").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
     perDoc.join(dfTab, "token")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        floor(col("cnt") / col("doc_len") * log(lit(n) / col("df")) * 1000000) / 1000000)
+        floor(col("cnt") / col("doc_len") * log(col("n_docs") / col("df")) * 1000000) / 1000000)
       .filter(col("doc_id") < 100)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
