@@ -177,9 +177,14 @@ object Similarity extends QueryPack {
     ivfAssign(e, k).write.mode("overwrite").partitionBy("centroid").parquet(path)
 
   /** Search a materialized IVF index: per query, scan only the probed
-    * cell's partitions and rank by exact cosine. */
-  def ivfSearch(s: SparkSession, path: String, queries: DataFrame, topK: Int): DataFrame = {
-    val idx = s.read.parquet(path)
+    * cells' partitions and rank by exact cosine. Passing the probe list
+    * (known driver-side per query batch — it IS the nprobe decision)
+    * prunes partitions statically at the parquet scan; without it the
+    * broadcast equi-join still prunes dynamically via DPP. */
+  def ivfSearch(s: SparkSession, path: String, queries: DataFrame, topK: Int,
+                probes: Seq[Long] = Nil): DataFrame = {
+    val all = s.read.parquet(path)
+    val idx = if (probes.nonEmpty) all.filter(col("centroid").isin(probes: _*)) else all
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     idx.join(broadcast(queries), col("centroid") === col("q_centroid"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -1,15 +1,28 @@
 package graft
 
-import graft.operators.Skew
+import graft.operators.{Similarity, Skew}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Scale-pattern tests: salted joins preserve semantics; bucketed tables
   * make co-partitioned joins shuffle-free; approximate sketches track
-  * exact answers.
+  * exact answers; the ANN operators keep their O(N·k) / id-only-shuffle
+  * complexity contracts.
   */
 class ScaleSpec extends SparkTestBase {
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => collectAll(r.child)
+      case _ => Nil
+    }
+    (p +: p.children.flatMap(collectAll)) ++ nested
+  }
 
   test("salted join equals the plain join (skew mitigation is semantics-free)") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
@@ -69,6 +82,66 @@ class ScaleSpec extends SparkTestBase {
     val kept = ex.groupBy("s").count().filter(col("count") <= 2)
       .agg(sum("count")).collect().head.getLong(0)
     assert(kept < total, "testdata has shingles above the cut, so work shrinks")
+  }
+
+  test("IVF: constant-k quantizer, broadcast assignment, pruned probe scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+
+    // quantizer size is ivfK regardless of corpus size → assignment work
+    // is O(N·k), the broadcast never grows with the corpus
+    val small = Similarity.ivfAssign(corpus(200), Similarity.ivfK)
+    val large = Similarity.ivfAssign(corpus(800), Similarity.ivfK)
+    assert(small.select("centroid").distinct().count() <= Similarity.ivfK)
+    assert(large.select("centroid").distinct().count() <= Similarity.ivfK)
+    large.collect()
+    val assignJoins = collectAll(large.queryExecution.executedPlan)
+      .collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(assignJoins.nonEmpty, "centroid scoring must broadcast the k centroids")
+
+    // the index layout is real: written partitioned by centroid, and a
+    // probe reads only its cells' partitions (static partition pruning)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfIndex(corpus(400), Similarity.ivfK, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid="))
+    assert(parts.nonEmpty, "index directory must be partitioned by centroid")
+
+    val idx = spark.read.parquet(dir)
+    val queries = idx.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
+              col("embedding").as("qv"))
+    val probeIds = queries.select("q_centroid").distinct().collect()
+      .map(r => r.get(0).toString.toLong).toSeq
+    val res = Similarity.ivfSearch(spark, dir, queries, topK = 5, probes = probeIds)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    val scans = collectAll(res.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "probe scan must carry partition filters (pruned read)")
+  }
+
+  test("q41 LSH: bucket space sized to corpus; no shuffle moves vectors") {
+    // bucket sizing: expected bucket size stays ~targetBucket as N grows
+    assert(Similarity.bitsFor(500) == 8)
+    assert(Similarity.bitsFor(2000) == 8)
+    assert(Similarity.bitsFor(1L << 20) == 15) // 2^20/32 buckets
+    assert(Similarity.bitsFor(1L << 40) == 20) // capped: band count is the next knob
+    // every shuffle in the executed plan carries only scalar columns —
+    // postings are (band, bucket, vec_id); vectors travel exclusively via
+    // broadcast of the (tiny) candidate set
+    val df = SparkEntry.queries("q41_ann_lsh")(spark, sfDir)
+    df.collect()
+    val shuffles = collectAll(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"shuffle carries an array column: ${s.output.map(a => a.name + ":" + a.dataType.simpleString)}")
+    }
   }
 
   test("approximate sketches track exact answers within tolerance") {
