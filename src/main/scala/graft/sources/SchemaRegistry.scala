@@ -89,13 +89,28 @@ final class ConsulSchemaRegistry(host: String, port: Int,
       try new String(conn.getInputStream.readAllBytes(),
                      java.nio.charset.StandardCharsets.UTF_8)
       finally conn.disconnect()
-    // response: [{"Key": ..., "Value": "<base64>"}, ...]; extract + decode
-    val b64 = """"Value"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
-      .map(_.group(1))
-      .getOrElse(throw new IllegalStateException(
-        s"Consul KV $key returned no Value for topic '$topic'"))
-    new String(java.util.Base64.getDecoder.decode(b64),
-               java.nio.charset.StandardCharsets.UTF_8)
+    ConsulSchemaRegistry.parseKvValue(body).map { b64 =>
+      new String(java.util.Base64.getDecoder.decode(b64),
+                 java.nio.charset.StandardCharsets.UTF_8)
+    }.getOrElse(throw new IllegalStateException(
+      s"Consul KV $key returned no Value for topic '$topic'"))
   }
   override def topics: Set[String] = mapping.keySet
+}
+
+object ConsulSchemaRegistry {
+  /** Extract the base64 `Value` from a Consul KV response
+    * `[{"Key": …, "Value": "<base64>", …}, …]` with a real JSON parse
+    * (jackson, already on the Spark classpath) — the reference does the
+    * same via its JSON mapper (`ConsulAvroDeserializeService.java:63-96`);
+    * a regex would corrupt on escaped quotes elsewhere in the response. */
+  private[graft] def parseKvValue(body: String): Option[String] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val node =
+      if (root == null) null
+      else if (root.isArray && root.size() > 0) root.get(0).get("Value")
+      else if (root.isObject) root.get("Value")
+      else null
+    Option(node).filter(n => !n.isNull).map(_.asText())
+  }
 }

@@ -23,9 +23,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    rolling (`ETLTask.java:285-296`), with no custom writer state;
   *  - per-record Avro decode (`AbstractAvroDeserializeService.java:46-60`)
   *    → the native `AvroDecode` expression, schema embedded at plan time;
-  *  - path layout `<out>/<topic>/<date>/...` + Snappy
-  *    (`ETLTask.java:144-219`) → per-topic output dir + partitionBy(dt,
-  *    hour) + parquet compression option;
+  *  - path layout `<out>/<topic>/<date>/...` + Snappy + block/page sizes
+  *    (`ETLTask.java:144-219`) → per-topic output dir + partition columns
+  *    derived from `date.format` (day/hour default, minute grain as in the
+  *    reference's README) + parquet compression/block.size/page.size
+  *    options on the sink;
   *  - hand-rolled close-then-commitSync offset transactionality
   *    (`ETLTask.java:332-382`, at-least-once with the off-by-one noted in
   *    SURVEY §2 row 7) → `checkpointLocation`: Structured Streaming's
@@ -44,9 +46,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final class KafkaEtlPipeline(
     spark: SparkSession,
     registry: SchemaRegistry,
-    config: EtlConfig) {
+    private[graft] val config: EtlConfig) {
 
   @volatile private var queries: Seq[StreamingQuery] = Nil
+
+  /** Partition columns derived from the reference's `date.format` path
+    * pattern (`ETLTask.java:160`, `:213-219` — slash-separated segments,
+    * default day/hour, minute-grain supported): each segment becomes one
+    * Hive-style partition column (`dt=…/hour=…[/minute=…]`), the Spark
+    * idiom for the reference's formatted directory tree. */
+  private[graft] val partitionSpec: Seq[(String, String)] = {
+    val segs = config.dateFormat.split("/").toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"bad date format '${config.dateFormat}'")
+    val names = Seq("dt", "hour", "minute").take(segs.length) ++
+      (3 until segs.length).map(i => s"p$i")
+    names.zip(segs)
+  }
+
+  /** Exactly the option map handed to the streaming writer — the
+    * reference's parquet tuning keys (`ETLTask.java:144-148`: compression,
+    * block.size, page.size) ride the same per-write options channel Spark
+    * copies into the sink's Hadoop conf. */
+  private[graft] def sinkOptions(topic: String): Map[String, String] =
+    Map("path" -> s"${config.outputPath}/$topic",
+        "checkpointLocation" -> s"${config.checkpointLocation}/$topic",
+        "compression" -> config.compression) ++
+      config.blockSize.map(v => "parquet.block.size" -> v.toString) ++
+      config.pageSize.map(v => "parquet.page.size" -> v.toString)
 
   /** Wire-format stream for one topic: columns (topic string, value binary
     * [, ...]). Kafka gets a per-topic subscription so each StreamingQuery
@@ -63,7 +90,8 @@ final class KafkaEtlPipeline(
     case EtlSource.Stream(df) => df.filter(col("topic") === topic)
   }
 
-  /** Decode one topic's records and stamp event/processing-time buckets. */
+  /** Decode one topic's records and stamp event/processing-time buckets
+    * (one partition column per `date.format` segment). */
   private[streaming] def decoded(wire: DataFrame, topic: String): DataFrame = {
     val json = registry.schemaJson(topic)
     val flat = wire
@@ -73,8 +101,9 @@ final class KafkaEtlPipeline(
       case Some(c) => to_timestamp(col(c) / 1000.0) // epoch-millis payload field
       case None    => current_timestamp()           // reference parity: processing time
     }
-    flat.withColumn("dt", date_format(ts, "yyyy-MM-dd"))
-        .withColumn("hour", date_format(ts, "HH"))
+    partitionSpec.foldLeft(flat) { case (df, (name, fmt)) =>
+      df.withColumn(name, date_format(ts, fmt))
+    }
   }
 
   /** Start one query per topic; returns the running queries. */
@@ -85,10 +114,8 @@ final class KafkaEtlPipeline(
         .writeStream
         .format("parquet")
         .outputMode("append")
-        .option("path", s"${config.outputPath}/$topic")
-        .option("checkpointLocation", s"${config.checkpointLocation}/$topic")
-        .option("compression", config.compression)
-        .partitionBy("dt", "hour")
+        .options(sinkOptions(topic))
+        .partitionBy(partitionSpec.map(_._1): _*)
         .trigger(config.trigger)
         .queryName(s"graft-etl-$topic")
         .start()
@@ -129,6 +156,10 @@ object KafkaEtlPipeline {
     * `ETLTask.java:121-137`) becomes the processing-time trigger; Kafka
     * props pass through as source options (auto-commit is irrelevant —
     * offsets live in the checkpoint, `:49`'s force-disable comes free).
+    * `block.size`/`page.size` (`ETLTask.java:147-148`) become parquet
+    * writer options; `date.format` (`ETLTask.java:160`, `:213-219`;
+    * reference default is minute grain, `README.md:14-26`) sets the
+    * partition-directory layout.
     */
   def fromProperties(spark: SparkSession,
                      kafkaConsumerProps: Map[String, String],
@@ -150,7 +181,10 @@ object KafkaEtlPipeline {
       outputPath = parquetProps.getOrElse(ConfOutput,
         throw new IllegalArgumentException(s"missing required '$ConfOutput'")),
       checkpointLocation = checkpointLocation,
-      trigger = Trigger.ProcessingTime(interval * unitMs))
+      trigger = Trigger.ProcessingTime(interval * unitMs),
+      dateFormat = parquetProps.getOrElse(ConfDateFormat, "yyyy-MM-dd/HH/mm"),
+      blockSize = parquetProps.get(ConfBlockSize).map(_.toLong),
+      pageSize = parquetProps.get(ConfPageSize).map(_.toLong))
     new KafkaEtlPipeline(spark, registry, cfg)
   }
 }
@@ -169,6 +203,11 @@ object EtlSource {
 
 /** @param eventTimeColumn payload field holding epoch millis; None =
   *   processing-time bucketing (exact reference parity, `ETLTask.java:164-167`).
+  * @param dateFormat slash-separated time-bucket path pattern (reference
+  *   `date.format`; segments become dt/hour/minute partition columns —
+  *   `"yyyy-MM-dd/HH/mm"` gives the reference's minute-grain layout).
+  * @param blockSize parquet row-group size in bytes (reference `block.size`)
+  * @param pageSize parquet page size in bytes (reference `page.size`)
   */
 final case class EtlConfig(
     topics: Seq[String],
@@ -177,4 +216,7 @@ final case class EtlConfig(
     checkpointLocation: String,
     trigger: Trigger = Trigger.ProcessingTime("1 minute"),
     compression: String = "snappy",
-    eventTimeColumn: Option[String] = None)
+    eventTimeColumn: Option[String] = None,
+    dateFormat: String = "yyyy-MM-dd/HH",
+    blockSize: Option[Long] = None,
+    pageSize: Option[Long] = None)

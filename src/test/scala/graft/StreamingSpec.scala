@@ -106,6 +106,30 @@ class StreamingSpec extends SparkTestBase {
     assert(r.get(1).toString.toInt == 21)
   }
 
+  test("minute-grain date.format writes dt/hour/minute layout with tuned sink") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = Files.createTempDirectory("graft-min-out").toString
+    val ckpt = Files.createTempDirectory("graft-min-ckpt").toString
+    val mem = MemoryStream[(String, Array[Byte])]
+    val cfg = EtlConfig(Seq(topic), EtlSource.Stream(mem.toDF().toDF("topic", "value")),
+      out, ckpt,
+      eventTimeColumn = Some("baseProperties.timestamp"),
+      dateFormat = "yyyy-MM-dd/HH/mm",
+      blockSize = Some(16L * 1024 * 1024), pageSize = Some(512L * 1024))
+    val pipe = new KafkaEtlPipeline(spark, registry, cfg)
+    val Seq(q) = pipe.start()
+    mem.addData(Seq((topic, wireBytes(0)))) // 1470000000000 ms = 2016-07-31 21:20:00 UTC
+    q.processAllAvailable()
+    pipe.stop()
+    val dirs = Files.walk(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+    assert(dirs.exists(_.contains("dt=2016-07-31/hour=21/minute=20")),
+      s"expected minute-grain hive layout, got ${dirs.filter(_.contains("dt=")).toSeq}")
+    val back = spark.read.parquet(s"$out/$topic")
+    assert(back.count() == 1)
+    assert(back.columns.toSet.intersect(Set("dt", "hour", "minute")).size == 3)
+  }
+
   test("multi-topic fan-out: one query per topic, rows routed by topic") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -183,7 +207,7 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/$topic").count() == 3)
   }
 
-  test("fromProperties: reference config keys map to trigger/output") {
+  test("fromProperties: reference config keys map to trigger/output/sink options") {
     val pipe = KafkaEtlPipeline.fromProperties(spark,
       kafkaConsumerProps = Map("kafka.bootstrap.servers" -> "broker:9092",
                                "kafka.group.id" -> "g1"),
@@ -191,10 +215,27 @@ class StreamingSpec extends SparkTestBase {
       parquetProps = Map(
         KafkaEtlPipeline.ConfOutput -> "/tmp/unused-out",
         KafkaEtlPipeline.ConfInterval -> "5",
-        KafkaEtlPipeline.ConfIntervalUnit -> "MINUTE"),
+        KafkaEtlPipeline.ConfIntervalUnit -> "MINUTE",
+        KafkaEtlPipeline.ConfBlockSize -> "33554432",
+        KafkaEtlPipeline.ConfPageSize -> "1048576",
+        KafkaEtlPipeline.ConfDateFormat -> "yyyy-MM-dd/HH/mm"),
       registry = registry,
       checkpointLocation = "/tmp/unused-ckpt")
     assert(pipe != null)
+    // the reference's parquet tuning keys reach the sink's option map
+    val opts = pipe.sinkOptions(topic)
+    assert(opts("parquet.block.size") == "33554432")
+    assert(opts("parquet.page.size") == "1048576")
+    assert(opts("compression") == "snappy")
+    assert(opts("path") == s"/tmp/unused-out/$topic")
+    // date.format segments become partition columns (minute grain)
+    assert(pipe.partitionSpec == Seq("dt" -> "yyyy-MM-dd", "hour" -> "HH", "minute" -> "mm"))
+    // defaults: no date.format → reference's minute-grain default; no
+    // block/page keys → no overriding options
+    val pipeDefault = KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
+      Map(KafkaEtlPipeline.ConfOutput -> "/tmp/unused-out"), registry, "/tmp/unused-ckpt")
+    assert(pipeDefault.partitionSpec.map(_._1) == Seq("dt", "hour", "minute"))
+    assert(!pipeDefault.sinkOptions(topic).contains("parquet.block.size"))
     intercept[IllegalArgumentException] {
       KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
         Map(KafkaEtlPipeline.ConfIntervalUnit -> "FORTNIGHT",
