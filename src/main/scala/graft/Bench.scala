@@ -39,7 +39,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    // streaming-pipeline throughput side channel (decode → bucket →
+    // partitioned parquet; see StreamBench). Untimed vs `value`: the batch
+    // query total and the ingest rate are separate headline numbers.
+    val (sRows, sSec) =
+      try StreamBench.measure(spark, sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong)
+      catch { case _: Throwable => (0L, 0.0) }
+    val sRate = if (sSec > 0) sRows / sSec else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warmup_sec":$warmupSec,"stream_rows_per_sec":$sRate,"stream_rows":$sRows,"stream_sec":$sSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
