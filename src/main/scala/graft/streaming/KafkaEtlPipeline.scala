@@ -148,6 +148,7 @@ object KafkaEtlPipeline {
   val ConfBlockSize = "block.size"
   val ConfPageSize = "page.size"
   val ConfDateFormat = "date.format"
+  val ConfHadoopConfDir = "hadoop.conf.dir" // `KafkaETLParquetConsumer.java:16`
 
   /** Drop-in adapter for the reference's constructor shape
     * (`KafkaETLParquetConsumer.java:44-56`): Kafka consumer properties +
@@ -174,6 +175,18 @@ object KafkaEtlPipeline {
       case "MINUTE" => 60L * 1000
       case other => throw new IllegalArgumentException(
         s"unknown $ConfIntervalUnit: $other (expected DAY|HOUR|MINUTE)")
+    }
+    // reference `hadoop.conf.dir` (`ETLTask.java:150-155`: loads
+    // core-site/hdfs-site from the property): merge those resources into
+    // the session's Hadoop conf so sink paths resolve identically.
+    // (Cluster deployments usually set HADOOP_CONF_DIR instead — this is
+    // the drop-in-property equivalent.)
+    parquetProps.get(ConfHadoopConfDir).foreach { dir =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      Seq("core-site.xml", "hdfs-site.xml").foreach { f =>
+        val file = new java.io.File(dir, f)
+        if (file.isFile) hconf.addResource(new org.apache.hadoop.fs.Path(file.toURI))
+      }
     }
     val cfg = EtlConfig(
       topics = topics,

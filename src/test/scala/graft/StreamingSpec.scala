@@ -130,6 +130,49 @@ class StreamingSpec extends SparkTestBase {
     assert(back.columns.toSet.intersect(Set("dt", "hour", "minute")).size == 3)
   }
 
+  test("producer path: wireFrame round-trips through the consumer pipeline") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t2 = "bench-order"
+    val schemaJson =
+      """{"type":"record","name":"bench_order","fields":[
+         {"name":"id","type":"long"},{"name":"ts","type":"long"},
+         {"name":"name","type":"string"}]}"""
+    val reg = new graft.sources.InMemorySchemaRegistry(Map(t2 -> schemaJson))
+    val out = Files.createTempDirectory("graft-prod-out").toString
+    val ckpt = Files.createTempDirectory("graft-prod-ckpt").toString
+    // typed rows → registered-schema Avro wire bytes (the reference's
+    // producer+serializer), then fed straight into the consumer pipeline
+    val mem = MemoryStream[(Long, Long, String)]
+    val wire = graft.streaming.KafkaAvroProducer.wireFrame(
+      mem.toDF().toDF("id", "ts", "name"), t2, reg)
+    assert(wire.columns.toSeq == Seq("topic", "value"))
+    val pipe = new KafkaEtlPipeline(spark, reg,
+      EtlConfig(Seq(t2), EtlSource.Stream(wire), out, ckpt,
+        eventTimeColumn = Some("ts")))
+    val Seq(q) = pipe.start()
+    mem.addData(Seq((1L, 1470000000000L, "a"), (2L, 1470003600000L, "b")))
+    q.processAllAvailable()
+    pipe.stop()
+    val back = spark.read.parquet(s"$out/$t2")
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "a"), (2L, "b")),
+      "produce → wire bytes → decode → parquet must preserve the rows")
+  }
+
+  test("hadoop.conf.dir property merges site files into the Hadoop conf") {
+    val dir = Files.createTempDirectory("graft-hconf")
+    Files.write(dir.resolve("core-site.xml"),
+      """<?xml version="1.0"?><configuration>
+         <property><name>graft.test.marker</name><value>via-core-site</value></property>
+         </configuration>""".getBytes("UTF-8"))
+    KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
+      Map(KafkaEtlPipeline.ConfOutput -> "/tmp/unused-out",
+          KafkaEtlPipeline.ConfHadoopConfDir -> dir.toString),
+      registry, "/tmp/unused-ckpt")
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.marker") == "via-core-site")
+  }
+
   test("multi-topic fan-out: one query per topic, rows routed by topic") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
