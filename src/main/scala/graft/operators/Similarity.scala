@@ -108,10 +108,13 @@ object Similarity extends QueryPack {
   private def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
     val n = Tables.embeddings(s, d).count() // metadata-only column-pruned count
     val bits = bitsFor(n)
-    val sig = withSignatures(corpus(s, d), nBands = lshBands, bitsPerBand = bits)
-    val posting = (0 until lshBands).map { b =>
-      sig.select(lit(b).as("band"), col(s"sig_$b").as("bucket"), col("vec_id"))
-    }.reduce(_ unionByName _)
+    val planes = hyperplanes(lshBands * bits)
+    // one signature pass per scan: posexplode the per-band array into
+    // (band, bucket) postings (a union of per-band selects would re-run
+    // the signature kernel once per band per join side)
+    val posting = corpus(s, d).select(col("vec_id"),
+      posexplode(NativeExprs.hyperplane_sigs(col("v"), planes, lshBands, bits))
+        .as(Seq("band", "bucket")))
     val cand = posting.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
       .join(posting.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
             Seq("band", "bucket"))
