@@ -104,11 +104,32 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Quantile quality gate: keep docs whose token count clears the corpus
+    * p25 threshold, report per-lang survivor stats. The threshold is a
+    * broadcast one-row aggregate (q68's scalar pattern) over an INTEGER
+    * metric — the percentile lerp is IEEE-exact, so the gate is
+    * cross-engine reproducible. One scan feeds both the threshold agg and
+    * the gate; nothing driver-side. At 100 TB the percentile agg is a
+    * 2-phase shuffle of per-partition digests, the gate a map filter.
+    */
+  private def q74QualityGate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(s"size($toksExpr)").as("n_tokens"))
+    val thr = toks.agg(expr("percentile(n_tokens, 0.25)").as("thr"))
+    toks.crossJoin(broadcast(thr))
+      .filter(col("n_tokens") >= col("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+           (floor(avg("n_tokens") * 100) / 100).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
     "q49_repetition"     -> q49Repetition _,
+    "q74_quality_gate"   -> q74QualityGate _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -164,5 +185,15 @@ object Curation extends QueryPack {
                 floor(top_cnt / n_tokens * 1000) / 1000 AS top_share,
                 floor(n_distinct / n_tokens * 1000) / 1000 AS distinct_ratio
          FROM agg ORDER BY doc_id""",
+    // q74: quantile_cont over integer token counts ≡ Spark percentile
+    // (IEEE-exact lerp, q19's precedent); same gate + survivor stats.
+    "q74_quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+         thr AS (SELECT quantile_cont(n_tokens, 0.25) AS thr FROM t)
+         SELECT lang, count(*) AS n_kept,
+                floor(avg(n_tokens) * 100) / 100 AS avg_tokens
+         FROM t, thr WHERE n_tokens >= thr
+         GROUP BY lang ORDER BY lang""",
   )
 }

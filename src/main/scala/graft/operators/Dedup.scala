@@ -98,9 +98,61 @@ object Dedup extends QueryPack {
                         shiftleft(1L, i), 0L))""")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Dedup CLUSTER assignment — the step after pair detection: group
+    * near-dup pairs into connected components and elect one canonical doc
+    * per component (smallest id), so a curation pipeline can drop
+    * all-but-one of every duplicate family rather than reasoning about
+    * raw pairs.
+    *
+    * Implementation is iterative min-label propagation over the (tiny,
+    * already-verified) LSH pair set: every iteration is one shuffle
+    * (edge join + min agg); `localCheckpoint` truncates lineage so plans
+    * don't grow with iterations — the standard Spark shape for iterative
+    * graph work. Iteration count is bounded by component DIAMETER (near-dup
+    * families are shallow; cap 50 is generous), and convergence is
+    * detected by the monotonically decreasing label-sum potential — one
+    * cheap action per iteration, the same driver-coordinated loop every
+    * iterative algorithm on Spark uses (not a per-row collect). At
+    * extreme scale swap the loop body for large-star/small-star; the
+    * operator contract is unchanged.
+    */
+  private def q73DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = q42MinhashLsh(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("cluster_id")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_cluster")), "src")
+        .groupBy(col("dst"))
+        .agg(min("src_cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+                least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+                  .as("cluster_id"))
+        .localCheckpoint()
+      val s2 = next.agg(sum("cluster_id")).head.getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+              when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_minhash_lsh" -> q42MinhashLsh _,
-    "q43_simhash"     -> q43Simhash _,
+    "q42_minhash_lsh"   -> q42MinhashLsh _,
+    "q43_simhash"       -> q43Simhash _,
+    "q73_dedup_clusters" -> q73DedupClusters _,
   )
 
   // q42's oracle is the EXACT pair set (LSH + exact verification ≡ exact
@@ -120,5 +172,33 @@ object Dedup extends QueryPack {
                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
               for i in range(0, 60)]) AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
+    // q73: connected components via a recursive transitive closure over
+    // the exact near-dup pair set (q35's pair SQL inlined) — cluster id is
+    // the component minimum, exactly what min-label propagation converges to.
+    "q73_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT a_id, b_id FROM p
+                   WHERE common / (asz + bsz - common) >= 0.8),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster_id,
+                CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM reach GROUP BY id ORDER BY doc_id""",
   )
 }

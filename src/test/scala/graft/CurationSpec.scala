@@ -91,6 +91,21 @@ class CurationSpec extends SparkTestBase {
     r1.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
   }
 
+  test("q74 quality gate keeps the upper quantile and broadcasts the threshold") {
+    import org.apache.spark.sql.functions._
+    val total = Tables.documents(spark, sfDir).count()
+    val df = SparkEntry.queries("q74_quality_gate")(spark, sfDir)
+    val kept = df.agg(sum("n_kept")).collect()(0).getLong(0)
+    // p25 gate keeps ~75% (ties can only add)
+    assert(kept >= (total * 0.74).toLong && kept <= total, s"kept $kept of $total")
+    // the threshold side is a broadcast, not a shuffle join
+    df.collect()
+    val bcasts = collectAll(df.queryExecution.executedPlan).collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "threshold must arrive via broadcast")
+  }
+
   test("q49 repetition: ratios are consistent and bounded") {
     SparkEntry.queries("q49_repetition")(spark, sfDir).collect().foreach { r =>
       val nTokens = r.getLong(1); val nDistinct = r.getLong(2)

@@ -60,6 +60,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("q73 clusters: pairs co-clustered, cluster id = min member, one keeper each") {
+    val labels = Dedup.queries("q73_dedup_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pairs = TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // connected docs share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the smallest member; exactly that member is kept
+    labels.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._2 == 1L) == 1)
+      assert(members(cid)._2 == 1L)
+    }
+    // every document is labeled
+    assert(labels.size == Tables.documents(spark, sfDir).count())
+  }
+
   test("q43 SimHash: identical texts collide, near-dups are Hamming-close") {
     import spark.implicits._
     val sim = Dedup.queries("q43_simhash")(spark, sfDir)
