@@ -124,12 +124,50 @@ object Curation extends QueryPack {
       .orderBy("lang")
   }
 
+  /** GLOBAL sequence packing via a distributed prefix sum — the scale
+    * path for what a naive `Window.orderBy(doc_id)` (no partition key)
+    * would do in a single task. Two phases, both parallel:
+    *
+    *  1. range-partition by doc_id (partition ids are monotone with the
+    *     ranges), windowed cumsum WITHIN each partition;
+    *  2. per-partition totals (a tiny nParts-row aggregate) → exclusive
+    *     prefix offsets, broadcast back and added.
+    *
+    * The global cumsum — and therefore the bin assignment — is EXACTLY
+    * the single-task answer and independent of nParts (asserted in
+    * CurationSpec; the DuckDB oracle IS the naive global window). One
+    * shuffle of N rows + one nParts-row side plan, any cluster width.
+    */
+  private[graft] def globalPack(docs: DataFrame, budget: Long, nParts: Int): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), expr(s"size($toksExpr)").as("n_tokens"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = t.withColumn("cum_in", sum("n_tokens").over(wIn))
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = within.groupBy("pid").agg(sum("n_tokens").as("part_total"))
+      .withColumn("offset", coalesce(sum("part_total").over(wOff), lit(0L)))
+      .select("pid", "offset")
+    within.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("cum_in") + col("offset"))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("bin_tokens"))
+      .orderBy("bin")
+  }
+
+  private def q75GlobalPack(s: SparkSession, d: String): DataFrame =
+    globalPack(Tables.documents(s, d), budget = 2048L, nParts = 32)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
     "q49_repetition"     -> q49Repetition _,
     "q74_quality_gate"   -> q74QualityGate _,
+    "q75_global_pack"    -> q75GlobalPack _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -195,5 +233,15 @@ object Curation extends QueryPack {
                 floor(avg(n_tokens) * 100) / 100 AS avg_tokens
          FROM t, thr WHERE n_tokens >= thr
          GROUP BY lang ORDER BY lang""",
+    // q75: the oracle is the NAIVE single-stream global cumsum — the
+    // distributed two-phase prefix sum must reproduce it exactly.
+    "q75_global_pack" ->
+      """WITH t AS (SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         SELECT CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM c GROUP BY bin ORDER BY bin""",
   )
 }

@@ -106,6 +106,30 @@ class CurationSpec extends SparkTestBase {
     assert(bcasts.nonEmpty, "threshold must arrive via broadcast")
   }
 
+  test("q75 global pack: distributed prefix sum is nParts-independent and exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wide = rows(Curation.globalPack(docs, 2048L, 32))
+    val narrow = rows(Curation.globalPack(docs, 2048L, 5))
+    assert(wide == narrow, "bin assignment must not depend on partition count")
+    // and both equal the naive single-task global window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .select(col("doc_id"),
+              expr(s"size(${graft.functions.TextExprs.toks})").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("bin_tokens"))
+      .orderBy("bin")
+    assert(wide == rows(naive))
+  }
+
   test("q49 repetition: ratios are consistent and bounded") {
     SparkEntry.queries("q49_repetition")(spark, sfDir).collect().foreach { r =>
       val nTokens = r.getLong(1); val nDistinct = r.getLong(2)
