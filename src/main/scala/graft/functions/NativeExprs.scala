@@ -43,6 +43,10 @@ object NativeExprs {
       GraftColumnBridge.expression(v), planes.map(_.toArray).toArray,
       nBands, bitsPerBand))
 
+  def bloom_contains(hash: Column, serializedFilter: Array[Byte]): Column =
+    GraftColumnBridge.column(BloomContains(
+      GraftColumnBridge.expression(hash), serializedFilter))
+
   /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` for the
     * SQL surface of an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -195,6 +199,34 @@ case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
     }
     new GenericArrayData(out)
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Membership probe against a serialized `org.apache.spark.util.sketch
+  * .BloomFilter` built with `df.stat.bloomFilter` over LONG hashes (feed
+  * `xxhash64(key)` on both sides). The sketch bytes ship once per task in
+  * the expression; deserialization is per-executor-instance lazy. False
+  * positives only — callers exact-verify survivors (Dedup
+  * .incrementalDedupBloom); a `false` is definitive.
+  */
+case class BloomContains(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains probes a BIGINT hash, got ${other.sql}")
+  }
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

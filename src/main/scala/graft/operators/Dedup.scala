@@ -149,10 +149,49 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact dedup: which docs of a NEW batch are content-new
+    * relative to an EXISTING corpus — the shape of every production
+    * ingest (yesterday's corpus is indexed; today's crawl is checked
+    * against it). Declared form is the exact digest anti-join (shuffles
+    * only (sig, id)); the scale path is `incrementalDedupBloom` below.
+    * doc_id < 250 stands in for the existing corpus.
+    */
+  private def q76IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("sig"))
+    val fresh = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+    fresh.join(existing, Seq("sig"), "left_anti")
+      .select("doc_id", "sig")
+      .orderBy("doc_id")
+  }
+
+  /** Scale path for q76: a bloom filter over the existing corpus's
+    * digest hashes (built distributed via `stat.bloomFilter`, a compact
+    * sketch merged on the driver — the standard broadcast-filter build)
+    * splits the new batch MAP-SIDE: `might_contain == false` rows are
+    * definitively new and never shuffle; only the (few) positives — true
+    * dups plus fpp false positives — go through the exact anti-join.
+    * At 100 TB existing / 1 TB daily batch, the anti-join input shrinks
+    * from the whole batch to ~dup-rate + fpp of it.
+    */
+  def incrementalDedupBloom(fresh: DataFrame, existing: DataFrame,
+                            expectedItems: Long, fpp: Double): DataFrame = {
+    val bloom = existing.select(xxhash64(col("sig")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val hit = NativeExprs.bloom_contains(xxhash64(col("sig")), out.toByteArray)
+    val clean = fresh.filter(!hit)
+    val verified = fresh.filter(hit).join(existing, Seq("sig"), "left_anti")
+    clean.unionByName(verified.select(fresh.columns.map(col).toIndexedSeq: _*))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_minhash_lsh"   -> q42MinhashLsh _,
     "q43_simhash"       -> q43Simhash _,
     "q73_dedup_clusters" -> q73DedupClusters _,
+    "q76_incremental_dedup" -> q76IncrementalDedup _,
   )
 
   // q42's oracle is the EXACT pair set (LSH + exact verification ≡ exact
@@ -200,5 +239,12 @@ object Dedup extends QueryPack {
          SELECT id AS doc_id, min(r) AS cluster_id,
                 CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM reach GROUP BY id ORDER BY doc_id""",
+    // q76: NOT EXISTS ≡ Spark left_anti (incl. null semantics).
+    "q76_incremental_dedup" ->
+      """WITH e AS (SELECT md5(text) AS sig FROM documents WHERE doc_id < 250),
+         f AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
+         SELECT doc_id, sig FROM f
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.sig = f.sig)
+         ORDER BY doc_id""",
   )
 }

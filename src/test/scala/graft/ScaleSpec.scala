@@ -144,6 +144,22 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("incremental bloom dedup equals the exact anti-join") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("sig"))
+    val fresh = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+    val exact = fresh.join(existing, Seq("sig"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bloom false positives are exact-verified away; false negatives are
+    // impossible — so the result is exactly the anti-join, cheaper
+    val bloomed = Dedup.incrementalDedupBloom(fresh, existing,
+        expectedItems = 1000L, fpp = 0.03)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+  }
+
   test("approximate sketches track exact answers within tolerance") {
     val li = Tables.lineitem(spark, sfDir)
     val r = li.agg(
