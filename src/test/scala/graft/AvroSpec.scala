@@ -175,4 +175,28 @@ class AvroSpec extends SparkTestBase {
     val inMem = new InMemorySchemaRegistry(Map("t" -> schemaJson))
     assert(inMem.sparkSchema("t").fieldNames.contains("itemId"))
   }
+
+  test("Avro container files read back through the shared decode path") {
+    import org.apache.avro.file.DataFileWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft-ocf")
+    // two containers (two scan tasks), deflate-coded second file
+    def writeOcf(name: String, is: Range, codec: Option[org.apache.avro.file.CodecFactory]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+      codec.foreach(w.setCodec)
+      w.create(avroSchema, dir.resolve(name).toFile)
+      is.foreach(i => w.append(mkRecord(i)))
+      w.close()
+    }
+    writeOcf("a.avro", 0 until 7, None)
+    writeOcf("b.avro", 7 until 12, Some(org.apache.avro.file.CodecFactory.deflateCodec(6)))
+    java.nio.file.Files.writeString(dir.resolve("ignored.txt"), "not avro")
+
+    val df = graft.sources.AvroOcf.read(spark, dir.toString, schemaJson)
+    val rows = df.select(col("itemId"), col("price"), col("baseProperties.timestamp").as("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == (0 until 12).map(i =>
+      (s"any-item-id$i", 168000L + i, 1470000000000L + i)).toSet)
+    // nested nullable unions survive container framing too
+    assert(df.select("baseProperties.referer").collect().forall(_.isNullAt(0)))
+  }
 }
