@@ -196,8 +196,9 @@ object KafkaEtlPipeline {
       checkpointLocation = checkpointLocation,
       trigger = Trigger.ProcessingTime(interval * unitMs),
       dateFormat = parquetProps.getOrElse(ConfDateFormat, "yyyy-MM-dd/HH/mm"),
-      blockSize = parquetProps.get(ConfBlockSize).map(_.toLong),
-      pageSize = parquetProps.get(ConfPageSize).map(_.toLong))
+      // reference defaults: 256 MiB block, 64 KiB page (`ETLTask.java:147-148`)
+      blockSize = Some(parquetProps.getOrElse(ConfBlockSize, "268435456").toLong),
+      pageSize = Some(parquetProps.getOrElse(ConfPageSize, "65536").toLong))
     new KafkaEtlPipeline(spark, registry, cfg)
   }
 }

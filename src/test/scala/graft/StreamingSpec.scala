@@ -273,12 +273,13 @@ class StreamingSpec extends SparkTestBase {
     assert(opts("path") == s"/tmp/unused-out/$topic")
     // date.format segments become partition columns (minute grain)
     assert(pipe.partitionSpec == Seq("dt" -> "yyyy-MM-dd", "hour" -> "HH", "minute" -> "mm"))
-    // defaults: no date.format → reference's minute-grain default; no
-    // block/page keys → no overriding options
+    // defaults mirror the reference: minute-grain date.format, 256 MiB
+    // block, 64 KiB page (ETLTask.java:147-148)
     val pipeDefault = KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
       Map(KafkaEtlPipeline.ConfOutput -> "/tmp/unused-out"), registry, "/tmp/unused-ckpt")
     assert(pipeDefault.partitionSpec.map(_._1) == Seq("dt", "hour", "minute"))
-    assert(!pipeDefault.sinkOptions(topic).contains("parquet.block.size"))
+    assert(pipeDefault.sinkOptions(topic)("parquet.block.size") == "268435456")
+    assert(pipeDefault.sinkOptions(topic)("parquet.page.size") == "65536")
     intercept[IllegalArgumentException] {
       KafkaEtlPipeline.fromProperties(spark, Map(), Seq(topic),
         Map(KafkaEtlPipeline.ConfIntervalUnit -> "FORTNIGHT",
