@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded-heap top-k-per-group aggregate — the scale-path replacement
+  * for the `row_number().over(Window.partitionBy(g).orderBy(s))` +
+  * `filter(rnk <= k)` idiom. The window form shuffles and SORTS every
+  * group in full; this aggregate keeps a k-element heap per group on the
+  * map side, so partial aggregation bounds the shuffle at k rows per
+  * group per partition and no sort of the full group ever happens.
+  * At 100 TB the difference is the whole group's data versus k rows.
+  *
+  * Ranking order: score descending, id ascending on ties (a total order,
+  * so results are deterministic and oracle-checkable). Returns
+  * `array<struct<score double, id long>>` in rank order — posexplode to
+  * get (rank-1, row).
+  */
+object TopKAgg {
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKByScore(GraftColumnBridge.expression(score),
+                  GraftColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}
+
+case class TopKByScore(score: Expression, id: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+                   StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by_score expects (DOUBLE, BIGINT), got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql})")
+
+  // Heap keeps the WORST kept element at the head (smallest score; ties →
+  // largest id), so admission is a single head comparison.
+  private def worstFirst = new java.util.Comparator[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
+    new java.util.PriorityQueue[(Double, Long)](k + 1, worstFirst)
+
+  private def offer(h: java.util.PriorityQueue[(Double, Long)], s: Double, i: Long): Unit = {
+    if (h.size < k) h.add((s, i))
+    else {
+      val w = h.peek()
+      val better = s > w._1 || (s == w._1 && i < w._2)
+      if (better) { h.poll(); h.add((s, i)) }
+    }
+  }
+
+  override def update(h: java.util.PriorityQueue[(Double, Long)],
+                      input: InternalRow): java.util.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      offer(h, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    h
+  }
+
+  override def merge(h: java.util.PriorityQueue[(Double, Long)],
+                     other: java.util.PriorityQueue[(Double, Long)]): java.util.PriorityQueue[(Double, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) { val (s, i) = it.next(); offer(h, s, i) }
+    h
+  }
+
+  override def eval(h: java.util.PriorityQueue[(Double, Long)]): Any = {
+    // poll() drains worst-first; writing back-to-front leaves the array
+    // best-first, i.e. rank order
+    val arr = new Array[Any](h.size)
+    var i = arr.length - 1
+    while (i >= 0) {
+      val (s, id0) = h.poll()
+      arr(i) = InternalRow(s, id0)
+      i -= 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(h: java.util.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8 + h.size * 16)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(h.size)
+    val it = h.iterator()
+    while (it.hasNext) { val (s, i) = it.next(); out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = createAggregationBuffer()
+    var i = 0
+    while (i < n) { h.add((in.readDouble(), in.readLong())); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}

@@ -144,6 +144,24 @@ object Relational2 extends QueryPack {
            countDistinct("yr").as("n_years"))
       .orderBy("o_custkey")
 
+  /** Top-k per group via the bounded-heap aggregate (`TopKAgg`), NOT a
+    * window: partial aggregation keeps k rows per group per map task, so
+    * the shuffle carries ≤ k·groups·partitions rows and no full-group
+    * sort happens anywhere — the scale path for every "top N per key"
+    * (the window form materializes and sorts whole groups). Same exact
+    * semantics as the window (score desc, id asc tie-break) — the oracle
+    * IS the window SQL. Plan shape asserted in CurationSpec.
+    */
+  private def q77TopkAgg(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("p_retailprice"), col("p_partkey"), 3).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("p_brand"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("p_partkey"), col("t.score").as("p_retailprice"))
+      .orderBy("p_brand", "rnk")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_range_join"   -> q63RangeJoin _,
     "q64_corr_subquery" -> q64AboveBrandAvg _,
@@ -152,9 +170,19 @@ object Relational2 extends QueryPack {
     "q69_corr_exact"   -> q69CorrExact _,
     "q70_order_gaps"   -> q70OrderGaps _,
     "q71_array_agg"    -> q71ArrayAgg _,
+    "q77_topk_agg"     -> q77TopkAgg _,
   )
 
   override val oracles: Map[String, String] = Map(
+    // q77's oracle is the WINDOW formulation — the heap aggregate must
+    // reproduce it exactly (total order: score desc, id asc).
+    "q77_topk_agg" ->
+      """WITH r AS (SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey) AS rnk
+           FROM part)
+         SELECT p_brand, rnk, p_partkey, p_retailprice
+         FROM r WHERE rnk <= 3 ORDER BY p_brand, rnk""",
     "q63_range_join" ->
       """SELECT b.band, count(*) AS n_parts,
                 round(avg(p_retailprice), 2) AS avg_price

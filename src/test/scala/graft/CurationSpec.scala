@@ -91,6 +91,19 @@ class CurationSpec extends SparkTestBase {
     r1.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
   }
 
+  test("q77 top-k aggregate: two-phase object-hash agg, no window sort") {
+    val nodes = collectAll(executed("q77_topk_agg"))
+    // the heap aggregate plans as ObjectHashAggregate with a partial
+    // phase (map-side k-row bound) ...
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final object-hash agg, got ${aggs.size}")
+    // ... and no WindowExec materializing/sorting whole groups
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "top-k must not fall back to a window")
+  }
+
   test("q74 quality gate keeps the upper quantile and broadcasts the threshold") {
     import org.apache.spark.sql.functions._
     val total = Tables.documents(spark, sfDir).count()
