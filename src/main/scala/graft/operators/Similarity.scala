@@ -3,7 +3,6 @@ package graft.operators
 import graft.{QueryPack, Tables}
 import graft.functions.{NativeExprs, VectorExprs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2 row 12
@@ -14,8 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale notes:
   *  - q40 broadcasts the (small, fixed) query set against the corpus scan —
   *    one pass over N corpus vectors, no shuffle of the big side; per-query
-  *    top-k via window. At 100 TB the same plan holds: the only shuffle is
-  *    the |Q|×k result.
+  *    top-k via the bounded-heap aggregate (TopKAgg — partial agg keeps k
+  *    rows per query per map task; nothing ever sorts N rows). At 100 TB
+  *    the same plan holds: the only shuffle is ≤ k·|Q| rows per partition.
   *  - q41 replaces the all-pairs O(N²) with signature-bucket equi-joins.
   *    The candidate shuffle carries ONLY (band, bucket, vec_id) — vectors
   *    never move with the postings; the exact-cosine verification re-joins
@@ -37,22 +37,36 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryPack {
 
+  /** Rank scored candidates into per-query top-k rows via the bounded-heap
+    * aggregate (TopKAgg): partial agg keeps k rows per query per map task
+    * — no window ever sorts a full candidate group. Emits the gate's
+    * (q_id, rnk, n_id, cosine) shape; ranking order (cos desc, id asc)
+    * matches the window-SQL oracles exactly. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("n_id"),
+              (floor(col("t.score") * 100000) / 100000).as("cosine"))
+      .orderBy("q_id", "rnk")
+
   // Brute-force cosine top-5 for query vectors vec_id < 10. Cosine is the
   // native CosineSim expression (tight primitive loop, math identical to
-  // the declarative double-widened fold — see NativeExprs).
+  // the declarative double-widened fold — see NativeExprs). Ranking is
+  // the heap aggregate — for |Q| queries over N vectors the shuffle
+  // carries ≤ 5·|Q| rows per partition, not the N·|Q| a window would sort.
   private def q40CosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id").as("n_id"),
-              (floor(col("cos") * 100000) / 100000).as("cosine"))
-      .orderBy("q_id", "rnk")
+    rankTopK(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
+      k = 5)
   }
 
   /** corpus with double vectors (for the LSH signature dot products). */
@@ -188,15 +202,11 @@ object Similarity extends QueryPack {
                 probes: Seq[Long] = Nil): DataFrame = {
     val all = s.read.parquet(path)
     val idx = if (probes.nonEmpty) all.filter(col("centroid").isin(probes: _*)) else all
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    idx.join(broadcast(queries), col("centroid") === col("q_centroid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
-              col("vec_id").as("n_id"),
-              (floor(col("cos") * 100000) / 100000).as("cosine"))
+    rankTopK(
+      idx.join(broadcast(queries), col("centroid") === col("q_centroid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
+      topK)
   }
 
   /** IVF-style ANN (the scale path alongside q41's LSH): fixed-k coarse
@@ -212,15 +222,11 @@ object Similarity extends QueryPack {
     val qs = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
               col("embedding").as("qv"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(qs), col("centroid") === col("q_centroid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("vec_id").as("n_id"),
-              (floor(col("cos") * 100000) / 100000).as("cosine"))
-      .orderBy("q_id", "rnk")
+    rankTopK(
+      assigned.join(broadcast(qs), col("centroid") === col("q_centroid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
+      k = 5)
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
