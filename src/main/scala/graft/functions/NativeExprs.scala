@@ -47,8 +47,8 @@ object NativeExprs {
     GraftColumnBridge.column(BloomContains(
       GraftColumnBridge.expression(hash), serializedFilter))
 
-  /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` for the
-    * SQL surface of an existing session. */
+  /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` /
+    * `top_k_by_score` for the SQL surface of an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -57,6 +57,15 @@ object NativeExprs {
       "word_shingles", es => WordShingles(es.head, 3, distinct = true), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_band_keys", es => MinHashBandKeys(es.head, 64, 16), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "top_k_by_score", es => {
+        val k = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_by_score k must be an integer literal, got $other")
+        }
+        TopKByScore(es.head, es(1), k)
+      }, "scala_udf")
   }
 }
 

@@ -13,6 +13,25 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(r.getInt(2) == 16)  // 16 band keys
   }
 
+  test("top_k_by_score usable as a SQL aggregate") {
+    GraftExtensions.ensureRegistered(spark)
+    Tables.part(spark, sfDir).createOrReplaceTempView("part_sql")
+    val viaAgg = spark.sql(
+      """SELECT p_brand, t.id AS p_partkey
+         FROM (SELECT p_brand, top_k_by_score(p_retailprice, p_partkey, 2) AS top
+               FROM part_sql GROUP BY p_brand)
+         LATERAL VIEW explode(top) AS t
+         ORDER BY p_brand, t.score DESC, t.id""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaWindow = spark.sql(
+      """SELECT p_brand, p_partkey FROM (
+           SELECT p_brand, p_partkey, row_number() OVER (PARTITION BY p_brand
+             ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part_sql)
+         WHERE rn <= 2 ORDER BY p_brand, rn""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaAgg.sameElements(viaWindow))
+  }
+
   test("cosine_sim from SQL over the embeddings table matches the operator path") {
     GraftExtensions.ensureRegistered(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
