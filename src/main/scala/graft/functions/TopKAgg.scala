@@ -9,13 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded-heap top-k-per-group aggregate — the scale-path replacement
-  * for the `row_number().over(Window.partitionBy(g).orderBy(s))` +
-  * `filter(rnk <= k)` idiom. The window form shuffles and SORTS every
-  * group in full; this aggregate keeps a k-element heap per group on the
-  * map side, so partial aggregation bounds the shuffle at k rows per
-  * group per partition and no sort of the full group ever happens.
-  * At 100 TB the difference is the whole group's data versus k rows.
+/** Bounded-heap top-k-per-group AGGREGATE — top-k as a first-class
+  * aggregate function rather than a window idiom.
+  *
+  * Honest comparison with `row_number().over(...)` + `filter(rnk <= k)`:
+  * since 3.5 Spark's `InferWindowGroupLimit` already inserts a partial
+  * `WindowGroupLimit` that heap-prunes each map partition to k rows per
+  * key before the shuffle (our q5 plan shows it), so raw shuffle volume
+  * is comparable. What the aggregate form still buys:
+  *  - composability: it sits INSIDE `groupBy().agg(...)` next to other
+  *    aggregates (count, sum, …) in one pass — a window can't;
+  *  - no post-shuffle Sort + Window pass over the survivors: the final
+  *    merge is heap-merge in the aggregate, output already rank-ordered;
+  *  - streaming-capable (aggregates work in update-mode streaming;
+  *    windows don't).
+  * It is also the repo's TypedImperativeAggregate reference (serialize /
+  * merge / partial-agg contract).
   *
   * Ranking order: score descending, id ascending on ties (a total order,
   * so results are deterministic and oracle-checkable). Returns

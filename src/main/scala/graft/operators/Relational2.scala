@@ -144,13 +144,13 @@ object Relational2 extends QueryPack {
            countDistinct("yr").as("n_years"))
       .orderBy("o_custkey")
 
-  /** Top-k per group via the bounded-heap aggregate (`TopKAgg`), NOT a
-    * window: partial aggregation keeps k rows per group per map task, so
-    * the shuffle carries ≤ k·groups·partitions rows and no full-group
-    * sort happens anywhere — the scale path for every "top N per key"
-    * (the window form materializes and sorts whole groups). Same exact
-    * semantics as the window (score desc, id asc tie-break) — the oracle
-    * IS the window SQL. Plan shape asserted in CurationSpec.
+  /** Top-k per group via the bounded-heap aggregate (`TopKAgg`) — same
+    * exact semantics as the window form (score desc, id asc tie-break;
+    * the oracle IS the window SQL) expressed as a two-phase aggregate:
+    * partial heaps bound each map task at k rows per group and the final
+    * phase is a heap-merge with no Sort/Window pass over survivors. See
+    * TopKAgg's scaladoc for the honest comparison with Spark's own
+    * WindowGroupLimit optimization. Plan shape asserted in CurationSpec.
     */
   private def q77TopkAgg(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
