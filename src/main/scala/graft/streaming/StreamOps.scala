@@ -37,6 +37,23 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col(keyCol),
               col("n_events"), col("total_value"))
 
+  /** Streaming top-k per event-time window via the bounded-heap aggregate
+    * (`TopKAgg`) — possible precisely BECAUSE top-k is an aggregate here,
+    * not a window function (rank windows don't run on streams). State per
+    * open window is the k-element heap buffer, watermark-evicted; each
+    * closed window emits its ranked top-k once (append mode).
+    */
+  def windowTopK(df: DataFrame, tsCol: String, delay: String, window_ : String,
+                 scoreCol: String, idCol: String, k: Int): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), window_))
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col(scoreCol), col(idCol), k).as("top"))
+      .select(col("window.start").as("window_start"),
+              posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("window_start"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as(idCol), col("t.score").as(scoreCol))
+
   /** Watermarked stream-stream inner join: enrich an event stream with a
     * second stream keyed the same way, matching only within a bounded
     * event-time band. Both sides carry watermarks and the join condition

@@ -363,6 +363,30 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists(_._2 == "out-of-band"), "out-of-band row must not join")
   }
 
+  test("streaming windowed top-k ranks via the heap aggregate on close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double, Long)]
+    val df = mem.toDF().toDF("ts", "score", "item_id")
+    val q = StreamOps.windowTopK(df, "ts", delay = "10 minutes",
+        window_ = "5 minutes", scoreCol = "score", idCol = "item_id", k = 2)
+      .writeStream.format("memory").queryName("topk_out").outputMode("append").start()
+    val t = (s: String) => Timestamp.valueOf(s)
+    mem.addData(Seq(
+      (t("2024-01-01 00:01:00"), 5.0, 101L),
+      (t("2024-01-01 00:02:00"), 9.0, 102L),
+      (t("2024-01-01 00:03:00"), 7.0, 103L),
+      (t("2024-01-01 00:03:30"), 9.0, 104L))) // score tie → smaller id wins
+    q.processAllAvailable()
+    mem.addData(Seq((t("2024-01-01 01:00:00"), 1.0, 999L))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk_out").orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 102L, 9.0), (2L, 104L, 9.0)),
+      s"expected ranked top-2 of the closed window, got ${rows.toSeq}")
+  }
+
   test("streaming event-time window agg emits closed windows only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
