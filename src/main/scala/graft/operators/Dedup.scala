@@ -173,7 +173,11 @@ object Dedup extends QueryPack {
     * definitively new and never shuffle; only the (few) positives — true
     * dups plus fpp false positives — go through the exact anti-join.
     * At 100 TB existing / 1 TB daily batch, the anti-join input shrinks
-    * from the whole batch to ~dup-rate + fpp of it.
+    * from the whole batch to ~dup-rate + fpp of it. Sketch sizing:
+    * ~1.2 GB per 10^9 digests at 1% fpp — broadcastable into the low
+    * billions of existing docs; beyond that, shard the filter by digest
+    * prefix and test each batch row against its shard (same expression,
+    * one filter per shard).
     */
   def incrementalDedupBloom(fresh: DataFrame, existing: DataFrame,
                             expectedItems: Long, fpp: Double): DataFrame = {
