@@ -72,4 +72,43 @@ class NativeExprSpec extends SparkTestBase {
     assert(m(1L).zip(m(2L)).exists { case (a, b) => a == b } ||
            m(1L) != m(2L)) // near-dup texts typically still share bands
   }
+
+  test("top_k_by_score: ties, k > group, nulls, partitioning-independent") {
+    import graft.functions.TopKAgg
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // many duplicate scores (forced ties) + some null scores
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 7}", if (i % 97 == 0) null else java.lang.Double.valueOf((i % 13).toDouble), i.toLong)
+    }
+    def topk(parts: Int) = rows.toDF("g", "score", "id")
+      .repartition(parts, col("id"))
+      .groupBy("g")
+      .agg(TopKAgg.top_k_by_score(col("score"), col("id"), 4).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("g"), col("r"), col("t.score"), col("t.id"))
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getDouble(2), x.getLong(3))).toSet
+    val a = topk(2)
+    val b = topk(37) // exercises many partial heaps + merges
+    assert(a == b, "merge path must be partitioning-independent")
+    // equals the window formulation exactly (nulls excluded, score desc, id asc)
+    val expected = rows.filter(_._2 != null)
+      .groupBy(_._1)
+      .flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2.doubleValue(), r._3)).take(4).zipWithIndex
+          .map { case (r, i) => (g, i, r._2.doubleValue(), r._3) }
+      }.toSet
+    assert(a == expected)
+    // k larger than the group: returns the whole group, ranked
+    val small = Seq(("x", 2.0, 1L), ("x", 1.0, 2L)).toDF("g", "score", "id")
+      .groupBy("g").agg(TopKAgg.top_k_by_score(col("score"), col("id"), 10).as("top"))
+      .select(size(col("top"))).collect().head.getInt(0)
+    assert(small == 2)
+    // type misuse is an analysis error, not a runtime failure
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "notadouble", 1L)).toDF("g", "score", "id")
+        .groupBy("g").agg(TopKAgg.top_k_by_score(col("score"), col("id"), 2))
+        .collect()
+    }
+  }
 }
