@@ -209,6 +209,33 @@ object Similarity extends QueryPack {
       topK)
   }
 
+  /** Multi-probe IVF search over a materialized index: each query ranks
+    * the k centroids (broadcast, O(|Q|·k) work — TopKAgg again) and scans
+    * its top-`nprobe` cells instead of one, the standard IVF recall knob.
+    * The probe join broadcasts the (tiny) query+probe-list side against
+    * the index scan; per-query ranking is the heap aggregate. Recall
+    * rises monotonically with nprobe (asserted in SimilaritySpec).
+    */
+  def ivfSearchNProbe(s: SparkSession, path: String, queries: DataFrame,
+                      topK: Int, nprobe: Int): DataFrame = {
+    val idx = s.read.parquet(path)
+    val cents = idx.filter(col("vec_id") < ivfK)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("qv"), col("cv")))
+      .groupBy("q_id")
+      .agg(first("qv").as("qv"),
+           graft.functions.TopKAgg
+             .top_k_by_score(col("cos_c"), col("c_id"), nprobe).as("cells"))
+      .select(col("q_id"), col("qv"),
+              expr("transform(cells, x -> x.id)").as("probe_ids"))
+    rankTopK(
+      idx.join(broadcast(probes), array_contains(col("probe_ids"), col("centroid")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
+      topK)
+  }
+
   /** IVF-style ANN (the scale path alongside q41's LSH): fixed-k coarse
     * quantizer (`ivfK`, constant — NOT a function of corpus size), nprobe=1.
     * Search touches only the query's own cell. Oracle: the identical

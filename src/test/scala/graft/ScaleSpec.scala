@@ -122,6 +122,30 @@ class ScaleSpec extends SparkTestBase {
       .collect { case f: FileSourceScanExec => f }
     assert(scans.exists(_.partitionFilters.nonEmpty),
       "probe scan must carry partition filters (pruned read)")
+
+    // multi-probe: recall vs brute force rises monotonically with nprobe
+    val qs = idx.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def hits(nprobe: Int): Set[(Long, Long)] =
+      Similarity.ivfSearchNProbe(spark, dir, qs, topK = 5, nprobe = nprobe)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      val e = idx.select(col("vec_id"), col("embedding"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs.withColumnRenamed("qv", "bqv")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", graft.functions.NativeExprs.cosine_sim(col("embedding"), col("bqv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val r1 = hits(1).intersect(brute).size
+    val r8 = hits(8).intersect(brute).size
+    assert(r8 >= r1, s"recall must not drop with more probes ($r1 -> $r8)")
+    assert(hits(Similarity.ivfK).intersect(brute).size == brute.size,
+      "probing every cell must reach exact recall")
   }
 
   test("q41 LSH: bucket space sized to corpus; no shuffle moves vectors") {
