@@ -51,4 +51,43 @@ object Ingest {
       .option("parquet.page.size", pageSize.toString)
       .option("parquet.enable.dictionary", dictionary.toString)
       .parquet(out)
+
+  /** Small-file compaction for a partitioned parquet dataset — the
+    * operational companion of any per-trigger streaming sink (the
+    * pipeline writes one file set per micro-batch per topic; a day of
+    * 1-minute triggers is 1440 file sets per partition dir). Rewrites
+    * `src` into `dest` with the same Hive-style partition columns, sized
+    * so each output task holds ~`targetBytes` of input: rows of one
+    * partition directory hash to one task, so each dir compacts to one
+    * file (a dir larger than `targetBytes` still writes one file here —
+    * split with a salt column if single dirs outgrow row-group targets).
+    * Destination is a NEW path: readers cut over by path swap (Spark
+    * refuses overwrite-while-reading, and a swap is the atomic op HDFS/
+    * object stores actually give you).
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+                src: String, dest: String,
+                partitionCols: Seq[String],
+                targetBytes: Long = 256L * 1024 * 1024): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val nTasks = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // read partition values as raw strings: type inference would turn
+    // hour=05 into int 5 and the rewrite would RENAME directories —
+    // a compactor must preserve the layout byte-for-byte
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val source = // schema resolves eagerly here, so restoring the conf after is safe
+      try spark.read.parquet(src)
+      finally spark.conf.set(inferKey, prev)
+    source
+      .repartition(nTasks, partitionCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .parquet(dest)
+  }
 }

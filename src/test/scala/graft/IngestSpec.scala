@@ -39,4 +39,25 @@ class IngestSpec extends SparkTestBase {
     Ingest.writePartitioned(events, out)
     assert(spark.read.parquet(out).count() == 200)
   }
+
+  test("compactTo collapses many small files to one per partition dir") {
+    val out = Files.createTempDirectory("graft-compact-src").toString
+    val dest = Files.createTempDirectory("graft-compact-dst").toString
+    val events = Tables.events(spark, sfDir).limit(300)
+    // simulate many micro-batches: 6 appends → ≥6 files per touched dir
+    (1 to 6).foreach(_ => Ingest.writePartitioned(events.limit(50), out))
+    def dataFiles(root: String) =
+      Files.walk(java.nio.file.Paths.get(root)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_spark_metadata"))
+    val before = dataFiles(out).length
+    Ingest.compactTo(spark, out, dest, Seq("topic", "dt", "hour"))
+    val after = dataFiles(dest).length
+    // row parity, layout parity, strictly fewer files (one per dir)
+    assert(spark.read.parquet(dest).count() == spark.read.parquet(out).count())
+    val dirsOf = (r: String) => dataFiles(r)
+      .map(p => p.substring(0, p.lastIndexOf('/'))).toSet
+    assert(dirsOf(dest).map(_.replace(dest, "")) == dirsOf(out).map(_.replace(out, "")))
+    assert(after < before, s"expected compaction, got $before -> $after")
+    assert(after == dirsOf(dest).size, "one file per partition dir")
+  }
 }
