@@ -199,4 +199,32 @@ class AvroSpec extends SparkTestBase {
     // nested nullable unions survive container framing too
     assert(df.select("baseProperties.referer").collect().forall(_.isNullAt(0)))
   }
+
+  test("OCF read resolves old-writer containers against a newer reader schema") {
+    import org.apache.avro.file.DataFileWriter
+    val writerJson =
+      """{"type":"record","name":"ev","fields":[
+         {"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+    // reader adds a defaulted field and reorders — classic evolution
+    val readerJson =
+      """{"type":"record","name":"ev","fields":[
+         {"name":"name","type":"string"},
+         {"name":"id","type":"long"},
+         {"name":"score","type":"double","default":1.5}]}"""
+    val writerSchema = new org.apache.avro.Schema.Parser().parse(writerJson)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ocf-evo")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](writerSchema))
+    w.create(writerSchema, dir.resolve("old.avro").toFile)
+    (0 until 3).foreach { i =>
+      val r = new GenericData.Record(writerSchema)
+      r.put("id", i.toLong); r.put("name", s"n$i")
+      w.append(r)
+    }
+    w.close()
+    val rows = graft.sources.AvroOcf.read(spark, dir.toString, readerJson)
+      .select("id", "name", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == (0 until 3).map(i => (i.toLong, s"n$i", 1.5)).toSet,
+      "Avro resolution must fill the defaulted field and handle reordering")
+  }
 }
