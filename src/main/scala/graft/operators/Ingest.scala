@@ -90,4 +90,30 @@ object Ingest {
       .option("compression", "snappy")
       .parquet(dest)
   }
+
+  /** Time-partition retention: drop `dt=<date>` partition directories
+    * strictly older than `cutoff` (ISO dates compare lexicographically,
+    * so this is a pure string comparison on directory names — no data is
+    * read). Walks through any non-date partition levels above `dateCol`
+    * (e.g. topic dirs over dt dirs). Returns the deleted paths. Driver-side
+    * filesystem metadata work only — the same shape at any data volume.
+    */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession,
+                       root: String, cutoff: String,
+                       dateCol: String = "dt"): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$dateCol="
+    def walk(p: Path): Seq[Path] = {
+      val entries = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      val (dateDirs, others) = entries.partition(_.getPath.getName.startsWith(prefix))
+      dateDirs.map(_.getPath) ++
+        others.filter(_.getPath.getName.contains("="))
+          .flatMap(e => walk(e.getPath))
+    }
+    val expired = walk(new Path(root))
+      .filter(_.getName.stripPrefix(prefix) < cutoff)
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.toString)
+  }
 }

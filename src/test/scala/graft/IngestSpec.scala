@@ -40,6 +40,25 @@ class IngestSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 200)
   }
 
+  test("expirePartitions drops only dt dirs older than the cutoff") {
+    val out = Files.createTempDirectory("graft-retain").toString
+    val events = Tables.events(spark, sfDir)
+    Ingest.writePartitioned(events, out)
+    val allDts = spark.read.parquet(out).select("dt").distinct()
+      .collect().map(_.get(0).toString).sorted
+    assert(allDts.length >= 2, s"testdata must span >=2 days, got ${allDts.toSeq}")
+    val cutoff = allDts.last // expire everything before the newest day
+    val deleted = Ingest.expirePartitions(spark, out, cutoff)
+    assert(deleted.nonEmpty)
+    assert(deleted.forall(p => p.contains("dt=") && p.substring(p.indexOf("dt=") + 3) < cutoff))
+    val remaining = spark.read.parquet(out).select("dt").distinct()
+      .collect().map(_.get(0).toString).toSet
+    assert(remaining == Set(cutoff), s"only the newest day survives, got $remaining")
+    // rows of the surviving day are intact
+    assert(spark.read.parquet(out).count() ==
+      events.filter(date_format(col("ts"), "yyyy-MM-dd") === cutoff).count())
+  }
+
   test("compactTo collapses many small files to one per partition dir") {
     val out = Files.createTempDirectory("graft-compact-src").toString
     val dest = Files.createTempDirectory("graft-compact-dst").toString
