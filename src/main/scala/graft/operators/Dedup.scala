@@ -82,20 +82,17 @@ object Dedup extends QueryPack {
     * iff the signed bit-vote over all token hashes is non-negative.
     * The token hash is the top 60 bits of md5 (15 hex chars) — md5 exists
     * in every engine, which makes the signature cross-engine checkable
-    * (the DuckDB oracle computes the identical signature). In production
-    * swap the per-token hash for xxhash64 (one line) — the vote/signature
-    * logic is hash-agnostic, and SimilaritySpec's Hamming-distance property
-    * holds for any mixing hash.
+    * (the DuckDB oracle computes the identical signature). The per-row
+    * kernel is the native [[graft.functions.SimHashSig]] expression (one
+    * md5 + 60-bit vote loop per token); the former interpreted
+    * nested-aggregate form cost ~60×T HOF interpreter ops per row. In
+    * production swap the per-token hash for xxhash64 (one line) — the
+    * vote/signature logic is hash-agnostic, and SimilaritySpec's
+    * Hamming-distance property holds for any mixing hash.
     */
   private def q43Simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr(TextExprs.let1(
-          s"transform(${TextExprs.toks}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))", "th",
-          """aggregate(sequence(0, 59), 0L, (acc, i) ->
-               acc + IF(aggregate(th, 0L, (a2, h) ->
-                          a2 + IF((shiftrightunsigned(h, i) & 1) = 1, 1L, -1L)) >= 0,
-                        shiftleft(1L, i), 0L))""")).as("simhash"))
+      .select(col("doc_id"), NativeExprs.simhash_sig(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   /** Dedup CLUSTER assignment — the step after pair detection: group
