@@ -165,10 +165,80 @@ object Similarity extends QueryPack {
   }
 
   /** IVF coarse-quantizer size — CONSTANT, independent of corpus size (a
-    * production deployment trains/ships a codebook; the deterministic
-    * "first k vectors" stand-in keeps the same complexity: broadcast k
-    * rows, O(N·k) assignment work). */
+    * production deployment trains/ships a codebook; the broadcast stays k
+    * rows and assignment work O(N·k) no matter how the codebook was
+    * obtained). */
   private[graft] val ivfK = 16
+
+  /** Deterministic sampled k-means codebook (spherical/cosine Lloyd):
+    * sample = the `sampleN` lowest vec_ids (a fixed, reproducible subset —
+    * the driver-side collect is the standard IVF TRAINING step: a few
+    * hundred rows, independent of corpus size), init = first k sample
+    * vectors, then `iters` Lloyd rounds of cosine-argmax assignment +
+    * arithmetic-mean update (empty cells keep their centroid). Everything
+    * — sample choice, init, iteration order — is deterministic, so the
+    * trained codebook can be embedded as literals in the DuckDB oracle
+    * exactly like the LSH plane coefficients (`lshOracleSql`).
+    */
+  private[graft] def trainCentroids(e: DataFrame, k: Int, sampleN: Int = 256,
+                                    iters: Int = 5): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
+      .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    val dim = sample(0).length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents = Array.tabulate(k)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestCos = cos(v, cents(0))
+        var c = 1
+        while (c < k) {
+          val cc = cos(v, cents(c))
+          if (cc >= bestCos) { best = c; bestCos = cc }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Codebook as a k-row DataFrame (c_id = codebook index) — the broadcast
+    * side of assignment. */
+  private def codebookDf(s: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("c_id", "cv")
+  }
+
+  /** Assign every vector to its best codebook centroid (nprobe=1 cell):
+    * broadcast k rows, map-side argmax folded into a partial-aggregatable
+    * max(struct) — the same plan shape as `ivfAssign`, quantizer quality
+    * aside. */
+  private[graft] def ivfAssignCodebook(s: SparkSession, e: DataFrame,
+                                       cents: Array[Array[Double]]): DataFrame =
+    e.crossJoin(broadcast(codebookDf(s, cents)))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), col("c_id"))).as("best"),
+           first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("best.c_id").as("centroid"), col("embedding"))
 
   /** Assign every vector to its best centroid (nprobe=1 cell).
     * One broadcast of k centroid rows; the ×k score expansion collapses
@@ -186,12 +256,24 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("best.c_id").as("centroid"), col("embedding"))
   }
 
-  /** Materialize the IVF layout: corpus written PARTITIONED BY centroid id
-    * — the standard IVF file layout, for real. A probe of `nprobe` cells
-    * then reads only those cells' partitions (partition pruning; ScaleSpec
-    * asserts the scan's partition filters). */
-  def ivfIndex(e: DataFrame, k: Int, path: String): Unit =
-    ivfAssign(e, k).write.mode("overwrite").partitionBy("centroid").parquet(path)
+  /** Materialize the IVF layout: train the codebook (sampled k-means),
+    * write the corpus PARTITIONED BY centroid id — the standard IVF file
+    * layout, for real — and store the codebook alongside under
+    * `_codebook/` (the underscore prefix keeps it invisible to the main
+    * `read.parquet(path)` listing, the same convention as `_metadata`).
+    * A probe of `nprobe` cells then reads only those cells' partitions
+    * (partition pruning, asserted in ScaleSpec). */
+  def ivfIndex(e: DataFrame, k: Int, path: String): Unit = {
+    val s = e.sparkSession
+    val cents = trainCentroids(e, k)
+    ivfAssignCodebook(s, e, cents).write.mode("overwrite")
+      .partitionBy("centroid").parquet(path)
+    codebookDf(s, cents).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  /** Load the codebook persisted by [[ivfIndex]]. */
+  private def loadCodebook(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/_codebook")
 
   /** Search a materialized IVF index: per query, scan only the probed
     * cells' partitions and rank by exact cosine. Passing the probe list
@@ -219,8 +301,7 @@ object Similarity extends QueryPack {
   def ivfSearchNProbe(s: SparkSession, path: String, queries: DataFrame,
                       topK: Int, nprobe: Int): DataFrame = {
     val idx = s.read.parquet(path)
-    val cents = idx.filter(col("vec_id") < ivfK)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val cents = loadCodebook(s, path)
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("cos_c", NativeExprs.cosine_sim(col("qv"), col("cv")))
       .groupBy("q_id")
@@ -236,16 +317,22 @@ object Similarity extends QueryPack {
       topK)
   }
 
-  /** IVF-style ANN (the scale path alongside q41's LSH): fixed-k coarse
-    * quantizer (`ivfK`, constant — NOT a function of corpus size), nprobe=1.
-    * Search touches only the query's own cell. Oracle: the identical
-    * quantizer + argmax + in-cell ranking replicated in DuckDB SQL (same
-    * deterministic centroid rule, same tie-breaks), a full cross-engine
-    * semantic check.
+  /** IVF-style ANN (the scale path alongside q41's LSH): TRAINED fixed-k
+    * coarse quantizer (deterministic sampled k-means, `trainCentroids`;
+    * k = `ivfK`, constant — NOT a function of corpus size), nprobe=1.
+    * Search touches only the query's own cell. Oracle: the trained
+    * codebook embedded as literals + the identical argmax + in-cell
+    * ranking replicated in DuckDB SQL (same tie-breaks), a full
+    * cross-engine semantic check — the codebook is captured at query
+    * build time (`lastCodebook`) and the oracle text generated from it
+    * when Verify dumps `oracle_sql.json` (which happens after the query
+    * runs).
     */
   private def q45AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val assigned = ivfAssign(e, ivfK)
+    val cents = trainCentroids(e, ivfK)
+    lastCodebook = Some(cents)
+    val assigned = ivfAssignCodebook(s, e, cents)
     val qs = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
               col("embedding").as("qv"))
@@ -255,6 +342,9 @@ object Similarity extends QueryPack {
         .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
       k = 5)
   }
+
+  /** Codebook trained by the latest q45 build, for oracle generation. */
+  @volatile private var lastCodebook: Option[Array[Array[Double]]] = None
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk"     -> q40CosineTopK _,
@@ -312,12 +402,18 @@ object Similarity extends QueryPack {
          ORDER BY a_id, b_id"""
   }
 
-  /** q45's oracle: identical fixed-k quantizer + argmax (ties: highest
-    * cosine, then highest centroid id — matching max(struct(cos, id))) +
-    * nprobe=1 in-cell top-5. */
-  private def ivfOracleSql(k: Int): String =
+  /** q45's oracle: the TRAINED codebook embedded as double literals
+    * (Double.toString round-trips bit-exactly through DuckDB's parser,
+    * same as the LSH plane literals), then the identical argmax (ties:
+    * highest cosine, then highest centroid id — matching
+    * max(struct(cos, id))) + nprobe=1 in-cell top-5. */
+  private def ivfOracleSqlTrained(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(fmt).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $k),
+        c AS (SELECT * FROM (VALUES
+             $rows) AS t(c_id, cv)),
         sc AS (SELECT e.vec_id, c.c_id,
                       list_cosine_similarity(e.v, c.cv) AS cc FROM e, c),
         asg AS (SELECT vec_id, c_id AS centroid FROM (
@@ -338,8 +434,12 @@ object Similarity extends QueryPack {
                        ORDER BY cos DESC, n_id) AS rnk FROM sc2)
         SELECT q_id, rnk, n_id, floor(cos * 100000) / 100000 AS cosine
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
 
-  override val oracles: Map[String, String] = Map(
+  // `def`, not `val`: the q45 oracle embeds the codebook trained when the
+  // query ran; Verify dumps oracle_sql.json after the query loop, so the
+  // literals are always the ones the Spark result was produced with.
+  override def oracles: Map[String, String] = Map(
     "q40_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -360,6 +460,11 @@ object Similarity extends QueryPack {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY a_id, b_id""",
     "q41_ann_lsh" -> lshOracleSql(lshBands, 8),
-    "q45_ann_ivf" -> ivfOracleSql(ivfK),
+    // Falls back to a fresh sf0.01-equivalent training only through
+    // lastCodebook being set by the q45 build; if q45 never ran this
+    // process there is no Spark output to compare, so the placeholder is
+    // never consulted by the gate.
+    "q45_ann_ivf" -> lastCodebook.map(ivfOracleSqlTrained)
+      .getOrElse("SELECT 1 AS q45_not_built_this_process"),
   )
 }
