@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: both are linear scans + one shuffle on short keys
   * (band hash / signature). The shingle→minhash work is per-row map-side
-  * compute inside codegen (higher-order functions, no UDF). Hot-band
-  * skew at extreme scale is bounded by a band-bucket size cap (df-cut),
-  * the standard mitigation; not applied at test scale to preserve
-  * exactness.
+  * compute inside codegen (native expressions, no UDF). Hot-band skew is
+  * bounded IN the plan by `capBuckets` (default cap = corpus size, so
+  * test-scale output is exact), and the candidate-verification broadcast
+  * degrades to a shuffle join past `verifyJoin`'s size guard.
   */
 object Dedup extends QueryPack {
 
@@ -42,33 +42,75 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), NativeExprs.word_shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** Drop postings whose bucket (the `keys` combination) holds more than
+    * `maxBucket` entries — the df-cut trick applied to LSH band buckets.
+    * A boilerplate-heavy corpus can funnel millions of docs into one
+    * (band, bucket): in-bucket pairing there is quadratic, and one such
+    * bucket dominates the whole candidate join. Capping bounds candidate
+    * work at Σ min(bucket, maxBucket)²; with maxBucket >= corpus size
+    * (the default both q41/q42 use) no bucket can exceed the cap and the
+    * output is unchanged — the bound lives in the plan, ready to tighten.
+    * The size join is co-partitioned with the groupBy that feeds it (same
+    * keys), so the cap costs one cheap aggregation, no extra wide shuffle
+    * of the postings.
+    */
+  private[graft] def capBuckets(postings: DataFrame, keys: Seq[String],
+                                maxBucket: Long): DataFrame = {
+    val keep = postings.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    postings.join(keep, keys)
+  }
+
+  /** Exact-verification join of a candidate pair set against per-doc
+    * payloads: broadcast the (normally tiny) candidate set when it is
+    * small enough — the corpus is then never shuffled at all — and fall
+    * back to plain shuffle joins above `broadcastLimit` (a pathological
+    * everything-is-near-dup corpus would otherwise blow the broadcast).
+    * The candidate set is persisted before counting so the guard's count
+    * and the verification reuse one materialization. Both paths are
+    * value-identical (asserted in ScaleSpec).
+    */
+  private[graft] def verifyJoin(cand: DataFrame, aSide: DataFrame,
+                                bSide: DataFrame, aKey: String, bKey: String,
+                                broadcastLimit: Long): DataFrame = {
+    val c = cand.persist()
+    val n = c.count()
+    if (n <= broadcastLimit)
+      broadcast(broadcast(c).join(aSide, aKey)).join(bSide, bKey)
+    else
+      c.join(aSide, aKey).join(bSide, bKey)
+  }
+
   // MinHash + banded LSH near-dup, exact-Jaccard verified. The 64-minhash
   // → 16-band-key computation is a single native expression (tight loop;
   // the declarative nested-transform form dominated BENCH at 12.9s).
   //
   // Candidate generation: equi-self-join on the exploded (band, bkey)
   // postings — band keys are near-unique for non-dups, so the join output
-  // is ≈ self-matches + true collisions. (A groupBy-bucket pairing
-  // variant — one shuffle, in-bucket pair expansion — was measured
-  // warm-equal but 3s slower cold from codegen of the collect_list +
-  // nested-transform pipeline; at extreme scale the switch, plus a
-  // bucket-size cap for skew, is mechanical.)
-  private def q42MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  // is ≈ self-matches + true collisions. Hot buckets are bounded by
+  // `capBuckets` (default cap = corpus size: value-neutral, bound in the
+  // plan); the verification join degrades from broadcast to shuffle via
+  // `verifyJoin` if the candidate set is pathologically large.
+  private[graft] def minhashLshPairs(s: SparkSession, d: String,
+                                     maxBucket: Long = -1L,
+                                     broadcastCandLimit: Long = 4000000L): DataFrame = {
     val sh = shingled(s, d)
-    val banded = sh
-      .select(col("doc_id"),
-              posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
-                .as(Seq("band", "bkey")))
+    val cap = if (maxBucket > 0) maxBucket else Tables.documents(s, d).count()
+    val banded = capBuckets(
+      sh.select(col("doc_id"),
+                posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+                  .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), cap)
     val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
             Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // exact verification: re-join shingle sets (candidates are tiny —
-    // broadcast them so neither verification join shuffles the corpus)
     val aSh = sh.select(col("doc_id").as("a_id"), col("sh").as("ash"))
     val bSh = sh.select(col("doc_id").as("b_id"), col("sh").as("bsh"))
-    broadcast(broadcast(cand).join(aSh, "a_id")).join(bSh, "b_id")
+    verifyJoin(cand, aSh, bSh, "a_id", "b_id", broadcastCandLimit)
       .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
       .withColumn("jac_raw",
         col("common") / (size(col("ash")) + size(col("bsh")) - col("common")))
@@ -77,6 +119,9 @@ object Dedup extends QueryPack {
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
+
+  private def q42MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(s, d)
 
   /** 60-bit SimHash from whitespace tokens: bit i of the signature is set
     * iff the signed bit-vote over all token hashes is non-negative.

@@ -119,16 +119,27 @@ object Similarity extends QueryPack {
   // DuckDB SQL (generated plane literals, identical left-to-right IEEE
   // dot folds) — a true cross-engine check of the ANN semantics, not just
   // a rows count.
-  private def q41AnnLsh(s: SparkSession, d: String): DataFrame = {
+  private def q41AnnLsh(s: SparkSession, d: String): DataFrame =
+    annLshPairs(s, d)
+
+  /** q41 with the scale knobs exposed: `maxBucket` caps (band, bucket)
+    * posting-list sizes (default = corpus size — value-neutral, bound in
+    * the plan; see [[Dedup.capBuckets]]), `broadcastCandLimit` guards the
+    * verification broadcast (degrades to shuffle joins above it). */
+  private[graft] def annLshPairs(s: SparkSession, d: String,
+                                 maxBucket: Long = -1L,
+                                 broadcastCandLimit: Long = 4000000L): DataFrame = {
     val n = Tables.embeddings(s, d).count() // metadata-only column-pruned count
     val bits = bitsFor(n)
     val planes = hyperplanes(lshBands * bits)
     // one signature pass per scan: posexplode the per-band array into
     // (band, bucket) postings (a union of per-band selects would re-run
     // the signature kernel once per band per join side)
-    val posting = corpus(s, d).select(col("vec_id"),
-      posexplode(NativeExprs.hyperplane_sigs(col("v"), planes, lshBands, bits))
-        .as(Seq("band", "bucket")))
+    val posting = Dedup.capBuckets(
+      corpus(s, d).select(col("vec_id"),
+        posexplode(NativeExprs.hyperplane_sigs(col("v"), planes, lshBands, bits))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), if (maxBucket > 0) maxBucket else n)
     val cand = posting.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
       .join(posting.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
             Seq("band", "bucket"))
@@ -137,7 +148,7 @@ object Similarity extends QueryPack {
     val e = corpus(s, d)
     val av = e.select(col("vec_id").as("a_id"), col("v").as("av"))
     val bv = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
-    broadcast(broadcast(cand).join(av, "a_id")).join(bv, "b_id")
+    Dedup.verifyJoin(cand, av, bv, "a_id", "b_id", broadcastCandLimit)
       .withColumn("cos", NativeExprs.cosine_sim(col("av"), col("bv")))
       .filter(col("cos") >= 0.2)
       .select(col("a_id"), col("b_id"),

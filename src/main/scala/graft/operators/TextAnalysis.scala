@@ -140,7 +140,11 @@ object TextAnalysis extends QueryPack {
 
   // N-gram Jaccard near-dup pairs via inverted shingle index (no cross
   // join): explode → equi-join on shingle → common counts → Jaccard.
-  private def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  // REFERENCE implementation (unbounded index, Σdf² join work): the
+  // DECLARED q35 runs through `ngramJaccardDfCut` with maxDf = corpus
+  // size, which is proven value-identical (ScaleSpec) but keeps the
+  // hot-shingle bound in the plan — the declared plan IS the scale plan.
+  private[graft] def q35NgramJaccard(s: SparkSession, d: String): DataFrame = {
     def exploded(role: String): DataFrame =
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -273,7 +277,11 @@ object TextAnalysis extends QueryPack {
     "q32_quality"       -> q32Quality _,
     "q33_langid"        -> q33LangId _,
     "q34_fingerprint"   -> q34Fingerprint _,
-    "q35_ngram_jaccard" -> q35NgramJaccard _,
+    "q35_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      // maxDf = corpus size: no shingle can exceed it, so the cut is
+      // value-neutral here while the plan carries the df bound (the
+      // corpus count is a plan-time metadata lookup, same as q41's)
+      ngramJaccardDfCut(s, d, maxDf = Tables.documents(s, d).count())),
   )
 
   override val oracles: Map[String, String] = Map(

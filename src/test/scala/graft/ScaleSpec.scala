@@ -69,9 +69,13 @@ class ScaleSpec extends SparkTestBase {
     import graft.operators.TextAnalysis
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir))
+    val exact = pairs(TextAnalysis.q35NgramJaccard(spark, sfDir))
     val uncut = pairs(TextAnalysis.ngramJaccardDfCut(spark, sfDir, maxDf = 1000000L))
     assert(uncut == exact, "with no effective cut the result must equal exact q35")
+    // the DECLARED q35 is the df-cut plan at maxDf = corpus size — must
+    // be value-identical to the unbounded reference implementation
+    val declared = pairs(TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir))
+    assert(declared == exact, "declared q35 (df-cut @ corpus size) must equal exact")
     val cut = pairs(TextAnalysis.ngramJaccardDfCut(spark, sfDir, maxDf = 2L))
     assert(cut.subsetOf(exact),
       "df-cut jaccard is a lower bound, so pairs can only be lost, never invented")
@@ -166,6 +170,47 @@ class ScaleSpec extends SparkTestBase {
       assert(!s.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
         s"shuffle carries an array column: ${s.output.map(a => a.name + ":" + a.dataType.simpleString)}")
     }
+  }
+
+  test("LSH bucket cap: bounded candidate work under a planted hot bucket") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // postings with one hot bucket (40 entries) among small ones
+    val postings = ((0 until 40).map(i => (0, 999L, i.toLong)) ++
+      (0 until 20).map(i => (1, i.toLong % 5, 100L + i)))
+      .toDF("band", "bkey", "doc_id")
+    val capped = Dedup.capBuckets(postings, Seq("band", "bkey"), maxBucket = 10L)
+    // the hot bucket's postings are gone; small buckets survive intact
+    assert(capped.filter(col("bkey") === 999L).count() == 0)
+    assert(capped.count() == 20)
+    // candidate work is Σ min(bucket, cap)²: the planted hot bucket can
+    // no longer contribute its 40·39/2 pairs
+    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
+            Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+    assert(cand.count() == 5 * 4 * 3 / 2) // 5 buckets of 4: C(4,2) each
+
+    // end-to-end: a tight cap only LOSES pairs (subset), never invents;
+    // the default (corpus-size) cap is value-neutral vs the exact set
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = pairs(Dedup.queries("q42_minhash_lsh")(spark, sfDir))
+    val tight = pairs(Dedup.minhashLshPairs(spark, sfDir, maxBucket = 1L))
+    assert(tight.subsetOf(default))
+  }
+
+  test("verification-join guard: shuffle fallback equals the broadcast path") {
+    import graft.operators.{Dedup, Similarity}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // limit 0 forces every candidate set over the guard → shuffle joins
+    val q42b = pairs(Dedup.queries("q42_minhash_lsh")(spark, sfDir))
+    val q42s = pairs(Dedup.minhashLshPairs(spark, sfDir, broadcastCandLimit = 0L))
+    assert(q42s == q42b, "q42 shuffle fallback must be value-identical")
+    val q41b = pairs(Similarity.queries("q41_ann_lsh")(spark, sfDir))
+    val q41s = pairs(Similarity.annLshPairs(spark, sfDir, broadcastCandLimit = 0L))
+    assert(q41s == q41b, "q41 shuffle fallback must be value-identical")
   }
 
   test("incremental bloom dedup equals the exact anti-join") {
