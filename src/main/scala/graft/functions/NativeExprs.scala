@@ -50,6 +50,12 @@ object NativeExprs {
   def simhash_sig(text: Column): Column =
     GraftColumnBridge.column(SimHashSig(GraftColumnBridge.expression(text)))
 
+  def sharded_bloom_contains(shard: Column, hash: Column,
+                             serializedFilters: Array[Array[Byte]]): Column =
+    GraftColumnBridge.column(ShardedBloomContains(
+      GraftColumnBridge.expression(shard), GraftColumnBridge.expression(hash),
+      serializedFilters))
+
   /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` /
     * `top_k_by_score` for the SQL surface of an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -243,6 +249,45 @@ case class BloomContains(child: Expression, filterBytes: Array[Byte])
     filter.mightContainLong(input.asInstanceOf[Long])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Membership probe against an ARRAY of serialized bloom filters, one per
+  * shard — the scale-out of [[BloomContains]] for existing-corpus sizes
+  * past what a single broadcastable sketch covers (~1.2 GB per 10⁹
+  * digests at 1% fpp). The row's shard index (left, from the same digest
+  * the filters were partitioned by) selects the filter its hash (right)
+  * is probed against; a shard with no existing entries is null and
+  * answers false (definitively new). Per-executor lazy deserialization,
+  * same contract as the single-filter form: false positives only.
+  */
+case class ShardedBloomContains(left: Expression, right: Expression,
+                                filterBytes: Array[Array[Byte]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sharded_bloom_contains probes (shard BIGINT, hash BIGINT), " +
+          s"got ${l.sql} and ${r.sql}")
+    }
+
+  @transient private lazy val filters =
+    filterBytes.map { b =>
+      if (b == null) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    }
+
+  override def nullSafeEval(shard: Any, hash: Any): Any = {
+    val f = filters(shard.asInstanceOf[Long].toInt)
+    f != null && f.mightContainLong(hash.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** 60-bit SimHash of whitespace-tokenized text in one pass. Bit-exact

@@ -217,9 +217,10 @@ object Dedup extends QueryPack {
     * At 100 TB existing / 1 TB daily batch, the anti-join input shrinks
     * from the whole batch to ~dup-rate + fpp of it. Sketch sizing:
     * ~1.2 GB per 10^9 digests at 1% fpp — broadcastable into the low
-    * billions of existing docs; beyond that, shard the filter by digest
-    * prefix and test each batch row against its shard (same expression,
-    * one filter per shard).
+    * billions of existing docs; beyond that,
+    * [[incrementalDedupBloomSharded]] partitions the filter by a
+    * digest-derived shard key and probes each batch row against its own
+    * shard only.
     */
   def incrementalDedupBloom(fresh: DataFrame, existing: DataFrame,
                             expectedItems: Long, fpp: Double): DataFrame = {
@@ -228,6 +229,47 @@ object Dedup extends QueryPack {
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
     val hit = NativeExprs.bloom_contains(xxhash64(col("sig")), out.toByteArray)
+    val clean = fresh.filter(!hit)
+    val verified = fresh.filter(hit).join(existing, Seq("sig"), "left_anti")
+    clean.unionByName(verified.select(fresh.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** The sharding of [[incrementalDedupBloom]] for existing-corpus sizes
+    * past a single broadcastable sketch: `nShards` filters are built in
+    * one distributed pass, partitioned by a digest-derived shard key
+    * (each sized for its slice at the same fpp — total sketch bytes stay
+    * ~constant, but no single filter need hold every digest, and shards
+    * can ship/rotate independently). Each fresh row probes ONLY its own
+    * shard's filter (one hash, one filter — not a scan of all P), so the
+    * map-side split and the semantics are identical to the single-filter
+    * path: negatives are definitively new, positives go through the
+    * exact anti-join. ScaleSpec asserts output equality with both the
+    * single-filter path and the plain anti-join, and that per-shard
+    * sketches are a fraction of the monolithic one.
+    */
+  def incrementalDedupBloomSharded(fresh: DataFrame, existing: DataFrame,
+                                   expectedItems: Long, fpp: Double,
+                                   nShards: Int): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(nShards > 0)
+    def shardOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(nShards))
+    val perShard = math.max(1L, expectedItems / nShards)
+    // one distributed pass: per-partition partial filters, merged per shard
+    val built: Array[(Long, Array[Byte])] = existing
+      .select(shardOf(col("sig")).cast("long").as("shard"),
+              xxhash64(col("sig")).as("h"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .aggregateByKey(BloomFilter.create(perShard, fpp))(
+        (f, h) => { f.putLong(h); f },
+        (a, b) => { a.mergeInPlace(b); a })
+      .mapValues { f =>
+        val out = new java.io.ByteArrayOutputStream(); f.writeTo(out); out.toByteArray
+      }
+      .collect()
+    val filterBytes = new Array[Array[Byte]](nShards)
+    built.foreach { case (s, b) => filterBytes(s.toInt) = b }
+    val hit = NativeExprs.sharded_bloom_contains(
+      shardOf(col("sig")).cast("long"), xxhash64(col("sig")), filterBytes)
     val clean = fresh.filter(!hit)
     val verified = fresh.filter(hit).join(existing, Seq("sig"), "left_anti")
     clean.unionByName(verified.select(fresh.columns.map(col).toIndexedSeq: _*))

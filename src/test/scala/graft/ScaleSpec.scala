@@ -229,6 +229,34 @@ class ScaleSpec extends SparkTestBase {
     assert(bloomed == exact)
   }
 
+  test("sharded bloom dedup equals the single-filter path and the exact anti-join") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("sig"))
+    val fresh = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+    val exact = fresh.join(existing, Seq("sig"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val single = Dedup.incrementalDedupBloom(fresh, existing, 1000L, 0.03)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sharded = Dedup.incrementalDedupBloomSharded(fresh, existing, 1000L, 0.03,
+        nShards = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sharded == exact, "sharded bloom path must equal the exact anti-join")
+    assert(sharded == single, "sharded and single-filter paths must agree")
+
+    // per-shard sketches are sized for their slice: each is a fraction of
+    // a monolithic filter built for the full expected count at equal fpp
+    import org.apache.spark.util.sketch.BloomFilter
+    def bytesOf(f: BloomFilter): Int = {
+      val o = new java.io.ByteArrayOutputStream(); f.writeTo(o); o.toByteArray.length
+    }
+    val mono = bytesOf(BloomFilter.create(1000L, 0.03))
+    val shard = bytesOf(BloomFilter.create(1000L / 8, 0.03))
+    assert(shard * 8 <= mono * 2 && shard < mono,
+      s"shard sketches must shrink with the slice (shard=$shard mono=$mono)")
+  }
+
   test("approximate sketches track exact answers within tolerance") {
     val li = Tables.lineitem(spark, sfDir)
     val r = li.agg(
