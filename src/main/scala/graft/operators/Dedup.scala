@@ -146,37 +146,61 @@ object Dedup extends QueryPack {
     * all-but-one of every duplicate family rather than reasoning about
     * raw pairs.
     *
-    * Implementation is iterative min-label propagation over the (tiny,
-    * already-verified) LSH pair set: every iteration is one shuffle
-    * (edge join + min agg); `localCheckpoint` truncates lineage so plans
-    * don't grow with iterations — the standard Spark shape for iterative
-    * graph work. Iteration count is bounded by component DIAMETER (near-dup
-    * families are shallow; cap 50 is generous), and convergence is
-    * detected by the monotonically decreasing label-sum potential — one
-    * cheap action per iteration, the same driver-coordinated loop every
-    * iterative algorithm on Spark uses (not a per-row collect). At
-    * extreme scale swap the loop body for large-star/small-star; the
-    * operator contract is unchanged.
+    * Implementation is iterative min-label propagation WITH pointer
+    * doubling over the (tiny, already-verified) LSH pair set — see
+    * [[connectedComponents]]: each iteration gathers one hop of neighbor
+    * minima and then jumps label := label(label), so even adversarial
+    * chain-shaped dup families converge in O(log diameter) iterations
+    * (ScaleSpec asserts <= ceil(log2 N) + 2 on a planted chain); shallow
+    * families (the realistic case) converge as fast as plain propagation.
     */
   private def q73DedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = q42MinhashLsh(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
-    var labels = Tables.documents(s, d)
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val (labels, _) = connectedComponents(nodes, edges)
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+              when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label connected components over a bidirectional edge list.
+    * Each iteration does one neighbor-min propagation (edge join + min
+    * agg — one hop of new information) AND one pointer-doubling jump
+    * (label := label of my label — composes the hops gathered so far),
+    * so label reach roughly DOUBLES per iteration and chain-shaped
+    * components converge in O(log D) iterations instead of O(D); shallow
+    * graphs (the realistic near-dup case) converge as fast as before.
+    * `localCheckpoint` truncates lineage each iteration; convergence is
+    * the monotonically decreasing label-sum potential going flat — one
+    * cheap scalar action per iteration, the standard driver-coordinated
+    * loop. Returns (labels, iterations-used). */
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                                         maxIters: Int = 50): (DataFrame, Int) = {
+    var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("cluster_id")).head.getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
+    while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("src_cluster")), "src")
         .groupBy(col("dst"))
         .agg(min("src_cluster").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val hop = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
                 least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+                  .as("cluster_id"))
+      // pointer doubling: my label is a doc_id — adopt THAT doc's label
+      // if smaller (label(label(x))), composing previously propagated hops
+      val parents = hop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster"))
+      val next = hop.join(parents, hop("cluster_id") === parents("p_id"), "left")
+        .select(hop("doc_id"),
+                least(hop("cluster_id"), coalesce(col("p_cluster"), hop("cluster_id")))
                   .as("cluster_id"))
         .localCheckpoint()
       val s2 = next.agg(sum("cluster_id")).head.getLong(0)
@@ -185,10 +209,7 @@ object Dedup extends QueryPack {
       labels = next
       iter += 1
     }
-    labels
-      .select(col("doc_id"), col("cluster_id"),
-              when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
+    (labels, iter)
   }
 
   /** Incremental exact dedup: which docs of a NEW batch are content-new

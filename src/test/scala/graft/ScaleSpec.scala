@@ -229,6 +229,21 @@ class ScaleSpec extends SparkTestBase {
     assert(bloomed == exact)
   }
 
+  test("connected components: planted chain converges in O(log N) iterations") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val edges = (0L until (n - 1).toLong)
+      .flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+    val (labels, iters) = Dedup.connectedComponents(nodes, edges)
+    val lab = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lab.forall(_._2 == 0L), "a single chain is one component labeled by its min")
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(iters <= bound,
+      s"pointer doubling must converge a $n-chain in <= $bound iters, took $iters")
+  }
+
   test("sharded bloom dedup equals the single-filter path and the exact anti-join") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
