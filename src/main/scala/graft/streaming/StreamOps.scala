@@ -76,6 +76,121 @@ object StreamOps {
       col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $band"))
   }
 
+  final case class BucketDoc(bucket: Long, doc_id: Long,
+                             ts: java.sql.Timestamp, sh: Seq[String])
+  final case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double,
+                               ts: java.sql.Timestamp)
+  final case class BucketEntry(doc_id: Long, tsMs: Long, sh: Seq[String])
+
+  /** Per-bucket near-dup verifier for [[StreamOps.nearDupPairsStream]]
+    * (transformWithState): state is the bucket's recent residents'
+    * shingle sets (ListState), pruned to the watermark horizon on every
+    * access and garbage-collected outright by an event-time timer when
+    * the bucket goes idle. Every arrival is exact-Jaccard-verified
+    * against the residents; an emitted pair carries the ARRIVING doc's
+    * event time, which is >= the current watermark by construction (late
+    * rows never reach a stateful op), so declaring it as the output
+    * event-time column is sound and downstream stateful dedup is legal.
+    */
+  private final class NearDupBucketProcessor(delayMs: Long, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BucketDoc, NearDupPair] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var entries: ListState[BucketEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      entries = getHandle.getListState[BucketEntry](
+        "entries", Encoders.product[BucketEntry], TTLConfig.NONE)
+
+    private def pruned(wm: Long): List[BucketEntry] =
+      entries.get().toList.filter(_.tsMs >= wm - delayMs)
+
+    private def store(kept: List[BucketEntry]): Unit = {
+      entries.clear()
+      kept.foreach(entries.appendValue)
+    }
+
+    override def handleInputRows(bucket: Long, in: Iterator[BucketDoc],
+                                 timers: TimerValues): Iterator[NearDupPair] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      var kept = pruned(wm)
+      val out = Seq.newBuilder[NearDupPair]
+      var maxTs = Long.MinValue
+      in.toSeq.sortBy(_.ts.getTime).foreach { d =>
+        val dsh = d.sh.toSet
+        val t = d.ts.getTime
+        maxTs = math.max(maxTs, t)
+        kept.foreach { e =>
+          if (e.doc_id != d.doc_id) {
+            val common = e.sh.count(dsh.contains)
+            val jac = common.toDouble / (e.sh.size + dsh.size - common)
+            if (jac >= threshold) {
+              val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
+                           else (d.doc_id, e.doc_id)
+              out += NearDupPair(a, b, math.floor(jac * 1000) / 1000, d.ts)
+            }
+          }
+        }
+        kept = BucketEntry(d.doc_id, t, d.sh) :: kept
+      }
+      store(kept)
+      if (maxTs != Long.MinValue) getHandle.registerTimer(maxTs + 2 * delayMs)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(bucket: Long, timers: TimerValues,
+        info: streaming.ExpiredTimerInfo): Iterator[NearDupPair] = {
+      val kept = pruned(timers.getCurrentWatermarkInMs())
+      if (kept.isEmpty) entries.clear() else store(kept)
+      Iterator.empty
+    }
+  }
+
+  /** Streaming near-duplicate PAIR detection — the streaming twin of the
+    * batch q42 MinHash+LSH operator. Each document's shingle set is
+    * banded into the same native minhash band keys as the batch path
+    * (the band index is folded into the key, so the bucket id alone is
+    * the LSH key); state is keyed by bucket and holds the recent
+    * documents' shingle sets, and every arrival is EXACT-Jaccard-verified
+    * against its bucket's residents — identical candidate generation +
+    * exact verification semantics to batch q42, restricted to pairs
+    * whose arrivals fall within the watermark of each other (older
+    * residents are evicted: a dup of something older than the delay is
+    * out of scope by definition of the bound).
+    *
+    * A pair colliding in several bands is emitted once:
+    * `dropDuplicatesWithinWatermark` on (a_id, b_id) dedups in-stream —
+    * a legal stateful→stateful chain because transformWithState declares
+    * the output event-time column (the arriving doc's timestamp, never
+    * behind the watermark).
+    *
+    * `delayMs` must agree with `delay` (Spark wants the SQL interval
+    * string; the state arithmetic wants millis).
+    */
+  def nearDupPairsStream(docs: DataFrame, tsCol: String, delay: String,
+                         delayMs: Long, threshold: Double = 0.8)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+
+    val banded = docs
+      .select(col("doc_id"), col(tsCol).as("ts"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(explode(graft.functions.NativeExprs.minhash_band_keys(col("sh")))
+                .as("bucket"),
+              col("doc_id"), col("ts"), col("sh"))
+      .withWatermark("ts", delay)
+      .as[BucketDoc]
+
+    banded
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupBucketProcessor(delayMs, threshold),
+        "ts", OutputMode.Append())
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .toDF()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp,

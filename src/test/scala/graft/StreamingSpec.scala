@@ -225,6 +225,63 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming near-dup pairs match the batch LSH answer within the watermark") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val inWindow = Seq(
+      (0L, ts(0), base),
+      (1L, ts(1), base + " extra"), // near-dup of 0 (and of 3)
+      (2L, ts(2), "completely different content words that do not match anything here at all"),
+      (3L, ts(3), base))            // exact dup of 0, near-dup of 1
+
+    // expected = the batch exact answer (jaccard >= 0.8 on 3-gram shingle
+    // sets) over the in-watermark docs — what q42 computes
+    def shingles(t: String): Set[String] =
+      t.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (a, _, ta) <- inWindow; (b, _, tb) <- inWindow if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      common = (sa & sb).size
+      if common.toDouble / (sa.size + sb.size - common) >= 0.8
+    } yield (a, b)).toSet
+    assert(expected == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val df = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = StreamOps.nearDupPairsStream(df, "ts", "10 minutes", 600000L)
+        .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+      mem.addData(inWindow)
+      q.processAllAvailable()
+      // advance the watermark far past the first docs...
+      mem.addData(Seq((20L, ts(295), "watermark advancing filler text nothing like the others")))
+      q.processAllAvailable()
+      // ...then replay the base text: its former near-dups are older than
+      // the watermark, so no pair may be emitted for it
+      mem.addData(Seq((10L, ts(300), base)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_out").select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"streaming pairs must equal the batch answer within the watermark: $got vs $expected")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-stream wire source: pipeline consumes newly arriving files") {
     import spark.implicits._
     val wireDir = Files.createTempDirectory("graft-wire").toString
