@@ -56,6 +56,10 @@ object NativeExprs {
       GraftColumnBridge.expression(shard), GraftColumnBridge.expression(hash),
       serializedFilters))
 
+  def md5_minhashes(shingles: Column, nHashes: Int): Column =
+    GraftColumnBridge.column(Md5MinHashes(
+      GraftColumnBridge.expression(shingles), nHashes))
+
   /** Register `cosine_sim` / `word_shingles` / `minhash_band_keys` /
     * `top_k_by_score` for the SQL surface of an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -321,14 +325,8 @@ case class SimHashSig(child: Expression)
     val votes = new Array[Int](60)
     var t = 0
     while (t < toks.length) {
-      md.reset()
-      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 8 digest bytes as a big-endian long = first 16 hex chars;
-      // >>> 4 drops the 16th hex char, leaving the 15-char (60-bit) value
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-      h = h >>> 4
+      val h = SimHashSig.md5Top60(
+        md, toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var b = 0
       while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -349,10 +347,65 @@ case class SimHashSig(child: Expression)
 }
 
 object SimHashSig {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** Top 60 bits of md5(bytes) — the value of the first 15 hex chars,
+    * `conv(substring(md5(x), 1, 15), 16, 10)` in SQL. */
+  private[functions] def md5Top60(md: java.security.MessageDigest,
+                                  bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+}
+
+/** `nHashes` minhash components over a shingle set, md5 hash family:
+  * component i is min over shingles s of md5-top-60(s + ":" + i). The md5
+  * family exists so the ESTIMATOR algebra (matching-component fraction ≈
+  * Jaccard) is cross-engine verifiable — DuckDB computes the identical
+  * signature from `md5(s || ':' || i)`. The production minhash kernel is
+  * [[MinHashBandKeys]] (XXH64, one hash per shingle per component without
+  * string concat); this is the verification twin, same one-pass shape.
+  */
+case class Md5MinHashes(child: Expression, nHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_minhashes requires ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData]
+    val m = sh.numElements()
+    val md = SimHashSig.digest.get()
+    val out = new Array[Long](nHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val s = sh.getUTF8String(i).toString
+      var j = 0
+      while (j < nHashes) {
+        val h = SimHashSig.md5Top60(
+          md, (s + ":" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash + banded-LSH keys in one pass: `nHashes` minhashes (XXH64 of

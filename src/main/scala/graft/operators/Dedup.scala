@@ -140,6 +140,44 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), NativeExprs.simhash_sig(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** MinHash Jaccard ESTIMATION — the sketch-side answer q42 only uses
+    * implicitly: per doc a 32-component md5-family minhash signature
+    * (native [[graft.functions.Md5MinHashes]] kernel), and for every doc
+    * pair in the slice the estimate = fraction of matching components,
+    * reported alongside the exact Jaccard so the estimator's quality is
+    * part of the checked output. est is k/32 (dyadic — exact in both
+    * engines); the md5 family makes the signature itself cross-engine
+    * verifiable, which XXH64 (the production kernel in MinHashBandKeys)
+    * is not. The pair set is the inverted-index candidates (docs sharing
+    * >= 1 shingle — the SQL-replicable stand-in for LSH band collisions),
+    * so the checked output covers the estimator on true near-dups AND on
+    * weakly-overlapping negatives.
+    */
+  private def q79MinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val nSig = 32
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = ex.select(col("s"), col("doc_id").as("a_id"))
+      .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sig = sh.select(col("doc_id"), col("sh"),
+              NativeExprs.md5_minhashes(col("sh"), nSig).as("sig"))
+    cand
+      .join(sig.select(col("doc_id").as("a_id"), col("sh").as("ash"),
+                       col("sig").as("asig")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sh").as("bsh"),
+                       col("sig").as("bsig")), "b_id")
+      .withColumn("matches",
+        expr("aggregate(zip_with(asig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("est", col("matches") / 32.0)
+      .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
+      .withColumn("jaccard",
+        floor(col("common") / (size(col("ash")) + size(col("bsh")) - col("common")) * 1000) / 1000)
+      .select("a_id", "b_id", "est", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Dedup CLUSTER assignment — the step after pair detection: group
     * near-dup pairs into connected components and elect one canonical doc
     * per component (smallest id), so a curation pipeline can drop
@@ -299,6 +337,7 @@ object Dedup extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_minhash_lsh"   -> q42MinhashLsh _,
     "q43_simhash"       -> q43Simhash _,
+    "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
   )
@@ -320,6 +359,36 @@ object Dedup extends QueryPack {
                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
               for i in range(0, 60)]) AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
+    // q79: the identical md5-family signature + estimator replicated in
+    // DuckDB; est = k/32 is dyadic (exact both engines), jaccard uses the
+    // q35 floor convention.
+    "q79_minhash_est" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3 THEN
+               [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]
+             ELSE [] END) AS shingles
+           FROM t),
+         s2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         ex AS (SELECT doc_id, unnest(shingles) AS s FROM s2),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+         sig AS (SELECT doc_id, shingles,
+             [list_min([CAST(('0x' || substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                        for s in shingles])
+              for i in range(0, 32)] AS sg
+           FROM s2)
+         SELECT a_id, b_id,
+                list_sum([CASE WHEN a.sg[i+1] = b.sg[i+1] THEN 1 ELSE 0 END
+                          for i in range(0, 32)]) / 32.0 AS est,
+                floor(len(list_intersect(a.shingles, b.shingles)) /
+                      (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) * 1000) / 1000 AS jaccard
+         FROM cand
+         JOIN sig a ON a.doc_id = cand.a_id
+         JOIN sig b ON b.doc_id = cand.b_id
+         ORDER BY a_id, b_id""",
     // q73: connected components via a recursive transitive closure over
     // the exact near-dup pair set (q35's pair SQL inlined) — cluster id is
     // the component minimum, exactly what min-label propagation converges to.

@@ -193,6 +193,55 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** Document cosine similarity over SHINGLE-FREQUENCY vectors via the
+    * inverted index — the sparse-vector complement to q35's set Jaccard
+    * (counts repeated shingles instead of ignoring them) and to q40's
+    * dense embedding cosine. Terms are 3-gram shingles (NON-distinct, so
+    * the frequency is real), not raw tokens: the synthetic corpus has a
+    * ~31-word vocabulary, so token-level vectors are degenerate while the
+    * shingle space is large and selective — which is also why w-shingling
+    * is the standard unit for document similarity. Shingles seen in more
+    * than `maxDf` docs are pruned from the index first — the q35 df-cut
+    * bound (declared maxDf = corpus size: value-neutral, bound in plan).
+    *
+    * Parity-by-construction: shingle counts are integers, so the dot
+    * product and squared norms are EXACT integer sums
+    * (engine-order-independent); the only float ops are one sqrt + one
+    * divide on identical integers, bit-identical across engines. Scale
+    * shape: explode → df-pruned inverted-index self-join
+    * (Σ min(df, maxDf)² work) → integer agg; norms joined back onto the
+    * (small) surviving pair set.
+    */
+  private[graft] def docCosinePairs(s: SparkSession, d: String, maxDf: Long,
+                                    minCos: Double): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(graft.functions.NativeExprs
+                .word_shingles(col("text"), 3, distinct = false)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("token")
+    val pruned = tf.join(keep, "token")
+    val norms = pruned.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
+    val dots = pruned.select(col("token"), col("doc_id").as("a_id"), col("tf").as("atf"))
+      .join(pruned.select(col("token"), col("doc_id").as("b_id"), col("tf").as("btf")),
+            Seq("token"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("atf") * col("btf")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nn").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nn").as("nb")), "b_id")
+      .withColumn("cos_raw", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("cos_raw") >= minCos)
+      .withColumn("cosine", floor(col("cos_raw") * 100000) / 100000)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def q78DocCosinePairs(s: SparkSession, d: String): DataFrame =
+    docCosinePairs(s, d, maxDf = Tables.documents(s, d).count(), minCos = 0.8)
+
   // Edit distance between adjacent documents' 80-char prefixes (capped so
   // the O(len²) DP stays bounded; Spark and DuckDB both implement the
   // classic Levenshtein count).
@@ -272,6 +321,7 @@ object TextAnalysis extends QueryPack {
     "q38_vocab"         -> q38Vocab _,
     "q39_tfidf"         -> q39Tfidf _,
     "q36_edit_distance" -> q36EditDistance _,
+    "q78_doc_cosine"    -> q78DocCosinePairs _,
     "q30_tokens"        -> q30Tokens _,
     "q31_lang_stats"    -> q31LangStats _,
     "q32_quality"       -> q32Quality _,
@@ -285,6 +335,33 @@ object TextAnalysis extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q78: integer tf dot/norms make the sums exact in any order; the one
+    // float op (sqrt + divide) runs on identical integers both sides.
+    "q78_doc_cosine" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)]
+             ELSE [] END AS shingles
+           FROM t),
+         tf AS (SELECT doc_id, s AS token, count(*) AS tf
+             FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+             GROUP BY 1, 2),
+         keep AS (SELECT token FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+                  WHERE df <= (SELECT count(*) FROM documents)),
+         p AS (SELECT tf.* FROM tf JOIN keep USING (token)),
+         norms AS (SELECT doc_id, sum(tf * tf) AS nn FROM p GROUP BY 1),
+         dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.tf * b.tf) AS dot
+                  FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT a_id, b_id,
+                floor(dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) * 100000) / 100000 AS cosine
+         FROM dots
+         JOIN norms na ON na.doc_id = a_id
+         JOIN norms nb ON nb.doc_id = b_id
+         WHERE dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) >= 0.8
+         ORDER BY a_id, b_id""",
     "q33_langid" ->
       """WITH t AS (SELECT doc_id, text,
            string_split_regex(trim(text), '\s+') AS toks FROM documents),

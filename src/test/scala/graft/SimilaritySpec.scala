@@ -120,6 +120,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("q79 minhash estimate tracks exact jaccard; q78 tf-cosine covers the near-dups") {
+    val rows = Dedup.queries("q79_minhash_est")(spark, sfDir).collect()
+    val dups = rows.filter(_.getDouble(3) >= 0.9)
+    assert(dups.nonEmpty, "candidate set must include the planted near-dups")
+    // 32-component minhash concentration: |est - jaccard| small on dups
+    dups.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 0.2,
+        s"estimate ${r.getDouble(2)} too far from jaccard ${r.getDouble(3)}")
+    }
+    val negs = rows.filter(_.getDouble(3) <= 0.1)
+    assert(negs.nonEmpty)
+    assert(negs.map(_.getDouble(2)).sum / negs.size <= 0.15,
+      "weak-overlap pairs must estimate low on average")
+
+    // the tf-cosine pair set must cover every exact jaccard near-dup pair
+    // (near-identical token multisets have cosine ~1 on any df-pruned index)
+    val jac = TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cos = TextAnalysis.queries("q78_doc_cosine")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty && jac.subsetOf(cos),
+      s"tf-cosine misses near-dup pairs: ${jac.diff(cos)}")
+  }
+
   test("q73 clusters: pairs co-clustered, cluster id = min member, one keeper each") {
     val labels = Dedup.queries("q73_dedup_clusters")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
