@@ -357,11 +357,48 @@ object Similarity extends QueryPack {
   /** Codebook trained by the latest q45 build, for oracle generation. */
   @volatile private var lastCodebook: Option[Array[Array[Double]]] = None
 
+  /** Embedding dedup CLUSTERS — q73's contract on the vector side: group
+    * the LSH near-dup pairs (q41) into connected components and elect one
+    * canonical vector per component, so an embedding-dedup pipeline drops
+    * all-but-one of each duplicate family. Reuses
+    * [[Dedup.connectedComponents]] (pointer-doubling min-label
+    * propagation); the oracle wraps q41's generated LSH SQL in the same
+    * recursive-CTE closure q73 uses.
+    */
+  private def q80EmbeddingClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = annLshPairs(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+    val (labels, _) = Dedup.connectedComponents(nodes, edges)
+    labels
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+              when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** q80's oracle: q41's generated LSH SQL (plane literals, bit-exact
+    * dots) as the pair set, closed transitively with the q73 recursive
+    * CTE; cluster id = component minimum. */
+  private def embeddingClustersOracleSql(nBands: Int, bits: Int): String =
+    s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (${lshOracleSql(nBands, bits)})),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                 UNION ALL SELECT b_id, a_id FROM pairs),
+       reach AS (
+         SELECT vec_id AS id, vec_id AS r FROM embeddings
+         UNION
+         SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+       SELECT id AS vec_id, min(r) AS cluster_id,
+              CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM reach GROUP BY id ORDER BY vec_id"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk"     -> q40CosineTopK _,
     "q41_ann_lsh"         -> q41AnnLsh _,
     "q44_cosine_neardup"  -> q44CosineNearDup _,
     "q45_ann_ivf"         -> q45AnnIvf _,
+    "q80_embedding_clusters" -> q80EmbeddingClusters _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -477,5 +514,6 @@ object Similarity extends QueryPack {
     // never consulted by the gate.
     "q45_ann_ivf" -> lastCodebook.map(ivfOracleSqlTrained)
       .getOrElse("SELECT 1 AS q45_not_built_this_process"),
+    "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
   )
 }
