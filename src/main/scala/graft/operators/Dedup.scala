@@ -215,13 +215,24 @@ object Dedup extends QueryPack {
     * `localCheckpoint` truncates lineage each iteration; convergence is
     * the monotonically decreasing label-sum potential going flat — one
     * cheap scalar action per iteration, the standard driver-coordinated
-    * loop. Returns (labels, iterations-used). */
+    * loop.
+    *
+    * The loop iterates ONLY over edge-touched nodes: a node with no
+    * near-dup edge is its own singleton component by definition and is
+    * unioned in unchanged at the end — so per-iteration state is
+    * proportional to DUPLICATE-FAMILY MEMBERSHIP (typically a few
+    * percent of a deduped corpus), not corpus size. Returns
+    * (labels, iterations-used). */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
                                          maxIters: Int = 50): (DataFrame, Int) = {
-    var labels = nodes
+    // edges are bidirectional, so src alone covers every endpoint
+    val touched = edges.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    var labels = touched
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("cluster_id")).head.getLong(0)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -241,13 +252,15 @@ object Dedup extends QueryPack {
                 least(hop("cluster_id"), coalesce(col("p_cluster"), hop("cluster_id")))
                   .as("cluster_id"))
         .localCheckpoint()
-      val s2 = next.agg(sum("cluster_id")).head.getLong(0)
+      val s2 = labelSum(next)
       converged = s2 == prevSum
       prevSum = s2
       labels = next
       iter += 1
     }
-    (labels, iter)
+    val untouched = nodes.join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    (labels.unionByName(untouched), iter)
   }
 
   /** Incremental exact dedup: which docs of a NEW batch are content-new

@@ -233,12 +233,17 @@ class ScaleSpec extends SparkTestBase {
     import spark.implicits._
     import graft.operators.Dedup
     val n = 64
-    val nodes = (0L until n.toLong).toDF("doc_id")
+    // 10 extra isolated nodes: singletons never enter the iterative loop
+    val nodes = (0L until (n + 10).toLong).toDF("doc_id")
     val edges = (0L until (n - 1).toLong)
       .flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
     val (labels, iters) = Dedup.connectedComponents(nodes, edges)
-    val lab = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(lab.forall(_._2 == 0L), "a single chain is one component labeled by its min")
+    val lab = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab.size == n + 10, "every node must be labeled")
+    assert((0L until n.toLong).forall(lab(_) == 0L),
+      "a single chain is one component labeled by its min")
+    assert((n.toLong until (n + 10).toLong).forall(i => lab(i) == i),
+      "isolated nodes are their own singleton components")
     val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2
     assert(iters <= bound,
       s"pointer doubling must converge a $n-chain in <= $bound iters, took $iters")
