@@ -76,6 +76,38 @@ object StreamOps {
       col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $band"))
   }
 
+  /** Streaming incremental exact dedup against a STATIC existing corpus —
+    * the streaming twin of the batch q76 (today's crawl stream checked
+    * against yesterday's indexed corpus). A stream-static left_anti join
+    * is stateless on the stream side (each micro-batch joins the static
+    * relation; no streaming state at all), so this composes with the
+    * watermarked in-stream dedup above for the full "new vs corpus AND
+    * new within stream" contract. With `bloomExpected > 0` a bloom
+    * filter over the existing digests splits each micro-batch MAP-SIDE
+    * first (the `Dedup.incrementalDedupBloom` plan): definitive
+    * negatives skip the join entirely, so per-batch join input shrinks
+    * to dup-rate + fpp of the batch.
+    */
+  def incrementalDedupStream(fresh: DataFrame, existing: DataFrame,
+                             sigCol: String = "sig",
+                             bloomExpected: Long = 0L,
+                             fpp: Double = 0.01): DataFrame = {
+    val ex = existing.select(col(sigCol)).distinct()
+    if (bloomExpected <= 0L) {
+      fresh.join(ex, Seq(sigCol), "left_anti")
+    } else {
+      val bloom = ex.select(xxhash64(col(sigCol)).as("h"))
+        .stat.bloomFilter("h", bloomExpected, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      val hit = graft.functions.NativeExprs
+        .bloom_contains(xxhash64(col(sigCol)), out.toByteArray)
+      val clean = fresh.filter(!hit)
+      val verified = fresh.filter(hit).join(ex, Seq(sigCol), "left_anti")
+      clean.unionByName(verified.select(fresh.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
   final case class BucketDoc(bucket: Long, doc_id: Long,
                              ts: java.sql.Timestamp, sh: Seq[String])
   final case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double,

@@ -282,6 +282,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming incremental dedup vs a static corpus: plain and bloom paths agree") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val existing = Seq("a", "b", "c").toDF("sig")
+    def run(name: String, bloomExpected: Long): Set[Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "sig")
+      val q = StreamOps.incrementalDedupStream(df, existing,
+          bloomExpected = bloomExpected)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      mem.addData(Seq((1L, "a"), (2L, "x"), (3L, "b"), (4L, "y")))
+      q.processAllAvailable()
+      // a second micro-batch keeps flowing (stateless stream-static join)
+      mem.addData(Seq((5L, "c"), (6L, "z")))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val plain = run("incdedup_plain", bloomExpected = 0L)
+    assert(plain == Set(2L, 4L, 6L), s"anti-join must drop corpus dups: $plain")
+    val bloomed = run("incdedup_bloom", bloomExpected = 100L)
+    assert(bloomed == plain, "bloom fast path must equal the plain anti-join")
+  }
+
   test("file-stream wire source: pipeline consumes newly arriving files") {
     import spark.implicits._
     val wireDir = Files.createTempDirectory("graft-wire").toString
