@@ -77,7 +77,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump only the oracles of the queries that ran: under the
+    // SPARK_GRAFT_ONLY dev filter this avoids clobbering a previous full
+    // dump's oracle file with entries the process can't generate (q45's
+    // oracle embeds the codebook trained when the query runs)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

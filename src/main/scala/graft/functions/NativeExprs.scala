@@ -144,7 +144,7 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val toks = SimHashSig.sqlToks(input.asInstanceOf[UTF8String].toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val count = toks.length - n + 1
     // Emission is first-occurrence ordered either way; the set only gates
@@ -261,8 +261,16 @@ case class BloomContains(child: Expression, filterBytes: Array[Byte])
   * digests at 1% fpp). The row's shard index (left, from the same digest
   * the filters were partitioned by) selects the filter its hash (right)
   * is probed against; a shard with no existing entries is null and
-  * answers false (definitively new). Per-executor lazy deserialization,
-  * same contract as the single-filter form: false positives only.
+  * answers false (definitively new). Same contract as the single-filter
+  * form: false positives only.
+  *
+  * Memory story: the serialized bytes ship once per executor per stage
+  * (the task binary is torrent-broadcast), and deserialization is lazy
+  * PER SHARD INDEX — a task only materializes the filters its rows
+  * actually probe. Callers who repartition the batch by the shard key
+  * first ([[graft.operators.Dedup.incrementalDedupBloomSharded]] does)
+  * touch ~one shard per task, so live filter memory is one shard, not
+  * the whole sketch.
   */
 case class ShardedBloomContains(left: Expression, right: Expression,
                                 filterBytes: Array[Array[Byte]])
@@ -279,14 +287,20 @@ case class ShardedBloomContains(left: Expression, right: Expression,
     }
 
   @transient private lazy val filters =
-    filterBytes.map { b =>
-      if (b == null) null
-      else org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(b))
+    new Array[org.apache.spark.util.sketch.BloomFilter](filterBytes.length)
+
+  private def filterAt(i: Int): org.apache.spark.util.sketch.BloomFilter = {
+    var f = filters(i)
+    if (f == null && filterBytes(i) != null) {
+      f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(filterBytes(i)))
+      filters(i) = f
     }
+    f
+  }
 
   override def nullSafeEval(shard: Any, hash: Any): Any = {
-    val f = filters(shard.asInstanceOf[Long].toInt)
+    val f = filterAt(shard.asInstanceOf[Long].toInt)
     f != null && f.mightContainLong(hash.asInstanceOf[Long])
   }
 
@@ -320,7 +334,7 @@ case class SimHashSig(child: Expression)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val toks = SimHashSig.sqlToks(input.asInstanceOf[UTF8String].toString)
     val md = SimHashSig.digest.get()
     val votes = new Array[Int](60)
     var t = 0
@@ -350,6 +364,21 @@ object SimHashSig {
   private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Tokenize exactly like the SQL fragment `split(trim(text), '\s+')`
+    * (and DuckDB's `string_split_regex(trim(text), '\s+')`): SQL `trim`
+    * strips SPACES only — unlike Java `String.trim`, which strips every
+    * char <= U+0020 — and SQL `split` keeps leading/trailing empty
+    * tokens (Java limit -1). Tab/newline-bounded text therefore yields
+    * the same (possibly empty) tokens in all three places.
+    */
+  private[functions] def sqlToks(s: String): Array[String] = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j).split("\\s+", -1)
   }
 
   /** Top 60 bits of md5(bytes) — the value of the first 15 hex chars,

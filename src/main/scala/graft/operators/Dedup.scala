@@ -50,17 +50,18 @@ object Dedup extends QueryPack {
     * work at Σ min(bucket, maxBucket)²; with maxBucket >= corpus size
     * (the default both q41/q42 use) no bucket can exceed the cap and the
     * output is unchanged — the bound lives in the plan, ready to tighten.
-    * The size join is co-partitioned with the groupBy that feeds it (same
-    * keys), so the cap costs one cheap aggregation, no extra wide shuffle
-    * of the postings.
+    * Implemented as a count-over-partition window, ONE shuffle keyed by
+    * the bucket — and since the candidate self-join that follows joins on
+    * the same keys, that exchange is reused rather than repeated (a
+    * groupBy+semijoin formulation would shuffle the postings twice).
     */
   private[graft] def capBuckets(postings: DataFrame, keys: Seq[String],
                                 maxBucket: Long): DataFrame = {
-    val keep = postings.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    postings
+      .withColumn("__bsz", count(lit(1)).over(w))
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
-    postings.join(keep, keys)
   }
 
   /** Exact-verification join of a candidate pair set against per-doc
@@ -68,14 +69,18 @@ object Dedup extends QueryPack {
     * small enough — the corpus is then never shuffled at all — and fall
     * back to plain shuffle joins above `broadcastLimit` (a pathological
     * everything-is-near-dup corpus would otherwise blow the broadcast).
-    * The candidate set is persisted before counting so the guard's count
-    * and the verification reuse one materialization. Both paths are
-    * value-identical (asserted in ScaleSpec).
+    * The candidate set is localCheckpoint'ed before counting so the
+    * guard's count and the verification reuse one materialization —
+    * unlike `persist()`, the checkpoint RDD is reclaimed by the
+    * ContextCleaner once unreferenced (no CacheManager entry leaking
+    * across invocations), and it truncates the posting-join lineage out
+    * of the verification plan. Both paths are value-identical (asserted
+    * in ScaleSpec).
     */
   private[graft] def verifyJoin(cand: DataFrame, aSide: DataFrame,
                                 bSide: DataFrame, aKey: String, bKey: String,
                                 broadcastLimit: Long): DataFrame = {
-    val c = cand.persist()
+    val c = cand.localCheckpoint()
     val n = c.count()
     if (n <= broadcastLimit)
       broadcast(broadcast(c).join(aSide, aKey)).join(bSide, bKey)
@@ -340,10 +345,16 @@ object Dedup extends QueryPack {
       .collect()
     val filterBytes = new Array[Array[Byte]](nShards)
     built.foreach { case (s, b) => filterBytes(s.toInt) = b }
+    // repartition the (small) batch by its shard key so each task probes
+    // ~one shard: ShardedBloomContains deserializes per shard index
+    // lazily, so live filter memory per task is one shard's sketch, not
+    // the whole array — the point of sharding. One shuffle of the BATCH
+    // (the small side) buys bounded executor memory at any corpus size.
+    val sharded = fresh.repartition(nShards, shardOf(col("sig")))
     val hit = NativeExprs.sharded_bloom_contains(
       shardOf(col("sig")).cast("long"), xxhash64(col("sig")), filterBytes)
-    val clean = fresh.filter(!hit)
-    val verified = fresh.filter(hit).join(existing, Seq("sig"), "left_anti")
+    val clean = sharded.filter(!hit)
+    val verified = sharded.filter(hit).join(existing, Seq("sig"), "left_anti")
     clean.unionByName(verified.select(fresh.columns.map(col).toIndexedSeq: _*))
   }
 

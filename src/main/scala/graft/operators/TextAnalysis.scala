@@ -232,7 +232,11 @@ object TextAnalysis extends QueryPack {
     dots
       .join(norms.select(col("doc_id").as("a_id"), col("nn").as("na")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("nn").as("nb")), "b_id")
-      .withColumn("cos_raw", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
+      // na and nb are widened BEFORE the multiply: the long product of
+      // two corpus-scale squared norms can exceed 2^63 (silent wrap under
+      // non-ANSI mode); double*double cannot, and the oracle does the same
+      .withColumn("cos_raw",
+        col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cos_raw") >= minCos)
       .withColumn("cosine", floor(col("cos_raw") * 100000) / 100000)
       .select("a_id", "b_id", "cosine")
@@ -356,11 +360,11 @@ object TextAnalysis extends QueryPack {
                   FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
          SELECT a_id, b_id,
-                floor(dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) * 100000) / 100000 AS cosine
+                floor(dot / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) * 100000) / 100000 AS cosine
          FROM dots
          JOIN norms na ON na.doc_id = a_id
          JOIN norms nb ON nb.doc_id = b_id
-         WHERE dot / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) >= 0.8
+         WHERE dot / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.8
          ORDER BY a_id, b_id""",
     "q33_langid" ->
       """WITH t AS (SELECT doc_id, text,

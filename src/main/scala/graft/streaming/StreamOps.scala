@@ -130,10 +130,23 @@ object StreamOps {
     import org.apache.spark.sql.{Encoders, streaming}
 
     @transient private var entries: ListState[BucketEntry] = _
+    @transient private var gcTimer: streaming.ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       entries = getHandle.getListState[BucketEntry](
         "entries", Encoders.product[BucketEntry], TTLConfig.NONE)
+      gcTimer = getHandle.getValueState[Long](
+        "gcTimer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** One live GC timer per bucket: delete the previously registered
+      * one (if any) before arming the new horizon, so outstanding timers
+      * don't accumulate with arrival count. */
+    private def armTimer(at: Long): Unit = {
+      if (gcTimer.exists()) getHandle.deleteTimer(gcTimer.get())
+      getHandle.registerTimer(at)
+      gcTimer.update(at)
+    }
 
     private def pruned(wm: Long): List[BucketEntry] =
       entries.get().toList.filter(_.tsMs >= wm - delayMs)
@@ -167,14 +180,25 @@ object StreamOps {
         kept = BucketEntry(d.doc_id, t, d.sh) :: kept
       }
       store(kept)
-      if (maxTs != Long.MinValue) getHandle.registerTimer(maxTs + 2 * delayMs)
+      if (maxTs != Long.MinValue) armTimer(maxTs + 2 * delayMs)
       out.result().iterator
     }
 
     override def handleExpiredTimer(bucket: Long, timers: TimerValues,
         info: streaming.ExpiredTimerInfo): Iterator[NearDupPair] = {
       val kept = pruned(timers.getCurrentWatermarkInMs())
-      if (kept.isEmpty) entries.clear() else store(kept)
+      if (kept.isEmpty) {
+        entries.clear()
+        gcTimer.clear()
+      } else {
+        store(kept)
+        // residents remain inside the horizon: re-arm for their tail.
+        // The timer that just fired is already consumed, so register
+        // directly rather than via armTimer (no stale timer to delete).
+        val at = kept.map(_.tsMs).max + 2 * delayMs
+        getHandle.registerTimer(at)
+        gcTimer.update(at)
+      }
       Iterator.empty
     }
   }
