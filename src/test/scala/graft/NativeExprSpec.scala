@@ -33,6 +33,39 @@ class NativeExprSpec extends SparkTestBase {
                             "b c a", "c a b", "a b c"))
   }
 
+  test("tokenizing kernels match the SQL split(trim(text)) on tab/newline-bounded text") {
+    import spark.implicits._
+    // SQL trim strips spaces ONLY (Java String.trim also eats \t \n) and
+    // SQL split keeps trailing empty tokens — the native kernels must
+    // reproduce both or their oracles diverge on whitespace-odd corpora
+    val texts = Seq(
+      "\tthe quick brown fox jumps high\t",  // tab-bounded: empty edge tokens
+      "\nalpha beta gamma delta\n",          // newline-bounded
+      "  plain spaced text here  ",          // space-bounded: trimmed clean
+      "mid\ttab and\nnewline separated words")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val declarativeShingles = graft.functions.TextExprs.shingleSet
+    val rows = df.select(
+        col("id"),
+        NativeExprs.word_shingles(col("text")).as("native_sh"),
+        expr(declarativeShingles).as("sql_sh"),
+        NativeExprs.simhash_sig(col("text")).as("native_sim"),
+        expr(graft.functions.TextExprs.let1(
+          s"transform(${graft.functions.TextExprs.toks}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))", "th",
+          """aggregate(sequence(0, 59), 0L, (acc, i) ->
+               acc + IF(aggregate(th, 0L, (a2, h) ->
+                          a2 + IF((shiftrightunsigned(h, i) & 1) = 1, 1L, -1L)) >= 0,
+                        shiftleft(1L, i), 0L))""")).as("sql_sim"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"shingle mismatch on id ${r.getLong(0)}: " +
+          s"native=${r.getSeq[String](1)} sql=${r.getSeq[String](2)}")
+      assert(r.getLong(3) == r.getLong(4),
+        s"simhash mismatch on id ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim: non-array argument is an analysis error, not a runtime cast") {
     import spark.implicits._
     val df = Seq((1L, "not an array", Array(1.0f))).toDF("id", "s", "v")
