@@ -50,6 +50,35 @@ class PlanSpec extends SparkTestBase {
     assert(bex.nonEmpty)
   }
 
+  test("bucket-capped posting self-join reuses a single posting exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // the q41/q42 candidate-generation shape: window-capped postings
+    // self-joined on the bucket keys — the window's hash exchange must be
+    // REUSED by both join branches (the cap costs no second full shuffle
+    // of the postings)
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = Dedup.capBuckets(
+      sh.select(col("doc_id"),
+                posexplode(graft.functions.NativeExprs.minhash_band_keys(col("sh")))
+                  .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), maxBucket = 1000000L)
+    val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
+            Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val plan = executed(cand)
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.toSeq
+    assert(reused.nonEmpty,
+      "the capped-posting exchange must be shared by both self-join branches")
+  }
+
   test("q1: aggregation is two-phase (partial before the exchange)") {
     val plan = executed(Relational.queries("q1_agg")(spark, sfDir))
     val aggModes = plan.collect {
