@@ -7,14 +7,21 @@ import org.apache.spark.sql.functions._
   * one JSON line for the driver.
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
-  * reported per-query number is the MINIMUM of its runs; the raw runs
-  * are kept in a `queries_raw` side field. One-shot numbers on this
+  * reported per-query number is the MINIMUM of its successful runs; the
+  * raw runs (failures sign-encoded) go to a sidecar file
+  * (`SPARK_GRAFT_BENCH_RAW`, default /tmp/graft_bench_raw.json) so the
+  * stdout JSON line stays small enough for the driver's output-tail
+  * capture — round 4's inline raw arrays pushed the line past it and
+  * the driver recorded `parsed: null`. One-shot numbers on this
   * host are a noise lottery — round-3 recorded a 2.9 s query at 15.8 s
   * and a 0.4 s query at 11.6 s from scheduler jitter alone, a 5-11×
   * spread on identical plans. The minimum is the estimator least
   * sensitive to additive noise (GC pause, page-cache miss, CPU
   * contention all only ever ADD time), so min-of-3 recovers the
-  * plan-determined cost the gate is meant to measure.
+  * plan-determined cost the gate is meant to measure; reps are
+  * interleaved round-robin across queries so a sustained load burst
+  * can't hit every rep of one query. A query whose every rep failed
+  * reports -1 in `queries` and its name in `failed` — never a time.
   *
   * An untimed warm-up precedes the loop: a resident cluster pays class
   * loading, Hadoop/parquet-footer IO setup, the Janino codegen compiler,
@@ -42,31 +49,48 @@ object Bench {
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val raw: Seq[(String, Seq[(Double, Boolean)])] = SparkEntry.queries.toSeq.map {
-      case (name, fn) =>
-        val runs = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        name -> runs
+    // reps run ROUND-ROBIN (all queries once, then again …), not
+    // back-to-back: a sustained host-load burst then degrades one rep of
+    // many queries instead of every rep of a few, so the per-query min
+    // still recovers the plan cost (round-4's driver run had multi-minute
+    // contention that inflated all three consecutive reps of q7/q68/q72)
+    val names = SparkEntry.queries.keys.toSeq
+    val runsByQuery = scala.collection.mutable.Map
+      .empty[String, Vector[(Double, Boolean)]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      runsByQuery(name) = runsByQuery(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
     }
+    val raw: Seq[(String, Seq[(Double, Boolean)])] = names.map(n => n -> runsByQuery(n))
     // the minimum is taken over SUCCESSFUL reps only — a fast failure
-    // must not masquerade as the query's cost; if every rep failed the
-    // elapsed min is reported (matching the old one-shot behavior) and
-    // the raw-runs field shows it
-    val results = raw.map { case (name, runs) =>
+    // must not masquerade as the query's cost; a query whose EVERY rep
+    // failed reports the explicit marker -1 (never a time) and is listed
+    // in the `failed` field
+    val results: Seq[(String, Double)] = raw.map { case (name, runs) =>
       val good = runs.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    // raw runs go to a sidecar FILE, not the stdout JSON line: with 70+
+    // queries × reps the inline array pushed the line past the driver's
+    // output-tail capture and the whole line became unparseable
+    // (BENCH_r04 recorded parsed: null)
     val qsRaw = raw.map { case (k, runs) =>
-      s"\"" + k + "\":" + runs.map { case (t, ok) => if (ok) s"$t" else s"-$t" }
+      s"\"" + k + "\":" + runs.map { case (t, ok) => if (ok) f3(t) else s"-${f3(t)}" }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "/tmp/graft_bench_raw.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
+      s"""{"reps":$reps,"queries_raw":$qsRaw}""")
+    catch { case _: Throwable => () }
+    val total = results.map(_._2).filter(_ >= 0).sum
     // streaming-pipeline throughput side channel (decode → bucket →
     // partitioned parquet; see StreamBench). Untimed vs `value`: the batch
     // query total and the ingest rate are separate headline numbers.
@@ -74,7 +98,7 @@ object Bench {
       try StreamBench.measure(spark, sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong)
       catch { case _: Throwable => (0L, 0.0) }
     val sRate = if (sSec > 0) sRows / sSec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":$warmupSec,"stream_rows_per_sec":$sRate,"stream_rows":$sRows,"stream_sec":$sSec,"queries":$qs,"queries_raw":$qsRaw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":${f3(warmupSec)},"stream_rows_per_sec":${f3(sRate)},"stream_rows":$sRows,"stream_sec":${f3(sSec)},"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

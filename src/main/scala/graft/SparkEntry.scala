@@ -35,4 +35,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Oracles for a specific dataset dir — generated oracles (q45's
+    * trained-codebook literals) resolve to the codebook captured for THAT
+    * dir's run. Verify dumps through this. */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    packs.flatMap(_.oraclesFor(dir)).toMap
 }

@@ -45,4 +45,10 @@ trait QueryPack {
   /** Subset of `queries` keys → equivalent ANSI SQL for DuckDB on the same
     * parquet tables. Queries absent here get a weaker rows-only check. */
   def oracles: Map[String, String]
+  /** Oracles for a SPECIFIC dataset dir — the hook for generated oracles
+    * whose literals depend on what the query computed over that dataset
+    * (q45 embeds the codebook trained on it). Defaults to the static map;
+    * Verify always dumps through this so several datasets in one JVM each
+    * get the oracle matching their own run. */
+  def oraclesFor(dir: String): Map[String, String] = oracles
 }

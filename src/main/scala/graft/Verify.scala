@@ -80,8 +80,9 @@ object Verify {
     // dump only the oracles of the queries that ran: under the
     // SPARK_GRAFT_ONLY dev filter this avoids clobbering a previous full
     // dump's oracle file with entries the process can't generate (q45's
-    // oracle embeds the codebook trained when the query runs)
-    val json = SparkEntry.oracleSql
+    // oracle embeds the codebook trained when the query runs). The dump
+    // is dir-aware so generated oracles match THIS dataset's run.
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

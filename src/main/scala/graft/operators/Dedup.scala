@@ -65,10 +65,16 @@ object Dedup extends QueryPack {
   }
 
   /** Exact-verification join of a candidate pair set against per-doc
-    * payloads: broadcast the (normally tiny) candidate set when it is
-    * small enough — the corpus is then never shuffled at all — and fall
-    * back to plain shuffle joins above `broadcastLimit` (a pathological
-    * everything-is-near-dup corpus would otherwise blow the broadcast).
+    * payloads. Only BARE ids ever ride a broadcast: when the candidate
+    * set is small enough, its id columns (8 bytes/row — byte-bounded by
+    * `broadcastLimit` by construction) are broadcast as semi-join filters
+    * that reduce each payload side MAP-SIDE, so the corpus is never
+    * shuffled in full; the reduced payload joins are left unhinted and
+    * AQE picks their strategy from actual runtime BYTES. Broadcasting the
+    * payload-joined candidates instead (the previous shape) made row
+    * count a proxy for broadcast bytes — 4M candidates × corpus-scale
+    * shingle arrays could OOM the broadcast despite the row guard.
+    * Above `broadcastLimit` everything degrades to plain shuffle joins.
     * The candidate set is localCheckpoint'ed before counting so the
     * guard's count and the verification reuse one materialization —
     * unlike `persist()`, the checkpoint RDD is reclaimed by the
@@ -82,9 +88,11 @@ object Dedup extends QueryPack {
                                 broadcastLimit: Long): DataFrame = {
     val c = cand.localCheckpoint()
     val n = c.count()
-    if (n <= broadcastLimit)
-      broadcast(broadcast(c).join(aSide, aKey)).join(bSide, bKey)
-    else
+    if (n <= broadcastLimit) {
+      val aNeed = aSide.join(broadcast(c.select(aKey).distinct()), Seq(aKey), "left_semi")
+      val bNeed = bSide.join(broadcast(c.select(bKey).distinct()), Seq(bKey), "left_semi")
+      broadcast(c).join(aNeed, aKey).join(bNeed, bKey)
+    } else
       c.join(aSide, aKey).join(bSide, bKey)
   }
 

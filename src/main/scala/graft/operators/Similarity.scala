@@ -335,14 +335,14 @@ object Similarity extends QueryPack {
     * codebook embedded as literals + the identical argmax + in-cell
     * ranking replicated in DuckDB SQL (same tie-breaks), a full
     * cross-engine semantic check — the codebook is captured at query
-    * build time (`lastCodebook`) and the oracle text generated from it
-    * when Verify dumps `oracle_sql.json` (which happens after the query
-    * runs).
+    * build time (keyed by dataset dir in `codebooks`) and the oracle text
+    * generated from it when Verify dumps `oracle_sql.json` (which happens
+    * after the query runs).
     */
   private def q45AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val cents = trainCentroids(e, ivfK)
-    lastCodebook = Some(cents)
+    codebooks.put(d, cents)
     val assigned = ivfAssignCodebook(s, e, cents)
     val qs = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
@@ -354,8 +354,14 @@ object Similarity extends QueryPack {
       k = 5)
   }
 
-  /** Codebook trained by the latest q45 build, for oracle generation. */
-  @volatile private var lastCodebook: Option[Array[Array[Double]]] = None
+  /** Codebooks trained by q45 builds, KEYED BY DATASET DIR, for oracle
+    * generation: several datasets (or a changed corpus) running q45 in one
+    * JVM each keep their own codebook, and `oraclesFor(dir)` embeds the
+    * one that produced that dataset's Spark result — a process-global
+    * "last built" var would silently dump the wrong literals for all but
+    * the final run. */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** Embedding dedup CLUSTERS — q73's contract on the vector side: group
     * the LSH near-dup pairs (q41) into connected components and elect one
@@ -484,9 +490,18 @@ object Similarity extends QueryPack {
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
-  // `def`, not `val`: the q45 oracle embeds the codebook trained when the
-  // query ran; Verify dumps oracle_sql.json after the query loop, so the
-  // literals are always the ones the Spark result was produced with.
+  /** Dir-aware dump: the q45 oracle embeds the codebook trained when the
+    * query ran ON THIS dataset; Verify dumps oracle_sql.json after the
+    * query loop, so the literals are always the ones the Spark result
+    * was produced with. If q45 never ran for `dir` this process there is
+    * no Spark output to compare, so the placeholder is never consulted
+    * by the gate. */
+  override def oraclesFor(dir: String): Map[String, String] =
+    oracles + ("q45_ann_ivf" -> Option(codebooks.get(dir)).map(ivfOracleSqlTrained)
+      .getOrElse("SELECT 1 AS q45_not_built_for_this_dataset"))
+
+  // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
+  // fallback (single-codebook case) kept for the QueryPack contract.
   override def oracles: Map[String, String] = Map(
     "q40_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -508,12 +523,11 @@ object Similarity extends QueryPack {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          ORDER BY a_id, b_id""",
     "q41_ann_lsh" -> lshOracleSql(lshBands, 8),
-    // Falls back to a fresh sf0.01-equivalent training only through
-    // lastCodebook being set by the q45 build; if q45 never ran this
-    // process there is no Spark output to compare, so the placeholder is
-    // never consulted by the gate.
-    "q45_ann_ivf" -> lastCodebook.map(ivfOracleSqlTrained)
-      .getOrElse("SELECT 1 AS q45_not_built_this_process"),
+    // Dir-agnostic fallback: usable only when exactly one codebook was
+    // trained this process; oraclesFor(dir) is the precise path.
+    "q45_ann_ivf" -> (if (codebooks.size == 1)
+        ivfOracleSqlTrained(codebooks.values.iterator.next())
+      else "SELECT 1 AS q45_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
   )
 }

@@ -123,8 +123,21 @@ object StreamOps {
     * event time, which is >= the current watermark by construction (late
     * rows never reach a stateful op), so declaring it as the output
     * event-time column is sound and downstream stateful dedup is legal.
+    *
+    * `maxResidents` bounds per-bucket state and work — the streaming twin
+    * of the batch path's `Dedup.capBuckets` df-cut: a boilerplate-heavy
+    * bucket would otherwise grow its ListState with every in-watermark
+    * arrival and verify each newcomer against all of them (quadratic
+    * in-bucket). Past the cap the OLDEST residents rotate out, so an
+    * arrival is verified against at most the cap's worth of most-recent
+    * bucket-mates. Recall impact mirrors the batch cap's: pairs whose
+    * partner was pushed out of a hot bucket are missed IN THAT BUCKET but
+    * still caught in any other shared band bucket — and a bucket hot
+    * enough to overflow the cap is near-boilerplate, where near-dup
+    * pairing is dominated by noise anyway.
     */
-  private final class NearDupBucketProcessor(delayMs: Long, threshold: Double)
+  private final class NearDupBucketProcessor(delayMs: Long, threshold: Double,
+                                             maxResidents: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BucketDoc, NearDupPair] {
     import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders, streaming}
@@ -177,7 +190,8 @@ object StreamOps {
             }
           }
         }
-        kept = BucketEntry(d.doc_id, t, d.sh) :: kept
+        // newest-first prepend + take = rotate out the oldest past the cap
+        kept = (BucketEntry(d.doc_id, t, d.sh) :: kept).take(maxResidents)
       }
       store(kept)
       if (maxTs != Long.MinValue) armTimer(maxTs + 2 * delayMs)
@@ -222,10 +236,12 @@ object StreamOps {
     * behind the watermark).
     *
     * `delayMs` must agree with `delay` (Spark wants the SQL interval
-    * string; the state arithmetic wants millis).
+    * string; the state arithmetic wants millis). `maxResidents` caps
+    * per-bucket state/work (see [[NearDupBucketProcessor]]).
     */
   def nearDupPairsStream(docs: DataFrame, tsCol: String, delay: String,
-                         delayMs: Long, threshold: Double = 0.8)
+                         delayMs: Long, threshold: Double = 0.8,
+                         maxResidents: Int = 256)
                         (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
 
@@ -241,7 +257,7 @@ object StreamOps {
 
     banded
       .groupByKey(_.bucket)
-      .transformWithState(new NearDupBucketProcessor(delayMs, threshold),
+      .transformWithState(new NearDupBucketProcessor(delayMs, threshold, maxResidents),
         "ts", OutputMode.Append())
       .dropDuplicatesWithinWatermark("a_id", "b_id")
       .toDF()

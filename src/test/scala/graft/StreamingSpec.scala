@@ -282,6 +282,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming near-dup hot-bucket cap rotates oldest residents out") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val df = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = StreamOps.nearDupPairsStream(df, "ts", "10 minutes", 600000L,
+          maxResidents = 3)
+        .writeStream.format("memory").queryName("neardup_cap_out")
+        .outputMode("append").start()
+      // ten identical docs flood every band bucket; with the cap each
+      // arrival is verified against at most its 3 most recent bucket-mates
+      mem.addData((0 until 10).map(i => (i.toLong, ts(i), base)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_cap_out").select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        b <- 0L until 10L; a <- math.max(0L, b - 3) until b
+      } yield (a, b)).toSet
+      assert(expected.size == 24) // uncapped would be 45
+      assert(got == expected,
+        s"capped bucket must pair each arrival with its 3 newest residents: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming incremental dedup vs a static corpus: plain and bloom paths agree") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
