@@ -153,6 +153,57 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), NativeExprs.simhash_sig(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Banded-SimHash NEAR-DUP PAIRS — the retrieval step q43's signatures
+    * exist for. The 60-bit signature splits into `nBands` = 4 bands of
+    * `bitsPerBand` = 15 bits; docs sharing any band key are candidates
+    * (one equi-join on (band, bkey) — never all-pairs), verified by exact
+    * Hamming distance `bit_count(asig ^ bsig) <= maxHamming`.
+    *
+    * RECALL IS EXACTLY 1 at the default threshold, not probabilistic:
+    * a pair within Hamming distance 3 differs in at most 3 of the 4
+    * bands, so by pigeonhole at least one band key matches — banded
+    * retrieval provably finds every qualifying pair (the classic
+    * Charikar/Manku-Jain-Sarma construction: d+1 bands catch Hamming
+    * <= d). Contrast q42's MinHash bands, where recall is 1 − (1−s^r)^b.
+    *
+    * Scale shape is q42's: the posting shuffle carries (band, bkey,
+    * doc_id, sig) — 4 rows × ~28 bytes per doc, no text or shingles; hot
+    * buckets (e.g. the all-zeros signature of boilerplate) are bounded in
+    * the plan by [[capBuckets]]; verification is a 1-word XOR+popcount,
+    * so no payload re-join is needed at all (the sig rides the posting).
+    */
+  private[graft] def simhashNearDupPairs(s: SparkSession, d: String,
+                                         maxHamming: Int = 3,
+                                         nBands: Int = 4, bitsPerBand: Int = 15,
+                                         maxBucket: Long = -1L): DataFrame = {
+    require(maxHamming < nBands, "recall-1 guarantee needs maxHamming < nBands")
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), NativeExprs.simhash_sig(col("text")).as("simhash"))
+    val cap = if (maxBucket > 0) maxBucket else Tables.documents(s, d).count()
+    val mask = (1L << bitsPerBand) - 1
+    val posting = capBuckets(
+      sig.select(col("doc_id"), col("simhash"),
+          explode(expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
+            s"named_struct('band', b, 'bkey', shiftright(simhash, b * $bitsPerBand) & $mask))")).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+                col("bb.band").as("band"), col("bb.bkey").as("bkey")),
+      Seq("band", "bkey"), cap)
+    posting.select(col("band"), col("bkey"),
+                   col("doc_id").as("a_id"), col("simhash").as("asig"))
+      .join(posting.select(col("band"), col("bkey"),
+                           col("doc_id").as("b_id"), col("simhash").as("bsig")),
+            Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "asig", "bsig").distinct()
+      .withColumn("hamming", expr("cast(bit_count(asig ^ bsig) as bigint)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def q81SimhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashNearDupPairs(s, d)
+
   /** MinHash Jaccard ESTIMATION — the sketch-side answer q42 only uses
     * implicitly: per doc a 32-component md5-family minhash signature
     * (native [[graft.functions.Md5MinHashes]] kernel), and for every doc
@@ -369,6 +420,7 @@ object Dedup extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_minhash_lsh"   -> q42MinhashLsh _,
     "q43_simhash"       -> q43Simhash _,
+    "q81_simhash_neardup" -> q81SimhashNearDup _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -391,6 +443,31 @@ object Dedup extends QueryPack {
                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
               for i in range(0, 60)]) AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
+    // q81: the q43 signature CTE, the identical 4×15-bit banding, and
+    // DuckDB's xor/bit_count for the Hamming verify. Recall is exactly 1
+    // at Hamming <= 3 (pigeonhole over 4 bands), so banded retrieval ≡
+    // the all-pairs scan the oracle effectively performs.
+    "q81_simhash_neardup" ->
+      """WITH t AS (SELECT doc_id,
+             [CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+              for tok in string_split_regex(trim(text), '\s+')] AS th
+           FROM documents),
+         sig AS (SELECT doc_id,
+           CAST(list_sum(
+             [CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+                                  for h in th]) >= 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+              for i in range(0, 60)]) AS BIGINT) AS simhash
+         FROM t),
+         p AS (SELECT band, (simhash >> (band * 15)) & 32767 AS bkey, doc_id, simhash
+               FROM sig, range(0, 4) r(band)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                         a.simhash AS asig, b.simhash AS bsig
+                  FROM p a JOIN p b ON a.band = b.band AND a.bkey = b.bkey
+                                   AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, CAST(bit_count(xor(asig, bsig)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(asig, bsig)) <= 3
+         ORDER BY a_id, b_id""",
     // q79: the identical md5-family signature + estimator replicated in
     // DuckDB; est = k/32 is dyadic (exact both engines), jaccard uses the
     // q35 floor convention.

@@ -162,8 +162,30 @@ object Relational2 extends QueryPack {
               col("t.id").as("p_partkey"), col("t.score").as("p_retailprice"))
       .orderBy("p_brand", "rnk")
 
+  /** Time-series GAP FILL — the inverse of q70's gap detection: a dense
+    * daily spine over the observed date range (one-row min/max aggregate
+    * → `sequence`/`explode`, so the spine derives from the data, not a
+    * hand-written calendar) left-joined against per-day order counts,
+    * zero-filling silent days. Scale: the count aggregate is map-side
+    * partial over any corpus size; the spine is O(days) — thousands of
+    * rows regardless of data volume — so both join sides post-aggregate
+    * are tiny and AQE broadcasts them; nothing big ever shuffles twice. */
+  private def q83GapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day0"))
+      .groupBy("day0").agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min("day0").as("mn"), max("day0").as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day0"))
+    spine.join(daily, Seq("day0"), "left")
+      .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+              coalesce(col("n"), lit(0L)).as("n_orders"),
+              when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy("day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_range_join"   -> q63RangeJoin _,
+    "q83_gap_fill"     -> q83GapFill _,
     "q64_corr_subquery" -> q64AboveBrandAvg _,
     "q67_hash_sample"  -> q67HashSample _,
     "q68_histogram"    -> q68Histogram _,
@@ -240,6 +262,15 @@ object Relational2 extends QueryPack {
                 datediff('day', prev_date, o_orderdate) AS gap_days
          FROM w WHERE datediff('day', prev_date, o_orderdate) > 180
          ORDER BY o_custkey, o_orderkey""",
+    "q83_gap_fill" ->
+      """WITH d AS (SELECT o_orderdate::DATE AS day, count(*) AS n
+                    FROM orders GROUP BY 1),
+         r AS (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                             (SELECT max(day) FROM d),
+                                             INTERVAL 1 DAY))::DATE AS day)
+         SELECT strftime(r.day, '%Y-%m-%d') AS day, coalesce(n, 0) AS n_orders,
+                CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         FROM r LEFT JOIN d USING (day) ORDER BY day""",
     "q71_array_agg" ->
       """SELECT o_custkey,
                 array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',')

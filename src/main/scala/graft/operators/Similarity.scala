@@ -363,6 +363,208 @@ object Similarity extends QueryPack {
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  // ---- product quantization (PQ) ------------------------------------------
+
+  /** PQ geometry: 8 subspaces × 16 centroids over the 64-dim embeddings
+    * (8 dims per subspace). Constant like `ivfK` — a production system
+    * ships the trained codebook; nothing here scales with corpus size. */
+  private[graft] val pqM = 8
+  private[graft] val pqKs = 16
+
+  /** Deterministic per-subspace L2 k-means (classic PQ training,
+    * Jégou et al., TPAMI 2011): the same fixed sample as
+    * [[trainCentroids]] (lowest `sampleN` vec_ids — a driver-side
+    * collect of a few hundred rows, independent of corpus size), split
+    * into `m` contiguous subvectors; per subspace, init = first `ks`
+    * sample subvectors, then `iters` Lloyd rounds of argmin-L2
+    * assignment (strictly-closer wins → lowest code on ties) +
+    * arithmetic-mean update (empty cells keep their centroid). Fully
+    * deterministic, so the codebook embeds as DuckDB oracle literals
+    * exactly like the LSH planes and the IVF codebook. */
+  private[graft] def trainPq(e: DataFrame, m: Int = pqM, ks: Int = pqKs,
+                             sampleN: Int = 256, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
+      .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= ks, s"need >= $ks sample vectors, got ${sample.length}")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < sub) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    Array.tabulate(m) { mi =>
+      val subs: Array[Array[Double]] =
+        sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var cents = Array.tabulate(ks)(i => subs(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](sub))
+        val counts = new Array[Long](ks)
+        subs.foreach { v =>
+          var best = 0; var bestD = l2(v, cents(0))
+          var c = 1
+          while (c < ks) {
+            val dd = l2(v, cents(c))
+            if (dd < bestD) { best = c; bestD = dd }
+            c += 1
+          }
+          val acc = sums(best); var j = 0
+          while (j < sub) { acc(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ codebooks trained by q82 builds, keyed by dataset dir — same
+    * oracle-generation contract as [[codebooks]]. */
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** PQ/ADC approximate nearest neighbors — the 100 TB ANN STORAGE path
+    * alongside q41 (LSH pruning) and q45 (IVF cell pruning): the corpus
+    * is ENCODED ONCE into m=8 one-byte codes per vector (32× smaller
+    * than the raw 64-float vector; map-side native [[graft.functions
+    * .PqEncode]]), and search scores a query against CODES ONLY via
+    * asymmetric-distance computation ([[graft.functions.PqAdc]] — exact
+    * L2 to the reconstruction). The scan that scores a trillion-vector
+    * corpus reads ~8 bytes/vector instead of 256; queries (tiny) are
+    * broadcast; ranking is the bounded-heap aggregate with score =
+    * −distance, so the shuffle carries ≤ k rows per query per task.
+    * Compose with [[ivfIndex]] partition layout for cell-pruned PQ scans
+    * (IVF-PQ — see SimilaritySpec's ivfPq test).
+    *
+    * Oracle: the trained codebook embedded as literals; encoding (argmin
+    * of an explicit left-associated 8-term sum, ties → lowest code),
+    * reconstruction, and the 64-term ADC fold replicated bit-exactly in
+    * DuckDB SQL; rank ties broken by n_id exactly like TopKAgg. */
+  private def q82AnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cb = trainPq(e)
+    pqCodebooks.put(d, cb)
+    val codes = e.select(col("vec_id"), NativeExprs.pq_encode(col("embedding"), cb).as("codes"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), VectorExprs.asDouble("embedding").as("qv"))
+    codes.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", -NativeExprs.pq_adc(col("qv"), col("codes"), cb))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("n_id"),
+              (floor(-col("t.score") * 100000) / 100000).as("adc"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** PQ codebook as a (m, code, cv) DataFrame for persistence. */
+  private def pqCodebookDf(s: SparkSession, cb: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    (for (mi <- cb.indices; c <- cb(mi).indices)
+      yield (mi, c, cb(mi)(c).toSeq)).toDF("m", "code", "cv")
+  }
+
+  private def loadPqCodebook(s: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"$path/_pq_codebook")
+      .orderBy("m", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
+  /** Materialize an IVF-PQ index — the FAISS-style composition of both
+    * scale paths: the trained coarse quantizer ([[trainCentroids]])
+    * partitions the corpus by cell, and within a cell only `vec_id` + the
+    * m PQ codes are stored (plus the raw vector for optional exact
+    * re-ranking — drop `embedding` from the select to shrink the index
+    * 30× when rerank isn't needed). A probe then reads a FRACTION of the
+    * corpus (partition pruning) and scores it from code bytes (ADC) —
+    * the two multiplicative reductions every billion-scale ANN system
+    * stacks. Codebooks persist under `_codebook/` / `_pq_codebook/`. */
+  def ivfPqIndex(e: DataFrame, k: Int, path: String): Unit = {
+    val s = e.sparkSession
+    val coarse = trainCentroids(e, k)
+    val pq = trainPq(e)
+    ivfAssignCodebook(s, e, coarse)
+      .select(col("vec_id"), col("centroid"),
+              NativeExprs.pq_encode(col("embedding"), pq).as("codes"))
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+    codebookDf(s, coarse).write.mode("overwrite").parquet(s"$path/_codebook")
+    pqCodebookDf(s, pq).write.mode("overwrite").parquet(s"$path/_pq_codebook")
+  }
+
+  /** Search a materialized IVF-PQ index: rank the k coarse centroids per
+    * query (broadcast, heap-ranked), scan only the top-`nprobe` cells'
+    * partitions, score candidates by ADC over their code bytes (smallest
+    * approximate distance first; `adc` in the output). Raw corpus
+    * vectors are never read. */
+  def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
+                  topK: Int, nprobe: Int): DataFrame = {
+    val idx = s.read.parquet(path).select("vec_id", "centroid", "codes")
+    val pq = loadPqCodebook(s, path)
+    val cents = loadCodebook(s, path)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("qv"), col("cv")))
+      .groupBy("q_id")
+      .agg(first("qv").as("qv"),
+           graft.functions.TopKAgg
+             .top_k_by_score(col("cos_c"), col("c_id"), nprobe).as("cells"))
+      .select(col("q_id"), col("qv"),
+              expr("transform(cells, x -> x.id)").as("probe_ids"))
+    // the probe decision is driver-known (|Q| × nprobe cell ids — tiny):
+    // materialize the probed-cell UNION and filter the scan with it, so
+    // the partition pruning is STATIC at the parquet scan (asserted in
+    // SimilaritySpec) — the array_contains join alone is a broadcast
+    // nested-loop that would read every cell's partition
+    val cells = probes.select(explode(col("probe_ids")).as("c")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    idx.filter(col("centroid").isin(cells: _*))
+      .join(broadcast(probes), array_contains(col("probe_ids"), col("centroid")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", -NativeExprs.pq_adc(col("qv"), col("codes"), pq))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("vec_id"), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("n_id"), (-col("t.score")).as("adc"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** int8 scalar quantization of the embedding column — the OTHER
+    * compression every large vector store ships (per-vector max-abs
+    * scale, 4× over float32): codes = floor(x / scale * 127), checked
+    * end-to-end as a joined string (the q71 convention for array
+    * outputs) plus the max reconstruction error. Every op is a
+    * deterministic IEEE double op replicated verbatim in the oracle —
+    * no rounding-mode ambiguity (floor, not round-half-X). Pure map
+    * work: no shuffle at any scale.
+    */
+  private def q84Int8Quant(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
+      .withColumn("scale",
+        expr("aggregate(v, cast(0 as double), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("codes8",
+        expr("transform(v, x -> cast(CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale * 127) END as bigint))"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_join(codes8, ',')").as("codes"),
+        expr("""aggregate(zip_with(v, codes8, (x, q) -> abs(x - q * scale / 127)),
+                          cast(0 as double), (acc, e) -> greatest(acc, e))""").as("max_err"))
+      .orderBy("vec_id")
+
   /** Embedding dedup CLUSTERS — q73's contract on the vector side: group
     * the LSH near-dup pairs (q41) into connected components and elect one
     * canonical vector per component, so an embedding-dedup pipeline drops
@@ -405,6 +607,8 @@ object Similarity extends QueryPack {
     "q44_cosine_neardup"  -> q44CosineNearDup _,
     "q45_ann_ivf"         -> q45AnnIvf _,
     "q80_embedding_clusters" -> q80EmbeddingClusters _,
+    "q82_ann_pq"          -> q82AnnPq _,
+    "q84_int8_quant"      -> q84Int8Quant _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -490,15 +694,63 @@ object Similarity extends QueryPack {
         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
-  /** Dir-aware dump: the q45 oracle embeds the codebook trained when the
-    * query ran ON THIS dataset; Verify dumps oracle_sql.json after the
-    * query loop, so the literals are always the ones the Spark result
-    * was produced with. If q45 never ran for `dir` this process there is
-    * no Spark output to compare, so the placeholder is never consulted
+  /** q82's oracle: the trained PQ codebook as 128 VALUES rows (m, code,
+    * 8-dim DOUBLE[] centroid); encoding = argmin over the explicit
+    * left-associated 8-term subspace distance (ties → lowest code, the
+    * `ORDER BY d ASC, code ASC` row_number); reconstruction = the chosen
+    * centroids concatenated in subspace order (`list(... ORDER BY m)`);
+    * ADC = the explicit left-associated 64-term fold over the full
+    * dimension — term-for-term the fold [[graft.functions.PqAdc]] runs. */
+  private def pqOracleSqlTrained(cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val dim = m * sub
+    val rows = (for (mi <- 0 until m; c <- cb(mi).indices) yield
+      s"($mi, $c, [${cb(mi)(c).map(fmt).mkString(", ")}]::DOUBLE[])"
+    ).mkString(",\n             ")
+    val subDist = (1 to sub)
+      .map(j => s"(e.v[cb.m*$sub+$j]-cb.cv[$j])*(e.v[cb.m*$sub+$j]-cb.cv[$j])")
+      .mkString(" + ")
+    val adcDist = (1 to dim)
+      .map(i => s"(q.qv[$i]-recon.r[$i])*(q.qv[$i]-recon.r[$i])")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb(m, code, cv) AS (VALUES
+             $rows),
+        sc AS (SELECT e.vec_id, cb.m, cb.code,
+                      $subDist AS d
+               FROM e, cb),
+        codes AS (SELECT vec_id, m, code FROM (
+                    SELECT vec_id, m, code,
+                           row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY d ASC, code ASC) AS rn FROM sc)
+                  WHERE rn = 1),
+        recon AS (SELECT c.vec_id, flatten(list(cb.cv ORDER BY c.m)) AS r
+                  FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+                  GROUP BY c.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        s2 AS (SELECT q.q_id, recon.vec_id AS n_id,
+                      $adcDist AS adist
+               FROM recon, q WHERE recon.vec_id <> q.q_id),
+        r2 AS (SELECT q_id, n_id, adist,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist ASC, n_id) AS rnk FROM s2)
+        SELECT q_id, rnk, n_id, floor(adist * 100000) / 100000 AS adc
+        FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
+  /** Dir-aware dump: the q45/q82 oracles embed the codebooks trained when
+    * the queries ran ON THIS dataset; Verify dumps oracle_sql.json after
+    * the query loop, so the literals are always the ones the Spark result
+    * was produced with. If a query never ran for `dir` this process there
+    * is no Spark output to compare, so the placeholder is never consulted
     * by the gate. */
   override def oraclesFor(dir: String): Map[String, String] =
-    oracles + ("q45_ann_ivf" -> Option(codebooks.get(dir)).map(ivfOracleSqlTrained)
-      .getOrElse("SELECT 1 AS q45_not_built_for_this_dataset"))
+    oracles +
+      ("q45_ann_ivf" -> Option(codebooks.get(dir)).map(ivfOracleSqlTrained)
+        .getOrElse("SELECT 1 AS q45_not_built_for_this_dataset")) +
+      ("q82_ann_pq" -> Option(pqCodebooks.get(dir)).map(pqOracleSqlTrained)
+        .getOrElse("SELECT 1 AS q82_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -528,6 +780,23 @@ object Similarity extends QueryPack {
     "q45_ann_ivf" -> (if (codebooks.size == 1)
         ivfOracleSqlTrained(codebooks.values.iterator.next())
       else "SELECT 1 AS q45_not_built_unambiguously_this_process"),
+    "q82_ann_pq" -> (if (pqCodebooks.size == 1)
+        pqOracleSqlTrained(pqCodebooks.values.iterator.next())
+      else "SELECT 1 AS q82_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
+    // q84: every op is the same IEEE double op in the same order (max-abs
+    // fold, floor-quantize, reconstruct, max-error fold) — no rounding
+    // ambiguity, so raw doubles compare exactly.
+    "q84_int8_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS scale FROM e)
+         SELECT vec_id, scale,
+           array_to_string([CAST(CASE WHEN scale = 0 THEN 0
+                                      ELSE floor(x / scale * 127) END AS BIGINT)
+                            for x in v], ',') AS codes,
+           list_max([abs(x - (CASE WHEN scale = 0 THEN 0
+                                   ELSE floor(x / scale * 127) END) * scale / 127)
+                     for x in v]) AS max_err
+         FROM s ORDER BY vec_id""",
   )
 }

@@ -320,9 +320,33 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Token RARITY scoring — the corpus-statistics quality signal a
+    * curation pipeline runs besides per-doc heuristics (q32): each
+    * document scored by the document frequency of its DISTINCT tokens
+    * (min = its rarest token, mean = overall commonness). Low min_df
+    * flags docs with vocabulary seen nowhere else (OCR noise, random
+    * strings); high mean_df flags boilerplate. Two-phase corpus pass:
+    * the df table is a partial-aggregatable token count (vocab-sized,
+    * Zipf-bounded), then one explode-join-reagg keyed by token — the
+    * same shuffle shape as q39's tf-idf, parallel at any corpus size
+    * (hot-token skew bounded because per-(doc,token) rows are already
+    * distinct). mean_df = sum/count of exact longs — one IEEE division,
+    * bit-identical cross-engine. */
+  private def q85TokenRarity(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($toksExpr)")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), min("df").as("min_df"),
+           (sum("df").cast("double") / count(lit(1))).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_curation"      -> q37Curation _,
     "q38_vocab"         -> q38Vocab _,
+    "q85_token_rarity"  -> q85TokenRarity _,
     "q39_tfidf"         -> q39Tfidf _,
     "q36_edit_distance" -> q36EditDistance _,
     "q78_doc_cosine"    -> q78DocCosinePairs _,
@@ -339,6 +363,16 @@ object TextAnalysis extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q85: df/min/count are exact integers; mean_df is one division of
+    // exact longs — bit-identical cross-engine.
+    "q85_token_rarity" ->
+      """WITH tok AS (SELECT doc_id,
+                unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+              FROM documents),
+         dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok)
+         SELECT doc_id, count(*) AS n_toks, min(df) AS min_df,
+                CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+         FROM tok JOIN dfreq USING (tok) GROUP BY doc_id ORDER BY doc_id""",
     // q78: integer tf dot/norms make the sums exact in any order; the one
     // float op (sqrt + divide) runs on identical integers both sides.
     "q78_doc_cosine" ->

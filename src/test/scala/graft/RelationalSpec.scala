@@ -37,4 +37,17 @@ class RelationalSpec extends SparkTestBase {
       .select("o_custkey").collect().map(_.getLong(0)).toSet
     assert(anti.intersect(urgent).isEmpty)
   }
+
+  test("q83 gap fill: dense contiguous daily spine, counts preserved, gaps flagged") {
+    val rows = graft.operators.Relational2.queries("q83_gap_fill")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(r => java.time.LocalDate.parse(r.getString(0)))
+    // contiguous: row count equals the full calendar span, no holes
+    val span = java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1
+    assert(days.length.toLong == span, s"spine has holes: ${days.length} rows over $span days")
+    // counts preserved: zero-filling must not invent or lose orders
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sfDir).count())
+    // flag consistency
+    assert(rows.forall(r => (r.getLong(2) == 1L) == (r.getLong(1) == 0L)))
+  }
 }

@@ -112,6 +112,120 @@ class SimilaritySpec extends SparkTestBase {
       s"trained codebook must not lose recall on structureless data ($trainedR vs $firstkR)")
   }
 
+  test("q81 banded SimHash pairs = brute-force Hamming pairs (recall exactly 1)") {
+    // brute force over all collected signatures — 500 docs, driver-side
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.NativeExprs.simhash_sig(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, as) <- sigs; (b, bs) <- sigs if a < b
+      h = java.lang.Long.bitCount(as ^ bs) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = Dedup.queries("q81_simhash_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded retrieval must find EXACTLY the Hamming<=3 pairs (pigeonhole over 4 bands); " +
+        s"got ${banded.size} vs ${brute.size}")
+    assert(brute.nonEmpty, "testdata must contain planted near-dups")
+  }
+
+  test("q82 PQ/ADC: shape, ascending distance, and cluster recall") {
+    val rows = Similarity.queries("q82_ann_pq")(spark, sfDir).collect()
+    assert(rows.length == 50) // 10 queries × top-5
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val ds = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted), "ADC distance must ascend with rank")
+      assert(g.forall(_.getLong(2) != q), "self-match leaked")
+    }
+
+    // clustered corpus: ADC over 8-byte codes must still put same-cluster
+    // members first — the compression must not destroy neighbor structure
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Seq.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = for { (c, ci) <- centers.zipWithIndex; m <- 0 until 10 }
+      yield (ci.toLong * 10 + m, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val ce = vecs.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPq(ce)
+    val codes = ce.select(col("vec_id"),
+      graft.functions.NativeExprs.pq_encode(col("embedding"), cb).as("codes"))
+    val qs = ce.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("qv"))
+    val top1 = codes.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", -graft.functions.NativeExprs.pq_adc(col("qv"), col("codes"), cb))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.top_k_by_score(col("score"), col("vec_id"), 1).as("top"))
+      .select(col("q_id"), expr("top[0].id").as("n_id"))
+      .collect()
+    val wrong = top1.filter(r => r.getLong(1) / 10 != r.getLong(0) / 10)
+    assert(wrong.length <= 2,
+      s"PQ top-1 should land in the query's cluster for nearly all queries; " +
+        s"misses: ${wrong.map(_.getLong(0)).mkString(",")}")
+  }
+
+  test("IVF-PQ index: all-cells probe reproduces full-scan PQ ranking; pruned probe reads fewer partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.ivfPqIndex(e, Similarity.ivfK, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("qv"))
+
+    // nprobe = k scans every cell → must equal the full-scan ADC ranking
+    val all = Similarity.ivfPqSearch(spark, dir, qs, topK = 5, nprobe = Similarity.ivfK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cb = Similarity.trainPq(e)
+    val full = e.select(col("vec_id"),
+        graft.functions.NativeExprs.pq_encode(col("embedding"), cb).as("codes"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", -graft.functions.NativeExprs.pq_adc(col("qv"), col("codes"), cb))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.top_k_by_score(col("score"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"), col("t.id").as("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSet == full.toSet, "nprobe=k IVF-PQ must equal full-scan PQ ADC")
+
+    // nprobe=1 scans a strict subset of the index partitions
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case q: QueryStageExec => collectAll(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => collectAll(r.child)
+        case _ => Nil
+      }
+      (p +: p.children.flatMap(collectAll)) ++ nested
+    }
+    val one = Similarity.ivfPqSearch(spark, dir, qs, topK = 5, nprobe = 1)
+    assert(one.collect().nonEmpty)
+    // the CODES scan (the big side; the tiny _codebook sidecar scan is
+    // unpartitioned by design) must be partition-pruned to the probed cells
+    val scans = collectAll(one.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.schema.fieldNames.contains("codes") => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "probed IVF-PQ codes scan must carry partition filters")
+  }
+
+  test("q84 int8 quantization: code range and reconstruction-error bound") {
+    val rows = Similarity.queries("q84_int8_quant")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(',').map(_.toLong)
+      val maxErr = r.getDouble(3)
+      assert(codes.forall(c => c >= -128 && c <= 127), "int8 range")
+      // floor quantization: error strictly under one step (scale/127)
+      assert(maxErr < scale / 127 + 1e-12,
+        s"reconstruction error $maxErr exceeds one quantization step ${scale / 127}")
+    }
+  }
+
   test("q42 MinHash+LSH equals the exact ngram-jaccard pair set") {
     val lsh = Dedup.queries("q42_minhash_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

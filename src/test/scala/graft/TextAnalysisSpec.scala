@@ -44,4 +44,26 @@ class TextAnalysisSpec extends SparkTestBase {
     val rows = TextAnalysis.queries("q30_tokens")(spark, sfDir).collect()
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("q85 token rarity: df bounds and near-dup docs score alike") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rows = TextAnalysis.queries("q85_token_rarity")(spark, sfDir).collect()
+    assert(rows.length == nDocs, "one score row per document")
+    rows.foreach { r =>
+      val (n, minDf, meanDf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n >= 1 && minDf >= 1 && minDf <= nDocs)
+      assert(meanDf >= minDf && meanDf <= nDocs,
+        s"mean_df $meanDf outside [min_df=$minDf, corpus=$nDocs]")
+    }
+    // near-duplicate docs share almost all tokens → their rarity scores
+    // must be close (the signal is content-driven, not noise)
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val dups = TextAnalysis.queries("q35_ngram_jaccard")(spark, sfDir).collect()
+    assert(dups.nonEmpty)
+    dups.foreach { p =>
+      val (a, b) = (byId(p.getLong(0)), byId(p.getLong(1)))
+      assert(math.abs(a - b) / math.max(a, b) < 0.2,
+        s"near-dup pair scores diverge: $a vs $b")
+    }
+  }
 }
