@@ -220,7 +220,13 @@ object Dedup extends QueryPack {
   private def q79MinhashEstimate(s: SparkSession, d: String): DataFrame = {
     val nSig = 32
     val sh = shingled(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // posting-list df cut via capBuckets keyed by the shingle (default cap
+    // = corpus size: value-neutral here, but the Σ df² candidate work is
+    // bounded at Σ min(df, cap)² IN the plan — the same bound q35/q41/q42
+    // carry; the window shuffle on `s` is reused by the candidate join)
+    val ex = capBuckets(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")),
+      Seq("s"), Tables.documents(s, d).count())
     val cand = ex.select(col("s"), col("doc_id").as("a_id"))
       .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
       .filter(col("a_id") < col("b_id"))

@@ -382,11 +382,48 @@ object Similarity extends QueryPack {
     * deterministic, so the codebook embeds as DuckDB oracle literals
     * exactly like the LSH planes and the IVF codebook. */
   private[graft] def trainPq(e: DataFrame, m: Int = pqM, ks: Int = pqKs,
-                             sampleN: Int = 256, iters: Int = 5): Array[Array[Array[Double]]] = {
-    val sample: Array[Array[Double]] = e.filter(col("vec_id") < sampleN)
+                             sampleN: Int = 256, iters: Int = 5): Array[Array[Array[Double]]] =
+    trainPqOnSample(collectSample(e, sampleN), m, ks, iters)
+
+  /** The fixed deterministic training sample (lowest `sampleN` vec_ids). */
+  private def collectSample(e: DataFrame, sampleN: Int): Array[Array[Double]] =
+    e.filter(col("vec_id") < sampleN)
       .select(col("vec_id"), VectorExprs.asDouble("embedding").as("v"))
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** PQ codebook trained on coarse-assignment RESIDUALS (v − centroid):
+    * the FAISS IVF-PQ semantic — residuals concentrate around zero with
+    * far less variance than raw vectors, so the same 8 bytes of code
+    * reconstruct tighter (asserted quantitatively in SimilaritySpec).
+    * Sample assignment replicates [[ivfAssignCodebook]]'s argmax exactly
+    * (max cosine, ties → highest centroid id). */
+  private[graft] def trainPqResidual(e: DataFrame, coarse: Array[Array[Double]],
+                                     m: Int = pqM, ks: Int = pqKs,
+                                     sampleN: Int = 256, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample = collectSample(e, sampleN)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val residuals = sample.map { v =>
+      var best = 0; var bestCos = cos(v, coarse(0))
+      var c = 1
+      while (c < coarse.length) {
+        val cc = cos(v, coarse(c))
+        if (cc >= bestCos) { best = c; bestCos = cc }
+        c += 1
+      }
+      val cv = coarse(best)
+      Array.tabulate(v.length)(i => v(i) - cv(i))
+    }
+    trainPqOnSample(residuals, m, ks, iters)
+  }
+
+  private def trainPqOnSample(sample: Array[Array[Double]], m: Int, ks: Int,
+                              iters: Int): Array[Array[Array[Double]]] = {
     require(sample.length >= ks, s"need >= $ks sample vectors, got ${sample.length}")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -467,21 +504,23 @@ object Similarity extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
-  /** PQ codebook as a (m, code, cv) DataFrame for persistence. */
-  private def pqCodebookDf(s: SparkSession, cb: Array[Array[Array[Double]]]): DataFrame = {
+  /** PQ codebook as a (m, code, cv, residual) DataFrame for persistence
+    * (`residual` records whether the codes encode v − centroid). */
+  private def pqCodebookDf(s: SparkSession, cb: Array[Array[Array[Double]]],
+                           residual: Boolean): DataFrame = {
     import s.implicits._
     (for (mi <- cb.indices; c <- cb(mi).indices)
-      yield (mi, c, cb(mi)(c).toSeq)).toDF("m", "code", "cv")
+      yield (mi, c, cb(mi)(c).toSeq, residual)).toDF("m", "code", "cv", "residual")
   }
 
-  private def loadPqCodebook(s: SparkSession, path: String): Array[Array[Array[Double]]] = {
+  private def loadPqCodebook(s: SparkSession, path: String): (Array[Array[Array[Double]]], Boolean) = {
     val rows = s.read.parquet(s"$path/_pq_codebook")
       .orderBy("m", "code").collect()
     val m = rows.map(_.getInt(0)).max + 1
     val ks = rows.map(_.getInt(1)).max + 1
     val cb = Array.ofDim[Array[Double]](m, ks)
     rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-    cb
+    (cb, rows.head.getBoolean(3))
   }
 
   /** Materialize an IVF-PQ index — the FAISS-style composition of both
@@ -492,28 +531,46 @@ object Similarity extends QueryPack {
     * 30× when rerank isn't needed). A probe then reads a FRACTION of the
     * corpus (partition pruning) and scores it from code bytes (ADC) —
     * the two multiplicative reductions every billion-scale ANN system
-    * stacks. Codebooks persist under `_codebook/` / `_pq_codebook/`. */
-  def ivfPqIndex(e: DataFrame, k: Int, path: String): Unit = {
+    * stacks. Codebooks persist under `_codebook/` / `_pq_codebook/`.
+    *
+    * With `residual = true` (default, the FAISS semantic) the PQ encodes
+    * v − centroid: residuals concentrate around zero, so the same code
+    * budget reconstructs measurably tighter (SimilaritySpec asserts the
+    * mean squared reconstruction error strictly improves). The residual
+    * subtraction is a `zip_with` against the (broadcast) cell centroid —
+    * map-side, no extra shuffle. */
+  def ivfPqIndex(e: DataFrame, k: Int, path: String, residual: Boolean = true): Unit = {
     val s = e.sparkSession
     val coarse = trainCentroids(e, k)
-    val pq = trainPq(e)
-    ivfAssignCodebook(s, e, coarse)
+    val pq = if (residual) trainPqResidual(e, coarse) else trainPq(e)
+    val assigned = ivfAssignCodebook(s, e, coarse)
+    val toEncode =
+      if (residual)
+        assigned
+          .join(broadcast(codebookDf(s, coarse)), col("centroid") === col("c_id"))
+          .withColumn("enc", expr(
+            "zip_with(transform(embedding, x -> cast(x as double)), cv, (a, b) -> a - b)"))
+      else assigned.withColumn("enc", col("embedding"))
+    toEncode
       .select(col("vec_id"), col("centroid"),
-              NativeExprs.pq_encode(col("embedding"), pq).as("codes"))
+              NativeExprs.pq_encode(col("enc"), pq).as("codes"))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
     codebookDf(s, coarse).write.mode("overwrite").parquet(s"$path/_codebook")
-    pqCodebookDf(s, pq).write.mode("overwrite").parquet(s"$path/_pq_codebook")
+    pqCodebookDf(s, pq, residual).write.mode("overwrite").parquet(s"$path/_pq_codebook")
   }
 
   /** Search a materialized IVF-PQ index: rank the k coarse centroids per
     * query (broadcast, heap-ranked), scan only the top-`nprobe` cells'
     * partitions, score candidates by ADC over their code bytes (smallest
     * approximate distance first; `adc` in the output). Raw corpus
-    * vectors are never read. */
+    * vectors are never read. For a residual index the query side is
+    * re-expressed per probed cell as qv − centroid (the standard IVF-PQ
+    * ADC: one table per (query, cell)); the probe join is an equi-join
+    * on the cell id over exploded (q_id, centroid) probe rows. */
   def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
                   topK: Int, nprobe: Int): DataFrame = {
     val idx = s.read.parquet(path).select("vec_id", "centroid", "codes")
-    val pq = loadPqCodebook(s, path)
+    val (pq, residual) = loadPqCodebook(s, path)
     val cents = loadCodebook(s, path)
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("cos_c", NativeExprs.cosine_sim(col("qv"), col("cv")))
@@ -522,24 +579,76 @@ object Similarity extends QueryPack {
            graft.functions.TopKAgg
              .top_k_by_score(col("cos_c"), col("c_id"), nprobe).as("cells"))
       .select(col("q_id"), col("qv"),
-              expr("transform(cells, x -> x.id)").as("probe_ids"))
+              explode(expr("transform(cells, x -> x.id)")).as("probe_centroid"))
+    // per-(query, cell) probe rows joined back to the centroid vectors:
+    // for a residual index the effective query in cell c is qv − cv(c)
+    val probeRows = probes
+      .join(broadcast(cents), col("probe_centroid") === col("c_id"))
+      .withColumn("qeff",
+        if (residual) expr("zip_with(qv, cv, (a, b) -> a - b)") else col("qv"))
+      .select(col("q_id"), col("probe_centroid"), col("qeff"))
     // the probe decision is driver-known (|Q| × nprobe cell ids — tiny):
     // materialize the probed-cell UNION and filter the scan with it, so
     // the partition pruning is STATIC at the parquet scan (asserted in
-    // SimilaritySpec) — the array_contains join alone is a broadcast
-    // nested-loop that would read every cell's partition
-    val cells = probes.select(explode(col("probe_ids")).as("c")).distinct()
+    // SimilaritySpec); the per-cell assignment is then a broadcast
+    // equi-join on the cell id
+    val cells = probeRows.select(col("probe_centroid")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
     idx.filter(col("centroid").isin(cells: _*))
-      .join(broadcast(probes), array_contains(col("probe_ids"), col("centroid")))
+      .join(broadcast(probeRows), col("centroid") === col("probe_centroid"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", -NativeExprs.pq_adc(col("qv"), col("codes"), pq))
+      .withColumn("score", -NativeExprs.pq_adc(col("qeff"), col("codes"), pq))
       .groupBy("q_id")
       .agg(graft.functions.TopKAgg
         .top_k_by_score(col("score"), col("vec_id"), topK).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
       .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
               col("t.id").as("n_id"), (-col("t.score")).as("adc"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Coarse + residual-PQ codebooks trained by q86 builds, keyed by
+    * dataset dir — the oracle-generation contract of [[codebooks]]. */
+  private val ivfPqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Residual IVF-PQ end-to-end as a CHECKED query — the full FAISS
+    * semantic under the correctness gate, composing q45's coarse
+    * quantizer with q82's PQ: every vector is assigned to its trained
+    * coarse cell (broadcast argmax), its RESIDUAL v − centroid is PQ
+    * encoded (residuals concentrate near zero, so the 8-byte budget
+    * reconstructs tighter — the SimilaritySpec-quantified win), and
+    * search (nprobe=1) scores the query's residual against its own
+    * cell's codes by ADC. Plan shape: two broadcasts (k coarse rows,
+    * |Q| query rows), map-side encoding, heap-bounded ranking — the
+    * corpus shuffles once for the assignment argmax and nothing else.
+    * Oracle: BOTH trained codebooks embedded as literals; assignment
+    * argmax, residual subtraction, per-subspace argmin, reconstruction
+    * and the 64-term ADC fold replicated bit-exactly in DuckDB SQL. */
+  private def q86AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val coarse = trainCentroids(e, ivfK)
+    val pq = trainPqResidual(e, coarse)
+    ivfPqCodebooks.put(d, (coarse, pq))
+    val withRes = ivfAssignCodebook(s, e, coarse)
+      .join(broadcast(codebookDf(s, coarse)), col("centroid") === col("c_id"))
+      .withColumn("enc", expr(
+        "zip_with(transform(embedding, x -> cast(x as double)), cv, (a, b) -> a - b)"))
+    val codes = withRes.select(col("vec_id"), col("centroid"),
+      NativeExprs.pq_encode(col("enc"), pq).as("codes"))
+    val qs = withRes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("centroid").as("q_centroid"),
+              col("enc").as("qres"))
+    codes.join(broadcast(qs), col("centroid") === col("q_centroid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", -NativeExprs.pq_adc(col("qres"), col("codes"), pq))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("n_id"),
+              (floor(-col("t.score") * 100000) / 100000).as("adc"))
       .orderBy("q_id", "rnk")
   }
 
@@ -609,6 +718,7 @@ object Similarity extends QueryPack {
     "q80_embedding_clusters" -> q80EmbeddingClusters _,
     "q82_ann_pq"          -> q82AnnPq _,
     "q84_int8_quant"      -> q84Int8Quant _,
+    "q86_ann_ivfpq"       -> q86AnnIvfPq _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -739,6 +849,68 @@ object Similarity extends QueryPack {
         FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""
   }
 
+  /** q86's oracle: BOTH trained codebooks as literals — the coarse
+    * codebook drives the q45-style cosine argmax (ties: highest cos,
+    * then highest c_id); the residual per-subspace distance is the
+    * explicit left-associated fold ((v − coarse_cv) − pq_cv)² matching
+    * [[graft.functions.PqEncode]] over the zip_with residual; ADC is the
+    * 64-term fold over (query residual − reconstruction). */
+  private def ivfPqOracleSqlTrained(coarse: Array[Array[Double]],
+                                    pq: Array[Array[Array[Double]]]): String = {
+    val m = pq.length
+    val sub = pq(0)(0).length
+    val dim = m * sub
+    val coarseRows = coarse.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(fmt).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    val cbRows = (for (mi <- 0 until m; c <- pq(mi).indices) yield
+      s"($mi, $c, [${pq(mi)(c).map(fmt).mkString(", ")}]::DOUBLE[])"
+    ).mkString(",\n             ")
+    val subDist = (1 to sub).map { j =>
+      val t = s"(e.v[cb.m*$sub+$j]-cc.cv[cb.m*$sub+$j]-cb.cv[$j])"
+      s"$t*$t"
+    }.mkString(" + ")
+    val adcDist = (1 to dim)
+      .map(i => s"(q.qres[$i]-recon.r[$i])*(q.qres[$i]-recon.r[$i])")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cc(c_id, cv) AS (VALUES
+             $coarseRows),
+        cb(m, code, cv) AS (VALUES
+             $cbRows),
+        sc0 AS (SELECT e.vec_id, cc.c_id,
+                       list_cosine_similarity(e.v, cc.cv) AS cs FROM e, cc),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, c_id DESC) AS rn FROM sc0) WHERE rn = 1),
+        sc AS (SELECT e.vec_id, asg.centroid, cb.m, cb.code,
+                      $subDist AS d
+               FROM e JOIN asg USING (vec_id)
+               JOIN cc ON cc.c_id = asg.centroid, cb),
+        codes AS (SELECT vec_id, centroid, m, code FROM (
+                    SELECT vec_id, centroid, m, code,
+                           row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY d ASC, code ASC) AS rn FROM sc)
+                  WHERE rn = 1),
+        recon AS (SELECT c.vec_id, any_value(c.centroid) AS centroid,
+                         flatten(list(cb.cv ORDER BY c.m)) AS r
+                  FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+                  GROUP BY c.vec_id),
+        q AS (SELECT e.vec_id AS q_id, asg.centroid AS q_centroid,
+                     [e.v[i] - cc.cv[i] for i in range(1, ${dim + 1})] AS qres
+              FROM e JOIN asg USING (vec_id)
+              JOIN cc ON cc.c_id = asg.centroid WHERE e.vec_id < 10),
+        s2 AS (SELECT q.q_id, recon.vec_id AS n_id,
+                      $adcDist AS adist
+               FROM recon JOIN q ON recon.centroid = q.q_centroid
+               WHERE recon.vec_id <> q.q_id),
+        r2 AS (SELECT q_id, n_id, adist,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY adist ASC, n_id) AS rnk FROM s2)
+        SELECT q_id, rnk, n_id, floor(adist * 100000) / 100000 AS adc
+        FROM r2 WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
   /** Dir-aware dump: the q45/q82 oracles embed the codebooks trained when
     * the queries ran ON THIS dataset; Verify dumps oracle_sql.json after
     * the query loop, so the literals are always the ones the Spark result
@@ -750,7 +922,10 @@ object Similarity extends QueryPack {
       ("q45_ann_ivf" -> Option(codebooks.get(dir)).map(ivfOracleSqlTrained)
         .getOrElse("SELECT 1 AS q45_not_built_for_this_dataset")) +
       ("q82_ann_pq" -> Option(pqCodebooks.get(dir)).map(pqOracleSqlTrained)
-        .getOrElse("SELECT 1 AS q82_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q82_not_built_for_this_dataset")) +
+      ("q86_ann_ivfpq" -> Option(ivfPqCodebooks.get(dir))
+        .map { case (cc, pq) => ivfPqOracleSqlTrained(cc, pq) }
+        .getOrElse("SELECT 1 AS q86_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -783,6 +958,10 @@ object Similarity extends QueryPack {
     "q82_ann_pq" -> (if (pqCodebooks.size == 1)
         pqOracleSqlTrained(pqCodebooks.values.iterator.next())
       else "SELECT 1 AS q82_not_built_unambiguously_this_process"),
+    "q86_ann_ivfpq" -> (if (ivfPqCodebooks.size == 1) {
+        val (cc, pq) = ivfPqCodebooks.values.iterator.next()
+        ivfPqOracleSqlTrained(cc, pq)
+      } else "SELECT 1 AS q86_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q84: every op is the same IEEE double op in the same order (max-abs
     // fold, floor-quantize, reconstruct, max-error fold) — no rounding

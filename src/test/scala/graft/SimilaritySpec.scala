@@ -168,7 +168,10 @@ class SimilaritySpec extends SparkTestBase {
   test("IVF-PQ index: all-cells probe reproduces full-scan PQ ranking; pruned probe reads fewer partitions") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    Similarity.ivfPqIndex(e, Similarity.ivfK, dir)
+    // residual = false here so nprobe=k is comparable to a flat full-scan
+    // PQ (a residual index re-expresses the query per cell; its quality
+    // contract is the dedicated reconstruction test below)
+    Similarity.ivfPqIndex(e, Similarity.ivfK, dir, residual = false)
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"),
               graft.functions.VectorExprs.asDouble("embedding").as("qv"))
@@ -210,6 +213,58 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
       "probed IVF-PQ codes scan must carry partition filters")
+  }
+
+  test("IVF-PQ residual encoding reconstructs tighter than raw PQ; residual search stays pruned") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.trainCentroids(e, Similarity.ivfK)
+
+    // raw PQ reconstruction error: || v − recon(codes(v)) ||²
+    val pqRaw = Similarity.trainPq(e)
+    val rawErr = e.select(graft.functions.NativeExprs.pq_adc(
+        graft.functions.VectorExprs.asDouble("embedding"),
+        graft.functions.NativeExprs.pq_encode(col("embedding"), pqRaw), pqRaw).as("err"))
+      .agg(avg("err")).head.getDouble(0)
+
+    // residual PQ: same code budget over v − centroid
+    import spark.implicits._
+    val cbDf = coarse.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("c_id", "cv")
+    val enc = Similarity.ivfAssignCodebook(spark, e, coarse)
+      .join(broadcast(cbDf), col("centroid") === col("c_id"))
+      .withColumn("enc",
+        expr("zip_with(transform(embedding, x -> cast(x as double)), cv, (a, b) -> a - b)"))
+    val pqRes = Similarity.trainPqResidual(e, coarse)
+    val resErr = enc.select(graft.functions.NativeExprs.pq_adc(col("enc"),
+        graft.functions.NativeExprs.pq_encode(col("enc"), pqRes), pqRes).as("err"))
+      .agg(avg("err")).head.getDouble(0)
+    assert(resErr < rawErr,
+      s"residual coding must reconstruct tighter: residual MSE $resErr vs raw $rawErr")
+
+    // a residual index end-to-end: search returns ranked rows and the
+    // codes scan is still statically pruned to the probed cells
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toString
+    Similarity.ivfPqIndex(e, Similarity.ivfK, dir) // residual default
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("qv"))
+    val res = Similarity.ivfPqSearch(spark, dir, qs, topK = 5, nprobe = 2)
+    val rows = res.collect()
+    assert(rows.length == 25)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val ds = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted), "ADC distance must ascend with rank")
+    }
+  }
+
+  test("q86 residual IVF-PQ query: shape and ascending ADC per query") {
+    val rows = Similarity.queries("q86_ann_ivfpq")(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val ds = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted), "ADC distance must ascend with rank")
+      assert(g.forall(_.getLong(2) != q), "self-match leaked")
+    }
   }
 
   test("q84 int8 quantization: code range and reconstruction-error bound") {
