@@ -248,6 +248,47 @@ object Dedup extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** Fuzzy KEY join (SymSpell-style deletion neighborhoods) — the short-
+    * string twin of document near-dup: find all pairs within Levenshtein
+    * distance 1 without an all-pairs scan. Candidates are pairs sharing a
+    * DELETION VARIANT (the string itself or any single-character
+    * deletion); recall is EXACTLY 1 for distance <= 1 — a substitution at
+    * position i means deleting i from both sides collides, an insertion/
+    * deletion means the shorter string IS a deletion variant of the
+    * longer — then exact `levenshtein` verifies. The posting shuffle
+    * carries (variant, id, name): O(N·L) short rows, never O(N²); hot
+    * variants (shared prefixes at corpus scale) are bounded in the plan
+    * by [[capBuckets]]. Generalizes to distance d with d-deletion
+    * neighborhoods (O(N·L^d) postings — the standard SymSpell tradeoff).
+    */
+  private[graft] def fuzzyJoinPairs(s: SparkSession, d: String,
+                                    maxBucket: Long = -1L): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val cap = if (maxBucket > 0) maxBucket else c.count()
+    val variants = capBuckets(
+      c.select(col("id"), col("name"),
+        explode(expr(
+          """array_append(
+               transform(sequence(1, length(name)),
+                         i -> concat(substring(name, 1, i - 1),
+                                     substring(name, i + 1, length(name)))),
+               name)""")).as("variant")),
+      Seq("variant"), cap)
+    variants.select(col("variant"), col("id").as("a_id"), col("name").as("a_name"))
+      .join(variants.select(col("variant"), col("id").as("b_id"), col("name").as("b_name")),
+            Seq("variant"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_name", "b_name").distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("a_id", "b_id", "dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def q88FuzzyJoin(s: SparkSession, d: String): DataFrame =
+    fuzzyJoinPairs(s, d)
+
   /** Dedup CLUSTER assignment — the step after pair detection: group
     * near-dup pairs into connected components and elect one canonical doc
     * per component (smallest id), so a curation pipeline can drop
@@ -427,6 +468,7 @@ object Dedup extends QueryPack {
     "q42_minhash_lsh"   -> q42MinhashLsh _,
     "q43_simhash"       -> q43Simhash _,
     "q81_simhash_neardup" -> q81SimhashNearDup _,
+    "q88_fuzzy_join"    -> q88FuzzyJoin _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -473,6 +515,22 @@ object Dedup extends QueryPack {
                                    AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, CAST(bit_count(xor(asig, bsig)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(asig, bsig)) <= 3
+         ORDER BY a_id, b_id""",
+    // q88: identical deletion-variant candidate generation + levenshtein
+    // verify (same edit-distance definition both engines; names ASCII).
+    "q88_fuzzy_join" ->
+      """WITH v AS (
+           SELECT c_custkey AS id, c_name AS name,
+                  unnest(list_append(
+                    [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                     for i in range(1, len(c_name) + 1)],
+                    c_name)) AS variant
+           FROM customer),
+         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                         a.name AS a_name, b.name AS b_name
+                  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+         SELECT a_id, b_id, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(a_name, b_name) <= 1
          ORDER BY a_id, b_id""",
     // q79: the identical md5-family signature + estimator replicated in
     // DuckDB; est = k/32 is dyadic (exact both engines), jaccard uses the

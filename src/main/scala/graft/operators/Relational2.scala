@@ -183,9 +183,27 @@ object Relational2 extends QueryPack {
       .orderBy("day")
   }
 
+  /** Percentile-rank normalization — the distribution-free feature
+    * scaling an ML pipeline applies per stratum: percent_rank and
+    * cume_dist of document length within each language. The (n_chars,
+    * doc_id) tiebreak makes every rank unique, so both outputs are exact
+    * integer ratios (bit-identical cross-engine, no float-order
+    * ambiguity). One shuffle keyed by lang; window work parallel per
+    * stratum at any scale (a lang-skewed corpus shards the partition key,
+    * same note as q46's packing). */
+  private def q87RankNorm(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_range_join"   -> q63RangeJoin _,
     "q83_gap_fill"     -> q83GapFill _,
+    "q87_rank_norm"    -> q87RankNorm _,
     "q64_corr_subquery" -> q64AboveBrandAvg _,
     "q67_hash_sample"  -> q67HashSample _,
     "q68_histogram"    -> q68Histogram _,
@@ -262,6 +280,13 @@ object Relational2 extends QueryPack {
                 datediff('day', prev_date, o_orderdate) AS gap_days
          FROM w WHERE datediff('day', prev_date, o_orderdate) > 180
          ORDER BY o_custkey, o_orderkey""",
+    "q87_rank_norm" ->
+      """SELECT doc_id, lang, n_chars,
+                percent_rank() OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id) AS pr,
+                cume_dist() OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id) AS cd
+         FROM documents ORDER BY doc_id""",
     "q83_gap_fill" ->
       """WITH d AS (SELECT o_orderdate::DATE AS day, count(*) AS n
                     FROM orders GROUP BY 1),

@@ -567,6 +567,31 @@ object Similarity extends QueryPack {
     * re-expressed per probed cell as qv − centroid (the standard IVF-PQ
     * ADC: one table per (query, cell)); the probe join is an equi-join
     * on the cell id over exploded (q_id, centroid) probe rows. */
+  /** [[ivfPqSearch]] + EXACT RERANK — the standard two-stage retrieval:
+    * ADC over code bytes selects `rerankK` candidates per query (cheap,
+    * reads ~8 B/vector), then ONLY those candidates' raw vectors are
+    * fetched from `corpus` — the FULL-PRECISION store the index was built
+    * from (the index itself stays codes-only; a broadcast semi-join
+    * reduces the corpus scan map-side to at most |Q|·rerankK rows) — and
+    * re-scored by exact cosine. Buys back ADC's quantization error at
+    * the cost of one tiny point-lookup pass; SimilaritySpec asserts the
+    * output IS the exact-cosine top-k of the ADC pool. */
+  def ivfPqSearchRerank(s: SparkSession, path: String, queries: DataFrame,
+                        corpus: DataFrame, topK: Int, nprobe: Int,
+                        rerankK: Int): DataFrame = {
+    require(rerankK >= topK, "rerank pool must be at least topK")
+    val cand = ivfPqSearch(s, path, queries, rerankK, nprobe)
+      .select(col("q_id").as("c_q_id"), col("n_id"))
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand.select(col("n_id").as("vec_id")).distinct()),
+            Seq("vec_id"), "left_semi")
+    rankTopK(
+      broadcast(cand).join(vecs, cand("n_id") === vecs("vec_id"))
+        .join(broadcast(queries), col("c_q_id") === col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
+      topK)
+  }
+
   def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
                   topK: Int, nprobe: Int): DataFrame = {
     val idx = s.read.parquet(path).select("vec_id", "centroid", "codes")

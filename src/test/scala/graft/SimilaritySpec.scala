@@ -129,6 +129,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(brute.nonEmpty, "testdata must contain planted near-dups")
   }
 
+  test("q88 fuzzy join = brute-force Levenshtein<=1 pairs (recall exactly 1)") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+                           prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (a, an) <- names; (b, bn) <- names if a < b
+      dd = lev(an, bn) if dd <= 1
+    } yield (a, b, dd.toLong)).toSet
+    val got = Dedup.queries("q88_fuzzy_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"deletion-neighborhood retrieval must find exactly the distance<=1 pairs " +
+        s"(${got.size} vs ${brute.size})")
+    assert(brute.nonEmpty)
+  }
+
   test("q82 PQ/ADC: shape, ascending distance, and cluster recall") {
     val rows = Similarity.queries("q82_ann_pq")(spark, sfDir).collect()
     assert(rows.length == 50) // 10 queries × top-5
@@ -255,6 +284,35 @@ class SimilaritySpec extends SparkTestBase {
       val ds = g.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(ds.sameElements(ds.sorted), "ADC distance must ascend with rank")
     }
+  }
+
+  test("IVF-PQ rerank: output is exactly the cosine top-k of the ADC candidate pool") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrr").toString
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.ivfPqIndex(e, Similarity.ivfK, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("qv"))
+    val rerankK = 25
+    val pool = Similarity.ivfPqSearch(spark, dir, qs, rerankK, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.ivfPqSearchRerank(spark, dir, qs, e, topK = 5, nprobe = 2, rerankK = rerankK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // expected: exact cosine over the pool, top-5, ties by n_id asc
+    val emb = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = pool.flatMap { case (q, ids) =>
+      ids.toSeq.map(n => (q, n, cos(emb(q), emb(n))))
+        .sortBy { case (_, n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((_, n, _), i) => (q, i + 1L, n) }
+    }.toSet
+    assert(got.toSet == expected,
+      "rerank must return the exact-cosine top-5 of the ADC candidate pool")
   }
 
   test("q86 residual IVF-PQ query: shape and ascending ADC per query") {
