@@ -289,6 +289,27 @@ object Dedup extends QueryPack {
   private def q88FuzzyJoin(s: SparkSession, d: String): DataFrame =
     fuzzyJoinPairs(s, d)
 
+  /** ENTITY RESOLUTION — the step after fuzzy matching: group the
+    * Levenshtein-≤1 pairs (q88) into connected components via the same
+    * pointer-doubling min-label propagation as q73/q80 and elect one
+    * canonical record per entity cluster (smallest id). The full
+    * dedupe-merge shape every master-data / training-corpus pipeline
+    * runs: candidate generation (deletion neighborhoods) → verification
+    * (exact edit distance) → clustering (CC) → canonicalization. Oracle:
+    * q88's pair SQL closed with the q73 recursive-CTE closure. */
+  private def q89EntityResolution(s: SparkSession, d: String): DataFrame = {
+    val pairs = fuzzyJoinPairs(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("doc_id"))
+    val (labels, _) = connectedComponents(nodes, edges)
+    labels
+      .select(col("doc_id").as("c_custkey"), col("cluster_id").as("entity_id"),
+              when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L).as("canonical"))
+      .orderBy("c_custkey")
+  }
+
   /** Dedup CLUSTER assignment — the step after pair detection: group
     * near-dup pairs into connected components and elect one canonical doc
     * per component (smallest id), so a curation pipeline can drop
@@ -469,6 +490,7 @@ object Dedup extends QueryPack {
     "q43_simhash"       -> q43Simhash _,
     "q81_simhash_neardup" -> q81SimhashNearDup _,
     "q88_fuzzy_join"    -> q88FuzzyJoin _,
+    "q89_entity_resolution" -> q89EntityResolution _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -532,6 +554,30 @@ object Dedup extends QueryPack {
          SELECT a_id, b_id, CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(a_name, b_name) <= 1
          ORDER BY a_id, b_id""",
+    // q89: q88's pair SQL closed transitively with the q73 recursive CTE;
+    // entity id = component minimum (what min-label propagation converges to).
+    "q89_entity_resolution" ->
+      """WITH RECURSIVE v AS (
+           SELECT c_custkey AS id, c_name AS name,
+                  unnest(list_append(
+                    [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+                     for i in range(1, len(c_name) + 1)],
+                    c_name)) AS variant
+           FROM customer),
+         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                         a.name AS a_name, b.name AS b_name
+                  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id),
+         pairs AS (SELECT a_id, b_id FROM cand
+                   WHERE levenshtein(a_name, b_name) <= 1),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT c_custkey AS id, c_custkey AS r FROM customer
+           UNION
+           SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         SELECT id AS c_custkey, min(r) AS entity_id,
+                CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS canonical
+         FROM reach GROUP BY id ORDER BY c_custkey""",
     // q79: the identical md5-family signature + estimator replicated in
     // DuckDB; est = k/32 is dyadic (exact both engines), jaccard uses the
     // q35 floor convention.

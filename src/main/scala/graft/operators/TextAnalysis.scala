@@ -343,10 +343,33 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Document CHUNKING — the tokenize→chunk step ahead of sequence
+    * packing (q46/q75): fixed 40-token windows with stride 30 (overlap
+    * 10), the standard sliding-window split a training pipeline applies
+    * to long documents. Chunk count ceil((n−10)/30) (min 1) keeps the
+    * tail; each chunk is identified by its md5 so the full chunk CONTENT
+    * is under the hash check, not just counts. Pure per-doc map work —
+    * explode of a computed index range, no shuffle at any scale; output
+    * rows ≈ corpus tokens / stride. */
+  private def q90Chunking(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .select(col("doc_id"), col("n_tok"), col("tk"),
+        explode(expr("sequence(0, greatest(1, cast(ceil((n_tok - 10) / 30.0) as int)) - 1)"))
+          .as("chunk_idx"))
+      .withColumn("chunk",
+        expr("slice(tk, chunk_idx * 30 + 1, least(40, n_tok - chunk_idx * 30))"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              size(col("chunk")).cast("long").as("chunk_tokens"),
+              md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_curation"      -> q37Curation _,
     "q38_vocab"         -> q38Vocab _,
     "q85_token_rarity"  -> q85TokenRarity _,
+    "q90_chunking"      -> q90Chunking _,
     "q39_tfidf"         -> q39Tfidf _,
     "q36_edit_distance" -> q36EditDistance _,
     "q78_doc_cosine"    -> q78DocCosinePairs _,
@@ -373,6 +396,21 @@ object TextAnalysis extends QueryPack {
          SELECT doc_id, count(*) AS n_toks, min(df) AS min_df,
                 CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
          FROM tok JOIN dfreq USING (tok) GROUP BY doc_id ORDER BY doc_id""",
+    // q90: chunk boundaries from exact small-int arithmetic (the one
+    // float op, ceil of an exact division, is identical both engines);
+    // chunk content verified via md5 of the joined tokens.
+    "q90_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents),
+         c AS (SELECT doc_id, len(tk) AS n_tok,
+                      unnest([i for i in range(0,
+                        greatest(1, CAST(ceil((len(tk) - 10) / 30.0) AS BIGINT)))]) AS chunk_idx,
+                      tk
+               FROM t)
+         SELECT doc_id, chunk_idx,
+                len(tk[chunk_idx*30 + 1 : least(chunk_idx*30 + 40, n_tok)]) AS chunk_tokens,
+                md5(array_to_string(tk[chunk_idx*30 + 1 : least(chunk_idx*30 + 40, n_tok)], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
     // q78: integer tf dot/norms make the sums exact in any order; the one
     // float op (sqrt + divide) runs on identical integers both sides.
     "q78_doc_cosine" ->

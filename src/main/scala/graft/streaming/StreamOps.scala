@@ -263,6 +263,126 @@ object StreamOps {
       .toDF()
   }
 
+  final case class SigBucketDoc(bucket: Long, doc_id: Long,
+                                ts: java.sql.Timestamp, sig: Long)
+  final case class HammingPair(a_id: Long, b_id: Long, hamming: Long,
+                               ts: java.sql.Timestamp)
+  final case class SigEntry(doc_id: Long, tsMs: Long, sig: Long)
+
+  /** Per-bucket Hamming verifier for [[simhashNearDupStream]] — the
+    * [[NearDupBucketProcessor]] shape with a 16-byte resident (doc_id +
+    * signature) instead of a shingle set, and a one-instruction verify
+    * (XOR + popcount) instead of a set intersection. The state-cheap
+    * streaming near-dup: per-bucket memory is residents × 24 B
+    * regardless of document size. */
+  private final class SimhashBucketProcessor(delayMs: Long, maxHamming: Int,
+                                             maxResidents: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SigBucketDoc, HammingPair] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var entries: ListState[SigEntry] = _
+    @transient private var gcTimer: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      entries = getHandle.getListState[SigEntry](
+        "entries", Encoders.product[SigEntry], TTLConfig.NONE)
+      gcTimer = getHandle.getValueState[Long](
+        "gcTimer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(at: Long): Unit = {
+      if (gcTimer.exists()) getHandle.deleteTimer(gcTimer.get())
+      getHandle.registerTimer(at)
+      gcTimer.update(at)
+    }
+
+    private def pruned(wm: Long): List[SigEntry] =
+      entries.get().toList.filter(_.tsMs >= wm - delayMs)
+
+    private def store(kept: List[SigEntry]): Unit = {
+      entries.clear()
+      kept.foreach(entries.appendValue)
+    }
+
+    override def handleInputRows(bucket: Long, in: Iterator[SigBucketDoc],
+                                 timers: TimerValues): Iterator[HammingPair] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      var kept = pruned(wm)
+      val out = Seq.newBuilder[HammingPair]
+      var maxTs = Long.MinValue
+      in.toSeq.sortBy(_.ts.getTime).foreach { d =>
+        val t = d.ts.getTime
+        maxTs = math.max(maxTs, t)
+        kept.foreach { e =>
+          if (e.doc_id != d.doc_id) {
+            val h = java.lang.Long.bitCount(e.sig ^ d.sig)
+            if (h <= maxHamming) {
+              val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
+                           else (d.doc_id, e.doc_id)
+              out += HammingPair(a, b, h.toLong, d.ts)
+            }
+          }
+        }
+        kept = (SigEntry(d.doc_id, t, d.sig) :: kept).take(maxResidents)
+      }
+      store(kept)
+      if (maxTs != Long.MinValue) armTimer(maxTs + 2 * delayMs)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(bucket: Long, timers: TimerValues,
+        info: streaming.ExpiredTimerInfo): Iterator[HammingPair] = {
+      val kept = pruned(timers.getCurrentWatermarkInMs())
+      if (kept.isEmpty) {
+        entries.clear()
+        gcTimer.clear()
+      } else {
+        store(kept)
+        val at = kept.map(_.tsMs).max + 2 * delayMs
+        getHandle.registerTimer(at)
+        gcTimer.update(at)
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming banded-SimHash near-dup pairs — the streaming twin of the
+    * batch q81 and the STATE-CHEAP alternative to
+    * [[nearDupPairsStream]]: a resident is (doc_id, ts, 60-bit sig) — 24
+    * bytes regardless of document length — and verification is one
+    * XOR+popcount. The signature is banded exactly like batch q81
+    * (nBands × bitsPerBand; band index folded into the bucket key), so
+    * within the watermark the recall guarantee carries over: a pair at
+    * Hamming ≤ maxHamming < nBands shares at least one band bucket by
+    * pigeonhole. Emitted once per pair via
+    * `dropDuplicatesWithinWatermark` (same stateful→stateful chain as
+    * the MinHash form). */
+  def simhashNearDupStream(docs: DataFrame, tsCol: String, delay: String,
+                           delayMs: Long, maxHamming: Int = 3,
+                           nBands: Int = 4, bitsPerBand: Int = 15,
+                           maxResidents: Int = 4096)
+                          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(maxHamming < nBands, "recall guarantee needs maxHamming < nBands")
+    val mask = (1L << bitsPerBand) - 1
+    val banded = docs
+      .select(col("doc_id"), col(tsCol).as("ts"),
+              graft.functions.NativeExprs.simhash_sig(col("text")).as("sig"))
+      .select(explode(expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"shiftleft(cast(b as bigint), $bitsPerBand) | (shiftright(sig, b * $bitsPerBand) & $mask))"))
+          .as("bucket"),
+        col("doc_id"), col("ts"), col("sig"))
+      .withWatermark("ts", delay)
+      .as[SigBucketDoc]
+    banded
+      .groupByKey(_.bucket)
+      .transformWithState(new SimhashBucketProcessor(delayMs, maxHamming, maxResidents),
+        "ts", OutputMode.Append())
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .toDF()
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp,

@@ -282,6 +282,60 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming SimHash near-dup equals the brute-force Hamming answer within the watermark") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val inWindow = Seq(
+      (0L, ts(0), base),
+      (1L, ts(1), base + " extra"),
+      (2L, ts(2), "completely different content words that do not match anything here at all"),
+      (3L, ts(3), base))
+    // expected = brute-force Hamming <= 3 over the in-window signatures
+    // (what batch q81 verifies after banded retrieval)
+    val sigs = inWindow.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.NativeExprs.simhash_sig(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = (for {
+      (a, _, _) <- inWindow; (b, _, _) <- inWindow if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(expected.contains((0L, 3L)), "identical docs must be Hamming-0")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val df = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = StreamOps.simhashNearDupStream(df, "ts", "10 minutes", 600000L)
+        .writeStream.format("memory").queryName("simhash_stream_out")
+        .outputMode("append").start()
+      mem.addData(inWindow)
+      q.processAllAvailable()
+      // advance the watermark past the first docs, then replay the base:
+      // its former near-dups are older than the horizon — no new pairs
+      mem.addData(Seq((20L, ts(295), "watermark advancing filler text nothing like the others")))
+      q.processAllAvailable()
+      mem.addData(Seq((10L, ts(300), base)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("simhash_stream_out").select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"streaming SimHash pairs must equal the Hamming answer within the watermark: $got vs $expected")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming near-dup hot-bucket cap rotates oldest residents out") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
