@@ -79,6 +79,19 @@ class PlanSpec extends SparkTestBase {
       "the capped-posting exchange must be shared by both self-join branches")
   }
 
+  test("q81: the simhash posting exchange is reused by both self-join branches") {
+    // same contract as the q41/q42 shape above, for the banded-Hamming
+    // retrieval: the signature computation + window cap must run ONCE,
+    // with the second join branch reading the reused exchange
+    val plan = executed(
+      graft.operators.Dedup.queries("q81_simhash_neardup")(spark, sfDir))
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.toSeq
+    assert(reused.nonEmpty,
+      "the capped simhash posting exchange must be shared by both join branches")
+  }
+
   test("q1: aggregation is two-phase (partial before the exchange)") {
     val plan = executed(Relational.queries("q1_agg")(spark, sfDir))
     val aggModes = plan.collect {
