@@ -266,14 +266,21 @@ object Dedup extends QueryPack {
     val c = Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val cap = if (maxBucket > 0) maxBucket else c.count()
+    // array_distinct dedupes variants MAP-SIDE within each name (deleting
+    // either of two adjacent equal characters yields the same string):
+    // without it one id could post the same variant several times, a hot
+    // bucket could exceed cap = N rows even with ≤ N distinct ids, and
+    // capBuckets would drop the whole bucket — silently voiding the
+    // recall-1 guarantee. With per-id-distinct postings, bucket size ≤
+    // distinct ids ≤ corpus, so the default cap is provably value-neutral.
     val variants = capBuckets(
       c.select(col("id"), col("name"),
         explode(expr(
-          """array_append(
+          """array_distinct(array_append(
                transform(sequence(1, length(name)),
                          i -> concat(substring(name, 1, i - 1),
                                      substring(name, i + 1, length(name)))),
-               name)""")).as("variant")),
+               name))""")).as("variant")),
       Seq("variant"), cap)
     variants.select(col("variant"), col("id").as("a_id"), col("name").as("a_name"))
       .join(variants.select(col("variant"), col("id").as("b_id"), col("name").as("b_name")),

@@ -580,8 +580,13 @@ object Similarity extends QueryPack {
                         corpus: DataFrame, topK: Int, nprobe: Int,
                         rerankK: Int): DataFrame = {
     require(rerankK >= topK, "rerank pool must be at least topK")
+    // localCheckpoint: cand feeds TWO branches (the semi-join filter and
+    // the rerank join) — without it each broadcast would re-execute the
+    // whole ADC search (index scan + probe ranking + heap agg) from
+    // scratch (the verifyJoin pattern)
     val cand = ivfPqSearch(s, path, queries, rerankK, nprobe)
       .select(col("q_id").as("c_q_id"), col("n_id"))
+      .localCheckpoint()
     val vecs = corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(cand.select(col("n_id").as("vec_id")).distinct()),
             Seq("vec_id"), "left_semi")

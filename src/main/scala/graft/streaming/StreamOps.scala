@@ -114,15 +114,15 @@ object StreamOps {
                                ts: java.sql.Timestamp)
   final case class BucketEntry(doc_id: Long, tsMs: Long, sh: Seq[String])
 
-  /** Per-bucket near-dup verifier for [[StreamOps.nearDupPairsStream]]
-    * (transformWithState): state is the bucket's recent residents'
-    * shingle sets (ListState), pruned to the watermark horizon on every
-    * access and garbage-collected outright by an event-time timer when
-    * the bucket goes idle. Every arrival is exact-Jaccard-verified
-    * against the residents; an emitted pair carries the ARRIVING doc's
-    * event time, which is >= the current watermark by construction (late
-    * rows never reach a stateful op), so declaring it as the output
-    * event-time column is sound and downstream stateful dedup is legal.
+  /** Shared scaffolding for the per-bucket streaming pair verifiers
+    * (transformWithState): state is the bucket's recent residents
+    * (ListState of `E`), pruned to the watermark horizon on every access
+    * and garbage-collected outright by an event-time timer when the
+    * bucket goes idle. Every arrival is verified against the residents;
+    * an emitted pair carries the ARRIVING doc's event time, which is >=
+    * the current watermark by construction (late rows never reach a
+    * stateful op), so declaring it as the output event-time column is
+    * sound and downstream stateful dedup is legal.
     *
     * `maxResidents` bounds per-bucket state and work — the streaming twin
     * of the batch path's `Dedup.capBuckets` df-cut: a boilerplate-heavy
@@ -130,26 +130,40 @@ object StreamOps {
     * arrival and verify each newcomer against all of them (quadratic
     * in-bucket). Past the cap the OLDEST residents rotate out, so an
     * arrival is verified against at most the cap's worth of most-recent
-    * bucket-mates. Recall impact mirrors the batch cap's: pairs whose
-    * partner was pushed out of a hot bucket are missed IN THAT BUCKET but
-    * still caught in any other shared band bucket — and a bucket hot
-    * enough to overflow the cap is near-boilerplate, where near-dup
-    * pairing is dominated by noise anyway.
+    * bucket-mates. The recall cost is real and should be stated
+    * honestly: eviction order is arrival order in EVERY bucket a doc
+    * posts to, so a true pair separated by >= cap same-bucket arrivals
+    * in all of its shared buckets is missed entirely (the bands do NOT
+    * independently rescue it — their rotations are correlated). The cap
+    * therefore trades recall specifically in degenerate hot buckets —
+    * near-boilerplate content where pairing is dominated by noise — for
+    * bounded state; size it to the worst organic bucket, not to typical
+    * occupancy.
     */
-  private final class NearDupBucketProcessor(delayMs: Long, threshold: Double,
-                                             maxResidents: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BucketDoc, NearDupPair] {
+  private abstract class BucketPairProcessor[I, E <: Product, P](
+      delayMs: Long, maxResidents: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, I, P] {
     import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
-    import org.apache.spark.sql.{Encoders, streaming}
+    import org.apache.spark.sql.streaming
 
-    @transient private var entries: ListState[BucketEntry] = _
+    /** Per-incoming-doc precomputation shared across resident checks
+      * (e.g. the arriving doc's shingle SET built once, not per
+      * resident). */
+    protected type Prepared
+    protected def entryEncoder: org.apache.spark.sql.Encoder[E]
+    protected def eventTs(i: I): java.sql.Timestamp
+    protected def toEntry(i: I): E
+    protected def entryTs(e: E): Long
+    protected def prepare(i: I): Prepared
+    protected def verify(resident: E, incoming: I, p: Prepared): Option[P]
+
+    @transient private var entries: ListState[E] = _
     @transient private var gcTimer: streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      entries = getHandle.getListState[BucketEntry](
-        "entries", Encoders.product[BucketEntry], TTLConfig.NONE)
+      entries = getHandle.getListState[E]("entries", entryEncoder, TTLConfig.NONE)
       gcTimer = getHandle.getValueState[Long](
-        "gcTimer", Encoders.scalaLong, TTLConfig.NONE)
+        "gcTimer", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     /** One live GC timer per bucket: delete the previously registered
@@ -161,37 +175,26 @@ object StreamOps {
       gcTimer.update(at)
     }
 
-    private def pruned(wm: Long): List[BucketEntry] =
-      entries.get().toList.filter(_.tsMs >= wm - delayMs)
+    private def pruned(wm: Long): List[E] =
+      entries.get().toList.filter(entryTs(_) >= wm - delayMs)
 
-    private def store(kept: List[BucketEntry]): Unit = {
+    private def store(kept: List[E]): Unit = {
       entries.clear()
       kept.foreach(entries.appendValue)
     }
 
-    override def handleInputRows(bucket: Long, in: Iterator[BucketDoc],
-                                 timers: TimerValues): Iterator[NearDupPair] = {
+    override def handleInputRows(bucket: Long, in: Iterator[I],
+                                 timers: TimerValues): Iterator[P] = {
       val wm = timers.getCurrentWatermarkInMs()
       var kept = pruned(wm)
-      val out = Seq.newBuilder[NearDupPair]
+      val out = Seq.newBuilder[P]
       var maxTs = Long.MinValue
-      in.toSeq.sortBy(_.ts.getTime).foreach { d =>
-        val dsh = d.sh.toSet
-        val t = d.ts.getTime
-        maxTs = math.max(maxTs, t)
-        kept.foreach { e =>
-          if (e.doc_id != d.doc_id) {
-            val common = e.sh.count(dsh.contains)
-            val jac = common.toDouble / (e.sh.size + dsh.size - common)
-            if (jac >= threshold) {
-              val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
-                           else (d.doc_id, e.doc_id)
-              out += NearDupPair(a, b, math.floor(jac * 1000) / 1000, d.ts)
-            }
-          }
-        }
+      in.toSeq.sortBy(eventTs(_).getTime).foreach { d =>
+        val p = prepare(d)
+        maxTs = math.max(maxTs, eventTs(d).getTime)
+        kept.foreach(e => verify(e, d, p).foreach(out += _))
         // newest-first prepend + take = rotate out the oldest past the cap
-        kept = (BucketEntry(d.doc_id, t, d.sh) :: kept).take(maxResidents)
+        kept = (toEntry(d) :: kept).take(maxResidents)
       }
       store(kept)
       if (maxTs != Long.MinValue) armTimer(maxTs + 2 * delayMs)
@@ -199,7 +202,7 @@ object StreamOps {
     }
 
     override def handleExpiredTimer(bucket: Long, timers: TimerValues,
-        info: streaming.ExpiredTimerInfo): Iterator[NearDupPair] = {
+        info: streaming.ExpiredTimerInfo): Iterator[P] = {
       val kept = pruned(timers.getCurrentWatermarkInMs())
       if (kept.isEmpty) {
         entries.clear()
@@ -209,11 +212,35 @@ object StreamOps {
         // residents remain inside the horizon: re-arm for their tail.
         // The timer that just fired is already consumed, so register
         // directly rather than via armTimer (no stale timer to delete).
-        val at = kept.map(_.tsMs).max + 2 * delayMs
+        val at = kept.map(entryTs).max + 2 * delayMs
         getHandle.registerTimer(at)
         gcTimer.update(at)
       }
       Iterator.empty
+    }
+  }
+
+  /** Exact-Jaccard verifier over shingle-set residents — the
+    * [[nearDupPairsStream]] instantiation of [[BucketPairProcessor]]. */
+  private final class NearDupBucketProcessor(delayMs: Long, threshold: Double,
+                                             maxResidents: Int)
+      extends BucketPairProcessor[BucketDoc, BucketEntry, NearDupPair](delayMs, maxResidents) {
+    protected type Prepared = Set[String]
+    protected def entryEncoder = org.apache.spark.sql.Encoders.product[BucketEntry]
+    protected def eventTs(d: BucketDoc) = d.ts
+    protected def toEntry(d: BucketDoc) = BucketEntry(d.doc_id, d.ts.getTime, d.sh)
+    protected def entryTs(e: BucketEntry) = e.tsMs
+    protected def prepare(d: BucketDoc): Set[String] = d.sh.toSet
+    protected def verify(e: BucketEntry, d: BucketDoc, dsh: Set[String]): Option[NearDupPair] = {
+      if (e.doc_id == d.doc_id) return None
+      val common = e.sh.count(dsh.contains)
+      val jac = common.toDouble / (e.sh.size + dsh.size - common)
+      if (jac < threshold) None
+      else {
+        val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
+                     else (d.doc_id, e.doc_id)
+        Some(NearDupPair(a, b, math.floor(jac * 1000) / 1000, d.ts))
+      }
     }
   }
 
@@ -270,80 +297,29 @@ object StreamOps {
   final case class SigEntry(doc_id: Long, tsMs: Long, sig: Long)
 
   /** Per-bucket Hamming verifier for [[simhashNearDupStream]] — the
-    * [[NearDupBucketProcessor]] shape with a 16-byte resident (doc_id +
-    * signature) instead of a shingle set, and a one-instruction verify
-    * (XOR + popcount) instead of a set intersection. The state-cheap
-    * streaming near-dup: per-bucket memory is residents × 24 B
-    * regardless of document size. */
+    * [[BucketPairProcessor]] instantiation with a 24-byte resident
+    * (doc_id + ts + signature) instead of a shingle set, and a
+    * one-instruction verify (XOR + popcount) instead of a set
+    * intersection. The state-cheap streaming near-dup: per-bucket memory
+    * is residents × 24 B regardless of document size. */
   private final class SimhashBucketProcessor(delayMs: Long, maxHamming: Int,
                                              maxResidents: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SigBucketDoc, HammingPair] {
-    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
-    import org.apache.spark.sql.{Encoders, streaming}
-
-    @transient private var entries: ListState[SigEntry] = _
-    @transient private var gcTimer: streaming.ValueState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      entries = getHandle.getListState[SigEntry](
-        "entries", Encoders.product[SigEntry], TTLConfig.NONE)
-      gcTimer = getHandle.getValueState[Long](
-        "gcTimer", Encoders.scalaLong, TTLConfig.NONE)
-    }
-
-    private def armTimer(at: Long): Unit = {
-      if (gcTimer.exists()) getHandle.deleteTimer(gcTimer.get())
-      getHandle.registerTimer(at)
-      gcTimer.update(at)
-    }
-
-    private def pruned(wm: Long): List[SigEntry] =
-      entries.get().toList.filter(_.tsMs >= wm - delayMs)
-
-    private def store(kept: List[SigEntry]): Unit = {
-      entries.clear()
-      kept.foreach(entries.appendValue)
-    }
-
-    override def handleInputRows(bucket: Long, in: Iterator[SigBucketDoc],
-                                 timers: TimerValues): Iterator[HammingPair] = {
-      val wm = timers.getCurrentWatermarkInMs()
-      var kept = pruned(wm)
-      val out = Seq.newBuilder[HammingPair]
-      var maxTs = Long.MinValue
-      in.toSeq.sortBy(_.ts.getTime).foreach { d =>
-        val t = d.ts.getTime
-        maxTs = math.max(maxTs, t)
-        kept.foreach { e =>
-          if (e.doc_id != d.doc_id) {
-            val h = java.lang.Long.bitCount(e.sig ^ d.sig)
-            if (h <= maxHamming) {
-              val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
-                           else (d.doc_id, e.doc_id)
-              out += HammingPair(a, b, h.toLong, d.ts)
-            }
-          }
-        }
-        kept = (SigEntry(d.doc_id, t, d.sig) :: kept).take(maxResidents)
+      extends BucketPairProcessor[SigBucketDoc, SigEntry, HammingPair](delayMs, maxResidents) {
+    protected type Prepared = Unit
+    protected def entryEncoder = org.apache.spark.sql.Encoders.product[SigEntry]
+    protected def eventTs(d: SigBucketDoc) = d.ts
+    protected def toEntry(d: SigBucketDoc) = SigEntry(d.doc_id, d.ts.getTime, d.sig)
+    protected def entryTs(e: SigEntry) = e.tsMs
+    protected def prepare(d: SigBucketDoc): Unit = ()
+    protected def verify(e: SigEntry, d: SigBucketDoc, p: Unit): Option[HammingPair] = {
+      if (e.doc_id == d.doc_id) return None
+      val h = java.lang.Long.bitCount(e.sig ^ d.sig)
+      if (h > maxHamming) None
+      else {
+        val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
+                     else (d.doc_id, e.doc_id)
+        Some(HammingPair(a, b, h.toLong, d.ts))
       }
-      store(kept)
-      if (maxTs != Long.MinValue) armTimer(maxTs + 2 * delayMs)
-      out.result().iterator
-    }
-
-    override def handleExpiredTimer(bucket: Long, timers: TimerValues,
-        info: streaming.ExpiredTimerInfo): Iterator[HammingPair] = {
-      val kept = pruned(timers.getCurrentWatermarkInMs())
-      if (kept.isEmpty) {
-        entries.clear()
-        gcTimer.clear()
-      } else {
-        store(kept)
-        val at = kept.map(_.tsMs).max + 2 * delayMs
-        getHandle.registerTimer(at)
-        gcTimer.update(at)
-      }
-      Iterator.empty
     }
   }
 
