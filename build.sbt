@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through RAW: the default LoggedOutput
+// strategy prefixes every stdout line with "[info] ", which broke the
+// driver's bench-line parse in rounds 1-4 (a line reading
+// `[info] {"metric":...}` never starts with '{', so `parsed` stayed null
+// in every BENCH_r*.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,7 +73,12 @@ object Bench {
       val good = runs.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR, …) would render 1.234 as "1,234"
+    // — invalid JSON, the parsed:null failure mode all over again
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
@@ -83,13 +88,13 @@ object Bench {
     // output-tail capture and the whole line became unparseable
     // (BENCH_r04 recorded parsed: null)
     val qsRaw = raw.map { case (k, runs) =>
-      s"\"" + k + "\":" + runs.map { case (t, ok) => if (ok) f3(t) else s"-${f3(t)}" }
+      // failures clamp to ≥1ms before negation: a sub-0.5ms failure would
+      // otherwise serialize as "-0.000", parse to -0.0, and defeat v < 0
+      // failure checks downstream
+      s"\"" + k + "\":" + runs.map { case (t, ok) =>
+        if (ok) f3(t) else s"-${f3(math.max(t, 0.001))}" }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "/tmp/graft_bench_raw.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
-      s"""{"reps":$reps,"queries_raw":$qsRaw}""")
-    catch { case _: Throwable => () }
     val total = results.map(_._2).filter(_ >= 0).sum
     // streaming-pipeline throughput side channel (decode → bucket →
     // partitioned parquet; see StreamBench). Untimed vs `value`: the batch
@@ -98,7 +103,26 @@ object Bench {
       try StreamBench.measure(spark, sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong)
       catch { case _: Throwable => (0L, 0.0) }
     val sRate = if (sSec > 0) sRows / sSec else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":${f3(warmupSec)},"stream_rows_per_sec":${f3(sRate)},"stream_rows":$sRows,"stream_sec":${f3(sSec)},"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":${f3(warmupSec)},"stream_rows_per_sec":${f3(sRate)},"stream_rows":$sRows,"stream_sec":${f3(sSec)},"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // Sidecar with EVERYTHING (full per-query map + raw reps): the stdout
+    // channel is capture-limited, this file is not.
+    val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW", "/tmp/graft_bench_raw.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
+      s"""{"reps":$reps,"full":$fullLine,"queries_raw":$qsRaw}""")
+    catch { case _: Throwable => () }
+    // TWO JSON lines, full first and compact LAST, because the driver's
+    // output capture keeps only the final ~2000 chars: with 80+ queries
+    // the full inline map alone exceeds that window, so a tail-window
+    // parser would see a truncated (unparseable) line. A full-output
+    // line parser accepts either line; a tail-window parser still gets a
+    // complete compact line (total + failures + the slowest queries —
+    // the ones that carry the perf signal; sub-threshold queries are in
+    // the sidecar and contribute to `value`).
+    println(fullLine)
+    val slow = results.filter(_._2 >= 0.5).sortBy(-_._2)
+    val slowQs = slow.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"stream_rows_per_sec":${f3(sRate)},"failed":$failed,"queries_note":"slowest only; full per-query map in the preceding line and the sidecar","queries":$slowQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

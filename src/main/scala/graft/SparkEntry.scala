@@ -16,6 +16,7 @@ object SparkEntry {
     operators.EventOps,
     operators.TextAnalysis,
     operators.Curation,
+    operators.Curation2,
     operators.Similarity,
     operators.Dedup,
     operators.Multimodal,

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation operators — the corpus-hygiene steps of a training-
+  * data pipeline that sit between raw dedup and final packing:
+  * boilerplate-span removal, deterministic stratified sampling, broadcast
+  * model scoring, domain-mix resampling, and the sharded-bloom incremental
+  * dedup declared as an oracle-gated query (its OUTPUT is exact — the
+  * bloom only routes rows, so the plain anti-join SQL is a valid oracle
+  * for the whole sharded path).
+  *
+  * Scale notes (100 TB design points):
+  *  - q91's hot-chunk set is a broadcast one-row aggregate (boilerplate
+  *    is small by definition); the corpus itself is NEVER shuffled — the
+  *    rebuild is a map-side array filter. Only chunk strings shuffle for
+  *    the df count.
+  *  - q92 reuses the bounded-heap TopKAgg: sampling = top-k per group by
+  *    a hash score, no window sort, partial-aggregatable.
+  *  - q93's model is a literal weight vector (broadcast by constant
+  *    folding); scoring is per-row map work.
+  *  - q94's per-group rates are a tiny groups-row aggregate joined back
+  *    broadcast; the keep decision is a per-row hash compare.
+  */
+object Curation2 extends QueryPack {
+
+  private val toks = graft.functions.TextExprs.toks
+
+  /** Fixed 8-word chunking of the token array (last chunk partial), as a
+    * single let-bound expression — parity with DuckDB
+    * `w[i*8+1 : i*8+8]` over `range(ceil(len(w)/8))`. */
+  private val chunksExpr = graft.functions.TextExprs.let1(toks, "w",
+    """transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
+                 i -> array_join(slice(w, i * 8 + 1, 8), ' '))""")
+
+  /** Corpus-level BOILERPLATE-SPAN removal (the CCNet/RefinedWeb shape):
+    * chunk every doc into fixed 8-word spans, count each span's document
+    * frequency across the corpus, and strip spans appearing in >= 2 docs
+    * (shared headers/footers/templates). The hot-span set is collected
+    * into a ONE-ROW broadcast aggregate — boilerplate is small by
+    * definition (it is the content shared verbatim across documents) —
+    * and each doc is rebuilt MAP-SIDE by an array filter against it, so
+    * the corpus text never shuffles; only the span strings do, once, for
+    * the df count. At a corpus scale where the hot set outgrows a
+    * broadcast array, swap the array_contains for a broadcast hash join
+    * on the exploded form (same df aggregate, same map-side rebuild).
+    */
+  private def q91Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val chunked = Tables.documents(s, d)
+      .select(col("doc_id"), expr(chunksExpr).as("chunks"))
+    val hot = chunked
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .groupBy("chunk").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .agg(coalesce(collect_list(col("chunk")), expr("array()")).as("hot"))
+    chunked.crossJoin(broadcast(hot))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        expr("cast(size(filter(chunks, c -> array_contains(hot, c))) as bigint)")
+          .as("n_dropped"),
+        expr("array_join(filter(chunks, c -> NOT array_contains(hot, c)), ' ')")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic STRATIFIED sampling: top-3 docs per source by a Knuth
+    * multiplicative hash of doc_id — uniform-without-replacement per
+    * stratum, reproducible across engines and runs (no RNG state). Uses
+    * the bounded-heap [[graft.functions.TopKAgg]], so sampling runs as a
+    * partial-aggregatable groupBy (map-side heaps of k rows per stratum,
+    * no window sort of the corpus) — the same no-sort shape as q77.
+    */
+  private def q92StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              expr("cast((doc_id * 2654435761) % 1048576 as double)").as("score"))
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("source"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("doc_id"), col("t.score").as("score"))
+      .orderBy("source", "rnk")
+
+  /** Broadcast LINEAR QUALITY MODEL scoring — the "tiny classifier over
+    * cheap features" stage (fastText-style quality filters): per-doc
+    * features (token count, stopword share, mean token length) dotted
+    * with a literal weight vector; keep = score > 0. Weights are plan
+    * constants (constant-folded, effectively broadcast); scoring is pure
+    * per-row map work — embarrassingly parallel at any corpus size. All
+    * feature arithmetic is IEEE double in the same operation order as
+    * the DuckDB oracle, so scores are bit-reproducible cross-engine
+    * (floor-truncation only bounds the printed precision).
+    */
+  private def q93QualityModel(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"),
+              expr(graft.functions.TextExprs.let1(toks, "w",
+                """named_struct(
+                     'n', size(w),
+                     'ns', size(filter(w, x -> x IN ('a', 'the'))),
+                     'sl', aggregate(w, 0, (acc, x) -> acc + length(x)))"""))
+                .as("f"))
+      .select(col("doc_id"), col("f.n").as("n"), col("f.ns").as("ns"),
+              col("f.sl").as("sl"))
+    val score = expr(
+      """0.1 + 0.015 * n + 3.0 * (ns / cast(n as double))
+             - 0.25 * (sl / cast(n as double))""")
+    f.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+             (floor(score * 1e6) / 1e6).as("score"),
+             when(score > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DOMAIN-MIX resampling: hit target source proportions (here: 2×
+    * weight for src0-src4, a 300-doc budget) by computing a per-source
+    * keep rate min(1, budget·share/n_g) from a groups-row count
+    * aggregate, then keeping rows whose deterministic doc_id hash
+    * uniform falls under their source's rate. The rate table is tiny
+    * (one row per source) and joins back broadcast; the keep decision is
+    * a per-row multiply-mod-compare — the data-mixing shape (DoReMi-ish
+    * static weights) at any corpus size, one count shuffle total.
+    */
+  private def q94DomainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rate = docs.groupBy("source").agg(count(lit(1)).as("n_g"))
+      .withColumn("r", least(lit(1.0),
+        expr("""(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                      THEN 2.0 ELSE 1.0 END * 300.0 / 25.0) / n_g""")))
+    val kept = docs.join(broadcast(rate), "source")
+      .filter(expr("((doc_id * 2654435761) % 1048576) / 1048576.0") < col("r"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rate.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_g").cast("long").as("n_docs"),
+              (floor(col("r") * 1e6) / 1e6).as("rate"),
+              coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** The SHARDED-BLOOM incremental dedup
+    * ([[Dedup.incrementalDedupBloomSharded]]) declared as a first-class
+    * query: 8 digest-prefix shards over the existing corpus, fresh rows
+    * probe only their own shard, positives re-verified by the exact
+    * anti-join. The bloom layer only ROUTES rows (negatives are
+    * definitively new; positives are exactly verified), so the output is
+    * identical to the plain anti-join and q76's NOT EXISTS SQL is a full
+    * oracle for the entire sharded path — the scale machinery itself
+    * sits under the cross-engine hash gate, not just under a unit test.
+    */
+  private def q95DedupBloomSharded(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") < 250).select(md5(col("text")).as("sig"))
+    val fresh = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+    Dedup.incrementalDedupBloomSharded(fresh, existing,
+        expectedItems = 256L, fpp = 0.03, nShards = 8)
+      .select("doc_id", "sig")
+      .orderBy("doc_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_boilerplate"        -> q91Boilerplate _,
+    "q92_stratified_sample"  -> q92StratifiedSample _,
+    "q93_quality_model"      -> q93QualityModel _,
+    "q94_domain_mix"         -> q94DomainMix _,
+    "q95_dedup_bloom_sharded" -> q95DedupBloomSharded _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q91_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         ch AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                       array_to_string(w[CAST(u.i*8+1 AS BIGINT):CAST(u.i*8+8 AS BIGINT)], ' ') AS chunk
+                FROM t, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(i)),
+         df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+         flag AS (SELECT ch.doc_id, ch.i, ch.chunk, df.df FROM ch JOIN df USING (chunk))
+         SELECT doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                coalesce(string_agg(CASE WHEN df < 2 THEN chunk END, ' ' ORDER BY i), '')
+                  AS clean_text
+         FROM flag GROUP BY doc_id ORDER BY doc_id""",
+    // q92: the window formulation IS the oracle — the heap aggregate must
+    // reproduce it exactly (total order: score desc, doc_id asc).
+    "q92_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+             CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) AS score
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY score DESC, doc_id) AS rnk FROM h)
+         SELECT source, rnk, doc_id, score FROM r WHERE rnk <= 3
+         ORDER BY source, rnk""",
+    "q93_quality_model" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                 len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                 list_aggregate(list_transform(w, x -> length(x)), 'sum') AS sl
+               FROM t)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                floor((0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                       - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000) / 1000000 AS score,
+                CAST(CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                       - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM f ORDER BY doc_id""",
+    "q94_domain_mix" ->
+      """WITH rate AS (SELECT source, count(*) AS n_g,
+             least(1.0, (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                              THEN 2.0 ELSE 1.0 END * 300.0 / 25.0) / count(*)) AS r
+           FROM documents GROUP BY source),
+         kept AS (SELECT d.source, count(*) AS n_kept
+                  FROM documents d JOIN rate USING (source)
+                  WHERE ((d.doc_id * 2654435761) % 1048576) / 1048576.0 < rate.r
+                  GROUP BY d.source)
+         SELECT r.source, CAST(r.n_g AS BIGINT) AS n_docs,
+                floor(r.r * 1000000) / 1000000 AS rate,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         FROM rate r LEFT JOIN kept k USING (source)
+         ORDER BY r.source""",
+    // q95: the bloom layer only routes; output ≡ plain anti-join, so the
+    // exact NOT EXISTS SQL oracles the whole sharded path (q76's SQL).
+    "q95_dedup_bloom_sharded" ->
+      """WITH e AS (SELECT md5(text) AS sig FROM documents WHERE doc_id < 250),
+         f AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
+         SELECT doc_id, sig FROM f
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.sig = f.sig)
+         ORDER BY doc_id""",
+  )
+}
