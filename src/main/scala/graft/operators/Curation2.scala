@@ -50,9 +50,13 @@ object Curation2 extends QueryPack {
   private def q91Boilerplate(s: SparkSession, d: String): DataFrame = {
     val chunked = Tables.documents(s, d)
       .select(col("doc_id"), expr(chunksExpr).as("chunks"))
+    // df = distinct-doc count, computed as a PLAIN count over per-doc
+    // map-side-distinct chunk postings (array_distinct before explode):
+    // one partial-aggregatable exchange on chunk, instead of the 2-phase
+    // distinct-aggregate's pair of exchanges
     val hot = chunked
-      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
-      .groupBy("chunk").agg(count_distinct(col("doc_id")).as("df"))
+      .select(explode(array_distinct(col("chunks"))).as("chunk"))
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .agg(coalesce(collect_list(col("chunk")), expr("array()")).as("hot"))
     chunked.crossJoin(broadcast(hot))
