@@ -165,12 +165,55 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** kNN LABEL PROPAGATION — the semi-supervised step of quality
+    * curation: held-out vectors (vec_id % 10 == 0) get a label by
+    * majority vote of their 5 nearest labeled neighbors (cosine), ties
+    * to the smallest label; the true label rides along so the output is
+    * also the accuracy audit. The declared form is brute-force over a
+    * BROADCAST query set (q40's shape — the corpus never shuffles;
+    * per-partition work is corpus_rows × |Q| dot products) with the
+    * bounded-heap TopKAgg ranking (shuffle ≤ 5·|Q| rows). At corpus
+    * scale the candidate step swaps for [[Similarity]]'s IVF-PQ search
+    * (`ivfPqSearchRerank`) with the same vote tail — the vote itself is
+    * two tiny aggregates over 5·|Q| rows regardless of corpus size.
+    */
+  private def q96KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("label").as("true_label"))
+    val labeled = e.filter(col("vec_id") % 10 =!= 0)
+    val top = labeled.crossJoin(broadcast(q.select(col("q_id"), col("qv"))))
+      .withColumn("cos",
+        graft.functions.NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("n_id"))
+    val votes = top
+      .join(labeled.select(col("vec_id").as("n_id"), col("label")), "n_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    // argmax with ties to the SMALLEST label: max over (votes, -label)
+    votes.groupBy("q_id")
+      .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("m"))
+      .join(q.select(col("q_id"), col("true_label")), "q_id")
+      .select(col("q_id"),
+              (-col("m.neg")).cast("long").as("pred_label"),
+              col("m.votes").cast("long").as("n_votes"),
+              col("true_label").cast("long").as("true_label"),
+              when(-col("m.neg") === col("true_label"), 1L).otherwise(0L)
+                .as("correct"))
+      .orderBy("q_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_boilerplate"        -> q91Boilerplate _,
     "q92_stratified_sample"  -> q92StratifiedSample _,
     "q93_quality_model"      -> q93QualityModel _,
     "q94_domain_mix"         -> q94DomainMix _,
     "q95_dedup_bloom_sharded" -> q95DedupBloomSharded _,
+    "q96_knn_classify"       -> q96KnnClassify _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -233,5 +276,26 @@ object Curation2 extends QueryPack {
          SELECT doc_id, sig FROM f
          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.sig = f.sig)
          ORDER BY doc_id""",
+    // q96: ranking ties break on n_id, vote ties on smallest label — a
+    // total order both engines reproduce; cosine runs on DOUBLE-widened
+    // lists in the same fold order (q40's proven parity).
+    "q96_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, label AS tl FROM e WHERE vec_id % 10 = 0),
+         c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         scored AS (SELECT q_id, c.vec_id AS n_id, c.label,
+                           list_cosine_similarity(c.v, q.qv) AS s
+                    FROM c, q),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY s DESC, n_id) AS rnk FROM scored),
+         votes AS (SELECT q_id, label, count(*) AS votes
+                   FROM ranked WHERE rnk <= 5 GROUP BY q_id, label),
+         pred AS (SELECT q_id, label, votes, row_number() OVER (PARTITION BY q_id
+                    ORDER BY votes DESC, label) AS pr FROM votes)
+         SELECT p.q_id, CAST(p.label AS BIGINT) AS pred_label,
+                CAST(p.votes AS BIGINT) AS n_votes,
+                CAST(q.tl AS BIGINT) AS true_label,
+                CAST(CASE WHEN p.label = q.tl THEN 1 ELSE 0 END AS BIGINT) AS correct
+         FROM pred p JOIN q USING (q_id) WHERE pr = 1 ORDER BY p.q_id""",
   )
 }

@@ -126,6 +126,40 @@ class Curation2Spec extends SparkTestBase {
     }
   }
 
+  test("q96 knn classify: vote structure and window-formulation parity") {
+    val out = SparkEntry.queries("q96_knn_classify")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val labelDomain = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 =!= 0)
+      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 5, "votes in [1,5]")
+      assert(labelDomain(r.getLong(1)), "pred label from labeled domain")
+    }
+    // parity with the window formulation (the oracle's shape)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val labeled = e.filter(col("vec_id") % 10 =!= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    val expect = labeled.crossJoin(broadcast(q))
+      .withColumn("cos",
+        graft.functions.NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("pr", row_number().over(w2)).filter(col("pr") === 1)
+      .select(col("q_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(expect(r.getLong(0)) == r.getLong(1),
+             s"query ${r.getLong(0)}: pred mismatch vs window formulation")
+    }
+  }
+
   test("q95 sharded bloom dedup == plain anti-join (and q76 contract)") {
     val sharded = SparkEntry.queries("q95_dedup_bloom_sharded")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
