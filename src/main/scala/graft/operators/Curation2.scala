@@ -70,6 +70,36 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Scale variant of [[q91Boilerplate]]: the df aggregate and the hot
+    * set carry 8-byte `xxhash64(chunk)` values instead of chunk STRINGS,
+    * so the one corpus-wide shuffle is fixed-width regardless of span
+    * length, and the broadcast hot set is 8 bytes/entry. The rebuild
+    * filters on the hash of each chunk map-side. Value-equal to the
+    * declared form up to 64-bit collisions (probability ~N²/2⁶⁵ across
+    * the distinct-chunk population — negligible at any practical corpus;
+    * a collision would only ever DROP an extra chunk, never keep a hot
+    * one). Asserted equal to the string form in Curation2Spec.
+    */
+  private[graft] def boilerplateHashed(s: SparkSession, d: String): DataFrame = {
+    val chunked = Tables.documents(s, d)
+      .select(col("doc_id"), expr(chunksExpr).as("chunks"))
+    val hot = chunked
+      .select(explode(array_distinct(col("chunks"))).as("chunk"))
+      .select(xxhash64(col("chunk")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .agg(coalesce(collect_list(col("h")), expr("array()")).as("hot"))
+    chunked.crossJoin(broadcast(hot))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        expr("cast(size(filter(chunks, c -> array_contains(hot, xxhash64(c)))) as bigint)")
+          .as("n_dropped"),
+        expr("array_join(filter(chunks, c -> NOT array_contains(hot, xxhash64(c))), ' ')")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic STRATIFIED sampling: top-3 docs per source by a Knuth
     * multiplicative hash of doc_id — uniform-without-replacement per
     * stratum, reproducible across engines and runs (no RNG state). Uses

@@ -420,4 +420,78 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  final case class QuotaDoc(key: String, doc_id: Long, ts: java.sql.Timestamp)
+
+  /** Per-(key, window) admission counter for [[quotaPerKeyStream]]
+    * (transformWithState): state is ONE long per open (key, window) —
+    * admitted-so-far — GC'd by an event-time timer once the watermark
+    * passes window end + delay (no more in-watermark arrivals can touch
+    * the window). Within a micro-batch arrivals are admitted in event-
+    * time order (ties: doc_id) so a batch's admissions are deterministic;
+    * across batches, admission is arrival order — the streaming quota
+    * semantic (a batch replay of the same data admits the same rows).
+    */
+  private final class QuotaProcessor(cap: Int, windowMs: Long, delayMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(String, Long), QuotaDoc, QuotaDoc] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var admitted: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long](
+        "admitted", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), in: Iterator[QuotaDoc],
+                                 timers: TimerValues): Iterator[QuotaDoc] = {
+      val fresh = !admitted.exists()
+      var c = if (fresh) 0L else admitted.get()
+      if (fresh)
+        // one timer per (key, window), armed on first touch: fire when
+        // the watermark is past every possible in-watermark arrival
+        getHandle.registerTimer(key._2 * windowMs + windowMs + 2 * delayMs)
+      val out = Seq.newBuilder[QuotaDoc]
+      in.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+        if (c < cap) { out += d; c += 1 }
+      }
+      admitted.update(c)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timers: TimerValues,
+        info: streaming.ExpiredTimerInfo): Iterator[QuotaDoc] = {
+      admitted.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Streaming QUOTA CAP — the streaming twin of the batch domain-mix /
+    * per-source sampling operators (q94/q92): admit at most `cap` rows
+    * per (key, tumbling event-time window), dropping the overflow. The
+    * shape of every per-source rate limiter in a live ingest pipeline
+    * (cap a crawl source's contribution per hour, bound a tenant's
+    * share per window).
+    *
+    * State per open (key, window) is ONE counter, event-time-GC'd; with
+    * K active keys and W open windows the store holds K·W longs — no
+    * row payloads, no growth with traffic. Emitted rows keep their own
+    * event time (>= watermark by construction), so downstream stateful
+    * stages remain legal.
+    */
+  def quotaPerKeyStream(df: DataFrame, tsCol: String, delay: String,
+                        delayMs: Long, windowMs: Long, keyCol: String,
+                        idCol: String, cap: Int)
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("key"),
+              col(idCol).cast("long").as("doc_id"),
+              col(tsCol).as("ts"))
+      .withWatermark("ts", delay)
+      .as[QuotaDoc]
+      .groupByKey(d => (d.key, d.ts.getTime / windowMs))
+      .transformWithState(new QuotaProcessor(cap, windowMs, delayMs),
+        "ts", OutputMode.Append())
+      .toDF()
+  }
 }

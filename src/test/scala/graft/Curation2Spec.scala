@@ -73,6 +73,14 @@ class Curation2Spec extends SparkTestBase {
     }
   }
 
+  test("q91 hashed scale variant equals the declared string form") {
+    val declared = SparkEntry.queries("q91_boilerplate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val hashed = graft.operators.Curation2.boilerplateHashed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(declared.sameElements(hashed))
+  }
+
   test("q92 stratified sample: heap aggregate == window formulation") {
     val viaAgg = SparkEntry.queries("q92_stratified_sample")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -482,6 +482,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(Array(1L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("streaming quota cap admits at most cap rows per key per window") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long, Timestamp)]
+      val df = mem.toDF().toDF("source", "doc_id", "ts")
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def ts(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+      val q = StreamOps.quotaPerKeyStream(df, "ts", "10 minutes", 600000L,
+          windowMs = 3600000L, keyCol = "source", idCol = "doc_id", cap = 2)
+        .writeStream.format("memory").queryName("quota_out").outputMode("append").start()
+      // window 0: srcA sends 3 (two admitted — smallest ts), srcB sends 1
+      mem.addData(Seq(("srcA", 1L, ts(5)), ("srcA", 2L, ts(1)),
+                      ("srcA", 3L, ts(3)), ("srcB", 4L, ts(2))))
+      q.processAllAvailable()
+      // window 0 again, later batch: srcA is full (reject), srcB has room
+      mem.addData(Seq(("srcA", 5L, ts(7)), ("srcB", 6L, ts(8))))
+      q.processAllAvailable()
+      // window 1 (next hour): srcA's quota resets
+      mem.addData(Seq(("srcA", 7L, ts(65))))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("quota_out").select("key", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // batch-1 srcA admits its 2 event-time-earliest (ids 2, 3); id 1 and
+      // the later id 5 are over quota; srcB admits 4 then 6; window 1 resets
+      assert(got == Set(("srcA", 2L), ("srcA", 3L), ("srcB", 4L),
+                        ("srcB", 6L), ("srcA", 7L)), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming sessionization: gap closes sessions via event-time timeout") {
     import spark.implicits._
     implicit val s = spark
