@@ -237,6 +237,83 @@ object Curation2 extends QueryPack {
       .orderBy("q_id")
   }
 
+  /** BM25 KEYWORD SEARCH — top-10 docs for a fixed 3-term query. The
+    * lexical-retrieval half of a hybrid search stack (beside q96/q98's
+    * vector half): per-(doc, term) tf over the QUERY'S terms only (the
+    * `isin` filter rides the explode, so non-query tokens never leave
+    * the scan), document frequency and corpus stats as tiny broadcast
+    * aggregates, and a global bounded-heap top-10 (shuffle ≤ 10 rows per
+    * partition). The per-term scores combine in a FIXED left-to-right
+    * order (one conditional-max column per term), so the double
+    * summation is order-deterministic and the DuckDB oracle reproduces
+    * it bit-exactly. Deliberate deviation from textbook BM25: idf is
+    * the rational (N − df + 0.5)/(df + 0.5) WITHOUT the log — every
+    * operation stays IEEE-exact cross-engine (no libm); the log is a
+    * per-term monotone transform, so single-term ranking is identical
+    * and multi-term mixing is mildly re-weighted. A production deploy
+    * would re-enable the log (determinism across ENGINES is a test
+    * concern, not a cluster concern).
+    */
+  private def q97Bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
+    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sl"))
+    val tf = t.select(col("doc_id"), size(col("w")).as("len"),
+                      explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dfT), "term").crossJoin(broadcast(stats))
+      .withColumn("s", expr(
+        """((cast(n as double) - df + 0.5e0) / (df + 0.5e0))
+           * (tf * 2.2e0)
+           / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (len / (sl / cast(n as double)))))"""))
+    val perDoc = sc.groupBy("doc_id").agg(
+      (coalesce(max(when(col("term") === "spark", col("s"))), lit(0.0))
+        + coalesce(max(when(col("term") === "join", col("s"))), lit(0.0))
+        + coalesce(max(when(col("term") === "window", col("s"))), lit(0.0)))
+        .as("score"))
+    perDoc
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("doc_id"), 10).as("top"))
+      .select(posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select((col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("doc_id"),
+              (floor(col("t.score") * 1e6) / 1e6).as("score"))
+      .orderBy("rnk")
+  }
+
+  /** METADATA-FILTERED vector search (hybrid search's other half): top-5
+    * cosine neighbors per query, restricted to corpus vectors whose
+    * document metadata passes a predicate (lang = 'en') — PRE-FILTER
+    * semantics (filter before scoring), the correct-recall form. The
+    * metadata join runs BEFORE the broadcast-query scoring, so only
+    * qualifying vectors are ever scored; on the IVF layout the same
+    * predicate composes with cell partition-pruning (the filter reaches
+    * the index scan — q45's pruned-probe machinery), keeping filtered
+    * ANN sub-linear at corpus scale.
+    */
+  private def q98FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val lang = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val corpus = e.join(lang, "vec_id").filter(col("lang") === "en")
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.functions.NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("n_id"),
+              (floor(col("t.score") * 100000) / 100000).as("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_boilerplate"        -> q91Boilerplate _,
     "q92_stratified_sample"  -> q92StratifiedSample _,
@@ -244,6 +321,8 @@ object Curation2 extends QueryPack {
     "q94_domain_mix"         -> q94DomainMix _,
     "q95_dedup_bloom_sharded" -> q95DedupBloomSharded _,
     "q96_knn_classify"       -> q96KnnClassify _,
+    "q97_bm25"               -> q97Bm25 _,
+    "q98_filtered_ann"       -> q98FilteredAnn _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -327,5 +406,46 @@ object Curation2 extends QueryPack {
                 CAST(q.tl AS BIGINT) AS true_label,
                 CAST(CASE WHEN p.label = q.tl THEN 1 ELSE 0 END AS BIGINT) AS correct
          FROM pred p JOIN q USING (q_id) WHERE pr = 1 ORDER BY p.q_id""",
+    // q97: every arithmetic op is IEEE double (e-notation literals defeat
+    // DECIMAL inference) in the same order as the Spark plan; per-term
+    // scores combine in a fixed left-to-right order.
+    "q97_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len(w)) AS sl FROM t),
+         tf AS (SELECT doc_id, len, term, count(*) AS tf
+                FROM (SELECT doc_id, len(w) AS len, unnest(w) AS term FROM t)
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, len, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id, tf.term,
+                 ((CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
+                 * (tf * 2.2e0)
+                 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (len / (sl / CAST(n AS DOUBLE))))) AS s
+                FROM tf JOIN df USING (term), stats),
+         agg AS (SELECT doc_id,
+                   coalesce(max(CASE WHEN term = 'spark' THEN s END), 0e0)
+                   + coalesce(max(CASE WHEN term = 'join' THEN s END), 0e0)
+                   + coalesce(max(CASE WHEN term = 'window' THEN s END), 0e0) AS score
+                 FROM sc GROUP BY doc_id),
+         r AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+               FROM agg)
+         SELECT rnk, doc_id, floor(score * 1000000) / 1000000 AS score
+         FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    "q98_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         c AS (SELECT e.vec_id, e.v FROM e
+               JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'),
+         scored AS (SELECT q_id, c.vec_id AS n_id,
+                           list_cosine_similarity(c.v, q.qv) AS s
+                    FROM c, q WHERE c.vec_id <> q.q_id),
+         ranked AS (SELECT q_id, n_id, s,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY s DESC, n_id) AS rnk
+                    FROM scored)
+         SELECT q_id, rnk, n_id, floor(s * 100000) / 100000 AS cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
   )
 }

@@ -168,6 +168,25 @@ class Curation2Spec extends SparkTestBase {
     }
   }
 
+  test("q97 bm25: heap-ranked, no window; ranks contiguous") {
+    val plan = collectAll(executed("q97_bm25"))
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+           "global top-10 must run as the heap aggregate, not a window sort")
+    val rows = SparkEntry.queries("q97_bm25")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    assert(rows.forall(_.getDouble(2) > 0))
+  }
+
+  test("q98 filtered ann: every neighbor passes the metadata predicate") {
+    val enDocs = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("q98_filtered_ann")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(enDocs(r.getLong(2)),
+      s"neighbor ${r.getLong(2)} is not an en doc — pre-filter violated"))
+  }
+
   test("q95 sharded bloom dedup == plain anti-join (and q76 contract)") {
     val sharded = SparkEntry.queries("q95_dedup_bloom_sharded")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
