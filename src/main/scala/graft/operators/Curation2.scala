@@ -314,6 +314,42 @@ object Curation2 extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
+  /** FILTER-CHAIN AUDIT (C4/Gopher-style rule attribution): run the
+    * quality rule set and record, per document, WHICH rules failed — not
+    * just the keep bit. The drop-reason breakdown is what a curation
+    * team actually debugs with ("we lost 40% of src7 to the stopword
+    * rule"), and emitting it costs nothing extra: all four rules read
+    * the same per-doc feature struct computed once per row (let-bound,
+    * one split), pure map work at any scale. Reasons concatenate in a
+    * fixed rule order, so the column is deterministic text and the
+    * whole audit sits under the cross-engine hash gate.
+    */
+  private def q99FilterAudit(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"),
+              expr(graft.functions.TextExprs.let1(toks, "w",
+                """named_struct(
+                     'n', size(w),
+                     'stop_ratio', size(filter(w, x -> x IN ('a', 'the')))
+                                   / cast(size(w) as double),
+                     'mean_len', aggregate(w, 0, (acc, x) -> acc + length(x))
+                                 / cast(size(w) as double),
+                     'distinct_ratio', size(array_distinct(w))
+                                       / cast(size(w) as double))"""))
+                .as("f"))
+    f.select(col("doc_id"),
+        concat(
+          when(col("f.n") < 20, lit("min_tokens;")).otherwise(lit("")),
+          when(col("f.stop_ratio") < 0.01, lit("stopwords;")).otherwise(lit("")),
+          when(col("f.mean_len") > 6.0, lit("mean_len;")).otherwise(lit("")),
+          when(col("f.distinct_ratio") < 0.3, lit("repetition;")).otherwise(lit("")))
+          .as("reasons"))
+      .select(col("doc_id"),
+              when(col("reasons") === "", 1L).otherwise(0L).as("keep"),
+              col("reasons"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_boilerplate"        -> q91Boilerplate _,
     "q92_stratified_sample"  -> q92StratifiedSample _,
@@ -323,6 +359,7 @@ object Curation2 extends QueryPack {
     "q96_knn_classify"       -> q96KnnClassify _,
     "q97_bm25"               -> q97Bm25 _,
     "q98_filtered_ann"       -> q98FilteredAnn _,
+    "q99_filter_audit"       -> q99FilterAudit _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -447,5 +484,25 @@ object Curation2 extends QueryPack {
                     FROM scored)
          SELECT q_id, rnk, n_id, floor(s * 100000) / 100000 AS cosine
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "q99_filter_audit" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                 len(list_filter(w, x -> x IN ('a', 'the')))
+                   / CAST(len(w) AS DOUBLE) AS stop_ratio,
+                 list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   / CAST(len(w) AS DOUBLE) AS mean_len,
+                 len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS distinct_ratio
+               FROM t),
+         r AS (SELECT doc_id,
+                 concat(CASE WHEN n < 20 THEN 'min_tokens;' ELSE '' END,
+                        CASE WHEN stop_ratio < 0.01 THEN 'stopwords;' ELSE '' END,
+                        CASE WHEN mean_len > 6.0e0 THEN 'mean_len;' ELSE '' END,
+                        CASE WHEN distinct_ratio < 0.3e0 THEN 'repetition;' ELSE '' END)
+                   AS reasons
+               FROM f)
+         SELECT doc_id, CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                reasons
+         FROM r ORDER BY doc_id""",
   )
 }
