@@ -176,6 +176,24 @@ object Relational extends QueryPack {
         round(sqrt(col("p_retailprice")), 2).as("price_sqrt"))
       .orderBy("p_partkey")
 
+  /** UNPIVOT (wide → long): three measure columns melt into (metric, val)
+    * rows via `Dataset.unpivot` — the relational melt every metrics
+    * pipeline needs before a generic per-metric aggregation. Unpivot is a
+    * zero-shuffle map-side row expansion; the only exchange is the final
+    * per-(flag, metric) aggregate. Oracle = the portable UNION ALL
+    * formulation. */
+  private def q55Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
+               "metric", "val")
+      .groupBy("l_returnflag", "metric")
+      .agg(round(sum("val"), 2).as("total"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "metric")
+
   // Date functions + month-grain aggregation.
   private def q14DateFuncs(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -373,6 +391,7 @@ object Relational extends QueryPack {
     "q12_anti_join"   -> q12AntiJoin _,
     "q13_scalar_funcs"-> q13ScalarFuncs _,
     "q14_date_funcs"  -> q14DateFuncs _,
+    "q55_unpivot"     -> q55Unpivot _,
     "q15_case_agg"    -> q15CaseAgg _,
     "q16_having"      -> q16Having _,
     "q17_subquery_agg"-> q17SubqueryAgg _,
@@ -450,6 +469,16 @@ object Relational extends QueryPack {
          FROM e ASOF JOIN o2
            ON e.bucket = o2.bucket AND e.ts >= o2.o_orderdate
          ORDER BY event_id""",
+    "q55_unpivot" ->
+      """WITH u AS (
+           SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_quantity', l_quantity FROM lineitem)
+         SELECT l_returnflag, metric, round(sum(val), 2) AS total, count(*) AS n
+         FROM u GROUP BY l_returnflag, metric
+         ORDER BY l_returnflag, metric""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
