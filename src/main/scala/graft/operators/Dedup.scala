@@ -136,6 +136,53 @@ object Dedup extends QueryPack {
   private def q42MinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(s, d)
 
+  /** Incremental NEAR-dup — the LSH twin of q76's exact incremental
+    * dedup: which docs of a NEW batch (doc_id >= 250) are near-
+    * duplicates (Jaccard >= 0.8) of the EXISTING corpus (doc_id < 250),
+    * and of which corpus doc. The production ingest question q42 cannot
+    * answer directly (its self-join also pairs batch×batch and
+    * corpus×corpus — wasted work when only cross pairs matter): here the
+    * batch's band postings equi-join the corpus's postings ONLY, so
+    * candidate work scales with |batch| × collision rate, not
+    * |corpus|². On a real deployment the corpus postings are the
+    * persisted LSH index (written once, `partitionBy(band)`), and the
+    * daily batch — the small side — streams against it; exact-Jaccard
+    * verification via [[verifyJoin]] as everywhere. Oracle = the exact
+    * cross-side inverted-index SQL (q35's shape restricted to
+    * corpus×batch pairs).
+    */
+  private[graft] def incrementalNearDup(s: SparkSession, d: String,
+                                        maxBucket: Long = -1L): DataFrame = {
+    val sh = shingled(s, d)
+    val cap = if (maxBucket > 0) maxBucket else Tables.documents(s, d).count()
+    def banded(df: DataFrame): DataFrame = capBuckets(
+      df.select(col("doc_id"),
+                posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+                  .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), cap)
+    val cand = banded(sh.filter(col("doc_id") < 250))
+        .select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      .join(banded(sh.filter(col("doc_id") >= 250))
+        .select(col("band"), col("bkey"), col("doc_id").as("b_id")),
+            Seq("band", "bkey"))
+      .select("a_id", "b_id").distinct()
+    val aSh = sh.filter(col("doc_id") < 250)
+      .select(col("doc_id").as("a_id"), col("sh").as("ash"))
+    val bSh = sh.filter(col("doc_id") >= 250)
+      .select(col("doc_id").as("b_id"), col("sh").as("bsh"))
+    verifyJoin(cand, aSh, bSh, "a_id", "b_id", 4000000L)
+      .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
+      .withColumn("jac_raw",
+        col("common") / (size(col("ash")) + size(col("bsh")) - col("common")))
+      .filter(col("jac_raw") >= 0.8)
+      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def q100IncrementalNearDup(s: SparkSession, d: String): DataFrame =
+    incrementalNearDup(s, d)
+
   /** 60-bit SimHash from whitespace tokens: bit i of the signature is set
     * iff the signed bit-vote over all token hashes is non-negative.
     * The token hash is the top 60 bits of md5 (15 hex chars) — md5 exists
@@ -494,6 +541,7 @@ object Dedup extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_minhash_lsh"   -> q42MinhashLsh _,
+    "q100_incremental_neardup" -> q100IncrementalNearDup _,
     "q43_simhash"       -> q43Simhash _,
     "q81_simhash_neardup" -> q81SimhashNearDup _,
     "q88_fuzzy_join"    -> q88FuzzyJoin _,
@@ -508,6 +556,28 @@ object Dedup extends QueryPack {
   // md5-based signature in DuckDB (bit-exact integer arithmetic).
   override val oracles: Map[String, String] = Map(
     "q42_minhash_lsh" -> TextAnalysis.oracles("q35_ngram_jaccard"),
+    // q100: exact cross-side (corpus x batch) inverted-index closure —
+    // q35's shape restricted to a_id < 250 <= b_id; LSH recall at the
+    // 0.8 verify threshold makes the answers identical (q42's argument).
+    "q100_incremental_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < 250 AND b.doc_id >= 250
+           GROUP BY 1, 2, 3, 4)
+         SELECT a_id, b_id,
+                floor(common / (asz + bsz - common) * 1000) / 1000 AS jaccard
+         FROM pairs
+         WHERE common / (asz + bsz - common) >= 0.8
+         ORDER BY a_id, b_id""",
     "q43_simhash" ->
       """WITH t AS (SELECT doc_id,
              [CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
