@@ -187,6 +187,17 @@ class Curation2Spec extends SparkTestBase {
       s"neighbor ${r.getLong(2)} is not an en doc — pre-filter violated"))
   }
 
+  test("q100 incremental near-dup == q42's cross-side pairs") {
+    val inc = SparkEntry.queries("q100_incremental_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = SparkEntry.queries("q42_minhash_lsh")(spark, sfDir)
+      .filter(col("a_id") < 250 && col("b_id") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full,
+      "batch-vs-corpus join must produce exactly the cross-side subset of the self-join")
+    inc.foreach { case (a, b, _) => assert(a < 250 && b >= 250) }
+  }
+
   test("q95 sharded bloom dedup == plain anti-join (and q76 contract)") {
     val sharded = SparkEntry.queries("q95_dedup_bloom_sharded")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
