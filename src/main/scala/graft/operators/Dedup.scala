@@ -183,6 +183,61 @@ object Dedup extends QueryPack {
   private def q100IncrementalNearDup(s: SparkSession, d: String): DataFrame =
     incrementalNearDup(s, d)
 
+  /** Materialize the LSH INDEX of a corpus — the persisted side of
+    * incremental near-dup, so the daily batch never re-pays the corpus's
+    * shingle + minhash work (the ivfIndex/ivfPqIndex pattern applied to
+    * LSH): band postings under `_postings/` laid out `partitionBy(band)`
+    * (writers and probes parallelize per band; every band is probed, so
+    * the layout buys locality, not pruning) and the shingle sets under
+    * `_shingles/` for exact verification. Rebuilt per corpus version or
+    * appended per ingest — postings are append-only by construction.
+    */
+  def lshIndex(corpus: DataFrame, path: String): Unit = {
+    val sh = corpus
+      .select(col("doc_id"), NativeExprs.word_shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.select(col("doc_id"),
+              posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+                .as(Seq("band", "bkey")))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/_postings")
+    sh.write.mode("overwrite").parquet(s"$path/_shingles")
+  }
+
+  /** Incremental near-dup against a [[lshIndex]]: the batch pays ONLY its
+    * own shingle + banding work; corpus postings and shingles are read
+    * from the index. Value-identical to [[incrementalNearDup]] over
+    * (indexed corpus ∪ batch) — asserted in ScaleSpec. The verify join
+    * reads index shingles only for candidate a_ids (the broadcast
+    * semi-join reduction), so a quiet ingest day touches a sliver of the
+    * index regardless of corpus size.
+    */
+  def incrementalNearDupIndexed(s: SparkSession, path: String,
+                                batch: DataFrame,
+                                threshold: Double = 0.8): DataFrame = {
+    val bSh = batch
+      .select(col("doc_id"), NativeExprs.word_shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cand = s.read.parquet(s"$path/_postings")
+        .select(col("band"), col("bkey"), col("doc_id").as("a_id"))
+      .join(bSh.select(col("doc_id").as("b_id"),
+              posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+                .as(Seq("band", "bkey"))),
+            Seq("band", "bkey"))
+      .select("a_id", "b_id").distinct()
+    val aSh = s.read.parquet(s"$path/_shingles")
+      .select(col("doc_id").as("a_id"), col("sh").as("ash"))
+    verifyJoin(cand, aSh,
+               bSh.select(col("doc_id").as("b_id"), col("sh").as("bsh")),
+               "a_id", "b_id", 4000000L)
+      .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
+      .withColumn("jac_raw",
+        col("common") / (size(col("ash")) + size(col("bsh")) - col("common")))
+      .filter(col("jac_raw") >= threshold)
+      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** 60-bit SimHash from whitespace tokens: bit i of the signature is set
     * iff the signed bit-vote over all token hashes is non-negative.
     * The token hash is the top 60 bits of md5 (15 hex chars) — md5 exists

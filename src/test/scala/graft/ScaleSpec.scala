@@ -213,6 +213,20 @@ class ScaleSpec extends SparkTestBase {
     assert(q41s == q41b, "q41 shuffle fallback must be value-identical")
   }
 
+  test("indexed incremental near-dup equals the direct cross-side join") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    graft.operators.Dedup.lshIndex(docs.filter(col("doc_id") < 250), dir)
+    val viaIndex = graft.operators.Dedup
+      .incrementalNearDupIndexed(spark, dir, docs.filter(col("doc_id") >= 250))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = graft.operators.Dedup.incrementalNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct,
+      "reading corpus postings/shingles from the persisted index must not change the answer")
+  }
+
   test("incremental bloom dedup equals the exact anti-join") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
