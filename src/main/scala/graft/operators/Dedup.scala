@@ -446,6 +446,24 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
+    * the histogram of duplicate-family sizes (how many clusters of each
+    * size, how many docs they hold, how many would be dropped keeping
+    * one canonical doc per family). Reuses the exact q73 cluster
+    * assignment, then two tiny aggregations over (cluster_id) — the
+    * reporting cost is two shuffles of one row per CLUSTER, nothing
+    * corpus-sized past the pair detection it already shares with q73.
+    */
+  private def q101ClusterSizes(s: SparkSession, d: String): DataFrame =
+    q73DedupClusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+           (col("cluster_size") * count(lit(1))).cast("long").as("n_docs"),
+           ((col("cluster_size") - 1) * count(lit(1))).cast("long").as("n_dropped"))
+      .select("cluster_size", "n_clusters", "n_docs", "n_dropped")
+      .orderBy("cluster_size")
+
   /** Min-label connected components over a bidirectional edge list.
     * Each iteration does one neighbor-min propagation (edge join + min
     * agg — one hop of new information) AND one pointer-doubling jump
@@ -603,6 +621,7 @@ object Dedup extends QueryPack {
     "q89_entity_resolution" -> q89EntityResolution _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
+    "q101_cluster_sizes" -> q101ClusterSizes _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
   )
 
@@ -743,6 +762,35 @@ object Dedup extends QueryPack {
     // q73: connected components via a recursive transitive closure over
     // the exact near-dup pair set (q35's pair SQL inlined) — cluster id is
     // the component minimum, exactly what min-label propagation converges to.
+    // q101: q73's closure aggregated to the family-size histogram.
+    "q101_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT a_id, b_id FROM p
+                   WHERE common / (asz + bsz - common) >= 0.8),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+         SELECT cluster_size, count(*) AS n_clusters,
+                CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+                CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
+         FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
     "q73_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id,
