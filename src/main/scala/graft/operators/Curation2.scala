@@ -4,8 +4,11 @@ import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-5 curation operators — the corpus-hygiene steps of a training-
-  * data pipeline that sit between raw dedup and final packing:
+/** Round-5 curation operators (SURVEY.md §2 rows 11-13 [extension] — the
+  * reference at /root/reference has no query/curation surface at all;
+  * these rows are the BASELINE.json north-star mandate) — the
+  * corpus-hygiene steps of a training-data pipeline that sit between raw
+  * dedup and final packing:
   * boilerplate-span removal, deterministic stratified sampling, broadcast
   * model scoring, domain-mix resampling, and the sharded-bloom incremental
   * dedup declared as an oracle-gated query (its OUTPUT is exact — the
