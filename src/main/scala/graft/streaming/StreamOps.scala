@@ -108,6 +108,33 @@ object StreamOps {
     }
   }
 
+  /** Streaming CONTAMINATION GATE — the streaming twin of batch q48:
+    * drop stream documents whose shingle overlap with a benchmark corpus
+    * reaches `threshold`. The benchmark's distinct shingle set collapses
+    * to a ONE-ROW static aggregate (benchmarks are KB-MB at any corpus
+    * scale) cross-joined in as a broadcast scalar, so the gate is a
+    * STATELESS per-row array intersection — no watermark, no state
+    * store, works under any trigger; the micro-batch plan is identical
+    * to the batch q48 probe. Passes through rows BELOW the threshold
+    * (the decontaminated stream) with their contamination score.
+    */
+  def contaminationGateStream(docs: DataFrame, bench: DataFrame,
+                              threshold: Double): DataFrame = {
+    val benchSet = bench
+      .select(explode(graft.functions.NativeExprs.word_shingles(col("text"))).as("s"))
+      .distinct()
+      .agg(coalesce(collect_list(col("s")), expr("array()")).as("bench_sh"))
+    docs
+      .withColumn("sh", graft.functions.NativeExprs.word_shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+      .crossJoin(broadcast(benchSet))
+      .withColumn("contamination",
+        size(array_intersect(col("sh"), col("bench_sh"))) /
+          size(col("sh")).cast("double"))
+      .filter(col("contamination") < threshold)
+      .drop("sh", "bench_sh")
+  }
+
   final case class BucketDoc(bucket: Long, doc_id: Long,
                              ts: java.sql.Timestamp, sh: Seq[String])
   final case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double,

@@ -523,6 +523,29 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming contamination gate drops overlapping docs statelessly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.contaminationGateStream(df, bench, threshold = 0.5)
+      .writeStream.format("memory").queryName("contam_out").outputMode("append").start()
+    mem.addData(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // near-full overlap: drop
+      (11L, "totally unrelated words nothing shared here at all"), // keep
+      (12L, "alpha beta gamma then diverges into unrelated content entirely"))) // partial: keep
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("contam_out").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(11L, 12L)), s"got ${got.toSeq}")
+    // the kept rows carry their score
+    val scores = spark.table("contam_out").select("doc_id", "contamination")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(11L) == 0.0 && scores(12L) > 0.0 && scores(12L) < 0.5)
+  }
+
   test("streaming sessionization: gap closes sessions via event-time timeout") {
     import spark.implicits._
     implicit val s = spark
