@@ -92,6 +92,38 @@ class PlanSpec extends SparkTestBase {
       "the capped simhash posting exchange must be shared by both join branches")
   }
 
+  test("hot-path queries execute inside WholeStageCodegen spans") {
+    // the per-row kernels of the scan-heavy queries must sit inside
+    // codegen stages (no interpreted Project/Filter on the hot path);
+    // native expressions (CosineSim, WordShingles, ...) implement
+    // doGenCode, so their pipelines fuse
+    Seq("q2_filter", "q30_tokens", "q40_cosine_topk", "q93_quality_model")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        // descend through AQE wrappers — the final plan hides behind
+        // AdaptiveSparkPlanExec/QueryStageExec, which are not `children`
+        def all(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val nested = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              all(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              all(q.plan)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              all(r.child)
+            case _ => Nil
+          }
+          (p +: p.children.flatMap(all)) ++ nested
+        }
+        val codegenStages = all(df.queryExecution.executedPlan).collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+        assert(codegenStages.nonEmpty,
+               s"$name: expected at least one WholeStageCodegen span")
+      }
+  }
+
   test("q1: aggregation is two-phase (partial before the exchange)") {
     val plan = executed(Relational.queries("q1_agg")(spark, sfDir))
     val aggModes = plan.collect {
