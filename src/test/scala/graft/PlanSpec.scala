@@ -31,6 +31,10 @@ class PlanSpec extends SparkTestBase {
     allNodes(df.queryExecution.executedPlan)
   }
 
+  test("driver smoke contract: entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q2: filters and projection are pushed into the parquet scan") {
     val plan = executed(Relational.queries("q2_filter")(spark, sfDir))
     val scans = plan.collect { case s: FileSourceScanExec => s }.toSeq
