@@ -716,7 +716,6 @@ object Similarity extends QueryPack {
     val pairs = annLshPairs(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
     val (labels, _) = Dedup.connectedComponents(nodes, edges)
     labels

@@ -263,6 +263,24 @@ class ScaleSpec extends SparkTestBase {
       s"pointer doubling must converge a $n-chain in <= $bound iters, took $iters")
   }
 
+  test("connected components: two shallow components exit after the first flat-sum iteration") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // triangle {0,1,2} and pair {10,11}: one propagation labels both
+    // components with their minimum, so iteration 1 is the only productive
+    // one and iteration 2 sees a flat label sum and exits — exactly 2
+    // driver iterations, guarding the one-action-per-iteration loop
+    // against ever silently running to maxIters
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L),
+                    (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val (labels, iters) = Dedup.connectedComponents(nodes, edges)
+    val lab = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lab == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L))
+    assert(iters == 2,
+      s"shallow components must converge in exactly 2 iterations (1 productive + 1 flat check), took $iters")
+  }
+
   test("sharded bloom dedup equals the single-filter path and the exact anti-join") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
