@@ -536,12 +536,27 @@ case class PqAdc(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val q = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
+    // malformed codes must fail loudly: a short code array would silently
+    // contribute 0 for the missing subspaces (understating the distance
+    // and corrupting rankings), and an out-of-range code would surface as
+    // an unexplained ArrayIndexOutOfBoundsException deep in a task
+    if (codes.numElements() != codebook.length)
+      throw new IllegalArgumentException(
+        s"pq_adc: code array has ${codes.numElements()} entries but the " +
+          s"codebook has ${codebook.length} subspaces — codes must come " +
+          "from pq_encode against the same codebook")
     val n = q.numElements()
     var d = 0.0
     var mi = 0
     var base = 0
-    while (mi < codebook.length && mi < codes.numElements()) {
-      val cv = codebook(mi)(codes.getInt(mi))
+    while (mi < codebook.length) {
+      val code = codes.getInt(mi)
+      if (code < 0 || code >= codebook(mi).length)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code out of range [0, ${codebook(mi).length}) " +
+            s"in subspace $mi — codes must come from pq_encode against " +
+            "the same codebook")
+      val cv = codebook(mi)(code)
       val sub = cv.length
       var j = 0
       while (j < sub) {

@@ -115,8 +115,11 @@ object StreamOps {
     * scale) cross-joined in as a broadcast scalar, so the gate is a
     * STATELESS per-row array intersection — no watermark, no state
     * store, works under any trigger; the micro-batch plan is identical
-    * to the batch q48 probe. Passes through rows BELOW the threshold
-    * (the decontaminated stream) with their contamination score.
+    * to the batch q48 probe. Passes through ALL rows below the threshold
+    * (the decontaminated stream) with their contamination score — a doc
+    * too short to produce a shingle cannot overlap the benchmark and
+    * passes with contamination 0.0 (rather than being dropped, which
+    * would silently lose data from the output stream).
     */
   def contaminationGateStream(docs: DataFrame, bench: DataFrame,
                               threshold: Double): DataFrame = {
@@ -126,11 +129,12 @@ object StreamOps {
       .agg(coalesce(collect_list(col("s")), expr("array()")).as("bench_sh"))
     docs
       .withColumn("sh", graft.functions.NativeExprs.word_shingles(col("text")))
-      .filter(size(col("sh")) > 0)
       .crossJoin(broadcast(benchSet))
       .withColumn("contamination",
-        size(array_intersect(col("sh"), col("bench_sh"))) /
-          size(col("sh")).cast("double"))
+        coalesce(
+          size(array_intersect(col("sh"), col("bench_sh"))) /
+            nullif(size(col("sh")), lit(0)).cast("double"),
+          lit(0.0)))
       .filter(col("contamination") < threshold)
       .drop("sh", "bench_sh")
   }

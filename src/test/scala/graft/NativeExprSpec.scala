@@ -22,6 +22,29 @@ class NativeExprSpec extends SparkTestBase {
     assert(df(4L) == Nil)
   }
 
+  test("pq_adc: malformed codes fail loudly instead of corrupting distances") {
+    import spark.implicits._
+    // 2 subspaces × 2 centroids × 2 dims
+    val cb = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(2.0, 2.0)))
+    val q = Seq((1L, Seq(1.0, 1.0, 2.0, 2.0))).toDF("id", "qv")
+    def adc(codes: Seq[Int]): Double =
+      q.select(NativeExprs.pq_adc(col("qv"),
+          typedLit(codes), cb).as("d"))
+        .head.getDouble(0)
+    assert(adc(Seq(1, 1)) == 0.0) // exact reconstruction
+    assert(adc(Seq(0, 0)) == 1.0 + 1.0 + 4.0 + 4.0)
+    // short code array: must throw, not silently score half the vector
+    val short = intercept[Exception](adc(Seq(1)))
+    assert(short.getMessage != null && short.getMessage.contains("subspaces"),
+      s"got: ${short.getMessage}")
+    // out-of-range code: descriptive error, not ArrayIndexOutOfBounds
+    val oob = intercept[Exception](adc(Seq(1, 7)))
+    assert(oob.getMessage != null && oob.getMessage.contains("out of range"),
+      s"got: ${oob.getMessage}")
+  }
+
   test("word_shingles: distinct=false preserves duplicate shingles in order") {
     import spark.implicits._
     val rows = Seq((1L, "w w w w"), (2L, "a b c a b c a b c"))

@@ -535,15 +535,18 @@ class StreamingSpec extends SparkTestBase {
     mem.addData(Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta"), // near-full overlap: drop
       (11L, "totally unrelated words nothing shared here at all"), // keep
-      (12L, "alpha beta gamma then diverges into unrelated content entirely"))) // partial: keep
+      (12L, "alpha beta gamma then diverges into unrelated content entirely"), // partial: keep
+      (13L, "too short"))) // no shingle possible: keep with score 0.0, never dropped
     q.processAllAvailable()
     q.stop()
     val got = spark.table("contam_out").select("doc_id").collect().map(_.getLong(0)).sorted
-    assert(got.sameElements(Array(11L, 12L)), s"got ${got.toSeq}")
-    // the kept rows carry their score
+    assert(got.sameElements(Array(11L, 12L, 13L)), s"got ${got.toSeq}")
+    // the kept rows carry their score; a zero-shingle doc cannot be
+    // contaminated and must pass through with 0.0 rather than vanish
     val scores = spark.table("contam_out").select("doc_id", "contamination")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(scores(11L) == 0.0 && scores(12L) > 0.0 && scores(12L) < 0.5)
+    assert(scores(13L) == 0.0)
   }
 
   test("streaming sessionization: gap closes sessions via event-time timeout") {
