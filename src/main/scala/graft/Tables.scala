@@ -11,8 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * all apply).
   */
 object Tables {
+  private val loadMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  /** `spark.read.parquet` schedules a footer-reading schema-inference
+    * job on EVERY call (Spark 4 parallel footer reads) — a driver job
+    * per table per query build. The test tables are immutable per
+    * (dataset dir), so the resolved DataFrame is memoized per (session,
+    * dir, table): each table pays schema resolution once per session and
+    * every later query build composes lazily from the cached analyzed
+    * relation (PlanSpec asserts build-time job silence). Callers reading
+    * MUTABLE paths (ingest outputs, indexes) use `spark.read` directly,
+    * never this. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loadMemo.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
@@ -35,6 +48,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  private val rowCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Long]
+
+  /** Table row count as a DRIVER-SIDE literal, memoized per (session,
+    * dataset, table) — the one-time ANALYZE-style stat for the few plan
+    * parameters that must be concrete numbers before the plan exists
+    * (LSH bits-per-band sizing). Parquet metadata-only (a count over a
+    * parquet scan reads footers, not data) and paid once per dataset per
+    * session, not once per query build. Caps/df-cuts that merely FEED A
+    * FILTER do not use this — they take the lazy broadcast one-row-agg
+    * form (see Dedup.capBuckets) so query construction schedules no job
+    * at all (PlanSpec asserts it). */
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    rowCountMemo.getOrElseUpdate((System.identityHashCode(s), d, name),
+      load(s, d, name).count())
 }
 
 /** A named bundle of queries plus (where SQL-expressible) DuckDB oracle SQL.

@@ -64,6 +64,30 @@ object Dedup extends QueryPack {
       .drop("__bsz")
   }
 
+  /** [[capBuckets]] with the default corpus-size cap expressed LAZILY:
+    * an explicit `maxBucket > 0` filters against the literal; otherwise
+    * the cap is `capSrc`'s row count as a broadcast one-row aggregate
+    * cross-joined into the postings (q39's corpus-N pattern) — the cap
+    * stays value-neutral (no bucket can hold more rows than the corpus)
+    * while QUERY CONSTRUCTION schedules no driver job (a plan-build
+    * `count()` serialized an extra job per build and broke lazy
+    * composition; PlanSpec now asserts build-time job silence). The
+    * 1-row broadcast adds no shuffle, so the window exchange on `keys`
+    * is still the one the candidate self-join reuses.
+    */
+  private[graft] def capBucketsLazy(postings: DataFrame, keys: Seq[String],
+                                    maxBucket: Long, capSrc: DataFrame): DataFrame =
+    if (maxBucket > 0) capBuckets(postings, keys, maxBucket)
+    else {
+      val cap = capSrc.agg(count(lit(1)).as("__cap"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      postings
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .crossJoin(broadcast(cap))
+        .filter(col("__bsz") <= col("__cap"))
+        .drop("__bsz", "__cap")
+    }
+
   /** Exact-verification join of a candidate pair set against per-doc
     * payloads. Only BARE ids ever ride a broadcast: when the candidate
     * set is small enough, its id columns (8 bytes/row — byte-bounded by
@@ -110,12 +134,11 @@ object Dedup extends QueryPack {
                                      maxBucket: Long = -1L,
                                      broadcastCandLimit: Long = 4000000L): DataFrame = {
     val sh = shingled(s, d)
-    val cap = if (maxBucket > 0) maxBucket else Tables.documents(s, d).count()
-    val banded = capBuckets(
+    val banded = capBucketsLazy(
       sh.select(col("doc_id"),
                 posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
                   .as(Seq("band", "bkey"))),
-      Seq("band", "bkey"), cap)
+      Seq("band", "bkey"), maxBucket, Tables.documents(s, d))
     val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
             Seq("band", "bkey"))
@@ -154,12 +177,11 @@ object Dedup extends QueryPack {
   private[graft] def incrementalNearDup(s: SparkSession, d: String,
                                         maxBucket: Long = -1L): DataFrame = {
     val sh = shingled(s, d)
-    val cap = if (maxBucket > 0) maxBucket else Tables.documents(s, d).count()
-    def banded(df: DataFrame): DataFrame = capBuckets(
+    def banded(df: DataFrame): DataFrame = capBucketsLazy(
       df.select(col("doc_id"),
                 posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
                   .as(Seq("band", "bkey"))),
-      Seq("band", "bkey"), cap)
+      Seq("band", "bkey"), maxBucket, Tables.documents(s, d))
     val cand = banded(sh.filter(col("doc_id") < 250))
         .select(col("band"), col("bkey"), col("doc_id").as("a_id"))
       .join(banded(sh.filter(col("doc_id") >= 250))
@@ -281,15 +303,14 @@ object Dedup extends QueryPack {
     require(maxHamming < nBands, "recall-1 guarantee needs maxHamming < nBands")
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), NativeExprs.simhash_sig(col("text")).as("simhash"))
-    val cap = if (maxBucket > 0) maxBucket else Tables.documents(s, d).count()
     val mask = (1L << bitsPerBand) - 1
-    val posting = capBuckets(
+    val posting = capBucketsLazy(
       sig.select(col("doc_id"), col("simhash"),
           explode(expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
             s"named_struct('band', b, 'bkey', shiftright(simhash, b * $bitsPerBand) & $mask))")).as("bb"))
         .select(col("doc_id"), col("simhash"),
                 col("bb.band").as("band"), col("bb.bkey").as("bkey")),
-      Seq("band", "bkey"), cap)
+      Seq("band", "bkey"), maxBucket, Tables.documents(s, d))
     posting.select(col("band"), col("bkey"),
                    col("doc_id").as("a_id"), col("simhash").as("asig"))
       .join(posting.select(col("band"), col("bkey"),
@@ -326,9 +347,9 @@ object Dedup extends QueryPack {
     // = corpus size: value-neutral here, but the Σ df² candidate work is
     // bounded at Σ min(df, cap)² IN the plan — the same bound q35/q41/q42
     // carry; the window shuffle on `s` is reused by the candidate join)
-    val ex = capBuckets(
+    val ex = capBucketsLazy(
       sh.select(col("doc_id"), explode(col("sh")).as("s")),
-      Seq("s"), Tables.documents(s, d).count())
+      Seq("s"), -1L, Tables.documents(s, d))
     val cand = ex.select(col("s"), col("doc_id").as("a_id"))
       .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
@@ -367,7 +388,6 @@ object Dedup extends QueryPack {
                                     maxBucket: Long = -1L): DataFrame = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val cap = if (maxBucket > 0) maxBucket else c.count()
     // array_distinct dedupes variants MAP-SIDE within each name (deleting
     // either of two adjacent equal characters yields the same string):
     // without it one id could post the same variant several times, a hot
@@ -375,7 +395,7 @@ object Dedup extends QueryPack {
     // capBuckets would drop the whole bucket — silently voiding the
     // recall-1 guarantee. With per-id-distinct postings, bucket size ≤
     // distinct ids ≤ corpus, so the default cap is provably value-neutral.
-    val variants = capBuckets(
+    val variants = capBucketsLazy(
       c.select(col("id"), col("name"),
         explode(expr(
           """array_distinct(array_append(
@@ -383,7 +403,7 @@ object Dedup extends QueryPack {
                          i -> concat(substring(name, 1, i - 1),
                                      substring(name, i + 1, length(name)))),
                name))""")).as("variant")),
-      Seq("variant"), cap)
+      Seq("variant"), maxBucket, c)
     variants.select(col("variant"), col("id").as("a_id"), col("name").as("a_name"))
       .join(variants.select(col("variant"), col("id").as("b_id"), col("name").as("b_name")),
             Seq("variant"))

@@ -128,20 +128,29 @@ object Relational extends QueryPack {
     buildingCustomers(s, d).except(bigSpenders(s, d)).orderBy("c_custkey")
 
   // ROLLUP with subtotal rows; names coalesced so sort keys are non-null.
-  // Uses the SQL surface (path-qualified tables, no temp-view state): the
-  // DataFrame `.rollup(...).select(coalesce(...))` form trips Spark's
-  // ambiguous-self-join lineage check, and SQL is the clearer spelling.
-  private def q10Rollup(s: SparkSession, d: String): DataFrame =
+  // Uses the SQL surface: the DataFrame `.rollup(...).select(coalesce(...))`
+  // form trips Spark's ambiguous-self-join lineage check, and SQL is the
+  // clearer spelling. Tables come in as temp views re-bound from the
+  // DataFrame loaders AT EVERY BUILD (so several datasets in one session
+  // each resolve their own) — the path-qualified `parquet.`…`` SQL form
+  // re-infers the schema with a footer-reading job per table per build,
+  // while the loader's resolution is driver-side (PlanSpec asserts
+  // build-time job silence).
+  private def q10Rollup(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_region")
     s.sql(
-      s"""SELECT coalesce(r_name, 'ALL') AS region,
+      """SELECT coalesce(r_name, 'ALL') AS region,
                  coalesce(n_name, 'ALL') AS nation,
                  count(*) AS n_customers,
                  round(sum(c_acctbal), 2) AS total_acctbal
-          FROM parquet.`$d/customer.parquet` c
-          JOIN parquet.`$d/nation.parquet` n ON c.c_nationkey = n.n_nationkey
-          JOIN parquet.`$d/region.parquet` r ON n.n_regionkey = r.r_regionkey
+          FROM graft_customer c
+          JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+          JOIN graft_region r ON n.n_regionkey = r.r_regionkey
           GROUP BY ROLLUP (r_name, n_name)
           ORDER BY region, nation""")
+  }
 
   // Left-semi join (EXISTS).
   private def q11SemiJoin(s: SparkSession, d: String): DataFrame = {
@@ -238,16 +247,19 @@ object Relational extends QueryPack {
   }
 
   // CUBE over two order dimensions (all 4 grouping combinations). SQL
-  // surface for the same lineage-check reason as q10.
-  private def q18Cube(s: SparkSession, d: String): DataFrame =
+  // surface for the same lineage-check reason as q10; temp view re-bound
+  // per build for the same job-silence reason.
+  private def q18Cube(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
     s.sql(
-      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                  coalesce(o_orderpriority, 'ALL') AS priority,
                  count(*) AS n_orders,
                  round(sum(o_totalprice), 2) AS total
-          FROM parquet.`$d/orders.parquet`
+          FROM graft_orders
           GROUP BY CUBE (o_orderstatus, o_orderpriority)
           ORDER BY status, priority""")
+  }
 
   // Exact interpolated percentiles. Computed over integer-valued
   // quantities so the lerp is IEEE-exact in any evaluation order —
@@ -347,15 +359,17 @@ object Relational extends QueryPack {
       .orderBy("r_name", "n_name")
 
   // GROUPING SETS with disjoint groupings (neither rollup nor cube).
-  private def q61GroupingSets(s: SparkSession, d: String): DataFrame =
+  private def q61GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
     s.sql(
-      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                  coalesce(o_orderpriority, 'ALL') AS priority,
                  count(*) AS n_orders,
                  round(sum(o_totalprice), 2) AS total
-          FROM parquet.`$d/orders.parquet`
+          FROM graft_orders
           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
           ORDER BY status, priority""")
+  }
 
   // Pivot: event values spread into per-type columns (Spark's pivot API;
   // the oracle spells the equivalent conditional aggregation).

@@ -129,17 +129,20 @@ object Similarity extends QueryPack {
   private[graft] def annLshPairs(s: SparkSession, d: String,
                                  maxBucket: Long = -1L,
                                  broadcastCandLimit: Long = 4000000L): DataFrame = {
-    val n = Tables.embeddings(s, d).count() // metadata-only column-pruned count
+    // bitsFor needs a concrete number BEFORE the plan exists (it sizes
+    // the hyperplane array) — the memoized ANALYZE-style stat, one
+    // metadata-only count per (session, dataset), not per query build
+    val n = Tables.rowCount(s, d, "embeddings")
     val bits = bitsFor(n)
     val planes = hyperplanes(lshBands * bits)
     // one signature pass per scan: posexplode the per-band array into
     // (band, bucket) postings (a union of per-band selects would re-run
     // the signature kernel once per band per join side)
-    val posting = Dedup.capBuckets(
+    val posting = Dedup.capBucketsLazy(
       corpus(s, d).select(col("vec_id"),
         posexplode(NativeExprs.hyperplane_sigs(col("v"), planes, lshBands, bits))
           .as(Seq("band", "bucket"))),
-      Seq("band", "bucket"), if (maxBucket > 0) maxBucket else n)
+      Seq("band", "bucket"), maxBucket, Tables.embeddings(s, d))
     val cand = posting.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
       .join(posting.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
             Seq("band", "bucket"))

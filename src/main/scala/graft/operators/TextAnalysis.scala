@@ -171,15 +171,23 @@ object TextAnalysis extends QueryPack {
     * the shuffle). Jaccard denominators still use the FULL shingle sets,
     * so the computed score is a lower bound of the true Jaccard and the
     * output is a subset of the exact q35 pair set; with maxDf >= corpus
-    * size the result is exactly q35 (asserted in ScaleSpec).
+    * size the result is exactly q35 (asserted in ScaleSpec). maxDf = -1
+    * means "corpus size", carried as a broadcast one-row aggregate (the
+    * q39 corpus-N pattern) so the value-neutral default schedules no
+    * driver job at query construction.
     */
-  private[graft] def ngramJaccardDfCut(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+  private[graft] def ngramJaccardDfCut(s: SparkSession, d: String,
+                                       maxDf: Long = -1L): DataFrame = {
     val ex = Tables.documents(s, d)
       .select(col("doc_id"),
               graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("s")
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val keep =
+      if (maxDf > 0) dfTab.filter(col("df") <= maxDf).select("s")
+      else dfTab
+        .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("__cap"))))
+        .filter(col("df") <= col("__cap")).select("s")
     val pruned = ex.join(keep, "s")
     pruned.select(col("s"), col("doc_id").as("a_id"), col("sz").as("asz"))
       .join(pruned.select(col("s"), col("doc_id").as("b_id"), col("sz").as("bsz")), Seq("s"))
@@ -219,8 +227,14 @@ object TextAnalysis extends QueryPack {
               explode(graft.functions.NativeExprs
                 .word_shingles(col("text"), 3, distinct = false)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val keep = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("token")
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // maxDf = -1: corpus-size cut as a lazy broadcast scalar (value-
+    // neutral, no plan-build job — same form as ngramJaccardDfCut)
+    val keep =
+      if (maxDf > 0) dfTab.filter(col("df") <= maxDf).select("token")
+      else dfTab
+        .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("__cap"))))
+        .filter(col("df") <= col("__cap")).select("token")
     val pruned = tf.join(keep, "token")
     val norms = pruned.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
     val dots = pruned.select(col("token"), col("doc_id").as("a_id"), col("tf").as("atf"))
@@ -244,7 +258,7 @@ object TextAnalysis extends QueryPack {
   }
 
   private def q78DocCosinePairs(s: SparkSession, d: String): DataFrame =
-    docCosinePairs(s, d, maxDf = Tables.documents(s, d).count(), minCos = 0.8)
+    docCosinePairs(s, d, maxDf = -1L, minCos = 0.8)
 
   // Edit distance between adjacent documents' 80-char prefixes (capped so
   // the O(len²) DP stays bounded; Spark and DuckDB both implement the
@@ -379,10 +393,10 @@ object TextAnalysis extends QueryPack {
     "q33_langid"        -> q33LangId _,
     "q34_fingerprint"   -> q34Fingerprint _,
     "q35_ngram_jaccard" -> ((s: SparkSession, d: String) =>
-      // maxDf = corpus size: no shingle can exceed it, so the cut is
-      // value-neutral here while the plan carries the df bound (the
-      // corpus count is a plan-time metadata lookup, same as q41's)
-      ngramJaccardDfCut(s, d, maxDf = Tables.documents(s, d).count())),
+      // maxDf = -1 → corpus size as a lazy broadcast scalar: no shingle
+      // can exceed it, so the cut is value-neutral while the plan still
+      // carries the df bound — and building the plan schedules no job
+      ngramJaccardDfCut(s, d)),
   )
 
   override val oracles: Map[String, String] = Map(

@@ -35,6 +35,56 @@ class PlanSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query construction schedules no driver job (documented builders excepted)") {
+    // Queries whose CONSTRUCTION legitimately runs driver-coordinated
+    // work, each documented at its site: the verifyJoin adaptive size
+    // guard (LSH/near-dup family), the iterative CC loop (cluster
+    // family), driver-trained constant-size codebooks (IVF/PQ family —
+    // the standard FAISS training step), and the sharded bloom build.
+    // Everything else must compose lazily: an eager count()/collect()
+    // in a plain query serializes an extra job per plan build.
+    val allow = Set(
+      "q41_ann_lsh", "q42_minhash_lsh", "q100_incremental_neardup",
+      "q73_dedup_clusters", "q80_embedding_clusters",
+      "q89_entity_resolution", "q101_cluster_sizes",
+      "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq",
+      "q95_dedup_bloom_sharded")
+    // warm the memoized ANALYZE-style stats (documented one-off per
+    // session+dataset) so they don't attribute to whichever query builds
+    // first
+    Tables.rowCount(spark, sfDir, "embeddings")
+    // warm per-table schema resolution: Spark 4 reads parquet footers via
+    // a small job on FIRST touch of each path and caches the result for
+    // the session — session init, not a per-build cost; warming keeps the
+    // assertion strict for genuinely per-build jobs
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(t => if (t == "events") Tables.events(spark, sfDir).schema
+                    else Tables.load(spark, sfDir, t).schema)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(js.stageInfos.map(_.name).mkString("[", " | ", "]"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !allow(name)) {
+        org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext)
+        jobs.set(0); descs.clear()
+        fn(spark, sfDir) // build the plan only — never execute it
+        org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext)
+        assert(jobs.get() == 0,
+          s"$name scheduled ${jobs.get()} driver job(s) during plan " +
+            s"construction: ${descs.toArray.mkString("; ")}")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q2: filters and projection are pushed into the parquet scan") {
     val plan = executed(Relational.queries("q2_filter")(spark, sfDir))
     val scans = plan.collect { case s: FileSourceScanExec => s }.toSeq
