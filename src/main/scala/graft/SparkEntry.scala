@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Similarity,
     operators.Dedup,
     operators.Multimodal,
+    operators.Retrieval,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
