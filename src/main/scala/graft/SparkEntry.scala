@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Multimodal,
     operators.Retrieval,
+    operators.StreamGate,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

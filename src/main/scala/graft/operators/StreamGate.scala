@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming operators promoted under the DuckDB oracle gate (round-5
+  * verdict task 6): each declared query drives the REAL Structured
+  * Streaming operator — the same code path production uses, state store,
+  * watermarks and all — over the test table as a FILE STREAM with an
+  * AvailableNow trigger, collects the sink, and hands the result to the
+  * same cross-engine hash compare every batch query faces. The oracles
+  * are the corresponding batch queries' SQL (the streaming twins are
+  * value-equivalent to their batch forms when every row is within the
+  * watermark horizon — exactly what a bounded AvailableNow pass over a
+  * static table guarantees), so a pass certifies BATCH-EQUIVALENCE of
+  * the streaming implementations, not just "rows came out":
+  *
+  *  - q104 = [[StreamOps.incrementalDedupStream]] (bloom-split path) vs
+  *    batch q76's anti-join SQL,
+  *  - q105 = [[StreamOps.contaminationGateStream]] vs a decontaminated-
+  *    stream oracle (q48's shingle CTE, complement side + zero-shingle
+  *    pass-through),
+  *  - q106 = [[StreamOps.simhashNearDupStream]] (transformWithState
+  *    bucket processor) vs batch q81's banded-signature SQL.
+  *
+  * Scale notes: the gate harness is test scaffolding (a memory sink and
+  * an AvailableNow pass); the OPERATORS under it are the production
+  * paths whose scale arguments live at their definitions — stateless
+  * stream-static joins for q104/q105, watermark-bounded ListState per
+  * band bucket for q106.
+  */
+object StreamGate extends QueryPack {
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Run a bounded streaming query to completion and return the sink
+    * contents as a batch DataFrame. Memory sink + AvailableNow: every
+    * available file is processed, then the query stops. */
+  private def runToBatch(s: SparkSession, out: DataFrame): DataFrame = {
+    val name = s"graft_stream_gate_${sinkId.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private val stageMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The file stream source requires a DIRECTORY; the driver-generated
+    * tables are single parquet files. Stage a symlink to the file in a
+    * temp dir, once per (dataset, table). */
+  private def stagedDir(d: String, table: String): String =
+    stageMemo.getOrElseUpdate(s"$d/$table", {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(s"$d/$table.parquet"))
+      dir.toString
+    })
+
+  /** The documents table as a file-source STREAM (schema from the batch
+    * loader). */
+  private def docStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(Tables.documents(s, d).schema)
+      .parquet(stagedDir(d, "documents"))
+
+  /** Streaming incremental exact dedup vs the static existing corpus,
+    * through the BLOOM-split path (map-side definitive negatives + exact
+    * anti-join for positives) — output is exact regardless of fpp, which
+    * is what the batch q76 oracle certifies. */
+  private def q104IncDedupStream(s: SparkSession, d: String): DataFrame = {
+    val existing = Tables.documents(s, d).filter(col("doc_id") < 250)
+      .select(md5(col("text")).as("sig"))
+    val fresh = docStream(s, d).filter(col("doc_id") >= 250)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+    val out = StreamOps.incrementalDedupStream(fresh, existing,
+      bloomExpected = 1000L, fpp = 0.03)
+    runToBatch(s, out).orderBy("doc_id")
+  }
+
+  /** Streaming contamination gate: benchmark = docs < 20 (q48's split),
+    * stream = docs >= 20; keeps rows BELOW the threshold with their
+    * score (zero-shingle docs pass with 0.0 — the round-5 ADVICE
+    * contract fix, now under the cross-engine gate). */
+  private def q105ContaminationStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") < 20)
+    val stream = docStream(s, d).filter(col("doc_id") >= 20)
+    val out = StreamOps.contaminationGateStream(stream, bench, threshold = 0.2)
+    runToBatch(s, out)
+      .select(col("doc_id"),
+              (floor(col("contamination") * 1000) / 1000).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Streaming simhash near-dup through the transformWithState bucket
+    * processor. Constant event time + a 1-hour watermark keep every row
+    * inside the horizon and maxResidents above any bucket, so the
+    * emitted pair set must equal batch q81's exactly. */
+  private def q106SimhashStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val stream = docStream(s, d)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L))) // 2024-01-01
+    val out = StreamOps.simhashNearDupStream(stream, "ts", "1 hour",
+      delayMs = 3600000L, maxHamming = 3, nBands = 4, bitsPerBand = 15,
+      maxResidents = 1000000)
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); set for the bounded run, restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val result =
+      try runToBatch(s, out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    result
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_incdedup_stream" -> q104IncDedupStream _,
+    "q105_contamination_stream" -> q105ContaminationStream _,
+    "q106_simhash_stream" -> q106SimhashStream _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    // batch-equivalence: the streaming twin must hash-match the batch
+    // q76 oracle verbatim
+    "q104_incdedup_stream" -> Dedup.oracles("q76_incremental_dedup"),
+    // q48's shingle CTE, DECONTAMINATED side: all stream docs below the
+    // threshold, zero-shingle docs kept at 0.0. The raw score is one
+    // int/int division in both engines (bit-exact), floored only for
+    // output.
+    "q105_contamination_stream" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh FROM sh WHERE doc_id >= 20),
+         hits AS (SELECT c.doc_id, count(*) AS n_hit
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                        WHERE doc_id >= 20) c
+                  JOIN bench USING (s) GROUP BY c.doc_id),
+         sc AS (SELECT corpus.doc_id,
+                       coalesce(n_hit / CAST(nullif(nsh, 0) AS DOUBLE), 0e0) AS cont
+                FROM corpus LEFT JOIN hits USING (doc_id))
+         SELECT doc_id, floor(cont * 1000) / 1000 AS contamination
+         FROM sc WHERE cont < 0.2 ORDER BY doc_id""",
+    // batch-equivalence vs q81's banded-signature SQL verbatim
+    "q106_simhash_stream" -> Dedup.oracles("q81_simhash_neardup"),
+  )
+}

@@ -48,7 +48,11 @@ class PlanSpec extends SparkTestBase {
       "q73_dedup_clusters", "q80_embedding_clusters",
       "q89_entity_resolution", "q101_cluster_sizes",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq",
-      "q95_dedup_bloom_sharded")
+      "q95_dedup_bloom_sharded",
+      // the streaming-gate queries RUN a bounded streaming query inside
+      // the declared function by design (the batch-equivalence harness)
+      "q104_incdedup_stream", "q105_contamination_stream",
+      "q106_simhash_stream")
     // warm the memoized ANALYZE-style stats (documented one-off per
     // session+dataset) so they don't attribute to whichever query builds
     // first
