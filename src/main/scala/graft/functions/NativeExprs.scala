@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * BENCH (cosine all-pairs 10.4s, minhash 12.9s). These expressions do the
   * same math in tight primitive loops over ArrayData — semantics and
   * output values are IDENTICAL (verified by the unchanged DuckDB oracles);
-  * only the evaluation path changes. CodegenFallback is fine: the cost is
-  * the inner loop, not the call boundary, and the surrounding projection
-  * still codegens.
+  * only the evaluation path changes. The three hottest kernels
+  * (CosineSim, PqAdc, SimHashSig) implement `doGenCode` — the generated
+  * projection calls the SAME kernel method with unboxed children and a
+  * primitive return, so no per-row InternalRow materialization or boxed
+  * dispatch remains in the similarity scans. The rest are CodegenFallback:
+  * their cost is the inner loop, not the call boundary, and the
+  * surrounding projection still codegens (PERF.md records the A/B).
   */
 object NativeExprs {
 
@@ -101,7 +105,7 @@ object NativeExprs {
   * elements contribute 0.0 to dot and norms; zero-norm input yields NaN.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -121,9 +125,10 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val rightFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** The primitive loop, shared verbatim by the interpreted path and the
+    * generated code (one typed call per row from codegen — children stay
+    * unboxed in the generated projection, the return is a primitive). */
+  def kernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -134,6 +139,17 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.kernel($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -330,7 +346,7 @@ case class ShardedBloomContains(left: Expression, right: Expression,
   * of a corpus-scale pass.
   */
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -340,8 +356,9 @@ case class SimHashSig(child: Expression)
       s"simhash_sig requires STRING input, got ${other.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = SimHashSig.sqlToks(input.asInstanceOf[UTF8String].toString)
+  /** Shared by the interpreted path and the generated code. */
+  def kernel(input: UTF8String): Long = {
+    val toks = SimHashSig.sqlToks(input.toString)
     val md = SimHashSig.digest.get()
     val votes = new Array[Int](60)
     var t = 0
@@ -362,6 +379,17 @@ case class SimHashSig(child: Expression)
       b += 1
     }
     sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("simHashSig", this, classOf[SimHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -520,7 +548,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
   */
 case class PqAdc(left: Expression, right: Expression,
                  codebook: Array[Array[Array[Double]]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -533,9 +561,8 @@ case class PqAdc(left: Expression, right: Expression,
           s"got ${l.sql} and ${r.sql}")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val q = l.asInstanceOf[ArrayData]
-    val codes = r.asInstanceOf[ArrayData]
+  /** Shared by the interpreted path and the generated code. */
+  def kernel(q: ArrayData, codes: ArrayData): Double = {
     // malformed codes must fail loudly: a short code array would silently
     // contribute 0 for the missing subspaces (understating the distance
     // and corrupting rankings), and an out-of-range code would surface as
@@ -570,6 +597,17 @@ case class PqAdc(left: Expression, right: Expression,
       mi += 1
     }
     d
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => s"${ev.value} = $self.kernel($q, $c);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
