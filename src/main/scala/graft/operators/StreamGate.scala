@@ -127,10 +127,37 @@ object StreamGate extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** Streaming MinHash-LSH near-dup (watermarked per-bucket ListState +
+    * exact-Jaccard verify) — same equivalence argument as q106: every
+    * row inside the horizon, residents uncapped, so the emitted pair set
+    * must equal batch q42's, whose oracle is the exact inverted-index
+    * SQL (LSH recall 1 at the 0.8 threshold). */
+  private def q107MinhashStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val stream = docStream(s, d)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L))) // 2024-01-01
+    val out = StreamOps.nearDupPairsStream(stream, "ts", "1 hour",
+      delayMs = 3600000L, threshold = 0.8, maxResidents = 1000000)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val result =
+      try runToBatch(s, out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    result
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_incdedup_stream" -> q104IncDedupStream _,
     "q105_contamination_stream" -> q105ContaminationStream _,
     "q106_simhash_stream" -> q106SimhashStream _,
+    "q107_minhash_stream" -> q107MinhashStream _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -162,5 +189,8 @@ object StreamGate extends QueryPack {
          FROM sc WHERE cont < 0.2 ORDER BY doc_id""",
     // batch-equivalence vs q81's banded-signature SQL verbatim
     "q106_simhash_stream" -> Dedup.oracles("q81_simhash_neardup"),
+    // batch-equivalence vs q42's oracle (the exact inverted-index pair
+    // SQL — LSH + exact verification has recall 1 at this threshold)
+    "q107_minhash_stream" -> Dedup.oracles("q42_minhash_lsh"),
   )
 }

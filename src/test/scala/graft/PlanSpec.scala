@@ -52,7 +52,7 @@ class PlanSpec extends SparkTestBase {
       // the streaming-gate queries RUN a bounded streaming query inside
       // the declared function by design (the batch-equivalence harness)
       "q104_incdedup_stream", "q105_contamination_stream",
-      "q106_simhash_stream")
+      "q106_simhash_stream", "q107_minhash_stream")
     // warm the memoized ANALYZE-style stats (documented one-off per
     // session+dataset) so they don't attribute to whichever query builds
     // first
