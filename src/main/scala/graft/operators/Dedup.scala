@@ -132,7 +132,17 @@ object Dedup extends QueryPack {
   // `verifyJoin` if the candidate set is pathologically large.
   private[graft] def minhashLshPairs(s: SparkSession, d: String,
                                      maxBucket: Long = -1L,
-                                     broadcastCandLimit: Long = 4000000L): DataFrame = {
+                                     broadcastCandLimit: Long = 4000000L): DataFrame =
+    minhashLshPairsCore(s, d, maxBucket, broadcastCandLimit)
+      .orderBy("a_id", "b_id")
+
+  /** [[minhashLshPairs]] WITHOUT the output sort — the form the CC
+    * consumers build edges from (an edge list has no order; inheriting
+    * the declared query's global sort made every edge materialization
+    * pay a range-partition + sort for nothing). */
+  private[graft] def minhashLshPairsCore(s: SparkSession, d: String,
+                                         maxBucket: Long = -1L,
+                                         broadcastCandLimit: Long = 4000000L): DataFrame = {
     val sh = shingled(s, d)
     val banded = capBucketsLazy(
       sh.select(col("doc_id"),
@@ -153,7 +163,6 @@ object Dedup extends QueryPack {
       .filter(col("jac_raw") >= 0.8)
       .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
       .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
   }
 
   private def q42MinhashLsh(s: SparkSession, d: String): DataFrame =
@@ -385,7 +394,12 @@ object Dedup extends QueryPack {
     * neighborhoods (O(N·L^d) postings — the standard SymSpell tradeoff).
     */
   private[graft] def fuzzyJoinPairs(s: SparkSession, d: String,
-                                    maxBucket: Long = -1L): DataFrame = {
+                                    maxBucket: Long = -1L): DataFrame =
+    fuzzyJoinPairsCore(s, d, maxBucket).orderBy("a_id", "b_id")
+
+  /** [[fuzzyJoinPairs]] without the output sort (edge-builder form). */
+  private[graft] def fuzzyJoinPairsCore(s: SparkSession, d: String,
+                                        maxBucket: Long = -1L): DataFrame = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     // array_distinct dedupes variants MAP-SIDE within each name (deleting
@@ -412,7 +426,6 @@ object Dedup extends QueryPack {
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
       .filter(col("dist") <= 1)
       .select("a_id", "b_id", "dist")
-      .orderBy("a_id", "b_id")
   }
 
   private def q88FuzzyJoin(s: SparkSession, d: String): DataFrame =
@@ -427,7 +440,8 @@ object Dedup extends QueryPack {
     * (exact edit distance) → clustering (CC) → canonicalization. Oracle:
     * q88's pair SQL closed with the q73 recursive-CTE closure. */
   private def q89EntityResolution(s: SparkSession, d: String): DataFrame = {
-    val pairs = fuzzyJoinPairs(s, d).select(col("a_id"), col("b_id"))
+    val pairs = fuzzyJoinPairsCore(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("doc_id"))
@@ -466,7 +480,10 @@ object Dedup extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def dedupClusterAssignment(s: SparkSession, d: String): DataFrame = {
-    val pairs = q42MinhashLsh(s, d).select(col("a_id"), col("b_id"))
+    // lazy checkpoint: the bidirectional union reads the pair set twice;
+    // the first materialization caches it for the second branch
+    val pairs = minhashLshPairsCore(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val nodes = Tables.documents(s, d).select(col("doc_id"))

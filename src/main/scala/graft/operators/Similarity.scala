@@ -128,7 +128,16 @@ object Similarity extends QueryPack {
     * verification broadcast (degrades to shuffle joins above it). */
   private[graft] def annLshPairs(s: SparkSession, d: String,
                                  maxBucket: Long = -1L,
-                                 broadcastCandLimit: Long = 4000000L): DataFrame = {
+                                 broadcastCandLimit: Long = 4000000L): DataFrame =
+    annLshPairsCore(s, d, maxBucket, broadcastCandLimit)
+      .orderBy("a_id", "b_id")
+
+  /** [[annLshPairs]] without the output sort (edge-builder form — q80's
+    * CC consumer builds an unordered edge list, so inheriting the
+    * declared query's global sort was pure waste). */
+  private[graft] def annLshPairsCore(s: SparkSession, d: String,
+                                     maxBucket: Long = -1L,
+                                     broadcastCandLimit: Long = 4000000L): DataFrame = {
     // bitsFor needs a concrete number BEFORE the plan exists (it sizes
     // the hyperplane array) — the memoized ANALYZE-style stat, one
     // metadata-only count per (session, dataset), not per query build
@@ -156,7 +165,6 @@ object Similarity extends QueryPack {
       .filter(col("cos") >= 0.2)
       .select(col("a_id"), col("b_id"),
               (floor(col("cos") * 100000) / 100000).as("cosine"))
-      .orderBy("a_id", "b_id")
   }
 
   // Exact cosine near-dup pairs (threshold 0.4 — the synthetic vectors are
@@ -716,7 +724,8 @@ object Similarity extends QueryPack {
     * recursive-CTE closure q73 uses.
     */
   private def q80EmbeddingClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = annLshPairs(s, d).select(col("a_id"), col("b_id"))
+    val pairs = annLshPairsCore(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
