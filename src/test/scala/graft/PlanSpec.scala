@@ -182,6 +182,30 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("q102: both retrieval halves broadcast their small side; no corpus-wide window") {
+    val plan = executed(SparkEntry.queries("q102_hybrid_search")(spark, sfDir))
+    // lexical qterms + corpus stats and the vector query set all ride
+    // broadcasts — the corpus scans are never shuffled for scoring
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected broadcast joins for the query-side small tables")
+    // the only WindowExec allowed is the fusion re-rank over the fused
+    // top-k lists (≤ 2k rows per query, bounded by construction): its
+    // input must come from the rank join, never a corpus-sized scan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "fusion re-rank window expected")
+    windows.foreach { w =>
+      // allNodes descends through AQE query stages, unlike SparkPlan.collect
+      val belowWindow = w.children.flatMap(allNodes)
+      val scansBelow = belowWindow.collect { case f: FileSourceScanExec => f }
+      val aggsBelow = belowWindow.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a }
+      assert(scansBelow.isEmpty || aggsBelow.nonEmpty,
+        "the fusion window must rank the fused top-k aggregate outputs, " +
+          "not sort a raw corpus scan")
+    }
+  }
+
   test("q1: aggregation is two-phase (partial before the exchange)") {
     val plan = executed(Relational.queries("q1_agg")(spark, sfDir))
     val aggModes = plan.collect {

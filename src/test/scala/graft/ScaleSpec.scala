@@ -243,6 +243,24 @@ class ScaleSpec extends SparkTestBase {
     assert(bloomed == exact)
   }
 
+  test("capBucketsLazy: lazy corpus-size default equals the explicit literal cap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val postings = Seq(
+      (1L, "hot"), (2L, "hot"), (3L, "hot"), (4L, "hot"),
+      (5L, "warm"), (6L, "warm"), (7L, "cold")).toDF("doc_id", "k")
+    val capSrc = (1L to 7L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // default (-1): cap = |capSrc| as a broadcast scalar — value-neutral
+    val lazyDefault = rows(Dedup.capBucketsLazy(postings, Seq("k"), -1L, capSrc))
+    val literal = rows(Dedup.capBuckets(postings, Seq("k"), 7L))
+    assert(lazyDefault == literal && lazyDefault == rows(postings))
+    // explicit cap still prunes hot buckets through the same entry point
+    val capped = rows(Dedup.capBucketsLazy(postings, Seq("k"), 3L, capSrc))
+    assert(capped == Set((5L, "warm"), (6L, "warm"), (7L, "cold")))
+  }
+
   test("connected components: planted chain converges in O(log N) iterations") {
     import spark.implicits._
     import graft.operators.Dedup
