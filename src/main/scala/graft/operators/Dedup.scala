@@ -269,6 +269,26 @@ object Dedup extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  private val lshIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** The PERSISTED-INDEX incremental near-dup declared under the oracle
+    * gate: build the `partitionBy(band)` LSH index of the existing
+    * corpus once per (session, dataset) — the write-once side of a real
+    * ingest deployment — then probe the new batch against it via
+    * [[incrementalNearDupIndexed]]. Hash-matching the SAME exact SQL as
+    * the direct q100 join certifies the index layout + probe path
+    * end-to-end cross-engine, not just ScalaTest-equal. */
+  private def q108NearDupIndexed(s: SparkSession, d: String): DataFrame = {
+    val path = lshIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lsh_index").toString
+      lshIndex(Tables.documents(s, d).filter(col("doc_id") < 250), dir)
+      dir
+    })
+    incrementalNearDupIndexed(s, path,
+      Tables.documents(s, d).filter(col("doc_id") >= 250))
+  }
+
   /** 60-bit SimHash from whitespace tokens: bit i of the signature is set
     * iff the signed bit-vote over all token hashes is non-negative.
     * The token hash is the top 60 bits of md5 (15 hex chars) — md5 exists
@@ -699,6 +719,7 @@ object Dedup extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_minhash_lsh"   -> q42MinhashLsh _,
     "q100_incremental_neardup" -> q100IncrementalNearDup _,
+    "q108_neardup_indexed" -> q108NearDupIndexed _,
     "q43_simhash"       -> q43Simhash _,
     "q81_simhash_neardup" -> q81SimhashNearDup _,
     "q88_fuzzy_join"    -> q88FuzzyJoin _,
@@ -718,6 +739,28 @@ object Dedup extends QueryPack {
     // q35's shape restricted to a_id < 250 <= b_id; LSH recall at the
     // 0.8 verify threshold makes the answers identical (q42's argument).
     "q100_incremental_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < 250 AND b.doc_id >= 250
+           GROUP BY 1, 2, 3, 4)
+         SELECT a_id, b_id,
+                floor(common / (asz + bsz - common) * 1000) / 1000 AS jaccard
+         FROM pairs
+         WHERE common / (asz + bsz - common) >= 0.8
+         ORDER BY a_id, b_id""",
+    // q108: the persisted-index probe is value-identical to the direct
+    // cross-side join (same postings, same exact verification), so q100's
+    // exact SQL certifies the index layout + probe path too
+    "q108_neardup_indexed" ->
       """WITH sh AS (
            SELECT doc_id,
              list_distinct(CASE WHEN len(t) >= 3 THEN

@@ -52,7 +52,9 @@ class PlanSpec extends SparkTestBase {
       // the streaming-gate queries RUN a bounded streaming query inside
       // the declared function by design (the batch-equivalence harness)
       "q104_incdedup_stream", "q105_contamination_stream",
-      "q106_simhash_stream", "q107_minhash_stream")
+      "q106_simhash_stream", "q107_minhash_stream",
+      // index build (write-once per session+dataset) + verifyJoin probe
+      "q108_neardup_indexed")
     // warm the memoized ANALYZE-style stats (documented one-off per
     // session+dataset) so they don't attribute to whichever query builds
     // first
