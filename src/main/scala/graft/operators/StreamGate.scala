@@ -38,14 +38,26 @@ object StreamGate extends QueryPack {
 
   /** Run a bounded streaming query to completion and return the sink
     * contents as a batch DataFrame. Memory sink + AvailableNow: every
-    * available file is processed, then the query stops. */
+    * available file is processed, then the query stops.
+    *
+    * The gate pass runs with a small shuffle-partition count: streaming
+    * state instantiates one state store per shuffle partition per
+    * stateful operator, and a bounded single-table pass gains nothing
+    * from 32 of them — sizing partitions to the pass is exactly what an
+    * operator would do (the streaming ops themselves are
+    * partition-count-agnostic; production sizes this to throughput). */
   private def runToBatch(s: SparkSession, out: DataFrame): DataFrame = {
     val name = s"graft_stream_gate_${sinkId.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.get(pKey)
+    s.conf.set(pKey, "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(pKey, prevP)
     s.table(name)
   }
 
