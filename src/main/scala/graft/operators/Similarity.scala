@@ -693,6 +693,57 @@ object Similarity extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
+  /** ANN RECALL AUDIT — the eval every ANN deployment runs before
+    * trusting an index: recall@5 of the residual IVF-PQ search (q86's
+    * nprobe=1 semantics) against the EXACT cosine top-5 (q40's ranking)
+    * per query, plus the hit count. "Measure, don't guess" applied to
+    * the index itself: quantization + single-cell probing trade recall
+    * for cost, and this query puts that trade under the cross-engine
+    * gate (both rankings AND the intersection arithmetic replicated in
+    * DuckDB — the oracle composes the generated q86 SQL with the exact
+    * ranking CTE). Scale shape: the exact half is the q40 broadcast scan
+    * (run over a sampled query set in production — recall estimation
+    * needs hundreds of queries, not the corpus); the join is top-5 lists
+    * only. */
+  private def q109AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val ivf5 = q86AnnIvfPq(s, d).select(col("q_id"), col("n_id"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact5 = rankTopK(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv"))),
+      k = 5).select(col("q_id"), col("n_id"))
+    exact5.join(ivf5.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count("hit").as("hits"))
+      .select(col("q_id"), col("hits").cast("long").as("hits"),
+              (floor(col("hits") / 5.0 * 1000) / 1000).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** q109's oracle: the generated q86 IVF-PQ SQL as a CTE beside the
+    * exact-cosine ranking, closed with the same left-join hit count. */
+  private def annRecallOracleSql(coarse: Array[Array[Double]],
+                                 pq: Array[Array[Array[Double]]]): String =
+    s"""WITH ivf AS (${ivfPqOracleSqlTrained(coarse, pq)}),
+        xe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        xq AS (SELECT vec_id AS q_id, v AS qv FROM xe WHERE vec_id < 10),
+        xscored AS (SELECT q_id, xe.vec_id AS n_id,
+                           list_cosine_similarity(xe.v, xq.qv) AS c
+                    FROM xe, xq WHERE xe.vec_id <> xq.q_id),
+        exact AS (SELECT q_id, n_id FROM (
+                    SELECT q_id, n_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY c DESC, n_id) AS rnk
+                    FROM xscored) WHERE rnk <= 5)
+        SELECT ex.q_id, CAST(count(ivf.n_id) AS BIGINT) AS hits,
+               floor(count(ivf.n_id) / 5.0 * 1000) / 1000 AS recall
+        FROM exact ex LEFT JOIN ivf
+          ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
+        GROUP BY ex.q_id ORDER BY ex.q_id"""
+
   /** int8 scalar quantization of the embedding column — the OTHER
     * compression every large vector store ships (per-vector max-abs
     * scale, 4× over float32): codes = floor(x / scale * 127), checked
@@ -760,6 +811,7 @@ object Similarity extends QueryPack {
     "q82_ann_pq"          -> q82AnnPq _,
     "q84_int8_quant"      -> q84Int8Quant _,
     "q86_ann_ivfpq"       -> q86AnnIvfPq _,
+    "q109_ann_recall"     -> q109AnnRecall _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -966,7 +1018,10 @@ object Similarity extends QueryPack {
         .getOrElse("SELECT 1 AS q82_not_built_for_this_dataset")) +
       ("q86_ann_ivfpq" -> Option(ivfPqCodebooks.get(dir))
         .map { case (cc, pq) => ivfPqOracleSqlTrained(cc, pq) }
-        .getOrElse("SELECT 1 AS q86_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q86_not_built_for_this_dataset")) +
+      ("q109_ann_recall" -> Option(ivfPqCodebooks.get(dir))
+        .map { case (cc, pq) => annRecallOracleSql(cc, pq) }
+        .getOrElse("SELECT 1 AS q109_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -1003,6 +1058,10 @@ object Similarity extends QueryPack {
         val (cc, pq) = ivfPqCodebooks.values.iterator.next()
         ivfPqOracleSqlTrained(cc, pq)
       } else "SELECT 1 AS q86_not_built_unambiguously_this_process"),
+    "q109_ann_recall" -> (if (ivfPqCodebooks.size == 1) {
+        val (cc, pq) = ivfPqCodebooks.values.iterator.next()
+        annRecallOracleSql(cc, pq)
+      } else "SELECT 1 AS q109_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q84: every op is the same IEEE double op in the same order (max-abs
     // fold, floor-quantize, reconstruct, max-error fold) — no rounding

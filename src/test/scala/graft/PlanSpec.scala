@@ -48,6 +48,7 @@ class PlanSpec extends SparkTestBase {
       "q73_dedup_clusters", "q80_embedding_clusters",
       "q89_entity_resolution", "q101_cluster_sizes",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
+      "q109_ann_recall",
       "q95_dedup_bloom_sharded",
       // the streaming-gate queries RUN a bounded streaming query inside
       // the declared function by design (the batch-equivalence harness)
