@@ -85,7 +85,7 @@ object Retrieval extends QueryPack {
       .agg(graft.functions.TopKAgg.top_k_by_score(score, id, k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("rnk0", "t")))
       .select(col("q_id"), (col("rnk0") + 1).cast("long").as("rnk"),
-              col("t.id").as("doc_id"))
+              col("t.id").as("doc_id"), col("t.score").as("score"))
 
   /** Lexical half: q97's BM25 scorer (same idf-sans-log deviation, same
     * constants, same broadcast corpus stats), restricted to each query's
@@ -124,7 +124,46 @@ object Retrieval extends QueryPack {
   }
 
   private def q102HybridSearch(s: SparkSession, d: String): DataFrame =
-    rrfFuse(lexicalRanks(s, d), vectorRanks(s, d))
+    rrfFuse(lexicalRanks(s, d).select("q_id", "doc_id", "rnk"),
+            vectorRanks(s, d).select("q_id", "doc_id", "rnk"))
+
+  /** The OTHER standard fusion: per-list min-max score normalization +
+    * a fixed-weight sum (0.6 lexical, 0.4 vector — the convention when
+    * the lexical half is trusted more on keyword queries). Unlike RRF
+    * this uses the raw scores, so it rewards margin, not just rank; the
+    * normalization bounds are per-(query, list) aggregates over the
+    * top-k rows — 1 row per query, broadcast back. A degenerate list
+    * (max = min) normalizes to 0.5 in both engines by the same branch.
+    * All arithmetic is the same IEEE ops in the same order on scores
+    * already proven bit-identical cross-engine (q97/q98), so the fused
+    * ordering needs no float tolerance. */
+  def weightedFuse(lex: DataFrame, vec: DataFrame, wLex: Double = 0.6,
+                   k: Int = topK): DataFrame = {
+    def normalized(list: DataFrame, out: String): DataFrame = {
+      val bounds = list.groupBy(col("q_id").as("b_q_id"))
+        .agg(min("score").as("lo"), max("score").as("hi"))
+      list.join(broadcast(bounds), col("q_id") === col("b_q_id"))
+        .withColumn(out,
+          when(col("hi") === col("lo"), lit(0.5))
+            .otherwise((col("score") - col("lo")) / (col("hi") - col("lo"))))
+        .select(col("q_id"), col("doc_id"), col(out))
+    }
+    val fused = normalized(lex, "lex_norm")
+      .join(normalized(vec, "vec_norm"), Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("wscore",
+        coalesce(col("lex_norm"), lit(0.0)) * wLex
+          + coalesce(col("vec_norm"), lit(0.0)) * (1.0 - wLex))
+    val w = Window.partitionBy("q_id").orderBy(col("wscore").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"), col("doc_id"),
+              (floor(col("wscore") * 1e6) / 1e6).as("wscore"))
+      .orderBy("q_id", "rnk")
+  }
+
+  private def q110HybridWeighted(s: SparkSession, d: String): DataFrame =
+    weightedFuse(lexicalRanks(s, d), vectorRanks(s, d))
 
   // ---- q103 semantic dedup ------------------------------------------------
 
@@ -174,6 +213,7 @@ object Retrieval extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_hybrid_search" -> q102HybridSearch _,
     "q103_semantic_dedup" -> q103SemanticDedup _,
+    "q110_hybrid_weighted" -> q110HybridWeighted _,
   )
 
   /** q102's oracle: the lexical CTE is q97's oracle scoped per query
@@ -258,8 +298,66 @@ object Retrieval extends QueryPack {
         ORDER BY ae.vec_id"""
   }
 
+  /** q110's oracle: q102's two ranked CTEs keeping raw scores, per-list
+    * min-max bounds over the top-k rows, the same 0.5 degenerate branch,
+    * and the fixed-order weighted sum. */
+  private val hybridWeightedOracleSql: String = {
+    val qtRows = queryTerms
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                   FROM documents),
+        stats AS (SELECT count(*) AS n, sum(len(w)) AS sl FROM t),
+        tf AS (SELECT doc_id, len, term, count(*) AS tf
+               FROM (SELECT doc_id, len(w) AS len, unnest(w) AS term FROM t)
+               WHERE term IN (${queryTerms.map(t => s"'${t._2}'").mkString(", ")})
+               GROUP BY doc_id, len, term),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qt(q_id, term) AS (VALUES $qtRows),
+        sc AS (SELECT qt.q_id, tf.doc_id,
+                ((CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
+                * (tf * 2.2e0)
+                / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (len / (sl / CAST(n AS DOUBLE))))) AS s
+               FROM tf JOIN dfr USING (term) JOIN qt USING (term), stats),
+        lexk AS (SELECT q_id, doc_id, s FROM (
+                   SELECT q_id, doc_id, s,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY s DESC, doc_id) AS rnk FROM sc)
+                 WHERE rnk <= $topK),
+        lexb AS (SELECT q_id, min(s) AS lo, max(s) AS hi FROM lexk GROUP BY q_id),
+        lexn AS (SELECT lexk.q_id, doc_id,
+                        CASE WHEN hi = lo THEN 0.5e0
+                             ELSE (s - lo) / (hi - lo) END AS lex_norm
+                 FROM lexk JOIN lexb USING (q_id)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < ${queryTerms.size}),
+        vsc AS (SELECT q.q_id, e.vec_id AS doc_id,
+                       list_cosine_similarity(e.v, q.qv) AS cos
+                FROM e, q WHERE e.vec_id <> q.q_id),
+        veck AS (SELECT q_id, doc_id, cos FROM (
+                   SELECT q_id, doc_id, cos,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, doc_id) AS rnk FROM vsc)
+                 WHERE rnk <= $topK),
+        vecb AS (SELECT q_id, min(cos) AS lo, max(cos) AS hi FROM veck GROUP BY q_id),
+        vecn AS (SELECT veck.q_id, doc_id,
+                        CASE WHEN hi = lo THEN 0.5e0
+                             ELSE (cos - lo) / (hi - lo) END AS vec_norm
+                 FROM veck JOIN vecb USING (q_id)),
+        fused AS (SELECT q_id, doc_id,
+                         coalesce(lex_norm, 0e0) * 0.6e0
+                         + coalesce(vec_norm, 0e0) * 0.4e0 AS wscore
+                  FROM lexn FULL JOIN vecn USING (q_id, doc_id)),
+        r AS (SELECT q_id, doc_id, wscore,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY wscore DESC, doc_id) AS rnk
+              FROM fused)
+        SELECT q_id, rnk, doc_id, floor(wscore * 1000000) / 1000000 AS wscore
+        FROM r WHERE rnk <= $topK ORDER BY q_id, rnk"""
+  }
+
   override val oracles: Map[String, String] = Map(
     "q102_hybrid_search" -> hybridOracleSql,
+    "q110_hybrid_weighted" -> hybridWeightedOracleSql,
     "q103_semantic_dedup" -> (if (codebooks.size == 1)
       semanticDedupOracleSql(codebooks.values.iterator.next())
       else "SELECT 1 AS q103_not_built_unambiguously_this_process"),
@@ -267,6 +365,7 @@ object Retrieval extends QueryPack {
 
   override def oraclesFor(dir: String): Map[String, String] =
     Map("q102_hybrid_search" -> hybridOracleSql,
+        "q110_hybrid_weighted" -> hybridWeightedOracleSql,
         "q103_semantic_dedup" -> Option(codebooks.get(dir))
           .map(semanticDedupOracleSql)
           .getOrElse("SELECT 1 AS q103_not_built_for_this_dataset"))

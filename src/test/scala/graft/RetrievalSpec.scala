@@ -22,6 +22,22 @@ class RetrievalSpec extends SparkTestBase {
       (3L, 102L, 0L, 1L)))  // ties impossible here; doc order by score
   }
 
+  test("weightedFuse: min-max normalization, degenerate bounds, missing-side zero") {
+    import spark.implicits._
+    // lexical: spread scores; vector: ALL EQUAL (degenerate -> 0.5 each)
+    val lex = Seq((0L, 10L, 1L, 4.0), (0L, 11L, 2L, 2.0), (0L, 12L, 3L, 0.0))
+      .toDF("q_id", "doc_id", "rnk", "score")
+    val vec = Seq((0L, 11L, 1L, 0.9), (0L, 13L, 2L, 0.9))
+      .toDF("q_id", "doc_id", "rnk", "score")
+    val got = Retrieval.weightedFuse(lex, vec)
+      .select("rnk", "doc_id", "wscore")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 11: 0.6*0.5 + 0.4*0.5 = 0.5 ; 10: 0.6*1.0 = 0.6 ;
+    // 13: 0.4*0.5 = 0.2 (no lexical hit) ; 12: 0.6*0.0 = 0.0
+    assert(got.toSeq == Seq(
+      (1L, 10L, 0.6), (2L, 11L, 0.5), (3L, 13L, 0.2), (4L, 12L, 0.0)))
+  }
+
   test("q102: fused output ranks are dense per query and sourced from the halves") {
     val out = SparkEntry.queries("q102_hybrid_search")(spark, sfDir)
       .collect()
