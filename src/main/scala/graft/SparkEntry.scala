@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Multimodal,
     operators.Retrieval,
     operators.StreamGate,
+    operators.WindowDedup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -132,8 +132,13 @@ object Curation2 extends QueryPack {
     * the DuckDB oracle, so scores are bit-reproducible cross-engine
     * (floor-truncation only bounds the printed precision).
     */
-  private def q93QualityModel(s: SparkSession, d: String): DataFrame = {
-    val f = Tables.documents(s, d)
+  /** The scoring transform itself, factored so the STREAMING gate (q112)
+    * runs the IDENTICAL code path over an unbounded DataFrame — stateless
+    * projection only, so it lifts to Structured Streaming unchanged (the
+    * strongest batch-equivalence: one definition, two execution modes).
+    * Input needs (doc_id, text); output is unsorted (streams can't sort). */
+  private[graft] def qualityScoreCore(docs: DataFrame): DataFrame = {
+    val f = docs
       .select(col("doc_id"),
               expr(graft.functions.TextExprs.let1(toks, "w",
                 """named_struct(
@@ -149,8 +154,10 @@ object Curation2 extends QueryPack {
     f.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
              (floor(score * 1e6) / 1e6).as("score"),
              when(score > 0, 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
   }
+
+  private def q93QualityModel(s: SparkSession, d: String): DataFrame =
+    qualityScoreCore(Tables.documents(s, d)).orderBy("doc_id")
 
   /** DOMAIN-MIX resampling: hit target source proportions (here: 2×
     * weight for src0-src4, a 300-doc budget) by computing a per-source

@@ -356,6 +356,32 @@ object Dedup extends QueryPack {
   private def q81SimhashNearDup(s: SparkSession, d: String): DataFrame =
     simhashNearDupPairs(s, d)
 
+  /** NEAR-DUP CONSENSUS — the ensemble report production dedup ships
+    * when it runs more than one detector: the union of the MinHash-LSH
+    * pair set (q42: shingle Jaccard >= 0.8, recall 1 by exact verify)
+    * and the SimHash pair set (q81: Hamming <= 3, recall 1 by
+    * pigeonhole), flagged per method. Pairs found by both methods are
+    * the high-confidence drops; single-method pairs are the review
+    * queue — the two detectors see different similarity structure
+    * (set overlap vs weighted-feature sign agreement), which is the
+    * reason to run both. Plan: both pair sets are the existing bounded
+    * posting pipelines (id-only shuffles, capped buckets); the fusion
+    * is a full-outer join on the pair key over two near-dup-sized
+    * relations — negligible beside candidate generation at any scale.
+    * Oracle: the two existing exact oracles full-joined on (a_id, b_id). */
+  private def q114NearDupConsensus(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashLshPairsCore(s, d)
+      .select(col("a_id"), col("b_id"), lit(1L).as("by_minhash"))
+    val sh = simhashNearDupPairs(s, d)
+      .select(col("a_id"), col("b_id"), lit(1L).as("by_simhash"))
+    mh.join(sh, Seq("a_id", "b_id"), "full_outer")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("by_minhash"), lit(0L)).as("by_minhash"),
+        coalesce(col("by_simhash"), lit(0L)).as("by_simhash"))
+      .withColumn("methods", col("by_minhash") + col("by_simhash"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash Jaccard ESTIMATION — the sketch-side answer q42 only uses
     * implicitly: per doc a 32-component md5-family minhash signature
     * (native [[graft.functions.Md5MinHashes]] kernel), and for every doc
@@ -722,6 +748,7 @@ object Dedup extends QueryPack {
     "q108_neardup_indexed" -> q108NearDupIndexed _,
     "q43_simhash"       -> q43Simhash _,
     "q81_simhash_neardup" -> q81SimhashNearDup _,
+    "q114_neardup_consensus" -> q114NearDupConsensus _,
     "q88_fuzzy_join"    -> q88FuzzyJoin _,
     "q89_entity_resolution" -> q89EntityResolution _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
@@ -729,6 +756,31 @@ object Dedup extends QueryPack {
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
   )
+
+  /** q81's oracle — the banded-signature SQL, hoisted so q114's consensus
+    * oracle can reuse it verbatim (and q106's stream gate references it
+    * through the map as before). */
+  private val simhashNearDupOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+           [CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+            for tok in string_split_regex(trim(text), '\s+')] AS th
+         FROM documents),
+       sig AS (SELECT doc_id,
+         CAST(list_sum(
+           [CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
+                                for h in th]) >= 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+            for i in range(0, 60)]) AS BIGINT) AS simhash
+       FROM t),
+       p AS (SELECT band, (simhash >> (band * 15)) & 32767 AS bkey, doc_id, simhash
+             FROM sig, range(0, 4) r(band)),
+       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.simhash AS asig, b.simhash AS bsig
+                FROM p a JOIN p b ON a.band = b.band AND a.bkey = b.bkey
+                                 AND a.doc_id < b.doc_id)
+       SELECT a_id, b_id, CAST(bit_count(xor(asig, bsig)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(asig, bsig)) <= 3
+       ORDER BY a_id, b_id"""
 
   // q42's oracle is the EXACT pair set (LSH + exact verification ≡ exact
   // join at recall 1; see scaladoc). q43's oracle recomputes the identical
@@ -795,27 +847,22 @@ object Dedup extends QueryPack {
     // DuckDB's xor/bit_count for the Hamming verify. Recall is exactly 1
     // at Hamming <= 3 (pigeonhole over 4 bands), so banded retrieval ≡
     // the all-pairs scan the oracle effectively performs.
-    "q81_simhash_neardup" ->
-      """WITH t AS (SELECT doc_id,
-             [CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
-              for tok in string_split_regex(trim(text), '\s+')] AS th
-           FROM documents),
-         sig AS (SELECT doc_id,
-           CAST(list_sum(
-             [CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END
-                                  for h in th]) >= 0
-                   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
-              for i in range(0, 60)]) AS BIGINT) AS simhash
-         FROM t),
-         p AS (SELECT band, (simhash >> (band * 15)) & 32767 AS bkey, doc_id, simhash
-               FROM sig, range(0, 4) r(band)),
-         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                         a.simhash AS asig, b.simhash AS bsig
-                  FROM p a JOIN p b ON a.band = b.band AND a.bkey = b.bkey
-                                   AND a.doc_id < b.doc_id)
-         SELECT a_id, b_id, CAST(bit_count(xor(asig, bsig)) AS BIGINT) AS hamming
-         FROM cand WHERE bit_count(xor(asig, bsig)) <= 3
-         ORDER BY a_id, b_id""",
+    "q81_simhash_neardup" -> simhashNearDupOracleSql,
+    // q114: the two exact pair oracles (q42's = the q35 inverted-index
+    // SQL at recall 1; q81's = the banded-signature SQL) full-joined on
+    // the pair key, flags from side presence — the same fusion the Spark
+    // plan runs.
+    "q114_neardup_consensus" ->
+      s"""WITH mh AS (SELECT a_id, b_id, 1 AS by_minhash
+                      FROM (${TextAnalysis.oracles("q35_ngram_jaccard")})),
+          sh AS (SELECT a_id, b_id, 1 AS by_simhash
+                 FROM ($simhashNearDupOracleSql))
+          SELECT a_id, b_id,
+                 CAST(coalesce(by_minhash, 0) AS BIGINT) AS by_minhash,
+                 CAST(coalesce(by_simhash, 0) AS BIGINT) AS by_simhash,
+                 CAST(coalesce(by_minhash, 0) + coalesce(by_simhash, 0)
+                      AS BIGINT) AS methods
+          FROM mh FULL JOIN sh USING (a_id, b_id) ORDER BY a_id, b_id""",
     // q88: identical deletion-variant candidate generation + levenshtein
     // verify (same edit-distance definition both engines; names ASCII).
     "q88_fuzzy_join" ->

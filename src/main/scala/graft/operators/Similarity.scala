@@ -744,6 +744,181 @@ object Similarity extends QueryPack {
           ON ivf.q_id = ex.q_id AND ivf.n_id = ex.n_id
         GROUP BY ex.q_id ORDER BY ex.q_id"""
 
+  /** Probe settings swept by q115 — plan literals. */
+  private val sweepNprobes = Seq(1, 2, 4)
+
+  /** Codebooks trained by q115 builds, keyed by dataset dir. Training is
+    * deterministic, so these equal q86's for the same dataset; a separate
+    * map keeps the query self-contained for oracle generation. */
+  private val sweepCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** ANN RECALL-vs-NPROBE SWEEP — the tuning curve behind every IVF
+    * deployment's nprobe choice: q109's recall@5 audit evaluated at
+    * nprobe ∈ {1, 2, 4} in ONE pass. Per query the coarse centroids are
+    * ranked once (by cosine, ties to the smaller cell id — TopKAgg's
+    * order); the probe set at nprobe=p is the rank-≤p prefix, so the
+    * three settings share the centroid ranking, the codes table, and
+    * the exact baseline — the eval-harness shape (train once, encode
+    * once, sweep the search knob). Candidate scoring is ADC over the
+    * probed cells' codes with the per-cell query residual (the same
+    * per-(query, cell) residual tables ivfPqSearch builds). At corpus
+    * scale the sweep runs over the persisted partitionBy(centroid)
+    * index with static cell pruning per setting (ivfPqSearch); here the
+    * in-session codes relation keeps the whole sweep one lazily-composed
+    * plan over a |Q|·Σnprobe-cell probe list. The exact half is the q40
+    * broadcast scan — recall evaluation samples queries (hundreds), not
+    * the corpus. Output: one (nprobe, query) row with hits@5 + recall —
+    * WindowSpec asserts recall is monotonically non-decreasing in
+    * nprobe per query. */
+  private def q115RecallSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val coarse = trainCentroids(e, ivfK)
+    val pq = trainPqResidual(e, coarse)
+    sweepCodebooks.put(d, (coarse, pq))
+    val withRes = ivfAssignCodebook(s, e, coarse)
+      .join(broadcast(codebookDf(s, coarse)), col("centroid") === col("c_id"))
+      .withColumn("enc", expr(
+        "zip_with(transform(embedding, x -> cast(x as double)), cv, (a, b) -> a - b)"))
+    val codes = withRes.select(col("vec_id"), col("centroid"),
+      NativeExprs.pq_encode(col("enc"), pq).as("codes"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("qv"))
+    val cents = codebookDf(s, coarse)
+    val nps = sweepNprobes.toDF("nprobe")
+    // one centroid ranking per query, shared across the sweep
+    val cellRank = qs.crossJoin(broadcast(cents))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("qv"), col("cv")))
+      .groupBy("q_id")
+      .agg(first("qv").as("qv"),
+           graft.functions.TopKAgg
+             .top_k_by_score(col("cos_c"), col("c_id"), sweepNprobes.max)
+             .as("cells"))
+      .select(col("q_id"), col("qv"),
+              posexplode(expr("transform(cells, x -> x.id)"))
+                .as(Seq("crnk0", "cell")))
+    val probeRows = cellRank.crossJoin(broadcast(nps))
+      .filter(col("crnk0") < col("nprobe"))
+      .join(broadcast(cents), col("cell") === col("c_id"))
+      .withColumn("qres", expr("zip_with(qv, cv, (a, b) -> a - b)"))
+      .select(col("nprobe"), col("q_id"), col("cell"), col("qres"))
+    val ivfTop = codes
+      .join(broadcast(probeRows), col("centroid") === col("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", -NativeExprs.pq_adc(col("qres"), col("codes"), pq))
+      .groupBy("nprobe", "q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("vec_id"), 5).as("top"))
+      .select(col("nprobe"), col("q_id"),
+              explode(expr("transform(top, x -> x.id)")).as("n_id"))
+    val q2 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv2"))
+    val exact5 = rankTopK(
+      e.crossJoin(broadcast(q2))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv2"))),
+      k = 5).select(col("q_id"), col("n_id"))
+    exact5.crossJoin(broadcast(nps))
+      .join(ivfTop.withColumn("hit", lit(1)),
+            Seq("nprobe", "q_id", "n_id"), "left")
+      .groupBy("nprobe", "q_id")
+      .agg(count("hit").as("hits"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("q_id"),
+              col("hits").cast("long").as("hits"),
+              (floor(col("hits") / 5.0 * 1000) / 1000).as("recall"))
+      .orderBy("nprobe", "q_id")
+  }
+
+  /** q115's oracle: the q86 encode CTEs (both codebook literal tables,
+    * assignment, per-subspace argmin, reconstruction), a per-query
+    * centroid ranking (cosine desc, cell id asc — TopKAgg's tie rule,
+    * NOT the assignment argmax's), the nprobe VALUES table driving the
+    * rank-prefix probe sets, per-(query, cell) residuals, the ADC fold,
+    * and the same exact-baseline intersection count as q109. */
+  private def recallSweepOracleSql(coarse: Array[Array[Double]],
+                                   pq: Array[Array[Array[Double]]]): String = {
+    val m = pq.length
+    val sub = pq(0)(0).length
+    val dim = m * sub
+    val coarseRows = coarse.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(fmt).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    val cbRows = (for (mi <- 0 until m; c <- pq(mi).indices) yield
+      s"($mi, $c, [${pq(mi)(c).map(fmt).mkString(", ")}]::DOUBLE[])"
+    ).mkString(",\n             ")
+    val subDist = (1 to sub).map { j =>
+      val t = s"(e.v[cb.m*$sub+$j]-cc.cv[cb.m*$sub+$j]-cb.cv[$j])"
+      s"$t*$t"
+    }.mkString(" + ")
+    val adcDist = (1 to dim)
+      .map(i => s"(qr.qres[$i]-recon.r[$i])*(qr.qres[$i]-recon.r[$i])")
+      .mkString(" + ")
+    val npRows = sweepNprobes.map(p => s"($p)").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cc(c_id, cv) AS (VALUES
+             $coarseRows),
+        cb(m, code, cv) AS (VALUES
+             $cbRows),
+        sc0 AS (SELECT e.vec_id, cc.c_id,
+                       list_cosine_similarity(e.v, cc.cv) AS cs FROM e, cc),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, c_id DESC) AS rn FROM sc0) WHERE rn = 1),
+        sc AS (SELECT e.vec_id, asg.centroid, cb.m, cb.code,
+                      $subDist AS d
+               FROM e JOIN asg USING (vec_id)
+               JOIN cc ON cc.c_id = asg.centroid, cb),
+        codes AS (SELECT vec_id, centroid, m, code FROM (
+                    SELECT vec_id, centroid, m, code,
+                           row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY d ASC, code ASC) AS rn FROM sc)
+                  WHERE rn = 1),
+        recon AS (SELECT c.vec_id, any_value(c.centroid) AS centroid,
+                         flatten(list(cb.cv ORDER BY c.m)) AS r
+                  FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+                  GROUP BY c.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        crank AS (SELECT q.q_id, cc.c_id AS cell,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY list_cosine_similarity(q.qv, cc.cv) DESC,
+                                    cc.c_id ASC) AS crnk
+                  FROM q, cc),
+        np(nprobe) AS (VALUES $npRows),
+        probe AS (SELECT np.nprobe, crank.q_id, crank.cell
+                  FROM crank, np WHERE crank.crnk <= np.nprobe),
+        qr AS (SELECT p.nprobe, p.q_id, p.cell,
+                      [q.qv[i] - cc.cv[i] for i in range(1, ${dim + 1})] AS qres
+               FROM probe p JOIN q ON q.q_id = p.q_id
+               JOIN cc ON cc.c_id = p.cell),
+        s2 AS (SELECT qr.nprobe, qr.q_id, recon.vec_id AS n_id,
+                      $adcDist AS adist
+               FROM recon JOIN qr ON recon.centroid = qr.cell
+               WHERE recon.vec_id <> qr.q_id),
+        ivf AS (SELECT nprobe, q_id, n_id FROM (
+                  SELECT nprobe, q_id, n_id,
+                         row_number() OVER (PARTITION BY nprobe, q_id
+                           ORDER BY adist ASC, n_id) AS rnk FROM s2)
+                WHERE rnk <= 5),
+        xscored AS (SELECT q.q_id, e.vec_id AS n_id,
+                           list_cosine_similarity(e.v, q.qv) AS c
+                    FROM e, q WHERE e.vec_id <> q.q_id),
+        exact AS (SELECT q_id, n_id FROM (
+                    SELECT q_id, n_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY c DESC, n_id) AS rnk
+                    FROM xscored) WHERE rnk <= 5),
+        xnp AS (SELECT np.nprobe, exact.q_id, exact.n_id FROM exact, np)
+        SELECT CAST(xnp.nprobe AS BIGINT) AS nprobe, xnp.q_id AS q_id,
+               CAST(count(ivf.n_id) AS BIGINT) AS hits,
+               floor(count(ivf.n_id) / 5.0 * 1000) / 1000 AS recall
+        FROM xnp LEFT JOIN ivf
+          ON ivf.nprobe = xnp.nprobe AND ivf.q_id = xnp.q_id
+         AND ivf.n_id = xnp.n_id
+        GROUP BY xnp.nprobe, xnp.q_id ORDER BY nprobe, xnp.q_id"""
+  }
+
   /** int8 scalar quantization of the embedding column — the OTHER
     * compression every large vector store ships (per-vector max-abs
     * scale, 4× over float32): codes = floor(x / scale * 127), checked
@@ -812,6 +987,7 @@ object Similarity extends QueryPack {
     "q84_int8_quant"      -> q84Int8Quant _,
     "q86_ann_ivfpq"       -> q86AnnIvfPq _,
     "q109_ann_recall"     -> q109AnnRecall _,
+    "q115_recall_sweep"   -> q115RecallSweep _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -1021,7 +1197,10 @@ object Similarity extends QueryPack {
         .getOrElse("SELECT 1 AS q86_not_built_for_this_dataset")) +
       ("q109_ann_recall" -> Option(ivfPqCodebooks.get(dir))
         .map { case (cc, pq) => annRecallOracleSql(cc, pq) }
-        .getOrElse("SELECT 1 AS q109_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q109_not_built_for_this_dataset")) +
+      ("q115_recall_sweep" -> Option(sweepCodebooks.get(dir))
+        .map { case (cc, pq) => recallSweepOracleSql(cc, pq) }
+        .getOrElse("SELECT 1 AS q115_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -1062,6 +1241,10 @@ object Similarity extends QueryPack {
         val (cc, pq) = ivfPqCodebooks.values.iterator.next()
         annRecallOracleSql(cc, pq)
       } else "SELECT 1 AS q109_not_built_unambiguously_this_process"),
+    "q115_recall_sweep" -> (if (sweepCodebooks.size == 1) {
+        val (cc, pq) = sweepCodebooks.values.iterator.next()
+        recallSweepOracleSql(cc, pq)
+      } else "SELECT 1 AS q115_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q84: every op is the same IEEE double op in the same order (max-abs
     // fold, floor-quantize, reconstruct, max-error fold) — no rounding

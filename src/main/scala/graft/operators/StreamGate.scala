@@ -165,8 +165,20 @@ object StreamGate extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** Streaming QUALITY-MODEL scoring gate — the q93 classifier running
+    * as a stream transform. The scoring core is the SAME function object
+    * the batch query uses ([[Curation2.qualityScoreCore]] — stateless
+    * projection, so it lifts to Structured Streaming unchanged); the
+    * oracle is batch q93's SQL verbatim. The production shape for
+    * score-at-ingest: no state store, any trigger, per-row map work. */
+  private def q112QualityStream(s: SparkSession, d: String): DataFrame = {
+    val out = Curation2.qualityScoreCore(docStream(s, d))
+    runToBatch(s, out).orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_incdedup_stream" -> q104IncDedupStream _,
+    "q112_quality_stream" -> q112QualityStream _,
     "q105_contamination_stream" -> q105ContaminationStream _,
     "q106_simhash_stream" -> q106SimhashStream _,
     "q107_minhash_stream" -> q107MinhashStream _,
@@ -199,6 +211,9 @@ object StreamGate extends QueryPack {
                 FROM corpus LEFT JOIN hits USING (doc_id))
          SELECT doc_id, floor(cont * 1000) / 1000 AS contamination
          FROM sc WHERE cont < 0.2 ORDER BY doc_id""",
+    // batch-equivalence: one shared scoring core, so the batch oracle
+    // covers the streaming execution verbatim
+    "q112_quality_stream" -> Curation2.oracles("q93_quality_model"),
     // batch-equivalence vs q81's banded-signature SQL verbatim
     "q106_simhash_stream" -> Dedup.oracles("q81_simhash_neardup"),
     // batch-equivalence vs q42's oracle (the exact inverted-index pair

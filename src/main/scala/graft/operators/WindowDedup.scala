@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACT SUBSTRING (token-window) duplication analysis — the
+  * train-set-level exact-dedup family from "Deduplicating Training Data
+  * Makes Language Models Better" (Lee et al., 2021): slide a fixed-width
+  * token window over every document, hash each window, and find windows
+  * that recur across documents. Lee et al. build suffix arrays; the
+  * Spark-native shape is the window-hash posting list — embarrassingly
+  * parallel, linear in corpus tokens, and the same recall for a fixed
+  * window width W (their production W is 50 tokens; the declared test
+  * W = 8 exercises the identical plan on the small-vocab test corpus,
+  * which carries real injected near-dup families).
+  *
+  * Two declared operators over the shared posting relation:
+  *
+  *  - q111 WINDOW-DEDUP PROFILE: per document, how many of its windows
+  *    also occur in ANOTHER document (the duplicated-span mass a
+  *    span-level deduper would remove), as count + fraction.
+  *  - q113 WINDOW NOVELTY: per document, the fraction of its DISTINCT
+  *    windows whose FIRST corpus occurrence (min doc_id, ingest order)
+  *    is this document — the marginal-contribution score used to rank
+  *    and prune late-arriving redundant shards.
+  *
+  * Scale notes (100 TB design points):
+  *  - The posting relation carries (window-hash, doc_id) ONLY — document
+  *    text never shuffles. Corpus cost is one explode (T windows for T
+  *    tokens) plus three compact aggregations: per-(wh, doc) counts
+  *    (partial-aggregatable, map-side combine collapses within-doc
+  *    repeats), the duplicated-hash table (HAVING count > 1 — output is
+  *    only the duplicated vocabulary, Zipf-small), and the per-doc
+  *    rollup keyed by doc_id.
+  *  - The declared queries hash with md5 (hex string) because the DuckDB
+  *    oracle must reproduce every hash bit-exactly; the scale variant
+  *    [[windowProfileHashed]] carries 8-byte xxhash64 values instead
+  *    (4x smaller postings, same plan — the q91 boilerplateHashed
+  *    pattern), asserted count-identical in WindowSpec.
+  *  - No driver-side work: both queries compose lazily (PlanSpec's
+  *    job-silent gate covers them).
+  *
+  * Reference tie-in: the reference engine (kafka-etl-consumer) has no
+  * dedup surface at all — this pack is part of the [extension] mandate
+  * (SURVEY.md §2 rows 11/13) beside q22/q23/q76/q95.
+  */
+object WindowDedup extends QueryPack {
+
+  /** Declared window width. Production span-dedup uses ~50 tokens (Lee
+    * et al. §3); W is a plan literal, not a data-dependent value. */
+  private val W = 8
+
+  private val toks = graft.functions.TextExprs.toks
+
+  /** (doc_id, n_windows) for every document, and the exploded
+    * (doc_id, wh) window-hash postings for documents long enough to
+    * have any. Hash = md5 of the space-joined window tokens (the
+    * cross-engine-replicable form). */
+  private def windows(s: SparkSession, d: String,
+                      hash: String => String = w => s"md5($w)")
+      : (DataFrame, DataFrame) = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("w"))
+      .withColumn("nw",
+        greatest(size(col("w")) - (W - 1), lit(0)).cast("long"))
+    val win = t.filter(col("nw") > 0)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, cast(nw as int)), i -> " +
+          hash(s"concat_ws(' ', slice(w, i, $W))") + ")")).as("wh"))
+    (t.select("doc_id", "nw"), win)
+  }
+
+  /** q111: per-doc duplicated-window mass. A window position counts as
+    * duplicated iff its hash occurs in at least one OTHER document
+    * (within-doc repeats alone don't — intra-doc repetition is q49's
+    * signal, not corpus duplication). */
+  private def q111WindowDedup(s: SparkSession, d: String): DataFrame = {
+    val (base, win) = windows(s, d)
+    val pd = win.groupBy("wh", "doc_id").agg(count(lit(1)).as("occ"))
+    val dup = pd.groupBy("wh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("wh")
+    val dd = pd.join(dup, "wh")
+      .groupBy("doc_id").agg(sum("occ").as("dup"))
+    base.join(dd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_windows"),
+        coalesce(col("dup"), lit(0L)).as("dup_windows"),
+        when(col("nw") === 0, lit(0.0))
+          .otherwise(floor(coalesce(col("dup"), lit(0L)).cast("double")
+            / col("nw") * 1e6) / 1e6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q113: per-doc window NOVELTY — over the doc's DISTINCT window
+    * hashes, the share whose first corpus occurrence (min doc_id) is
+    * this document. Docs shorter than W have no windows and no row (no
+    * contribution to measure). */
+  private def q113WindowNovelty(s: SparkSession, d: String): DataFrame = {
+    val (_, win) = windows(s, d)
+    val pd = win.select("wh", "doc_id").distinct()
+    val fo = pd.groupBy("wh").agg(min("doc_id").as("first_doc"))
+    pd.join(fo, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("novel"))
+      .select(col("doc_id"), col("n_distinct"), col("novel"),
+        (floor(col("novel").cast("double") / col("n_distinct") * 1e6) / 1e6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** The SCALE form of q111's profile: identical plan with 8-byte
+    * xxhash64 window keys instead of 32-char md5 hex (the only change is
+    * the hash expression) — the form a 100 TB run ships, where the
+    * posting shuffle is the cost driver. Collision risk at 64 bits is
+    * negligible for any real corpus window count; WindowSpec asserts
+    * count-identity with the declared query on the test corpus. */
+  private[graft] def windowProfileHashed(s: SparkSession, d: String): DataFrame = {
+    val (base, win) = windows(s, d, w => s"xxhash64($w)")
+    val pd = win.groupBy("wh", "doc_id").agg(count(lit(1)).as("occ"))
+    val dup = pd.groupBy("wh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("wh")
+    val dd = pd.join(dup, "wh")
+      .groupBy("doc_id").agg(sum("occ").as("dup"))
+    base.join(dd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_windows"),
+        coalesce(col("dup"), lit(0L)).as("dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** q116: SOURCE-OVERLAP MATRIX — for every pair of sources, how many
+    * distinct window hashes they share: the dataset-overlap diagnostic a
+    * curation team runs before mixing corpora (two "independent" crawls
+    * sharing half their spans are one corpus counted twice). The
+    * diagonal is each source's distinct-window vocabulary. Per-hash
+    * fan-out is bounded by S² with S = #sources (a small constant at
+    * any corpus size), so the pair expansion is linear in distinct
+    * (hash, source) postings; the final matrix is S(S+1)/2 rows. */
+  private def q116SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val (_, win) = windows(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ws = win.join(src, "doc_id").select("wh", "source").distinct()
+    ws.select(col("wh"), col("source").as("source_a"))
+      .join(ws.select(col("wh"), col("source").as("source_b")), Seq("wh"))
+      .filter(col("source_a") <= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_hashes"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q117: WINDOW-OVERLAP PAIRS — the exact span-level near-dup pair
+    * detector (the pair form of Lee et al.'s exact-substring criterion):
+    * document pairs sharing at least `minShared` distinct windows, with
+    * the shared count. Complements q42's MinHash (estimated set overlap)
+    * with exact counted span overlap. Candidate work is the inverted
+    * index's Σ df² over the window-hash vocabulary — at corpus scale the
+    * df distribution is the q111 dup table (HAVING count > 1 already
+    * discards the unique-hash mass, which is almost all of it), and the
+    * hot-hash tail composes with the capBuckets df-cut exactly as
+    * q35/q42 document. */
+  private val minShared = 3
+
+  private def q117WindowPairs(s: SparkSession, d: String): DataFrame = {
+    val (_, win) = windows(s, d)
+    val pd = win.select("wh", "doc_id").distinct()
+    pd.select(col("wh"), col("doc_id").as("a_id"))
+      .join(pd.select(col("wh"), col("doc_id").as("b_id")), Seq("wh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+      .orderBy("a_id", "b_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_window_dedup" -> q111WindowDedup _,
+    "q113_window_novelty" -> q113WindowNovelty _,
+    "q116_source_overlap" -> q116SourceOverlap _,
+    "q117_window_pairs" -> q117WindowPairs _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    // Window generation replicated via list_slice over a per-row
+    // unnest(range(...)) position list; md5 of the identical joined
+    // string makes the hashes — and therefore every aggregate — equal
+    // bit-for-bit. dup_frac is one double division + the floor-truncate
+    // convention.
+    "q111_window_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+          win AS (SELECT doc_id,
+                         md5(array_to_string(list_slice(w, i, i + ${W - 1}), ' ')) AS wh
+                  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${W - 2})) AS i
+                        FROM t WHERE len(w) >= $W)),
+          pd AS (SELECT wh, doc_id, count(*) AS occ FROM win GROUP BY wh, doc_id),
+          dup AS (SELECT wh FROM pd GROUP BY wh HAVING count(*) > 1),
+          dd AS (SELECT doc_id, sum(occ) AS dup_windows
+                 FROM pd JOIN dup USING (wh) GROUP BY doc_id),
+          base AS (SELECT doc_id, CAST(greatest(len(w) - ${W - 1}, 0) AS BIGINT)
+                            AS n_windows FROM t)
+          SELECT b.doc_id, b.n_windows,
+                 CAST(coalesce(dd.dup_windows, 0) AS BIGINT) AS dup_windows,
+                 CASE WHEN b.n_windows = 0 THEN 0e0
+                      ELSE floor((CAST(coalesce(dd.dup_windows, 0) AS DOUBLE)
+                                  / b.n_windows) * 1000000) / 1000000
+                 END AS dup_frac
+          FROM base b LEFT JOIN dd USING (doc_id) ORDER BY doc_id""",
+    "q113_window_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+          win AS (SELECT doc_id,
+                         md5(array_to_string(list_slice(w, i, i + ${W - 1}), ' ')) AS wh
+                  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${W - 2})) AS i
+                        FROM t WHERE len(w) >= $W)),
+          pd AS (SELECT wh, doc_id FROM win GROUP BY wh, doc_id),
+          fo AS (SELECT wh, min(doc_id) AS first_doc FROM pd GROUP BY wh),
+          nv AS (SELECT pd.doc_id, count(*) AS n_distinct,
+                        count(*) FILTER (fo.first_doc = pd.doc_id) AS novel
+                 FROM pd JOIN fo USING (wh) GROUP BY pd.doc_id)
+          SELECT doc_id, CAST(n_distinct AS BIGINT) AS n_distinct,
+                 CAST(novel AS BIGINT) AS novel,
+                 floor((CAST(novel AS DOUBLE) / n_distinct) * 1000000) / 1000000
+                   AS novelty
+          FROM nv ORDER BY doc_id""",
+    "q116_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+          win AS (SELECT doc_id, source,
+                         md5(array_to_string(list_slice(w, i, i + ${W - 1}), ' ')) AS wh
+                  FROM (SELECT doc_id, source, w,
+                               unnest(range(1, len(w) - ${W - 2})) AS i
+                        FROM t WHERE len(w) >= $W)),
+          ws AS (SELECT DISTINCT wh, source FROM win)
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS shared_hashes
+          FROM ws a JOIN ws b ON a.wh = b.wh AND a.source <= b.source
+          GROUP BY a.source, b.source ORDER BY source_a, source_b""",
+    "q117_window_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+          win AS (SELECT doc_id,
+                         md5(array_to_string(list_slice(w, i, i + ${W - 1}), ' ')) AS wh
+                  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${W - 2})) AS i
+                        FROM t WHERE len(w) >= $W)),
+          pd AS (SELECT DISTINCT wh, doc_id FROM win)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_windows
+          FROM pd a JOIN pd b ON a.wh = b.wh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= $minShared
+          ORDER BY a_id, b_id""",
+  )
+}

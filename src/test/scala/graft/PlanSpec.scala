@@ -48,12 +48,15 @@ class PlanSpec extends SparkTestBase {
       "q73_dedup_clusters", "q80_embedding_clusters",
       "q89_entity_resolution", "q101_cluster_sizes",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
-      "q109_ann_recall",
+      "q109_ann_recall", "q115_recall_sweep",
       "q95_dedup_bloom_sharded",
+      // q114 composes the q42 + q81 pair pipelines, so it inherits q42's
+      // verifyJoin adaptive size guard
+      "q114_neardup_consensus",
       // the streaming-gate queries RUN a bounded streaming query inside
       // the declared function by design (the batch-equivalence harness)
       "q104_incdedup_stream", "q105_contamination_stream",
-      "q106_simhash_stream", "q107_minhash_stream",
+      "q106_simhash_stream", "q107_minhash_stream", "q112_quality_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed")
     // warm the memoized ANALYZE-style stats (documented one-off per
