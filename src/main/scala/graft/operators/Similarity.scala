@@ -768,9 +768,12 @@ object Similarity extends QueryPack {
     * in-session codes relation keeps the whole sweep one lazily-composed
     * plan over a |Q|·Σnprobe-cell probe list. The exact half is the q40
     * broadcast scan — recall evaluation samples queries (hundreds), not
-    * the corpus. Output: one (nprobe, query) row with hits@5 + recall —
-    * WindowSpec asserts recall is monotonically non-decreasing in
-    * nprobe per query. */
+    * the corpus. Output: one (nprobe, query) row with hits@5 + recall.
+    * (Recall is NOT asserted monotone: widening the probe set can
+    * displace a true hit from the ADC top-5, and on this corpus the
+    * measured curve is flat — every ADC-best candidate already sits in
+    * the best cell; the cross-engine gate proves that is the real
+    * ranking, not a probe bug.) */
   private def q115RecallSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

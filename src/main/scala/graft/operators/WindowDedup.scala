@@ -98,15 +98,20 @@ object WindowDedup extends QueryPack {
   private def q113WindowNovelty(s: SparkSession, d: String): DataFrame = {
     val (_, win) = windows(s, d)
     val pd = win.select("wh", "doc_id").distinct()
-    val fo = pd.groupBy("wh").agg(min("doc_id").as("first_doc"))
-    pd.join(fo, "wh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_distinct"),
-           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-             .as("novel"))
-      .select(col("doc_id"), col("n_distinct"), col("novel"),
-        (floor(col("novel").cast("double") / col("n_distinct") * 1e6) / 1e6)
-          .as("novelty"))
+    // Per-doc distinct-window counts and per-doc first-occurrence wins
+    // are BOTH doc-keyed aggregates, so the final join is doc-sized —
+    // joining the full window vocabulary back to the postings (the
+    // obvious formulation) shuffled the whole vocab twice and was 24×
+    // slower at sf0.1 (2.0 s → 0.08 s family cost; PERF.md round 6b).
+    val nDis = pd.groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    val novel = pd.groupBy("wh").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("novel"))
+    nDis.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("novel"), lit(0L)).as("novel"),
+        (floor(coalesce(col("novel"), lit(0L)).cast("double")
+          / col("n_distinct") * 1e6) / 1e6).as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -138,12 +143,27 @@ object WindowDedup extends QueryPack {
     * any corpus size), so the pair expansion is linear in distinct
     * (hash, source) postings; the final matrix is S(S+1)/2 rows. */
   private def q116SourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val (_, win) = windows(s, d)
-    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val ws = win.join(src, "doc_id").select("wh", "source").distinct()
-    ws.select(col("wh"), col("source").as("source_a"))
-      .join(ws.select(col("wh"), col("source").as("source_b")), Seq("wh"))
-      .filter(col("source_a") <= col("source_b"))
+    // source rides the explode from the same document row — no doc-keyed
+    // join; then ONE shuffle keyed by window hash collecting the (deduped,
+    // sorted, ≤S-element) source set per hash, and the pair expansion is
+    // map work over that bounded array (sorted ⇒ source_a <= source_b by
+    // construction). The self-join formulation shuffled the vocabulary
+    // twice more and cost 2.2 s at sf0.1 vs ~0.6 s for this shape.
+    val t = Tables.documents(s, d)
+      .select(col("source"), expr(toks).as("w"))
+      .withColumn("nw",
+        greatest(size(col("w")) - (W - 1), lit(0)).cast("long"))
+    val win = t.filter(col("nw") > 0)
+      .select(col("source"),
+        explode(expr(s"transform(sequence(1, cast(nw as int)), i -> " +
+          s"md5(concat_ws(' ', slice(w, i, $W))))")).as("wh"))
+    win.groupBy("wh").agg(sort_array(collect_set("source")).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ss) - 1), i ->
+             transform(sequence(i, size(ss) - 1), j ->
+               struct(element_at(ss, i + 1) AS source_a,
+                      element_at(ss, j + 1) AS source_b))))""")).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("shared_hashes"))
       .orderBy("source_a", "source_b")
@@ -163,7 +183,11 @@ object WindowDedup extends QueryPack {
 
   private def q117WindowPairs(s: SparkSession, d: String): DataFrame = {
     val (_, win) = windows(s, d)
-    val pd = win.select("wh", "doc_id").distinct()
+    // hot-hash bound IN the plan (q35/q42's capBucketsLazy contract):
+    // default cap = corpus size, value-neutral, and the window exchange
+    // on wh is the one the candidate self-join reuses
+    val pd = Dedup.capBucketsLazy(win.select("wh", "doc_id").distinct(),
+      Seq("wh"), -1L, Tables.documents(s, d))
     pd.select(col("wh"), col("doc_id").as("a_id"))
       .join(pd.select(col("wh"), col("doc_id").as("b_id")), Seq("wh"))
       .filter(col("a_id") < col("b_id"))
