@@ -212,6 +212,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q116: join-free — one aggregation pipeline, no join operator at all") {
+    val plan = executed(SparkEntry.queries("q116_source_overlap")(spark, sfDir))
+    // source rides the explode and the per-hash source set is collected
+    // by aggregation, so the whole matrix is shuffles + map work: any
+    // join node means the doc-keyed or vocab self-join shape crept back
+    val joins = plan.filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins.isEmpty,
+      s"q116 must not join; found ${joins.map(_.nodeName).mkString(", ")}")
+  }
+
+  test("q113: joins are doc-keyed only — the window vocabulary never joins itself") {
+    val plan = executed(SparkEntry.queries("q113_window_novelty")(spark, sfDir))
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, "expected the doc-sized novelty join")
+    joins.foreach { j =>
+      val keys = (j.leftKeys ++ j.rightKeys).map(_.sql.toLowerCase)
+      assert(keys.forall(k => k.contains("doc_id") && !k.contains("wh")),
+        s"q113 join must be keyed by doc_id, got: ${keys.mkString(", ")}")
+    }
+  }
+
   test("q1: aggregation is two-phase (partial before the exchange)") {
     val plan = executed(Relational.queries("q1_agg")(spark, sfDir))
     val aggModes = plan.collect {
