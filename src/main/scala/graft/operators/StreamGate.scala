@@ -176,9 +176,34 @@ object StreamGate extends QueryPack {
     runToBatch(s, out).orderBy("doc_id")
   }
 
+  /** Streaming SPAN-CONTAINMENT annotator — the ingest-time form of the
+    * window-dedup family (q111's definition via the SHARED
+    * [[WindowDedup.positionalWindows]]): each arriving document's token
+    * windows are flagged against the static corpus window index, so the
+    * ingest pipeline knows per span whether it is already in the corpus.
+    * Stateless stream-static LEFT join (no state store, arrival-
+    * emitting, any trigger); the per-doc rollup is the downstream batch
+    * report, which is how production splits it — annotate in-stream,
+    * aggregate in the warehouse. At corpus scale the static side is the
+    * persisted distinct-hash index, and q104's sharded-bloom split
+    * composes in front as the map-side definitive-negative filter so
+    * the join only sees probable hits. */
+  private def q118WindowStream(s: SparkSession, d: String): DataFrame = {
+    val corpus = WindowDedup.positionalWindows(
+        Tables.documents(s, d).filter(col("doc_id") < 250))
+      .select("wh").distinct().withColumn("hit", lit(1L))
+    val stream = WindowDedup.positionalWindows(
+      docStream(s, d).filter(col("doc_id") >= 250))
+    val out = stream.join(corpus, Seq("wh"), "left")
+      .select(col("doc_id"), col("pos"),
+              coalesce(col("hit"), lit(0L)).as("in_corpus"))
+    runToBatch(s, out).orderBy("doc_id", "pos")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_incdedup_stream" -> q104IncDedupStream _,
     "q112_quality_stream" -> q112QualityStream _,
+    "q118_window_stream" -> q118WindowStream _,
     "q105_contamination_stream" -> q105ContaminationStream _,
     "q106_simhash_stream" -> q106SimhashStream _,
     "q107_minhash_stream" -> q107MinhashStream _,
@@ -214,6 +239,22 @@ object StreamGate extends QueryPack {
     // batch-equivalence: one shared scoring core, so the batch oracle
     // covers the streaming execution verbatim
     "q112_quality_stream" -> Curation2.oracles("q93_quality_model"),
+    // the shared window definition (W = 8, md5 of the joined tokens)
+    // replicated positionally; corpus = doc_id < 250, stream the rest
+    "q118_window_stream" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         win AS (SELECT doc_id, i AS pos,
+                        md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS wh
+                 FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                       FROM t WHERE len(w) >= 8)),
+         corpus AS (SELECT DISTINCT wh FROM win WHERE doc_id < 250)
+         SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+                CAST(CASE WHEN c.wh IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS in_corpus
+         FROM (SELECT * FROM win WHERE doc_id >= 250) s
+         LEFT JOIN corpus c USING (wh)
+         ORDER BY doc_id, pos""",
     // batch-equivalence vs q81's banded-signature SQL verbatim
     "q106_simhash_stream" -> Dedup.oracles("q81_simhash_neardup"),
     // batch-equivalence vs q42's oracle (the exact inverted-index pair

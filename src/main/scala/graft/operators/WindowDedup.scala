@@ -71,6 +71,22 @@ object WindowDedup extends QueryPack {
     (t.select("doc_id", "nw"), win)
   }
 
+  /** (doc_id, pos, wh) POSITIONAL window hashes — the same window/hash
+    * definition as the declared profile queries, shared with the
+    * streaming span-containment annotator (q118) so batch and stream
+    * agree by construction. Stateless projection: lifts to a streaming
+    * DataFrame unchanged. */
+  private[graft] def positionalWindows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(toks).as("w"))
+      .withColumn("nw",
+        greatest(size(col("w")) - (W - 1), lit(0)).cast("long"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, cast(nw as int)), i -> " +
+          s"md5(concat_ws(' ', slice(w, i, $W))))")).as(Seq("pos0", "wh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+              col("wh"))
+
   /** q111: per-doc duplicated-window mass. A window position counts as
     * duplicated iff its hash occurs in at least one OTHER document
     * (within-doc repeats alone don't — intra-doc repetition is q49's

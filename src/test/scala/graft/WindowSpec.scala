@@ -99,4 +99,19 @@ class WindowSpec extends SparkTestBase {
     val batch = q("q93_quality_model").collect().toSeq
     assert(stream == batch)
   }
+
+  test("q118: streamed span containment equals the batch formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = WindowDedup.positionalWindows(docs.filter(col("doc_id") < 250))
+      .select("wh").distinct().withColumn("hit", lit(1L))
+    val batch = WindowDedup.positionalWindows(docs.filter(col("doc_id") >= 250))
+      .join(corpus, Seq("wh"), "left")
+      .select(col("doc_id"), col("pos"),
+              coalesce(col("hit"), lit(0L)).as("in_corpus"))
+      .orderBy("doc_id", "pos").collect().toSeq
+    val streamed = q("q118_window_stream").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
