@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Retrieval,
     operators.StreamGate,
     operators.WindowDedup,
+    operators.Curation3,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

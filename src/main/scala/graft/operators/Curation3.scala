@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6b curation closers (SURVEY.md §2 row 13 [extension]):
+  *
+  *  - q119 STATISTICAL LM QUALITY SCORE — the CCNet-style filter beside
+  *    q93's linear model: a bigram language model with add-one smoothing
+  *    trained ON the corpus itself scores every document by mean
+  *    negative log-likelihood; high-NLL docs read "unlike the corpus"
+  *    (OCR noise, wrong language, random strings), the signal CCNet
+  *    buckets on. term(a,b) = ln((c(a,b) + 1) / (c(a) + V)).
+  *  - q120 DETERMINISTIC SPLIT ASSIGNMENT — train/val/test via an
+  *    md5-derived bucket of the doc id (80/10/10): rerun-stable,
+  *    join-free, and uniform within every source, so the split is
+  *    stratified in expectation at any corpus size (the exact-quantile
+  *    per-source variant needs a per-source rank — a sort the hash form
+  *    deliberately avoids; at 100 TB nobody sorts a corpus to split it).
+  *
+  * Scale notes:
+  *  - q119's model tables are corpus aggregates with Zipf-bounded
+  *    cardinality (unigram + bigram vocabularies); scoring is two
+  *    posting-keyed joins (q85's shape) and one doc-keyed fold.
+  *    Vocabulary size V rides a one-row broadcast (the q39 corpus-N
+  *    pattern — query construction stays job-silent).
+  *  - q119's per-doc mean of ln terms is a SORTED POSITION-ORDER left
+  *    fold on both engines (Spark `aggregate` over the pos-sorted
+  *    collect_list; DuckDB `list_reduce` over `list(... ORDER BY pos)`)
+  *    — an unordered float SUM would be partitioning-dependent and
+  *    break the cross-engine hash (the q97 lesson).
+  *  - q120 is pure per-row map work; the md5 bucket replicates exactly
+  *    in DuckDB via the '0x' || substr(md5(...)) parse q81's oracle
+  *    established.
+  */
+object Curation3 extends QueryPack {
+
+  private val toks = graft.functions.TextExprs.toks
+
+  private def q119LmScore(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
+    val bg = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(w) - 1), i ->
+               struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"""))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+              col("g.a").as("a"), col("g.b").as("b"))
+    val bc = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val uc = t.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vv = uc.agg(count(lit(1)).as("v"))
+    val terms = bg.join(bc, Seq("a", "b"))
+      .join(uc, col("a") === col("tok"))
+      .crossJoin(broadcast(vv))
+      .withColumn("term", expr("ln((c2 + 1e0) / (c1 + cast(v as double)))"))
+    terms.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_bigrams"),
+        (floor(expr(
+          """-aggregate(transform(ts, x -> x.term), cast(0 as double),
+                        (acc, x) -> acc + x) / size(ts)""") * 1e6) / 1e6)
+          .as("nll"))
+      .orderBy("doc_id")
+  }
+
+  private def q120SplitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+             "as bigint) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_lm_score" -> q119LmScore _,
+    "q120_split_assign" -> q120SplitAssign _,
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q119_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         bg AS (SELECT doc_id, i AS pos, w[i] AS a, w[i+1] AS b
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM t WHERE len(w) >= 2)),
+         bc AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         uc AS (SELECT tok, count(*) AS c1
+                FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+         vv AS (SELECT count(*) AS v FROM uc),
+         terms AS (SELECT bg.doc_id, bg.pos,
+                          ln((c2 + 1e0) / (c1 + CAST(v AS DOUBLE))) AS term
+                   FROM bg JOIN bc USING (a, b)
+                   JOIN uc ON uc.tok = bg.a, vv),
+         folded AS (SELECT doc_id, list(term ORDER BY pos) AS ts
+                    FROM terms GROUP BY doc_id)
+         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_bigrams,
+                floor((-(list_reduce(ts, (acc, x) -> acc + x)) / len(ts))
+                      * 1000000) / 1000000 AS nll
+         FROM folded ORDER BY doc_id""",
+    "q120_split_assign" ->
+      """SELECT doc_id, source,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q119 bigram-LM scoring + q120 deterministic split assignment. */
+class Curation3Spec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q119: positive NLL, bigram counts match doc length, partitioning-independent") {
+    val rows = q("q119_lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, nll) =>
+      assert(nb >= 1, s"doc $id")
+      // every smoothed bigram probability is < 1, so mean -ln is positive
+      assert(nll > 0, s"doc $id nll $nll")
+    }
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"size(${graft.functions.TextExprs.toks})").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, nb, _) =>
+      assert(nb == lens(id) - 1, s"doc $id: $nb bigrams for ${lens(id)} tokens")
+    }
+    // the per-doc mean is a pos-sorted fold: the score must not depend on
+    // how the aggregation happened to partition (the unordered-float-sum
+    // landmine this query is designed around)
+    val pKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(pKey)
+    spark.conf.set(pKey, "7")
+    try assert(q("q119_lm_score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == rows.toSeq)
+    finally spark.conf.set(pKey, prev)
+  }
+
+  test("q120: buckets in [0,100), split consistent with bucket, rerun-stable") {
+    val rows = q("q120_split_assign").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, b, sp) =>
+      assert(b >= 0 && b < 100, s"doc $id bucket $b")
+      val expected = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp == expected, s"doc $id bucket $b split $sp")
+    }
+    assert(rows.map(_._4).distinct.toSet == Set("train", "val", "test"))
+    assert(q("q120_split_assign").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq == rows.toSeq)
+  }
+}
