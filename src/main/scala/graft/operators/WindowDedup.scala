@@ -213,11 +213,49 @@ object WindowDedup extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** q121: SPAN REMOVAL — the step Lee et al. actually ship (they
+    * REMOVE the duplicated substrings, not just count them): every token
+    * position covered by ANY cross-doc duplicated window is dropped and
+    * the document is rebuilt from the surviving tokens. Token i is
+    * covered iff some duplicated window starts in [i-W+1, i]. The dup
+    * START-position sets ride a doc-keyed aggregate back to the doc row
+    * and the rebuild is map-side over the original token array (q91's
+    * boilerplate-removal shape — corpus text never shuffles; only
+    * (hash, doc_id, pos) postings and the per-doc position lists move).
+    * Output keeps the rebuilt text under the hash via md5 (the q90
+    * convention for content columns). */
+  private def q121SpanRemoval(s: SparkSession, d: String): DataFrame = {
+    val win = positionalWindows(Tables.documents(s, d))
+    val pd = win.groupBy("wh", "doc_id")
+      .agg(collect_list(col("pos")).as("ps"))
+    val dup = pd.groupBy("wh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("wh")
+    val dupStarts = pd.join(dup, "wh")
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("dps"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("w"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("dps"), expr("array()")).as("dps"))
+      .withColumn("kept", expr(
+        s"""filter(transform(w, (t, i0) ->
+              IF(exists(dps, p -> p >= i0 + 1 - ${W - 1} AND p <= i0 + 1),
+                 NULL, t)), t -> t IS NOT NULL)"""))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_window_dedup" -> q111WindowDedup _,
     "q113_window_novelty" -> q113WindowNovelty _,
     "q116_source_overlap" -> q116SourceOverlap _,
     "q117_window_pairs" -> q117WindowPairs _,
+    "q121_span_removal" -> q121SpanRemoval _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -290,5 +328,32 @@ object WindowDedup extends QueryPack {
           GROUP BY a.doc_id, b.doc_id
           HAVING count(*) >= $minShared
           ORDER BY a_id, b_id""",
+    // token i is covered iff a duplicated window starts in [i-W+1, i];
+    // the rebuild is the identical index-filtered comprehension, and the
+    // rebuilt text compares under md5 (the q90 content convention)
+    "q121_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+          win AS (SELECT doc_id, i AS pos,
+                         md5(array_to_string(list_slice(w, i, i + ${W - 1}), ' ')) AS wh
+                  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${W - 2})) AS i
+                        FROM t WHERE len(w) >= $W)),
+          pd AS (SELECT wh, doc_id, list(pos) AS ps FROM win GROUP BY wh, doc_id),
+          dup AS (SELECT wh FROM pd GROUP BY wh HAVING count(*) > 1),
+          ds AS (SELECT doc_id, list_sort(list_distinct(flatten(list(ps)))) AS dps
+                 FROM pd JOIN dup USING (wh) GROUP BY doc_id),
+          base AS (SELECT t.doc_id, t.w, coalesce(ds.dps, []::BIGINT[]) AS dps
+                   FROM t LEFT JOIN ds USING (doc_id)),
+          k AS (SELECT doc_id, len(w) AS n_tokens,
+                       [w[i] for i in range(1, len(w) + 1)
+                        if len(list_filter(dps, p -> p >= i - ${W - 1}
+                                                 AND p <= i)) = 0] AS kept
+                FROM base)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_tokens - len(kept) AS BIGINT) AS removed,
+                 -- array_to_string([]) is NULL in DuckDB but '' under
+                 -- Spark's concat_ws: a fully-removed doc must hash ''
+                 md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+          FROM k ORDER BY doc_id""",
   )
 }

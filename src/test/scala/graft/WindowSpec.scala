@@ -100,6 +100,21 @@ class WindowSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("q121: removal mass consistent with the q111 dup profile") {
+    val removed = q("q121_span_removal").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dup = q("q111_window_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(removed.nonEmpty && removed.keySet == dup.keySet)
+    removed.foreach { case (id, (n, rm)) =>
+      assert(rm >= 0 && rm <= n, s"doc $id")
+      if (dup(id) == 0) assert(rm == 0, s"doc $id: no dup windows but removed $rm")
+      // one duplicated window covers all W of its token positions
+      else assert(rm >= 8, s"doc $id: dup windows but only $rm tokens removed")
+    }
+    assert(removed.values.exists(_._2 > 0), "planted near-dups must remove spans")
+  }
+
   test("q118: streamed span containment equals the batch formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
