@@ -78,9 +78,34 @@ object Curation3 extends QueryPack {
           .otherwise(lit("test")))
       .orderBy("doc_id")
 
+  /** q122: SPLIT-LEAKAGE AUDIT — the train/test contamination check run
+    * before any eval is trusted: near-duplicate pairs (q42's exact-
+    * verified MinHash set) whose members landed in DIFFERENT q120
+    * splits. A test doc with a train-side near-duplicate inflates eval
+    * scores; this query names every such pair with both assignments.
+    * Plan: the pair set is the existing bounded LSH pipeline; the split
+    * columns are two broadcast-sized probes of the per-row hash bucket
+    * (recomputed, not joined — the split is a pure function of doc_id).
+    * leaky = the pair crosses any split boundary. */
+  private def q122SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: String) = expr(
+      s"""CASE WHEN cast(conv(substr(md5(cast($c as string)), 1, 15), 16, 10)
+                    as bigint) % 100 < 80 THEN 'train'
+              WHEN cast(conv(substr(md5(cast($c as string)), 1, 15), 16, 10)
+                    as bigint) % 100 < 90 THEN 'val'
+              ELSE 'test' END""")
+    Dedup.minhashLshPairsCore(s, d)
+      .select(col("a_id"), col("b_id"),
+              splitOf("a_id").as("split_a"), splitOf("b_id").as("split_b"))
+      .withColumn("leaky",
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_lm_score" -> q119LmScore _,
     "q120_split_assign" -> q120SplitAssign _,
+    "q122_split_leakage" -> q122SplitLeakage _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -114,5 +139,25 @@ object Curation3 extends QueryPack {
                           AS BIGINT) % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // q42's exact pair SQL (recall 1) closed with the same per-id split
+    // bucket function on both pair members
+    "q122_split_leakage" -> {
+      def splitOf(c: String) =
+        s"""CASE WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END"""
+      s"""WITH pairs AS (SELECT a_id, b_id
+                         FROM (${Dedup.oracles("q42_minhash_lsh")})),
+          sp AS (SELECT a_id, b_id,
+                        ${splitOf("a_id")} AS split_a,
+                        ${splitOf("b_id")} AS split_b
+                 FROM pairs)
+          SELECT a_id, b_id, split_a, split_b,
+                 CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END
+                      AS BIGINT) AS leaky
+          FROM sp ORDER BY a_id, b_id"""
+    },
   )
 }

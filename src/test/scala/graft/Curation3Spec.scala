@@ -34,6 +34,21 @@ class Curation3Spec extends SparkTestBase {
     finally spark.conf.set(pKey, prev)
   }
 
+  test("q122: pair set is q42's; split columns agree with q120's assignment") {
+    val leak = q("q122_split_leakage").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+                 (r.getString(2), r.getString(3), r.getLong(4))))
+    val pairs = q("q42_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leak.map(_._1).toSet == pairs)
+    val split = q("q120_split_assign").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    leak.foreach { case ((a, b), (sa, sb, lk)) =>
+      assert(sa == split(a) && sb == split(b), s"($a,$b) split mismatch")
+      assert(lk == (if (sa != sb) 1L else 0L))
+    }
+  }
+
   test("q120: buckets in [0,100), split consistent with bucket, rerun-stable") {
     val rows = q("q120_split_assign").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))

@@ -50,9 +50,9 @@ class PlanSpec extends SparkTestBase {
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep",
       "q95_dedup_bloom_sharded",
-      // q114 composes the q42 + q81 pair pipelines, so it inherits q42's
-      // verifyJoin adaptive size guard
-      "q114_neardup_consensus",
+      // q114/q122 compose the q42 (+ q81) pair pipelines, so they inherit
+      // q42's verifyJoin adaptive size guard
+      "q114_neardup_consensus", "q122_split_leakage",
       // the streaming-gate queries RUN a bounded streaming query inside
       // the declared function by design (the batch-equivalence harness)
       "q104_incdedup_stream", "q105_contamination_stream",
