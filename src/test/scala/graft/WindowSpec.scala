@@ -94,6 +94,18 @@ class WindowSpec extends SparkTestBase {
     }
   }
 
+  test("q123: full-dimension row is a perfect self-baseline; hits bounded") {
+    val rows = q("q123_dim_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 3 * 10)
+    rows.foreach { case (dim, qid, hits, recall) =>
+      assert(hits >= 0 && hits <= 5, s"($dim,$qid)")
+      if (dim == 64)
+        assert(hits == 5 && recall == 1.0,
+          s"query $qid: full-dim sweep row must equal the baseline")
+    }
+  }
+
   test("q112: streaming quality gate equals batch q93 (shared scoring core)") {
     val stream = q("q112_quality_stream").collect().toSeq
     val batch = q("q93_quality_model").collect().toSeq
