@@ -102,10 +102,34 @@ object Curation3 extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** q124: CLUSTER-AWARE SPLIT — the FIX for the leakage q122 measures:
+    * hash the dedup-family canonical id (q73's connected-component
+    * cluster_id) instead of the doc id, so every member of a near-dup
+    * family lands in the SAME split by construction — zero leaky pairs,
+    * structurally (the q42 pairs ARE the component edges; Curation3Spec
+    * proves it executable). This is why dedup runs before splitting:
+    * the family relation must exist to split by it. Reads the
+    * session-memoized q73 assignment (q101's access pattern); the split
+    * itself is per-row map work over (doc_id, cluster_id). */
+  private def q124SplitByCluster(s: SparkSession, d: String): DataFrame = {
+    def bucketOf(c: String) = expr(
+      s"cast(conv(substr(md5(cast($c as string)), 1, 15), 16, 10) " +
+      s"as bigint) % 100")
+    Dedup.clusterAssignmentOf(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bucket", bucketOf("cluster_id"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_lm_score" -> q119LmScore _,
     "q120_split_assign" -> q120SplitAssign _,
     "q122_split_leakage" -> q122SplitLeakage _,
+    "q124_split_by_cluster" -> q124SplitByCluster _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -158,6 +182,20 @@ object Curation3 extends QueryPack {
                  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END
                       AS BIGINT) AS leaky
           FROM sp ORDER BY a_id, b_id"""
+    },
+    // q73's recursive-CTE cluster oracle closed with the same bucket
+    // function applied to the CLUSTER id
+    "q124_split_by_cluster" -> {
+      val bucketOf =
+        """CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100"""
+      s"""WITH asg AS (SELECT doc_id, cluster_id
+                       FROM (${Dedup.oracles("q73_dedup_clusters")}))
+          SELECT doc_id, cluster_id, $bucketOf AS bucket,
+                 CASE WHEN $bucketOf < 80 THEN 'train'
+                      WHEN $bucketOf < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM asg ORDER BY doc_id"""
     },
   )
 }

@@ -544,6 +544,12 @@ object Dedup extends QueryPack {
   private def q73DedupClusters(s: SparkSession, d: String): DataFrame =
     dedupClusterAssignment(s, d).orderBy("doc_id")
 
+  /** Warm-memo read of the cluster assignment for cross-pack consumers
+    * (q124's cluster-aware split) — q101's access pattern. */
+  private[graft] def clusterAssignmentOf(s: SparkSession, d: String): DataFrame =
+    clusterAssignMemo.getOrElse((System.identityHashCode(s), d),
+                                dedupClusterAssignment(s, d))
+
   /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
     * the histogram of duplicate-family sizes (how many clusters of each
     * size, how many docs they hold, how many would be dropped keeping

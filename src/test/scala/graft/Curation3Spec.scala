@@ -49,6 +49,20 @@ class Curation3Spec extends SparkTestBase {
     }
   }
 
+  test("q124: cluster-aware split has ZERO leaky near-dup pairs") {
+    val split = q("q124_split_by_cluster").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = q("q42_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"pair ($a,$b) split across ${split(a)}/${split(b)} — the fix failed")
+    }
+    // and it is a real fix, not a degenerate one: all three splits occur
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
   test("q120: buckets in [0,100), split consistent with bucket, rerun-stable") {
     val rows = q("q120_split_assign").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))

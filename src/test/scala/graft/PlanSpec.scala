@@ -46,7 +46,7 @@ class PlanSpec extends SparkTestBase {
     val allow = Set(
       "q41_ann_lsh", "q42_minhash_lsh", "q100_incremental_neardup",
       "q73_dedup_clusters", "q80_embedding_clusters",
-      "q89_entity_resolution", "q101_cluster_sizes",
+      "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep",
       "q95_dedup_bloom_sharded",
