@@ -140,10 +140,10 @@ object StreamOps {
   }
 
   final case class BucketDoc(bucket: Long, doc_id: Long,
-                             ts: java.sql.Timestamp, sh: Seq[String])
+                             ts: java.sql.Timestamp, sh: Array[Long])
   final case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double,
                                ts: java.sql.Timestamp)
-  final case class BucketEntry(doc_id: Long, tsMs: Long, sh: Seq[String])
+  final case class BucketEntry(doc_id: Long, tsMs: Long, sh: Array[Long])
 
   /** Shared scaffolding for the per-bucket streaming pair verifiers
     * (transformWithState): state is the bucket's recent residents
@@ -251,21 +251,43 @@ object StreamOps {
     }
   }
 
-  /** Exact-Jaccard verifier over shingle-set residents — the
-    * [[nearDupPairsStream]] instantiation of [[BucketPairProcessor]]. */
+  /** Exact-Jaccard verifier over HASHED shingle-set residents — the
+    * [[nearDupPairsStream]] instantiation of [[BucketPairProcessor]].
+    * Residents hold each document's shingle set as a SORTED array of
+    * 64-bit xxhash64 values, not the shingle strings: state and shuffle
+    * bytes drop ~3× (8 B per shingle vs the 3-word string), and the
+    * per-pair verify is a primitive-long merge-intersection instead of
+    * a string hash-set probe — the per-(pair, band) verify is the hot
+    * loop here, because unlike batch q42 a streaming bucket cannot see
+    * other bands to pre-dedup candidates. Jaccard over the hashed sets
+    * equals Jaccard over the string sets unless two DISTINCT shingles
+    * in the same compared pair collide in 64 bits (probability ~n²/2⁶⁴
+    * per pair — vanishing; the batch/stream equivalence gate q107 would
+    * surface it as a hash mismatch). */
   private final class NearDupBucketProcessor(delayMs: Long, threshold: Double,
                                              maxResidents: Int)
       extends BucketPairProcessor[BucketDoc, BucketEntry, NearDupPair](delayMs, maxResidents) {
-    protected type Prepared = Set[String]
+    protected type Prepared = Array[Long]
     protected def entryEncoder = org.apache.spark.sql.Encoders.product[BucketEntry]
     protected def eventTs(d: BucketDoc) = d.ts
     protected def toEntry(d: BucketDoc) = BucketEntry(d.doc_id, d.ts.getTime, d.sh)
     protected def entryTs(e: BucketEntry) = e.tsMs
-    protected def prepare(d: BucketDoc): Set[String] = d.sh.toSet
-    protected def verify(e: BucketEntry, d: BucketDoc, dsh: Set[String]): Option[NearDupPair] = {
+    protected def prepare(d: BucketDoc): Array[Long] = d.sh
+    /** |a ∩ b| for two sorted long arrays, branchless two-pointer merge. */
+    private def intersectSorted(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var n = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+    protected def verify(e: BucketEntry, d: BucketDoc, dsh: Array[Long]): Option[NearDupPair] = {
       if (e.doc_id == d.doc_id) return None
-      val common = e.sh.count(dsh.contains)
-      val jac = common.toDouble / (e.sh.size + dsh.size - common)
+      val common = intersectSorted(e.sh, dsh)
+      val jac = common.toDouble / (e.sh.length + dsh.length - common)
       if (jac < threshold) None
       else {
         val (a, b) = if (e.doc_id < d.doc_id) (e.doc_id, d.doc_id)
@@ -305,10 +327,16 @@ object StreamOps {
 
     val banded = docs
       .select(col("doc_id"), col(tsCol).as("ts"),
-              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(explode(graft.functions.NativeExprs.minhash_band_keys(col("sh")))
-                .as("bucket"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      // hash the shingle set to sorted 64-bit keys BEFORE the band
+      // explode, so the per-band duplication and the bucket state carry
+      // 8 B per shingle, not the string (see NearDupBucketProcessor)
+      .select(col("doc_id"), col("ts"),
+              array_sort(array_distinct(expr("transform(shs, s -> xxhash64(s))")))
+                .as("sh"),
+              graft.functions.NativeExprs.minhash_band_keys(col("shs")).as("bks"))
+      .select(explode(col("bks")).as("bucket"),
               col("doc_id"), col("ts"), col("sh"))
       .withWatermark("ts", delay)
       .as[BucketDoc]
