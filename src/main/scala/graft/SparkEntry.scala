@@ -24,6 +24,7 @@ object SparkEntry {
     operators.StreamGate,
     operators.WindowDedup,
     operators.Curation3,
+    operators.Projection,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

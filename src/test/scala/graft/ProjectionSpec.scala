@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Projection
+import org.apache.spark.sql.functions._
+
+/** Contracts of the trained PCA projection behind q125. */
+class ProjectionSpec extends SparkTestBase {
+
+  private lazy val e =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+
+  test("training is deterministic: two runs produce bit-identical literals") {
+    val a = Projection.trainPca(e, 32)
+    val b = Projection.trainPca(e, 32)
+    assert(a.mu.sameElements(b.mu))
+    assert(a.eigvals.sameElements(b.eigvals))
+    assert(a.comps.length == b.comps.length &&
+      a.comps.zip(b.comps).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("components are orthonormal rows with descending positive spectrum") {
+    val p = Projection.trainPca(e, 32)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- p.comps.indices) {
+      assert(math.abs(dot(p.comps(i), p.comps(i)) - 1.0) < 1e-9,
+        s"component $i is not unit-norm")
+      for (j <- (i + 1) until p.comps.length)
+        assert(math.abs(dot(p.comps(i), p.comps(j))) < 1e-9,
+          s"components $i and $j are not orthogonal")
+    }
+    p.eigvals.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) >= w(1), "spectrum not descending")
+    }
+    assert(p.eigvals.forall(_ > 0), "covariance spectrum not positive")
+  }
+
+  test("whitened projection has unit variance along every kept component") {
+    val p = Projection.trainPca(e, 8)
+    val rows = e.filter(col("vec_id") < 256)
+      .select(col("vec_id"),
+              Projection.whitenExpr(p, Projection.projectExpr(p, col("embedding")))
+                .as("w"))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val n = rows.length
+    for (j <- 0 until 8) {
+      val xs = rows.map(_(j))
+      val mean = xs.sum / n
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      assert(math.abs(v - 1.0) < 1e-6,
+        s"whitened component $j has variance $v, expected 1")
+    }
+  }
+
+  test("projection onto all d components preserves centered geometry") {
+    // a full-rank rotation is an isometry: pairwise L2 distances between
+    // projected vectors equal the distances between centered originals
+    val p = Projection.trainPca(e, 64)
+    val rows = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("v"),
+              Projection.projectExpr(p, col("embedding")).as("y"))
+      .orderBy("vec_id").collect()
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val vi = rows(i).getSeq[Double](1).toArray
+      val vj = rows(j).getSeq[Double](1).toArray
+      val yi = rows(i).getSeq[Double](2).toArray
+      val yj = rows(j).getSeq[Double](2).toArray
+      // centering cancels in differences, so d(v_i, v_j) = d(y_i, y_j)
+      assert(math.abs(l2(vi, vj) - l2(yi, yj)) < 1e-8,
+        s"rotation distorted the distance between rows $i and $j")
+    }
+  }
+}
