@@ -25,6 +25,7 @@ object SparkEntry {
     operators.WindowDedup,
     operators.Curation3,
     operators.Projection,
+    operators.Mining,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

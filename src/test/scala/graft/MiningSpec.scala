@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{NativeExprs, TopKAgg}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Contracts of the margin-based pair mining behind q126. */
+class MiningSpec extends SparkTestBase {
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectAll(r.child)
+      case _ => Nil
+    }
+    (p +: p.children.flatMap(collectAll)) ++ nested
+  }
+
+  test("q126: every mined pair clears the margin threshold; a_ids unique") {
+    val out = SparkEntry.queries("q126_margin_mine")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= 1.0), "a pair below the margin cut leaked")
+    val as = out.map(_.getLong(0))
+    assert(as.distinct.length == as.length, "an a_id was mined twice")
+  }
+
+  test("q126: the margin denominator re-ranks hubs (differs from raw cosine argmax)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val a = e.filter(col("label") < 5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val cosBest = a.crossJoin(broadcast(b))
+      .withColumn("c", NativeExprs.cosine_sim(col("av"), col("bv")))
+      .groupBy("a_id")
+      .agg(TopKAgg.top_k_by_score(col("c"), col("b_id"), 1).as("top"))
+      .select(col("a_id"), col("top")(0)("id").as("cos_b"))
+    val mined = SparkEntry.queries("q126_margin_mine")(spark, sfDir)
+      .select(col("a_id"), col("b_id").as("margin_b"))
+    val differ = mined.join(cosBest, "a_id")
+      .filter(col("margin_b") =!= col("cos_b")).count()
+    // measured 48/248 on this corpus; >= 10 pins "the correction is
+    // active" without riding the exact data
+    assert(differ >= 10,
+      s"margin scoring re-ranked only $differ best-matches — hub correction inert")
+  }
+
+  test("q126: no shuffle carries an embedding vector") {
+    val df = SparkEntry.queries("q126_margin_mine")(spark, sfDir)
+    df.collect()
+    val shuffles = collectAll(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    // TopKAgg partial buffers (array<struct>) may shuffle; raw float/
+    // double arrays — the vectors — must not
+    shuffles.foreach { s =>
+      val vecCols = s.output.filter(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      assert(vecCols.isEmpty,
+        s"shuffle carries vector column(s): ${vecCols.map(_.name).mkString(", ")}")
+    }
+  }
+}
