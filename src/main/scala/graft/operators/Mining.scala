@@ -90,8 +90,70 @@ object Mining extends QueryPack {
       .orderBy("a_id")
   }
 
+  /** Document-frequency cap for q127: tokens appearing in more than this
+    * many documents are excluded from the weighted-Jaccard vocabulary
+    * (numerator AND denominator — the measure is well-defined over the
+    * sub-cap vocabulary, not an approximation of the uncapped one).
+    * High-df tokens are stopwords/boilerplate with no near-dup signal;
+    * cutting them is what bounds the inverted-index join: per-token
+    * posting lists are ≤ cap rows, so pair-generation work is
+    * Σ_{df≤cap} df² ≤ cap · Σdf = cap · total-token-count — LINEAR in
+    * corpus size at constant cap, unlike q35's uncapped Σdf² baseline. */
+  private val wjMaxDf = 64
+
+  private val wjThreshold = 0.5
+
+  /** WEIGHTED-JACCARD NEAR-DUP — term-FREQUENCY-aware near-duplicate
+    * pairs: J_w(A, B) = Σ_t min(a_t, b_t) / Σ_t max(a_t, b_t) over
+    * per-document token counts, the standard upgrade over set Jaccard
+    * (q35/q42) when repetition matters — a doc that repeats one
+    * paragraph 10× is set-identical to the single paragraph but only
+    * ~10% of it by weight. Σmax needs no max at all:
+    * Σ_t max = total_A + total_B − Σ_t min, so the whole measure is one
+    * inverted-index equi-join computing Σ min(cnt_a, cnt_b) per pair
+    * plus two per-doc totals — integer arithmetic end-to-end until the
+    * final division, so the oracle needs no float-order care anywhere.
+    * The [[wjMaxDf]] document-frequency cut (applied identically to
+    * numerator and totals) makes the join's work linear in corpus size
+    * at constant cap; shuffles carry (token, doc_id, cnt) postings —
+    * ids and counts, never text — and per-token skew is bounded by the
+    * cap itself (a posting list is at most `cap` rows by construction).
+    * Threshold 0.5: on this corpus the weighted similarity is bimodal
+    * (planted near-dups ≥ 0.7, background ≤ 0.3), so the cut sits in
+    * the empty valley. */
+  private def q127WeightedJaccard(s: SparkSession, d: String): DataFrame =
+    weightedJaccardPairs(Tables.documents(s, d), wjMaxDf, wjThreshold)
+
+  /** The q127 core over any (doc_id, text) relation — see the q127
+    * scaladoc for the measure and the scale argument. */
+  private[graft] def weightedJaccardPairs(docs: DataFrame, maxDf: Int,
+                                          threshold: Double): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"),
+              explode(expr(graft.functions.TextExprs.toks)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val rare = tc.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("t")
+    val kept = tc.join(rare, Seq("t"))
+    val tot = kept.groupBy("doc_id").agg(sum("cnt").as("total"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("common"))
+    pairs
+      .join(tot.select(col("doc_id").as("a_id"), col("total").as("ta")), "a_id")
+      .join(tot.select(col("doc_id").as("b_id"), col("total").as("tb")), "b_id")
+      .withColumn("w",
+        col("common") / (col("ta") + col("tb") - col("common")).cast("double"))
+      .filter(col("w") >= threshold)
+      .select(col("a_id"), col("b_id"),
+              (floor(col("w") * 1000) / 1000).as("wjaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_margin_mine" -> q126MarginMine _,
+    "q127_weighted_jaccard" -> q127WeightedJaccard _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -129,5 +191,29 @@ object Mining extends QueryPack {
           SELECT a_id, b_id, floor(margin * 100000) / 100000 AS margin
           FROM t WHERE rnk = 1 AND margin >= $marginThreshold
           ORDER BY a_id""",
+    // integer Σmin + totals until one final division — no float-order
+    // concerns; the df cut is applied identically to numerator and
+    // denominator vocabularies
+    "q127_weighted_jaccard" ->
+      s"""WITH tk AS (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), '\\s+')) AS t
+                      FROM documents),
+          tc AS (SELECT doc_id, t, count(*) AS cnt FROM tk GROUP BY 1, 2),
+          df AS (SELECT t, count(*) AS df FROM tc GROUP BY 1),
+          kept AS (SELECT tc.doc_id, tc.t, tc.cnt
+                   FROM tc JOIN df USING (t) WHERE df.df <= $wjMaxDf),
+          tot AS (SELECT doc_id, sum(cnt) AS total FROM kept GROUP BY 1),
+          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                           sum(least(a.cnt, b.cnt)) AS common
+                    FROM kept a JOIN kept b
+                      ON a.t = b.t AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          wj AS (SELECT a_id, b_id,
+                        common / CAST(ta.total + tb.total - common AS DOUBLE)
+                          AS w
+                 FROM pairs JOIN tot ta ON ta.doc_id = a_id
+                            JOIN tot tb ON tb.doc_id = b_id)
+          SELECT a_id, b_id, floor(w * 1000) / 1000 AS wjaccard
+          FROM wj WHERE w >= $wjThreshold ORDER BY a_id, b_id""",
   )
 }

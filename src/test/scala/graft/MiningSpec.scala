@@ -52,6 +52,42 @@ class MiningSpec extends SparkTestBase {
       s"margin scoring re-ranked only $differ best-matches — hub correction inert")
   }
 
+  test("q127: weighted Jaccard discounts repetition that set Jaccard cannot see") {
+    import spark.implicits._
+    // b = a's text repeated 8x: set-identical (set Jaccard would be 1.0)
+    // but only ~1/8 of b by weight; c = a verbatim (weighted 1.0)
+    val para = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, para),
+      (2L, Seq.fill(8)(para).mkString(" ")),
+      (3L, para),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Mining
+      .weightedJaccardPairs(docs, maxDf = 64, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 3L)) == 1.0, "verbatim copy must score 1.0")
+    val rep = out((1L, 2L))
+    assert(rep > 0.1 && rep < 0.2,
+      s"8x repetition should score ~1/8 by weight, got $rep")
+  }
+
+  test("q127: df cap bounds posting lists (a super-common token generates no pairs)") {
+    import spark.implicits._
+    // 'hot' appears in every doc (df 4 > cap 2) — with it cut, docs
+    // sharing ONLY 'hot' must not pair at all
+    val docs = Seq(
+      (1L, "hot alpha beta"),
+      (2L, "hot alpha beta"),
+      (3L, "hot gamma delta"),
+      (4L, "hot epsilon zeta"),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Mining
+      .weightedJaccardPairs(docs, maxDf = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)),
+      s"only the alpha/beta pair shares sub-cap vocabulary, got $out")
+  }
+
   test("q126: no shuffle carries an embedding vector") {
     val df = SparkEntry.queries("q126_margin_mine")(spark, sfDir)
     df.collect()
