@@ -84,6 +84,52 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** n-gram sizes swept by q129 — plan literals. n = 3 doubles as the
+    * q48-consistency row (same contract, same threshold). */
+  private val contamNs = Seq(2, 3, 4)
+
+  /** q129: CONTAMINATION n-GRAM SWEEP — q48's benchmark-overlap check
+    * evaluated at shingle sizes n ∈ {2, 3, 4} in ONE pass. The n-gram
+    * size is THE decontamination knob (small n over-flags — common
+    * bigrams hit every doc; large n under-flags — only verbatim spans
+    * survive), and every released decontamination pipeline publishes
+    * which n it used; this query is the tuning curve that justifies the
+    * choice, the same eval-harness shape as q115 (recall-vs-nprobe) and
+    * q123/q125 (recall-vs-dims). One tokenization per doc fans out
+    * |ns| = 3 shingle sets (ns is a broadcast literal); the benchmark's
+    * per-n distinct shingle set is broadcast exactly as in q48; output
+    * is the per-doc contaminated rows per n (no floating aggregation —
+    * one int/int division per row, so no float-order care anywhere).
+    * Docs with fewer than n tokens have empty shingle sets and cannot
+    * reach the threshold — consistent with the q105 zero-shingle
+    * contract (they are clean by definition). At 100 TB: benchmarks
+    * stay KB–MB (broadcast), the corpus side is map work + one count
+    * agg keyed by (n, doc_id) — q48's scale argument times a constant
+    * 3. */
+  private def q129ContaminationSweep(s: SparkSession, d: String): DataFrame = {
+    // one branch per n with the NATIVE shingler (codegen'd, single pass
+    // over the text) — 3× cheaper than a crossJoin + HOF slice-per-
+    // position construction (measured 4.0 s → 1.0 s at sf0.1)
+    val sh = contamNs.map { n =>
+      Tables.documents(s, d).select(col("doc_id"),
+        lit(n).as("n"),
+        graft.functions.NativeExprs.word_shingles(col("text"), n).as("sh"))
+    }.reduce(_ unionAll _)
+    val bench = sh.filter(col("doc_id") < 20)
+      .select(col("n"), explode(col("sh")).as("s")).distinct()
+    sh.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("n"), size(col("sh")).as("nsh"),
+              explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("n", "s"))
+      .groupBy("n", "doc_id", "nsh")
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination", floor(col("n_hit") / col("nsh") * 1000) / 1000)
+      .filter(col("contamination") >= 0.2)
+      .select(col("n").cast("long").as("n"), col("doc_id"), col("n_hit"),
+              col("contamination"))
+      .orderBy("n", "doc_id")
+  }
+
   /** Repetition signals: distinct-token ratio and top-token share per doc
     * (gopher-style quality heuristics). One explode + two keyed aggs. */
   private def q49Repetition(s: SparkSession, d: String): DataFrame = {
@@ -165,6 +211,7 @@ object Curation extends QueryPack {
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
+    "q129_contamination_sweep" -> q129ContaminationSweep _,
     "q49_repetition"     -> q49Repetition _,
     "q74_quality_gate"   -> q74QualityGate _,
     "q75_global_pack"    -> q75GlobalPack _,
@@ -204,6 +251,29 @@ object Curation extends QueryPack {
          GROUP BY doc_id
          HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
          ORDER BY doc_id""",
+    // same join/threshold contract as q48, parameterized by n; the n = 3
+    // rows must equal q48's output exactly (CurationSpec pins it)
+    "q129_contamination_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents),
+         ns(n) AS (VALUES (2), (3), (4)),
+         sh AS (SELECT doc_id, n,
+                  list_distinct(CASE WHEN len(t) >= n THEN
+                    [array_to_string(t[i:i+n-1], ' ')
+                     for i in range(1, len(t) - n + 2)]
+                  ELSE [] END) AS shingles
+                FROM t, ns),
+         bench AS (SELECT DISTINCT n, unnest(shingles) AS s
+                   FROM sh WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, n, len(shingles) AS nsh,
+                           unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20)
+         SELECT CAST(corpus.n AS BIGINT) AS n, doc_id, count(*) AS n_hit,
+                floor(count(*) / any_value(nsh) * 1000) / 1000 AS contamination
+         FROM corpus JOIN bench ON bench.n = corpus.n AND bench.s = corpus.s
+         GROUP BY corpus.n, doc_id
+         HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
+         ORDER BY n, doc_id""",
     "q49_repetition" ->
       """WITH freq AS (
            SELECT doc_id, token, count(*) AS cnt

@@ -125,14 +125,117 @@ object Curation3 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Cells / per-cell budget for q128. */
+  private val cbsK = 8
+  private val cbsM = 5
+
+  /** Codebooks trained by q128 builds, keyed by dataset dir — the
+    * [[Similarity]] cache contract for generated oracles. */
+  private val cbsCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  /** q128: CLUSTER-BALANCED SUBSET SELECTION — the diversity-aware
+    * counterpart of q94's domain mix: instead of balancing on a LABELED
+    * facet (source), balance on the embedding geometry itself. Assign
+    * each embedded document to its coarse IVF cell (the q45 trained
+    * codebook — [[Similarity.trainCentroids]], cached per dir so the
+    * oracle embeds the same literals), score every document with the
+    * q93 quality model (the SAME [[Curation2.qualityScoreCore]]
+    * definition), and keep the top-[[cbsM]] by (score, doc_id) PER
+    * CELL. Uniform-per-cluster selection is the standard cure for
+    * quality-only selection's mode collapse (top-k by score alone
+    * over-samples the dominant content cluster; cluster-balanced
+    * capping keeps the tails — the SemDeDup/DC-dedup family's
+    * selection step). Linkage: vec_id = doc_id, an inner join — the
+    * embedded subset IS the selectable pool, which is the production
+    * shape (you select among what you embedded). Plan: k centroid rows
+    * broadcast, assignment collapses map-side (max-struct partial agg),
+    * scoring is per-row map work, the per-cell cap is the bounded-heap
+    * TopKAgg — one shuffle keyed by vec_id, one by cell; no vectors,
+    * no text in either. Ranking uses the FLOORED (1e-6) score, whose
+    * cross-engine equality q93's gate already proves, with doc_id
+    * tiebreak — a total order, so the selected set is deterministic. */
+  private def q128ClusterBalanced(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = cbsCodebooks.computeIfAbsent(d,
+      _ => Similarity.trainCentroids(e, cbsK))
+    val asg = Similarity.ivfAssignCodebook(s, e, cents)
+      .select(col("vec_id"), col("centroid"))
+    val scored = Curation2.qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"), col("score"))
+    asg.join(scored, col("doc_id") === col("vec_id"))
+      .groupBy("centroid")
+      .agg(graft.functions.TopKAgg
+        .top_k_by_score(col("score"), col("doc_id"), cbsM).as("top"))
+      .select(col("centroid"), posexplode(col("top")))
+      .select(col("centroid"), (col("pos") + 1).cast("long").as("cell_rank"),
+              col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("centroid", "cell_rank")
+  }
+
+  /** q128's generated oracle: trained codebook literals + the q45
+    * assignment argmax (ties: highest cosine, then highest c_id —
+    * max(struct) order) + q93's score CTE verbatim + per-cell
+    * row_number over the floored score. */
+  private def cbsOracleSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES
+             $rows) AS t(c_id, cv)),
+        sc AS (SELECT e.vec_id, c.c_id,
+                      list_cosine_similarity(e.v, c.cv) AS cc FROM e, c),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, c_id DESC) AS rn FROM sc)
+                WHERE rn = 1),
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+        f AS (SELECT doc_id, len(w) AS n,
+                     len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                     list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                       AS sl
+              FROM t),
+        q AS (SELECT doc_id,
+                     floor((0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                            - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000)
+                       / 1000000 AS score
+              FROM f),
+        j AS (SELECT asg.centroid, q.doc_id, q.score
+              FROM asg JOIN q ON q.doc_id = asg.vec_id),
+        r AS (SELECT centroid, doc_id, score,
+                     row_number() OVER (PARTITION BY centroid
+                       ORDER BY score DESC, doc_id) AS rnk FROM j)
+        SELECT CAST(centroid AS BIGINT) AS centroid,
+               CAST(rnk AS BIGINT) AS cell_rank, doc_id, score
+        FROM r WHERE rnk <= $cbsM ORDER BY centroid, cell_rank"""
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_lm_score" -> q119LmScore _,
     "q120_split_assign" -> q120SplitAssign _,
     "q122_split_leakage" -> q122SplitLeakage _,
     "q124_split_by_cluster" -> q124SplitByCluster _,
+    "q128_cluster_balanced" -> q128ClusterBalanced _,
   )
 
-  override val oracles: Map[String, String] = Map(
+  override def oraclesFor(dir: String): Map[String, String] =
+    oracles +
+      ("q128_cluster_balanced" -> Option(cbsCodebooks.get(dir))
+        .map(cbsOracleSql)
+        .getOrElse("SELECT 1 AS q128_not_built_for_this_dataset"))
+
+  // `def`, not `val`: the q128 fallback branch reads the codebook cache,
+  // which is empty at object init (the Similarity.oracles contract)
+  override def oracles: Map[String, String] = Map(
+    // dir-agnostic fallback, usable only when exactly one codebook was
+    // trained this process (the Similarity codebook contract);
+    // oraclesFor(dir) is the precise path
+    "q128_cluster_balanced" -> (if (cbsCodebooks.size == 1)
+        cbsOracleSql(cbsCodebooks.values.iterator.next())
+      else "SELECT 1 AS q128_not_built_unambiguously_this_process"),
     "q119_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                     FROM documents),

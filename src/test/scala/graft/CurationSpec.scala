@@ -143,6 +143,23 @@ class CurationSpec extends SparkTestBase {
     assert(wide == rows(naive))
   }
 
+  test("q129 sweep at n = 3 reproduces q48 exactly; smaller n flags more") {
+    val sweep = SparkEntry.queries("q129_contamination_sweep")(spark, sfDir)
+      .collect()
+    val byN = sweep.groupBy(_.getLong(0))
+    val at3 = byN(3L).map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val q48 = SparkEntry.queries("q48_contamination")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(at3.toSeq == q48.toSeq,
+      "the n = 3 sweep rows must equal q48's output row-for-row")
+    // the knob is monotone in flag volume: bigrams over-flag vs trigrams,
+    // trigrams vs 4-grams (strictly more hits at every smaller n on this
+    // corpus; >= guards the general contract)
+    assert(byN(2L).length >= byN(3L).length && byN(3L).length >= byN(4L).length,
+      s"flag counts not monotone: ${byN.view.mapValues(_.length).toMap}")
+  }
+
   test("q49 repetition: ratios are consistent and bounded") {
     SparkEntry.queries("q49_repetition")(spark, sfDir).collect().foreach { r =>
       val nTokens = r.getLong(1); val nDistinct = r.getLong(2)
