@@ -130,6 +130,70 @@ object Curation extends QueryPack {
       .orderBy("n", "doc_id")
   }
 
+  /** q130: PIPELINE FUNNEL — the sequential survival table every
+    * dataset release publishes (docs and tokens remaining after each
+    * pipeline stage), as opposed to q99's PARALLEL per-doc gate audit:
+    * raw → exact-dedup (first copy per md5 digest survives) → quality
+    * (q93's keep — the SAME [[Curation2.qualityScoreCore]] definition)
+    * → decontamination (q48's flagged set AND the benchmark docs
+    * themselves leave the training pool). Per-doc flags are computed
+    * once (digest group-min join — no window, partial-aggregatable;
+    * quality is map work; the contamination flag reuses q48's broadcast
+    * shape), then ONE explode fans each doc into its 4 stage rows and
+    * one count/sum aggregate produces the funnel — integer arithmetic
+    * throughout except the single retained-fraction division per output
+    * row. At 100 TB: shuffles carry (digest|doc_id, ntok, 3 booleans);
+    * the 4-row result joins its own raw row broadcast. */
+  private def q130PipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), md5(col("text")).as("dig"),
+      expr(s"size($toksExpr)").cast("long").as("ntok"))
+    val firstCopy = base.groupBy("dig").agg(min("doc_id").as("first_id"))
+    val quality = Curation2.qualityScoreCore(docs)
+      .select(col("doc_id"), col("keep"))
+    def shingled = docs.select(col("doc_id"),
+      graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 20)
+      .select(explode(col("sh")).as("s")).distinct()
+    val flagged = shingled.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id", "nsh").agg(count(lit(1)).as("n_hit"))
+      .filter(floor(col("n_hit") / col("nsh") * 1000) / 1000 >= 0.2)
+      .select(col("doc_id"), lit(1).as("fl"))
+    val flags = base
+      .join(firstCopy, "dig")
+      .join(quality, "doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntok"),
+              (col("doc_id") === col("first_id")).as("s1"),
+              (col("keep") === 1).as("kq"),
+              coalesce(col("fl"), lit(0)).as("fl"))
+      .select(col("doc_id"), col("ntok"), col("s1"),
+              (col("s1") && col("kq")).as("s2"),
+              (col("s1") && col("kq") && col("fl") === 0 &&
+                col("doc_id") >= 20).as("s3"))
+    val staged = flags.select(explode(array(
+        struct(lit(1L).as("stage_ord"), lit("raw").as("stage"),
+               lit(true).as("kept"), col("ntok").as("ntok")),
+        struct(lit(2L).as("stage_ord"), lit("exact_dedup").as("stage"),
+               col("s1").as("kept"), col("ntok").as("ntok")),
+        struct(lit(3L).as("stage_ord"), lit("quality").as("stage"),
+               col("s2").as("kept"), col("ntok").as("ntok")),
+        struct(lit(4L).as("stage_ord"), lit("decontam").as("stage"),
+               col("s3").as("kept"), col("ntok").as("ntok")))).as("x"))
+      .select(col("x.*")).filter(col("kept"))
+      .groupBy("stage_ord", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    val raw = staged.filter(col("stage_ord") === 1)
+      .select(col("n_tokens").as("raw_tokens"))
+    staged.crossJoin(broadcast(raw))
+      .select(col("stage_ord"), col("stage"), col("n_docs"), col("n_tokens"),
+              (floor(col("n_tokens") / col("raw_tokens") * 10000) / 10000)
+                .as("retained_frac"))
+      .orderBy("stage_ord")
+  }
+
   /** Repetition signals: distinct-token ratio and top-token share per doc
     * (gopher-style quality heuristics). One explode + two keyed aggs. */
   private def q49Repetition(s: SparkSession, d: String): DataFrame = {
@@ -212,6 +276,7 @@ object Curation extends QueryPack {
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
     "q129_contamination_sweep" -> q129ContaminationSweep _,
+    "q130_pipeline_funnel" -> q130PipelineFunnel _,
     "q49_repetition"     -> q49Repetition _,
     "q74_quality_gate"   -> q74QualityGate _,
     "q75_global_pack"    -> q75GlobalPack _,
@@ -274,6 +339,65 @@ object Curation extends QueryPack {
          GROUP BY corpus.n, doc_id
          HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
          ORDER BY n, doc_id""",
+    // all-integer funnel; q93's keep CTE and q48's flag CTE verbatim;
+    // the single division per output row is long/long → double in both
+    // engines
+    "q130_pipeline_funnel" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS dig,
+                              len(string_split_regex(trim(text), '\s+')) AS ntok
+                       FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         flags AS (SELECT b.doc_id, b.ntok,
+                          (b.doc_id = fc.first_id) AS s1,
+                          (q.keep = 1) AS kq,
+                          coalesce(fg.fl, 0) AS fl
+                   FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                   LEFT JOIN flagged fg USING (doc_id)),
+         staged AS (
+           SELECT 1 AS stage_ord, 'raw' AS stage, count(*) AS n_docs,
+                  sum(ntok) AS n_tokens FROM flags
+           UNION ALL SELECT 2, 'exact_dedup', count(*), sum(ntok)
+                     FROM flags WHERE s1
+           UNION ALL SELECT 3, 'quality', count(*), sum(ntok)
+                     FROM flags WHERE s1 AND kq
+           UNION ALL SELECT 4, 'decontam', count(*), sum(ntok)
+                     FROM flags WHERE s1 AND kq AND fl = 0 AND doc_id >= 20)
+         SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                floor(CAST(n_tokens AS BIGINT)
+                      / (SELECT CAST(n_tokens AS BIGINT) FROM staged
+                         WHERE stage_ord = 1) * 10000) / 10000
+                  AS retained_frac
+         FROM staged ORDER BY stage_ord""",
     "q49_repetition" ->
       """WITH freq AS (
            SELECT doc_id, token, count(*) AS cnt

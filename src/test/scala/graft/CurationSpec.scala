@@ -160,6 +160,22 @@ class CurationSpec extends SparkTestBase {
       s"flag counts not monotone: ${byN.view.mapValues(_.length).toMap}")
   }
 
+  test("q130 funnel: stage survival is monotone and anchored at raw = 1") {
+    val rows = SparkEntry.queries("q130_pipeline_funnel")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.head.getString(1) == "raw" && rows.head.getDouble(4) == 1.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2),
+        s"docs grew from ${a.getString(1)} to ${b.getString(1)}")
+      assert(b.getLong(3) <= a.getLong(3),
+        s"tokens grew from ${a.getString(1)} to ${b.getString(1)}")
+    }
+    // the last stage must actually remove something on this corpus (the
+    // benchmark docs leave the pool at decontam if nothing else)
+    assert(rows.last.getLong(2) < rows.head.getLong(2))
+  }
+
   test("q49 repetition: ratios are consistent and bounded") {
     SparkEntry.queries("q49_repetition")(spark, sfDir).collect().foreach { r =>
       val nTokens = r.getLong(1); val nDistinct = r.getLong(2)
