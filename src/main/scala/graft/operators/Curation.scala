@@ -144,9 +144,16 @@ object Curation extends QueryPack {
     * throughout except the single retained-fraction division per output
     * row. At 100 TB: shuffles carry (digest|doc_id, ntok, 3 booleans);
     * the 4-row result joins its own raw row broadcast. */
-  private def q130PipelineFunnel(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc pipeline-stage flags shared by q130 (funnel) and q132
+    * (per-source scorecard): (doc_id, source, ntok, s1 = first copy of
+    * its digest, kq = quality keep, fl = contamination flag, s2/s3 =
+    * cumulative survival). One digest group-min join, the q93 score
+    * core, and q48's broadcast contamination shape — flags only, no
+    * text past the first projection. */
+  private[graft] def pipelineFlags(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val base = docs.select(col("doc_id"), md5(col("text")).as("dig"),
+    val base = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("dig"),
       expr(s"size($toksExpr)").cast("long").as("ntok"))
     val firstCopy = base.groupBy("dig").agg(min("doc_id").as("first_id"))
     val quality = Curation2.qualityScoreCore(docs)
@@ -161,18 +168,23 @@ object Curation extends QueryPack {
       .groupBy("doc_id", "nsh").agg(count(lit(1)).as("n_hit"))
       .filter(floor(col("n_hit") / col("nsh") * 1000) / 1000 >= 0.2)
       .select(col("doc_id"), lit(1).as("fl"))
-    val flags = base
+    base
       .join(firstCopy, "dig")
       .join(quality, "doc_id")
       .join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("ntok"),
+      .select(col("doc_id"), col("source"), col("ntok"),
               (col("doc_id") === col("first_id")).as("s1"),
               (col("keep") === 1).as("kq"),
               coalesce(col("fl"), lit(0)).as("fl"))
-      .select(col("doc_id"), col("ntok"), col("s1"),
+      .select(col("doc_id"), col("source"), col("ntok"), col("s1"), col("kq"),
+              col("fl"),
               (col("s1") && col("kq")).as("s2"),
               (col("s1") && col("kq") && col("fl") === 0 &&
                 col("doc_id") >= 20).as("s3"))
+  }
+
+  private def q130PipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    val flags = pipelineFlags(s, d)
     val staged = flags.select(explode(array(
         struct(lit(1L).as("stage_ord"), lit("raw").as("stage"),
                lit(true).as("kept"), col("ntok").as("ntok")),
@@ -193,6 +205,26 @@ object Curation extends QueryPack {
                 .as("retained_frac"))
       .orderBy("stage_ord")
   }
+
+  /** q132: PER-SOURCE SCORECARD — the data-supplier quality table:
+    * for every `source`, how many docs it contributed, how many were
+    * exact duplicates of earlier docs, failed the quality model, or
+    * were benchmark-contaminated, and what fraction survives the whole
+    * pipeline. This is the procurement view of the same flags q130
+    * aggregates by stage — pipelines use it to drop or renegotiate a
+    * feed whose keep-rate collapses. One [[pipelineFlags]] pass, one
+    * aggregate keyed by source (tens of groups), integer counts plus a
+    * single keep-fraction division per source row. */
+  private def q132SourceScorecard(s: SparkSession, d: String): DataFrame =
+    pipelineFlags(s, d).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("s1"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("kq"), 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(col("fl")).cast("long").as("n_contaminated"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("keep_frac",
+        floor(col("n_kept") / col("n_docs") * 10000) / 10000)
+      .orderBy("source")
 
   /** Repetition signals: distinct-token ratio and top-token share per doc
     * (gopher-style quality heuristics). One explode + two keyed aggs. */
@@ -277,6 +309,7 @@ object Curation extends QueryPack {
     "q48_contamination"  -> q48Contamination _,
     "q129_contamination_sweep" -> q129ContaminationSweep _,
     "q130_pipeline_funnel" -> q130PipelineFunnel _,
+    "q132_source_scorecard" -> q132SourceScorecard _,
     "q49_repetition"     -> q49Repetition _,
     "q74_quality_gate"   -> q74QualityGate _,
     "q75_global_pack"    -> q75GlobalPack _,
@@ -398,6 +431,63 @@ object Curation extends QueryPack {
                          WHERE stage_ord = 1) * 10000) / 10000
                   AS retained_frac
          FROM staged ORDER BY stage_ord""",
+    // the q130 flags CTEs aggregated by source instead of by stage
+    "q132_source_scorecard" ->
+      """WITH base AS (SELECT doc_id, source, md5(text) AS dig,
+                              len(string_split_regex(trim(text), '\s+')) AS ntok
+                       FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         flags AS (SELECT b.doc_id, b.source,
+                          (b.doc_id = fc.first_id) AS s1,
+                          (q.keep = 1) AS kq,
+                          coalesce(fg.fl, 0) AS fl
+                   FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                   LEFT JOIN flagged fg USING (doc_id)),
+         agg AS (SELECT source,
+                        count(*) AS n_docs,
+                        sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS n_dup,
+                        sum(CASE WHEN NOT kq THEN 1 ELSE 0 END)
+                          AS n_quality_fail,
+                        sum(fl) AS n_contaminated,
+                        sum(CASE WHEN s1 AND kq AND fl = 0 AND doc_id >= 20
+                                 THEN 1 ELSE 0 END) AS n_kept
+                 FROM flags GROUP BY source)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_dup AS BIGINT) AS n_dup,
+                CAST(n_quality_fail AS BIGINT) AS n_quality_fail,
+                CAST(n_contaminated AS BIGINT) AS n_contaminated,
+                CAST(n_kept AS BIGINT) AS n_kept,
+                floor(CAST(n_kept AS BIGINT)
+                      / CAST(n_docs AS BIGINT) * 10000) / 10000 AS keep_frac
+         FROM agg ORDER BY source""",
     "q49_repetition" ->
       """WITH freq AS (
            SELECT doc_id, token, count(*) AS cnt

@@ -151,9 +151,36 @@ object Mining extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** q131: CROSS-LANGUAGE NEAR-DUP AUDIT — near-duplicate pairs whose
+    * language labels DISAGREE. Two docs that are ≥ 0.8 Jaccard-similar
+    * yet labeled as different languages are, overwhelmingly, label
+    * noise (or untranslated boilerplate) — on this corpus 19 of 25
+    * near-dup pairs cross the lang facet, exactly the planted-metadata
+    * noise the audit exists to surface. In a training pipeline this
+    * report gates the language-ID stage: per-language corpora that
+    * share near-dup mass are leaking content across splits drawn by
+    * language. Composes the q42 LSH pair pipeline (its scale contract
+    * — banded candidate generation, hot-bucket caps, exact verify —
+    * carries over unchanged) with two doc-grain label joins; the extra
+    * work over q42 is two (doc_id, lang) hash joins on an
+    * pairs-sized relation. */
+  private def q131CrossLangAudit(s: SparkSession, d: String): DataFrame = {
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    Dedup.minhashLshPairsCore(s, d)
+      .join(langs.select(col("doc_id").as("a_id"), col("lang").as("lang_a")),
+            "a_id")
+      .join(langs.select(col("doc_id").as("b_id"), col("lang").as("lang_b")),
+            "b_id")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("a_id"), col("b_id"), col("lang_a"), col("lang_b"),
+              col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_margin_mine" -> q126MarginMine _,
     "q127_weighted_jaccard" -> q127WeightedJaccard _,
+    "q131_crosslang_audit" -> q131CrossLangAudit _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -215,5 +242,33 @@ object Mining extends QueryPack {
                             JOIN tot tb ON tb.doc_id = b_id)
           SELECT a_id, b_id, floor(w * 1000) / 1000 AS wjaccard
           FROM wj WHERE w >= $wjThreshold ORDER BY a_id, b_id""",
+    // the q42/q35 exact inverted-index pair SQL (LSH recall 1 at 0.8)
+    // plus the two label joins and the disagreement filter
+    "q131_crosslang_audit" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  b.sz AS bsz, count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         nd AS (SELECT a_id, b_id,
+                       floor(common / (asz + bsz - common) * 1000) / 1000
+                         AS jaccard
+                FROM pairs WHERE common / (asz + bsz - common) >= 0.8),
+         lg AS (SELECT doc_id, lang FROM documents)
+         SELECT a_id, b_id, la.lang AS lang_a, lb.lang AS lang_b, jaccard
+         FROM nd JOIN lg la ON la.doc_id = a_id
+                 JOIN lg lb ON lb.doc_id = b_id
+         WHERE la.lang <> lb.lang
+         ORDER BY a_id, b_id""",
   )
 }
