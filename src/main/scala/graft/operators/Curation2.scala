@@ -360,7 +360,42 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Per-source token budget for q134 — a plan literal sized so the cut
+    * bites on the test corpora (mean source mass is ~1.4k tokens at
+    * sf0.01). */
+  private val budgetTokens = 800L
+
+  /** q134: EXACT TOKEN-BUDGET SAMPLING — admit documents per source in
+    * deterministic hash order until the source's token budget is spent:
+    * the EXACT-budget complement of q94's expected-rate mix (q94 hits
+    * target proportions in expectation with zero coordination; q134
+    * guarantees the byte/token contract a training run actually
+    * schedules against). Hash order (q94's Knuth multiplicative hash,
+    * doc_id tiebreak) makes the sample rerun-stable and
+    * arrival-order-free; admission is the running token sum ≤ budget —
+    * an integer cumulative window per source. The one range shuffle
+    * (partition by source, order by hash) is inherent to exact
+    * sequential admission — per-source sort of (source, h, doc_id,
+    * ntok) id-grain rows, no text; when a pipeline can tolerate ±1%
+    * budget error it should use q94's rate form and skip the sort —
+    * this pair IS that trade, stated. */
+  private def q134TokenBudget(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              expr(s"size($toks)").cast("long").as("ntok"),
+              expr("(doc_id * 2654435761) % 1048576").as("h"))
+      .withColumn("cum_tokens", sum("ntok").over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("source"), col("doc_id"), col("ntok"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_token_budget"      -> q134TokenBudget _,
     "q91_boilerplate"        -> q91Boilerplate _,
     "q92_stratified_sample"  -> q92StratifiedSample _,
     "q93_quality_model"      -> q93QualityModel _,
@@ -373,6 +408,20 @@ object Curation2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // integer cumulative window in identical (h, doc_id) order
+    "q134_token_budget" ->
+      """WITH b AS (SELECT source, doc_id,
+                           len(string_split_regex(trim(text), '\s+')) AS ntok,
+                           (doc_id * 2654435761) % 1048576 AS h
+                    FROM documents),
+         c AS (SELECT source, doc_id, ntok,
+                      sum(ntok) OVER (PARTITION BY source
+                        ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                        AS cum_tokens
+               FROM b)
+         SELECT source, doc_id, CAST(ntok AS BIGINT) AS ntok,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM c WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""",
     "q91_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                     FROM documents),

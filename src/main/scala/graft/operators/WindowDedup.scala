@@ -250,8 +250,33 @@ object WindowDedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q133: TOP DUPLICATED SPANS — the corpus-boilerplate diagnostic the
+    * window-dedup family reads BEFORE acting (q111 measures per-doc dup
+    * mass, q121 removes spans; this names the spans): the 20 most
+    * widely duplicated 8-token windows by (distinct docs, occurrences),
+    * each with its first corpus occurrence (lexicographic min over
+    * (doc_id, pos) — one min-struct partial agg) as the span to
+    * inspect. Cross-doc only (n_docs ≥ 2). The global top-20 over the
+    * window-hash vocabulary is orderBy+limit — Spark plans
+    * TakeOrderedAndProject: per-partition bounded heaps merged on the
+    * driver, no full sort of the vocabulary at any scale. Shuffles
+    * carry (wh, ids); text never moves. */
+  private def q133TopSpans(s: SparkSession, d: String): DataFrame =
+    positionalWindows(Tables.documents(s, d))
+      .groupBy("wh")
+      .agg(countDistinct("doc_id").as("n_docs"),
+           count(lit(1)).as("n_occ"),
+           min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_docs") >= 2)
+      .select(col("wh"), col("n_docs"), col("n_occ"),
+              col("first.doc_id").as("first_doc"),
+              col("first.pos").as("first_pos"))
+      .orderBy(desc("n_docs"), desc("n_occ"), col("wh"))
+      .limit(20)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_window_dedup" -> q111WindowDedup _,
+    "q133_top_spans" -> q133TopSpans _,
     "q113_window_novelty" -> q113WindowNovelty _,
     "q116_source_overlap" -> q116SourceOverlap _,
     "q117_window_pairs" -> q117WindowPairs _,
@@ -259,6 +284,28 @@ object WindowDedup extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the shared W = 8 window/hash definition (q118's oracle fragment);
+    // lexicographic min-struct replicated as min(doc) then min(pos)
+    // within that doc; ORDER BY + LIMIT with the wh tiebreak is a total
+    // order
+    "q133_top_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         win AS (SELECT doc_id, i AS pos,
+                        md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS wh
+                 FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                       FROM t WHERE len(w) >= 8)),
+         agg AS (SELECT wh, count(DISTINCT doc_id) AS n_docs,
+                        count(*) AS n_occ
+                 FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+         fd AS (SELECT wh, min(doc_id) AS first_doc FROM win GROUP BY wh),
+         fp AS (SELECT w.wh, min(w.pos) AS first_pos
+                FROM win w JOIN fd ON fd.wh = w.wh AND w.doc_id = fd.first_doc
+                GROUP BY w.wh)
+         SELECT agg.wh, agg.n_docs, agg.n_occ, fd.first_doc,
+                CAST(fp.first_pos AS BIGINT) AS first_pos
+         FROM agg JOIN fd USING (wh) JOIN fp ON fp.wh = agg.wh
+         ORDER BY n_docs DESC, n_occ DESC, wh LIMIT 20""",
     // Window generation replicated via list_slice over a per-row
     // unnest(range(...)) position list; md5 of the identical joined
     // string makes the hashes — and therefore every aggregate — equal
