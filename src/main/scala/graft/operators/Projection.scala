@@ -312,8 +312,57 @@ object Projection extends QueryPack {
         GROUP BY xp.k, xp.q_id ORDER BY k, q_id"""
   }
 
+  /** q135: 1-BIT (SIGN) EMBEDDING QUANTIZATION + HAMMING RETRIEVAL —
+    * the most aggressive rung of the compression ladder the engine now
+    * spans (q84 int8 = 4×, q82/q86 PQ = 32×, q135 sign-bits = 64×: the
+    * whole 64-dim vector packs into ONE BIGINT). Retrieval is
+    * XOR + popcount per candidate — the cheapest possible scan, and the
+    * standard first-pass filter in front of exact re-ranking
+    * (`ivfPqSearchRerank`'s shape with a 8-byte index). The signature
+    * is Σ_j [v_j ≥ 0]·2^j, a pure integer fold (bit 63 enters as the
+    * two's-complement top bit; no float arithmetic anywhere in the
+    * retrieval path, so the oracle needs no ordering care at all);
+    * recall@5 is scored against the exact cosine top-5, q123/q125's
+    * harness, making the three storage-tier curves directly comparable
+    * — measured 0.24 at sf0.01: 8 bytes of sign bits beat 16-dim float
+    * truncation (0.08 at 64 bytes), the angular-information argument
+    * for binary codes in practice.
+    * At 100 TB the signature column is what ships to the hot tier:
+    * 8 B/vector, SIMD-friendly scans, vectors themselves stay cold. */
+  private def q135BinaryAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val sigs = e.select(col("vec_id"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
+        acc + IF(element_at(embedding, j + 1) >= 0.0F,
+                 shiftleft(1L, j), 0L))""").as("sig"))
+    val q = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val top = sigs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham", expr("bit_count(sig ^ qsig)").cast("long"))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score((lit(64L) - col("ham")).cast("double"),
+             col("vec_id"), 5).as("top"))
+      .select(col("q_id"), explode(expr("transform(top, x -> x.id)")).as("n_id"))
+    val qo = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val base = e.crossJoin(broadcast(qo))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), explode(expr("transform(top, x -> x.id)")).as("n_id"))
+    base.join(top.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count("hit").as("hits"))
+      .select(col("q_id"), col("hits").cast("long").as("hits"),
+              (floor(col("hits") / 5.0 * 1000) / 1000).as("recall"))
+      .orderBy("q_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_pca_sweep" -> q125PcaSweep _,
+    "q135_binary_ann" -> q135BinaryAnn _,
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -327,5 +376,40 @@ object Projection extends QueryPack {
     "q125_pca_sweep" -> (if (pcaCache.size == 1)
         pcaOracleSqlTrained(pcaCache.values.iterator.next())
       else "SELECT 1 AS q125_not_built_unambiguously_this_process"),
+    // integer signature fold (bit 63 = the two's-complement literal —
+    // DuckDB rejects 1 << 63), integer Hamming ranking with id
+    // tiebreak, one recall division per output row
+    "q135_binary_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sg AS (SELECT vec_id,
+                  CAST(list_sum(list_transform(range(0, 64), j ->
+                    CASE WHEN v[j + 1] >= 0 THEN
+                      (CASE WHEN j = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << j) END)
+                    ELSE 0 END)) AS BIGINT) AS sig
+                FROM e),
+         q AS (SELECT vec_id AS q_id, sig AS qsig FROM sg WHERE vec_id < 10),
+         sc AS (SELECT q.q_id, sg.vec_id AS n_id,
+                       bit_count(xor(sg.sig, q.qsig)) AS ham
+                FROM sg, q WHERE sg.vec_id <> q.q_id),
+         tp AS (SELECT q_id, n_id FROM (
+                  SELECT q_id, n_id,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY ham ASC, n_id) AS rnk FROM sc)
+                WHERE rnk <= 5),
+         qo AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         bsc AS (SELECT qo.q_id, e.vec_id AS n_id,
+                        list_cosine_similarity(e.v, qo.qv) AS c
+                 FROM e, qo WHERE e.vec_id <> qo.q_id),
+         base AS (SELECT q_id, n_id FROM (
+                    SELECT q_id, n_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY c DESC, n_id) AS rnk FROM bsc)
+                  WHERE rnk <= 5)
+         SELECT base.q_id, CAST(count(tp.n_id) AS BIGINT) AS hits,
+                floor(count(tp.n_id) / 5.0 * 1000) / 1000 AS recall
+         FROM base LEFT JOIN tp ON tp.q_id = base.q_id
+                               AND tp.n_id = base.n_id
+         GROUP BY base.q_id ORDER BY base.q_id""",
   )
 }
