@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Curation3,
     operators.Projection,
     operators.Mining,
+    operators.Stats,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

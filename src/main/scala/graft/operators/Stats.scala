@@ -1,0 +1,428 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.{NativeExprs, TextExprs, TopKAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus STATISTICS, SAMPLING and EVALUATION operators — the
+  * measurement half of a training-data pipeline: weighted sampling
+  * without replacement, sketch-based heavy hitters, cross-snapshot
+  * distribution drift, clustering-quality evaluation, and diversified
+  * reranking. The reference engine has none of this surface (SURVEY.md
+  * §2 "Explicit absences" — it is a Kafka→Parquet consumer); this pack
+  * extends the mandated training-data-pipeline tier alongside
+  * [[Curation2]] (selection), [[Similarity]] (retrieval) and
+  * [[Mining]] (alignment).
+  */
+object Stats extends QueryPack {
+
+  /** Sample size per source for q137. */
+  private val wsK = 5
+
+  /** 2^60 — the denominator turning a 60-bit md5 prefix into a uniform
+    * in (0, 1]. */
+  private val ws2p60 = 1152921504606846976.0
+
+  /** q137: WEIGHTED SAMPLE WITHOUT REPLACEMENT — the Efraimidis &
+    * Spirakis A-ES scheme: each item draws a deterministic uniform
+    * u ∈ (0, 1] from its id (md5 prefix, the q92/q120 hash idiom) and
+    * is ranked by key = ln(u) / w with weight w = n_chars; the top-k
+    * keys per source ARE a weighted sample without replacement (items
+    * enter with probability proportional to weight, Efraimidis &
+    * Spirakis 2006). This is the LENGTH-WEIGHTED complement of q92's
+    * uniform stratified sample — sampling documents proportional to
+    * their token mass is how you sample a TOKEN-uniform subset for
+    * inspection/eval without exploding to token grain. A-ES is THE
+    * distributed weighted-sampling algorithm precisely because it is a
+    * pure per-row map (one md5 + one ln) followed by a bounded-heap
+    * top-k — partial-aggregatable ([[TopKAgg]]), so each map partition
+    * sends at most k (source, key, id) triples into the one shuffle;
+    * no text, no second pass, no rejection loop. Rerun-stable: the
+    * draw depends only on doc_id. The single ln per row is the proven
+    * cross-engine float boundary (q39/q119); ranking compares raw
+    * keys, whose md5-spread makes 1-ulp ties physically absent. */
+  private def q137WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("u",
+        (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+              "as bigint)").cast("double") + 1.0) / ws2p60)
+      .withColumn("skey", log(col("u")) / col("n_chars").cast("double"))
+    keyed.groupBy("source")
+      .agg(TopKAgg.top_k_by_score(col("skey"), col("doc_id"), wsK).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.id").as("doc_id"),
+              (floor(col("col.score") * 1000000000) / 1000000000).as("skey"))
+      .orderBy("source", "rank")
+  }
+
+  /** Cells for q138's trained coarse quantizer. */
+  private val cpK = 8
+
+  /** Codebooks trained by q138 builds, keyed by dataset dir — the
+    * [[Similarity]] cache contract for generated oracles. */
+  private val cpCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  /** q138: CLUSTER PURITY — the clustering-quality EVAL for the
+    * IVF/cell machinery every selection and dedup operator in this
+    * repo leans on (q45/q86/q103/q128): assign each embedding to its
+    * trained coarse cell ([[Similarity.trainCentroids]], cached per
+    * dir so the oracle embeds the same literals) and score the cells
+    * against the ground-truth `label` column — per cell: size,
+    * majority label, majority count, purity = majority/size. Low
+    * purity tells you the quantizer is splitting real classes across
+    * cells (bad for q103's within-cell dedup recall and q128's
+    * balance); it is the go/no-go check run before trusting any
+    * cluster-derived curation decision. Plan: k broadcast centroid
+    * rows, map-side argmax assignment (max-struct partial agg), then
+    * two tiny aggregations — the (centroid, label) contingency table
+    * (≤ k·|labels| rows) and the per-cell majority via the bounded
+    * heap. No vectors in any shuffle; purity is one floored division,
+    * integer until it. */
+  private def q138ClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = cpCodebooks.computeIfAbsent(d,
+      _ => Similarity.trainCentroids(e, cpK))
+    val asg = Similarity.ivfAssignCodebook(s, e, cents)
+      .select(col("vec_id"), col("centroid"))
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val cont = asg.join(lab, "vec_id")
+      .groupBy("centroid", "label").agg(count(lit(1)).as("cnt"))
+    cont.groupBy("centroid")
+      .agg(sum("cnt").as("size"),
+           TopKAgg.top_k_by_score(col("cnt").cast("double"),
+                                  col("label").cast("long"), 1).as("top"))
+      .select(col("centroid"), col("size"),
+              col("top")(0)("id").as("majority_label"),
+              col("top")(0)("score").cast("long").as("majority_cnt"))
+      .withColumn("purity",
+        floor(col("majority_cnt") / col("size").cast("double") * 1000000)
+          / 1000000)
+      .orderBy("centroid")
+  }
+
+  /** q138's generated oracle: trained codebook literals + the q45
+    * assignment argmax (ties: highest cosine then highest c_id —
+    * max(struct) order) + the contingency table + per-cell majority
+    * via row_number (cnt DESC, label — the TopKAgg total order). */
+  private def cpOracleSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        c AS (SELECT * FROM (VALUES
+             $rows) AS t(c_id, cv)),
+        sc AS (SELECT e.vec_id, c.c_id,
+                      list_cosine_similarity(e.v, c.cv) AS cc FROM e, c),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, c_id DESC) AS rn FROM sc)
+                WHERE rn = 1),
+        ct AS (SELECT asg.centroid, CAST(e.label AS BIGINT) AS label,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM asg JOIN e ON e.vec_id = asg.vec_id GROUP BY 1, 2),
+        sz AS (SELECT centroid, CAST(sum(cnt) AS BIGINT) AS size
+               FROM ct GROUP BY 1),
+        r AS (SELECT centroid, label, cnt,
+                     row_number() OVER (PARTITION BY centroid
+                       ORDER BY cnt DESC, label) AS rn FROM ct)
+        SELECT CAST(r.centroid AS BIGINT) AS centroid, sz.size,
+               r.label AS majority_label, r.cnt AS majority_cnt,
+               floor(r.cnt / CAST(sz.size AS DOUBLE) * 1000000) / 1000000
+                 AS purity
+        FROM r JOIN sz USING (centroid)
+        WHERE rn = 1 ORDER BY centroid"""
+  }
+
+  /** MMR trade-off weight λ (and its complement written as an explicit
+    * literal — `1.0 - 0.7` is NOT the double `0.3`, so both engines
+    * must parse the same decimal literals). */
+  private val mmrLambda = 0.7
+  private val mmrComp = 0.3
+  private val mmrPool = 8
+  private val mmrK = 4
+  private val mmrNQueries = 8
+
+  /** q139: MMR DIVERSIFIED RERANK — maximal marginal relevance
+    * (Carbonell & Goldstein 1998), the standard post-retrieval
+    * diversification: greedily select k results, each step taking
+    * argmax of λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — relevance
+    * traded against redundancy with what is already picked. For a
+    * training-data pipeline this is the retrieval-side twin of q128's
+    * cluster-balanced selection: when near-duplicate passages flood a
+    * query's top-k (exactly what q42 shows the corpus contains), plain
+    * cosine top-k returns k copies of one passage; MMR returns the
+    * distinct ones. Shape: retrieval produces a CONSTANT-size pool per
+    * query (top-[[mmrPool]] by cosine, bounded-heap [[TopKAgg]]); only
+    * pool members' vectors are point-looked-up for the pool×pool sim
+    * matrix; the k greedy steps are [[mmrK]] unrolled joins over
+    * (queries × pool)-sized relations — rerank cost is linear in query
+    * count and INDEPENDENT of corpus size, which is why every
+    * production stack runs MMR after ANN rather than inside it. At
+    * 100 TB the pool generator swaps for the q86 IVF-PQ probe
+    * unchanged. Greedy comparisons use raw doubles with (score DESC,
+    * id) tie-break — both engines compute identical IEEE arithmetic
+    * from identical literals, the q126 margin precedent. */
+  private def q139MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < mmrNQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cid"),
+              NativeExprs.cosine_sim(col("embedding"), col("qv")).as("rel"))
+    val pool = scored.groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), mmrPool).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("cid"), col("c.score").as("rel"))
+    val pv = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .join(broadcast(pool), "cid")
+    val sims = pv.as("x").join(pv.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.cid") =!= col("y.cid"))
+      .select(col("x.q_id").as("q_id"), col("x.cid").as("a"),
+              col("y.cid").as("b"),
+              NativeExprs.cosine_sim(col("x.cv"), col("y.cv")).as("sim"))
+    var selected = pool.groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), 1).as("t"))
+      .select(col("q_id"), lit(1L).as("step"),
+              col("t")(0)("id").as("cid"), col("t")(0)("score").as("mmr"))
+    for (i <- 2 to mmrK) {
+      val msim = sims
+        .join(selected.select(col("q_id"), col("cid").as("b")), Seq("q_id", "b"))
+        .groupBy("q_id", "a").agg(max("sim").as("msim"))
+        .withColumnRenamed("a", "cid")
+      val step = pool
+        .join(selected.select(col("q_id"), col("cid")),
+              Seq("q_id", "cid"), "left_anti")
+        .join(msim, Seq("q_id", "cid"))
+        .withColumn("m",
+          lit(mmrLambda) * col("rel") - lit(mmrComp) * col("msim"))
+        .groupBy("q_id")
+        .agg(TopKAgg.top_k_by_score(col("m"), col("cid"), 1).as("t"))
+        .select(col("q_id"), lit(i.toLong).as("step"),
+                col("t")(0)("id").as("cid"), col("t")(0)("score").as("mmr"))
+      selected = selected.union(step)
+    }
+    selected
+      .select(col("q_id"), col("step"), col("cid").as("cand_id"),
+              (floor(col("mmr") * 1000000) / 1000000).as("mmr"))
+      .orderBy("q_id", "step")
+  }
+
+  /** q139's oracle: the greedy loop UNROLLED into [[mmrK]] chained CTE
+    * steps — each picks argmax (m DESC, cid) among the not-yet-selected
+    * pool against the growing selected set; identical literals, raw-
+    * double comparisons, floored only at the output boundary. */
+  private def mmrOracleSql: String = {
+    val steps = (2 to mmrK).map { i =>
+      val prev = s"sel${i - 1}"
+      s""",
+        ms$i AS (SELECT s.q_id, s.a AS cid, max(s.sim) AS msim
+                 FROM sims s JOIN $prev p
+                   ON p.q_id = s.q_id AND p.cid = s.b
+                 GROUP BY 1, 2),
+        m$i AS (SELECT p.q_id, p.cid,
+                       $mmrLambda * p.rel - $mmrComp * ms$i.msim AS m
+                FROM pool p JOIN ms$i
+                  ON ms$i.q_id = p.q_id AND ms$i.cid = p.cid
+                WHERE NOT EXISTS (SELECT 1 FROM $prev x
+                  WHERE x.q_id = p.q_id AND x.cid = p.cid)),
+        s$i AS (SELECT q_id, $i AS step, cid, m FROM (
+                  SELECT q_id, cid, m, row_number() OVER (PARTITION BY q_id
+                    ORDER BY m DESC, cid) AS rn FROM m$i) WHERE rn = 1),
+        sel$i AS (SELECT q_id, step, cid, m FROM $prev
+                  UNION ALL SELECT q_id, step, cid, m FROM s$i)"""
+    }.mkString
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+              WHERE vec_id < $mmrNQueries),
+        sc AS (SELECT q.q_id, e.vec_id AS cid,
+                      list_cosine_similarity(e.v, q.qv) AS rel
+               FROM e, q WHERE e.vec_id <> q.q_id),
+        pool AS (SELECT q_id, cid, rel FROM (
+                   SELECT q_id, cid, rel, row_number() OVER (
+                     PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
+                   FROM sc) WHERE rn <= $mmrPool),
+        pv AS (SELECT p.q_id, p.cid, e.v FROM pool p
+               JOIN e ON e.vec_id = p.cid),
+        sims AS (SELECT x.q_id, x.cid AS a, y.cid AS b,
+                        list_cosine_similarity(x.v, y.v) AS sim
+                 FROM pv x JOIN pv y
+                   ON x.q_id = y.q_id AND x.cid <> y.cid),
+        sel1 AS (SELECT q_id, 1 AS step, cid, rel AS m FROM (
+                   SELECT q_id, cid, rel, row_number() OVER (
+                     PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
+                   FROM pool) WHERE rn = 1)$steps
+        SELECT q_id, CAST(step AS BIGINT) AS step, cid AS cand_id,
+               floor(m * 1000000) / 1000000 AS mmr
+        FROM sel$mmrK ORDER BY q_id, step"""
+  }
+
+  /** Count-min sketch geometry for q140: d hash rows × w buckets. */
+  private val cmsD = 3
+  private val cmsW = 1024
+  private val hhK = 20
+
+  /** q140: HEAVY HITTERS UNDER A COUNT-MIN SKETCH — the
+    * Cormode-Muthukrishnan sketch realized as relational algebra: d
+    * md5-derived hash rows × w buckets, each bucket the sum of counts
+    * of tokens landing there; a token's estimate is the MIN over its d
+    * buckets, which can only OVER-estimate (collisions add, never
+    * subtract). The query audits the sketch against exact truth: for
+    * the exact top-[[hhK]] tokens, exact count, CMS estimate and the
+    * overestimate — the error a production pipeline accepts when the
+    * vocabulary no longer fits anywhere (at 100 TB the exact token-
+    * grain table is billions of rows; the CMS table is d·w = ${3 *
+    * 1024} rows REGARDLESS of corpus size, and building it is one
+    * partial-aggregatable groupBy whose map-side combine collapses
+    * each partition to ≤ d·w cells before the shuffle — the sketch IS
+    * the map-side combine). Fully integer end-to-end: estimates,
+    * exacts and their difference cross engines bit-exactly with no
+    * float anywhere. Top-k is a TakeOrderedAndProject (bounded heaps,
+    * no vocabulary sort). */
+  private def q140HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val tokC = Tables.documents(s, d)
+      .select(explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val tb = tokC.select(col("t"), col("cnt"),
+        explode(array((0 until cmsD).map(j =>
+          struct(lit(j.toLong).as("j"),
+                 (expr(s"cast(conv(substr(md5(concat('$j:', t)), 1, 15), " +
+                       s"16, 10) as bigint)") % cmsW).as("bkt"))): _*)).as("jb"))
+      .select(col("t"), col("cnt"), col("jb.j").as("j"), col("jb.bkt").as("bkt"))
+    val cms = tb.groupBy("j", "bkt").agg(sum("cnt").as("c"))
+    val top = tokC.orderBy(col("cnt").desc, col("t")).limit(hhK)
+    broadcast(top)
+      .join(tb.select("t", "j", "bkt"), "t")
+      .join(cms, Seq("j", "bkt"))
+      .groupBy("t", "cnt").agg(min("c").as("cms_est"))
+      .select(col("t").as("token"), col("cnt").as("exact_cnt"),
+              col("cms_est"), (col("cms_est") - col("cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** Report size for q141. */
+  private val driftK = 20
+
+  /** q141: CORPUS DRIFT REPORT — the distribution-shift diagnostic run
+    * between two crawls/snapshots before mixing them: token counts on
+    * side A vs side B (here doc_id parity — the deterministic stand-in
+    * for two snapshots) and the top tokens by |rate_A − rate_B|,
+    * ranked by the INTEGER cross-product form |cnt_a·N_b − cnt_b·N_a|
+    * (= the rate difference scaled by N_a·N_b) so ranking involves no
+    * float at all; the readable per-million rate difference is one
+    * floored division at the output boundary. A token surging between
+    * snapshots is template/boilerplate churn or topic drift — the
+    * signal that triggers re-weighting (q94) or re-sampling (q134)
+    * before training on the union. Plan: token-grain count aggregate
+    * (map-side combined), side totals as a ONE-ROW broadcast aggregate
+    * (lazy — no driver job at build), top-k as TakeOrderedAndProject;
+    * shuffles carry (token, two counts) only. The bigint cross
+    * products hold to ~10^18 token corpora; past that the same
+    * expressions run in decimal(38, 0) unchanged. */
+  private def q141CorpusDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("t").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val tot = counts.agg(sum("cnt_a").as("na"), sum("cnt_b").as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("drift",
+        abs(col("cnt_a") * col("nb") - col("cnt_b") * col("na")))
+      .withColumn("rate_diff",
+        floor((col("cnt_a") * col("nb") - col("cnt_b") * col("na"))
+                .cast("double")
+              / (col("na") * col("nb")).cast("double") * 1000000000)
+          / 1000000000)
+      .orderBy(col("drift").desc, col("t"))
+      .limit(driftK)
+      .select(col("t").as("token"), col("cnt_a"), col("cnt_b"),
+              col("drift"), col("rate_diff"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_weighted_sample" -> q137WeightedSample _,
+    "q138_cluster_purity" -> q138ClusterPurity _,
+    "q139_mmr_rerank" -> q139MmrRerank _,
+    "q140_heavy_hitters" -> q140HeavyHitters _,
+    "q141_corpus_drift" -> q141CorpusDrift _,
+  )
+
+  override def oraclesFor(dir: String): Map[String, String] =
+    oracles +
+      ("q138_cluster_purity" -> Option(cpCodebooks.get(dir))
+        .map(cpOracleSql)
+        .getOrElse("SELECT 1 AS q138_not_built_for_this_dataset"))
+
+  // `def`, not `val`: the q138 fallback branch reads the codebook cache,
+  // which is empty at object init (the Similarity.oracles contract)
+  override def oracles: Map[String, String] = Map(
+    // dir-agnostic fallback, usable only when exactly one codebook was
+    // trained this process; oraclesFor(dir) is the precise path
+    "q138_cluster_purity" -> (if (cpCodebooks.size == 1)
+        cpOracleSql(cpCodebooks.values.iterator.next())
+      else "SELECT 1 AS q138_not_built_unambiguously_this_process"),
+    // identical A-ES arithmetic: 60-bit md5 prefix → double in the same
+    // operation order (cast, +1.0, divide), one ln, one division by the
+    // weight; top-k per source by (key DESC, doc_id)
+    "q137_weighted_sample" ->
+      s"""WITH k AS (SELECT source, doc_id,
+                 ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                    / $ws2p60) / CAST(n_chars AS DOUBLE) AS skey
+               FROM documents),
+          r AS (SELECT source, doc_id, skey,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY skey DESC, doc_id) AS rnk FROM k)
+          SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id,
+                 floor(skey * 1000000000) / 1000000000 AS skey
+          FROM r WHERE rnk <= $wsK ORDER BY source, rank""",
+    "q139_mmr_rerank" -> mmrOracleSql,
+    // fully integer: same md5-bucket derivation, bucket sums, min over
+    // the d rows, exact-vs-estimate difference
+    "q140_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                        AS t FROM documents),
+          tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tk GROUP BY 1),
+          tb AS (SELECT t, cnt, j,
+                        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                          || t), 1, 15)) AS BIGINT) % $cmsW AS bkt
+                 FROM tc, (SELECT unnest([0, 1, 2]) AS j)),
+          cms AS (SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS c
+                  FROM tb GROUP BY 1, 2),
+          top AS (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT $hhK),
+          est AS (SELECT top.t, top.cnt, min(cms.c) AS cms_est
+                  FROM top JOIN tb ON tb.t = top.t
+                  JOIN cms ON cms.j = tb.j AND cms.bkt = tb.bkt
+                  GROUP BY 1, 2)
+          SELECT t AS token, cnt AS exact_cnt, cms_est,
+                 cms_est - cnt AS overestimate
+          FROM est ORDER BY exact_cnt DESC, token""",
+    // integer cross-product ranking; one floored division per output row
+    "q141_corpus_drift" ->
+      s"""WITH tk AS (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS t
+               FROM documents),
+          c AS (SELECT t,
+                  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_a,
+                  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_b
+                FROM tk GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+                         CAST(sum(cnt_b) AS BIGINT) AS nb FROM c)
+          SELECT t AS token, cnt_a, cnt_b,
+                 abs(cnt_a * nb - cnt_b * na) AS drift,
+                 floor(CAST(cnt_a * nb - cnt_b * na AS DOUBLE)
+                       / CAST(na * nb AS DOUBLE) * 1000000000) / 1000000000
+                   AS rate_diff
+          FROM c, tot ORDER BY drift DESC, token LIMIT $driftK""",
+  )
+}

@@ -49,7 +49,7 @@ class PlanSpec extends SparkTestBase {
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep", "q125_pca_sweep",
-      "q128_cluster_balanced", "q136_pca_binary",
+      "q128_cluster_balanced", "q136_pca_binary", "q138_cluster_purity",
       "q95_dedup_bloom_sharded",
       // q114/q122/q131 compose the q42 (+ q81) pair pipelines, so they
       // inherit q42's verifyJoin adaptive size guard

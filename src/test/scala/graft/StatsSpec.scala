@@ -1,0 +1,135 @@
+package graft
+
+import graft.functions.NativeExprs
+import graft.functions.TopKAgg
+import org.apache.spark.sql.functions._
+
+/** Contracts of the Stats pack (q137–q141): sampling, evaluation,
+  * sketching and diversification invariants that the DuckDB hash gate
+  * cannot state (it proves value equality, not the properties below).
+  */
+class StatsSpec extends SparkTestBase {
+
+  test("q137: weighted sample is rerun-stable, ranked 1..k per source") {
+    val a = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
+    assert(a.nonEmpty && a.sameElements(b), "A-ES draw is not deterministic")
+    val bySource = a.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length),
+        s"ranks not contiguous for $src")
+      // keys rank-ordered descending within the source
+      val keys = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(keys.zip(keys.tail).forall { case (x, y) => x >= y },
+        s"sample keys not rank-ordered for $src")
+    }
+  }
+
+  test("q137: selection is weight-sensitive — heavier docs win rank ties in expectation") {
+    // Not a statistical test: just pins that the key actually divides by
+    // the weight (a doc with weight w' = 2w and the same u has a larger
+    // i.e. less-negative key).
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = SparkEntry.queries("q137_weighted_sample")(spark, sfDir)
+      .collect().map(_.getLong(2))
+    assert(sampled.forall(docs.contains), "sampled a doc_id not in the corpus")
+    val meanSampled = sampled.map(docs).sum.toDouble / sampled.length
+    val meanAll = docs.values.sum.toDouble / docs.size
+    assert(meanSampled > meanAll,
+      s"length-weighted sample is lighter than the corpus mean " +
+        s"($meanSampled <= $meanAll) — weight not applied")
+  }
+
+  test("q138: purity in (0,1], majority <= size, sizes cover the corpus") {
+    val out = SparkEntry.queries("q138_cluster_purity")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val size = r.getLong(1); val maj = r.getLong(3); val p = r.getDouble(4)
+      assert(maj >= 1 && maj <= size, "majority count outside [1, size]")
+      assert(p > 0.0 && p <= 1.0, s"purity $p outside (0, 1]")
+    }
+    val total = out.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sfDir).count(),
+      "cell sizes do not partition the corpus")
+  }
+
+  test("q139: MMR step 1 is the raw-relevance argmax; selections distinct; k steps per query") {
+    val out = SparkEntry.queries("q139_mmr_rerank")(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 4, s"query $q selected ${rows.length} != 4")
+      val ids = rows.map(_.getLong(2))
+      assert(ids.distinct.length == ids.length, s"query $q re-selected an id")
+    }
+    // step-1 pick = plain cosine argmax over the corpus minus self
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val best = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cid"),
+              NativeExprs.cosine_sim(col("embedding"), col("qv")).as("rel"))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), 1).as("t"))
+      .select(col("q_id"), col("t")(0)("id").as("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (qid, rows) =>
+      val s1 = rows.find(_.getLong(1) == 1L).get.getLong(2)
+      assert(s1 == best(qid), s"query $qid step-1 pick $s1 != argmax ${best(qid)}")
+    }
+  }
+
+  test("q139: diversification is active — some later step deviates from plain top-k") {
+    // If MMR never deviated from the cosine ranking, the operator would
+    // be a worse-spelled top-k. On a corpus with near-dup embeddings
+    // (q44 finds them) at least one query's selection must differ.
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val top4 = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cid"),
+              NativeExprs.cosine_sim(col("embedding"), col("qv")).as("rel"))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), 4).as("t"))
+      .select(col("q_id"), expr("transform(t, x -> x.id)").as("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val mmr = SparkEntry.queries("q139_mmr_rerank")(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(2)).toSet }
+    assert(mmr.exists { case (qid, ids) => ids != top4(qid) },
+      "MMR selected exactly the cosine top-4 for every query — λ inert")
+  }
+
+  test("q140: CMS never underestimates; overestimate is the difference") {
+    val out = SparkEntry.queries("q140_heavy_hitters")(spark, sfDir).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2); val over = r.getLong(3)
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}: $est < $exact")
+      assert(over == est - exact, "overestimate != est - exact")
+    }
+    // counts are rank-ordered (the exact top-k contract)
+    val cnts = out.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q141: drift ranking matches the integer cross-product identity") {
+    val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
+    assert(out.length > 0)
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(graft.functions.TextExprs.toks)).as("t"))
+    val na = tok.filter(col("doc_id") % 2 === 0).count()
+    val nb = tok.filter(col("doc_id") % 2 === 1).count()
+    out.foreach { r =>
+      val (a, b, drift) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(drift == math.abs(a * nb - b * na),
+        s"drift of ${r.getString(0)} != |cnt_a*nb - cnt_b*na|")
+    }
+    val drifts = out.map(_.getLong(3))
+    assert(drifts.zip(drifts.tail).forall { case (a, b) => a >= b },
+      "report not drift-ordered")
+  }
+}
