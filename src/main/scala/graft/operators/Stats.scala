@@ -176,43 +176,57 @@ object Stats extends QueryPack {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cid"),
               NativeExprs.cosine_sim(col("embedding"), col("qv")).as("rel"))
-    val pool = scored.groupBy("q_id")
-      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), mmrPool).as("top"))
-      .select(col("q_id"), explode(col("top")).as("c"))
-      .select(col("q_id"), col("c.id").as("cid"), col("c.score").as("rel"))
+    // one rank-ordered pool array per query (the TopKAgg output IS the
+    // (rel DESC, cid) order the greedy start needs); cache() — lazy, and
+    // deduped by canonicalized plan — because the pool feeds both the
+    // sim-matrix vector lookup and the final greedy row.
+    val poolAgg = scored.groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), mmrPool).as("pool"))
+      .cache()
+    val poolIds = poolAgg
+      .select(col("q_id"), explode(col("pool")).as("c"))
+      .select(col("q_id"), col("c.id").as("cid"))
     val pv = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .join(broadcast(pool), "cid")
-    val sims = pv.as("x").join(pv.as("y"),
+      .join(broadcast(poolIds), "cid")
+    // pool×pool sim matrix per query, folded into ONE lookup map —
+    // (pool²) entries per query, constant-size by construction
+    val simsMap = pv.as("x").join(pv.as("y"),
         col("x.q_id") === col("y.q_id") && col("x.cid") =!= col("y.cid"))
-      .select(col("x.q_id").as("q_id"), col("x.cid").as("a"),
-              col("y.cid").as("b"),
-              NativeExprs.cosine_sim(col("x.cv"), col("y.cv")).as("sim"))
-    var selected = pool.groupBy("q_id")
-      .agg(TopKAgg.top_k_by_score(col("rel"), col("cid"), 1).as("t"))
-      .select(col("q_id"), lit(1L).as("step"),
-              col("t")(0)("id").as("cid"), col("t")(0)("score").as("mmr"))
-    for (i <- 2 to mmrK) {
-      val msim = sims
-        .join(selected.select(col("q_id"), col("cid").as("b")), Seq("q_id", "b"))
-        .groupBy("q_id", "a").agg(max("sim").as("msim"))
-        .withColumnRenamed("a", "cid")
-      val step = pool
-        .join(selected.select(col("q_id"), col("cid")),
-              Seq("q_id", "cid"), "left_anti")
-        .join(msim, Seq("q_id", "cid"))
-        .withColumn("m",
-          lit(mmrLambda) * col("rel") - lit(mmrComp) * col("msim"))
-        .groupBy("q_id")
-        .agg(TopKAgg.top_k_by_score(col("m"), col("cid"), 1).as("t"))
-        .select(col("q_id"), lit(i.toLong).as("step"),
-                col("t")(0)("id").as("cid"), col("t")(0)("score").as("mmr"))
-      selected = selected.union(step)
-    }
-    selected
-      .select(col("q_id"), col("step"), col("cid").as("cand_id"),
-              (floor(col("mmr") * 1000000) / 1000000).as("mmr"))
+      .select(col("x.q_id").as("q_id"),
+              struct(concat_ws(":", col("x.cid"), col("y.cid")).as("key"),
+                     NativeExprs.cosine_sim(col("x.cv"), col("y.cv"))
+                       .as("value")).as("kv"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(col("kv"))).as("sm"))
+    // the whole greedy loop as one codegen'd higher-order expression
+    // over the per-query pool array + sim map — no joins, no per-step
+    // stages; max(struct(m, -cid)) realizes the (m DESC, cid ASC)
+    // argmax the oracle's row_number states
+    poolAgg.join(simsMap, "q_id")
+      .select(col("q_id"), posexplode(expr(mmrGreedyExpr)))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("step"),
+              col("col.cid").as("cand_id"),
+              (floor(col("col.m") * 1000000) / 1000000).as("mmr"))
       .orderBy("q_id", "step")
   }
+
+  /** The unrolled-greedy MMR selection as a single SQL higher-order
+    * fold: seed with the pool's rank-1 element, then [[mmrK]]−1 steps of
+    * argmax(λ·rel − (1−λ)·max-sim-to-selected) over the not-yet-selected
+    * pool. Identical IEEE operations to the oracle's chained CTEs. */
+  private def mmrGreedyExpr: String =
+    s"""aggregate(
+          sequence(2, $mmrK),
+          array(named_struct('cid', pool[0].id, 'm', pool[0].score)),
+          (acc, i) -> concat(acc, transform(
+            array(array_max(transform(
+              filter(pool, p -> NOT exists(acc, s -> s.cid = p.id)),
+              p -> named_struct(
+                'm', ${mmrLambda}D * p.score - ${mmrComp}D *
+                     array_max(transform(acc, s ->
+                       element_at(sm, concat_ws(':', p.id, s.cid)))),
+                'negcid', -p.id)))),
+            b -> named_struct('cid', -b.negcid, 'm', b.m))))"""
 
   /** q139's oracle: the greedy loop UNROLLED into [[mmrK]] chained CTE
     * steps — each picks argmax (m DESC, cid) among the not-yet-selected
