@@ -121,7 +121,35 @@ object EventOps extends QueryPack {
            min("k").as("k_min"), max("k").as("k_max"))
       .orderBy("event_type")
 
+  /** q144: SCD TYPE-2 INTERVAL CONSTRUCTION — the CDC-history
+    * complement of q72's latest-state argmax: every change event
+    * becomes a validity interval [valid_from, valid_to) per dimension
+    * key (user_id, event_type), closed by the NEXT change (`lead`) and
+    * left open (is_current, sentinel end date) for the live row — the
+    * standard type-2 slowly-changing-dimension build every warehouse
+    * runs over change logs. Plan: ONE window shuffle keyed by the
+    * dimension key — the partitioning a 100 TB CDC log is already
+    * bucketed by — with a frame-free lead(1); ordering (ts, event_id)
+    * is a total order so the chain is deterministic. No self-join, no
+    * second shuffle: interval construction is exactly one pass. */
+  private def q144Scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value"))
+      .withColumn("vt", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              date_format(col("ts"), tsFmt).as("valid_from"),
+              coalesce(date_format(col("vt"), tsFmt),
+                       lit("9999-12-31 00:00:00")).as("valid_to"),
+              when(col("vt").isNull, 1L).otherwise(0L).as("is_current"),
+              round(col("value"), 2).as("value"))
+      .orderBy("user_id", "event_type", "event_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_scd2_intervals" -> q144Scd2Intervals _,
     "q20_ingest_bucket" -> q20IngestBucket _,
     "q25_json_extract"  -> q25JsonExtract _,
     "q21_event_window"  -> q21EventWindow _,
@@ -132,6 +160,19 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q144_scd2_intervals" ->
+      """WITH v AS (SELECT user_id, event_type, event_id, ts,
+                lead(ts) OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS vt, "value"
+              FROM events)
+         SELECT user_id, event_type, event_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'),
+                         '9999-12-31 00:00:00') AS valid_to,
+                CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_current,
+                round("value", 2) AS "value"
+         FROM v ORDER BY user_id, event_type, event_id""",
     "q72_latest_per_key" ->
       """WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                       ORDER BY ts DESC, event_id DESC) AS rn FROM events)

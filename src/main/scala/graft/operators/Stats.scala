@@ -360,12 +360,80 @@ object Stats extends QueryPack {
               col("drift"), col("rate_diff"))
   }
 
+  /** Low-entropy flag threshold for q142 (compared on the FLOORED
+    * entropy so the flag is as deterministic as the value). */
+  private val entThreshold = 2.0
+
+  /** q142: TOKEN-ENTROPY QUALITY SIGNAL — per-document Shannon entropy
+    * of the token distribution, H = ln(n) − (Σ c·ln c)/n: the
+    * gibberish/repetition detector that catches what q32's ratio
+    * heuristics and q49's fixed-lag repetition signals miss (a doc
+    * cycling three tokens has high stopword-free ratios yet H ≈ ln 3;
+    * random noise maximizes H at ln n). The identity form needs one ln
+    * per DISTINCT token (not per occurrence) plus one ln(n). The
+    * per-doc float sum Σ c·ln c is a token-SORTED left fold on both
+    * engines (Spark `aggregate` over the sorted collect_list, DuckDB
+    * `list_reduce` over `list(... ORDER BY t)`) — the q119 lesson: an
+    * unordered float sum is partitioning-dependent and would break the
+    * cross-engine hash. Plan: token-grain count, one doc-keyed
+    * aggregation carrying (token, cnt) structs; at 100 TB the fold's
+    * list is per-doc vocabulary-sized (bounded by doc length), never
+    * corpus-sized. */
+  private def q142TokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    tc.groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+           count(lit(1)).as("distinct_tokens"),
+           sort_array(collect_list(struct(col("t"), col("cnt")))).as("ts"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        (floor((log(col("n_tokens").cast("double")) -
+          expr("""aggregate(transform(ts, x ->
+                    cast(x.cnt as double) * ln(cast(x.cnt as double))),
+                  cast(0 as double), (acc, x) -> acc + x)""")
+            / col("n_tokens").cast("double")) * 1000000) / 1000000)
+          .as("entropy"))
+      .withColumn("low_entropy",
+        when(col("entropy") < entThreshold, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** q143: NEAR-DUP DEGREE REPORT — the degree distribution of the
+    * near-duplicate graph (q42's exact-verified pair set): how many
+    * docs have 0, 1, 2, … near-duplicates. The shape of this histogram
+    * is the first thing to read before trusting any dedup run — a
+    * heavy tail means hub documents (boilerplate that near-dups
+    * everything, the reason `capBuckets` exists), and the degree-0 mass
+    * is the fraction of the corpus dedup will not touch at all. Plan:
+    * the pair pipeline is q42's bounded LSH machinery, run exactly ONCE
+    * (single-reference dataflow — one endpoint explode); the
+    * zero-degree mass falls out of a left join against the corpus ids;
+    * everything after the pairs is id-only (explode → doc-grain count →
+    * join → degree-grain count). */
+  private def q143NeardupDegree(s: SparkSession, d: String): DataFrame = {
+    // single-reference dataflow: the pair pipeline feeds ONE explode
+    // (both endpoints), and the zero-degree mass comes from a left join
+    // against the corpus ids — the pair pipeline runs exactly once, no
+    // multi-branch recompute, no subtraction row
+    val deg = Dedup.minhashLshPairsCore(s, d)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("d"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_weighted_sample" -> q137WeightedSample _,
     "q138_cluster_purity" -> q138ClusterPurity _,
     "q139_mmr_rerank" -> q139MmrRerank _,
     "q140_heavy_hitters" -> q140HeavyHitters _,
     "q141_corpus_drift" -> q141CorpusDrift _,
+    "q142_token_entropy" -> q142TokenEntropy _,
+    "q143_neardup_degree" -> q143NeardupDegree _,
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -419,6 +487,58 @@ object Stats extends QueryPack {
           SELECT t AS token, cnt AS exact_cnt, cms_est,
                  cms_est - cnt AS overestimate
           FROM est ORDER BY exact_cnt DESC, token""",
+    // one ln per distinct token + one ln(n); the per-doc float sum is a
+    // token-sorted list_reduce ↔ Spark's sorted aggregate left fold
+    // (0.0 seed vs first-element seed are IEEE-identical: 0.0 + x == x)
+    "q142_token_entropy" ->
+      s"""WITH tk AS (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS t
+               FROM documents),
+          tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tk GROUP BY 1, 2),
+          g AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS distinct_tokens,
+                       list_reduce(list(CAST(cnt AS DOUBLE)
+                           * ln(CAST(cnt AS DOUBLE)) ORDER BY t),
+                         (acc, x) -> acc + x) AS s
+                FROM tc GROUP BY doc_id)
+          SELECT doc_id, n_tokens, distinct_tokens,
+                 floor((ln(CAST(n_tokens AS DOUBLE))
+                        - s / CAST(n_tokens AS DOUBLE)) * 1000000)
+                   / 1000000 AS entropy,
+                 CAST(CASE WHEN floor((ln(CAST(n_tokens AS DOUBLE))
+                        - s / CAST(n_tokens AS DOUBLE)) * 1000000) / 1000000
+                        < $entThreshold THEN 1 ELSE 0 END AS BIGINT)
+                   AS low_entropy
+          FROM g ORDER BY doc_id""",
+    // q42's exact inverted-index pair SQL (the q131 shape) closed with
+    // the degree/histogram aggregates and the subtraction zero row
+    "q143_neardup_degree" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  b.sz AS bsz, count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         nd AS (SELECT a_id, b_id FROM pairs
+                WHERE common / (asz + bsz - common) >= 0.8),
+         dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM (
+                  SELECT a_id AS doc_id FROM nd
+                  UNION ALL SELECT b_id AS doc_id FROM nd) GROUP BY 1),
+         alld AS (SELECT CAST(coalesce(dg.d, 0) AS BIGINT) AS degree
+                  FROM documents LEFT JOIN dg
+                    ON dg.doc_id = documents.doc_id)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         FROM alld GROUP BY 1 ORDER BY degree""",
     // integer cross-product ranking; one floored division per output row
     "q141_corpus_drift" ->
       s"""WITH tk AS (SELECT doc_id,

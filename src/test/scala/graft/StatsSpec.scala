@@ -116,6 +116,48 @@ class StatsSpec extends SparkTestBase {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q142: entropy bounded by ln(distinct); repetition lowers it below uniform") {
+    val out = SparkEntry.queries("q142_token_entropy")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val distinct = r.getLong(2); val h = r.getDouble(3)
+      assert(h >= -1e-9, s"negative entropy for doc ${r.getLong(0)}")
+      assert(h <= math.log(distinct.toDouble) + 1e-9,
+        s"doc ${r.getLong(0)}: H=$h exceeds ln(distinct)=${math.log(distinct.toDouble)}")
+      assert((r.getLong(4) == 1L) == (h < 2.0), "flag disagrees with the value")
+    }
+    // a doc repeating one token has H = 0; uniform-ish docs approach ln n —
+    // the corpus must show spread, or the signal is constant and useless
+    val hs = out.map(_.getDouble(3))
+    assert(hs.max - hs.min > 0.5, "entropy signal is flat on this corpus")
+  }
+
+  test("q143: histogram masses add up — degrees cover the corpus, edges counted twice") {
+    val out = SparkEntry.queries("q143_neardup_degree")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "histogram does not partition the corpus")
+    val pairCount = graft.operators.Dedup.minhashLshPairsCore(spark, sfDir).count()
+    val edgeEndpoints = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(edgeEndpoints == 2 * pairCount,
+      s"sum(degree * n_docs) = $edgeEndpoints != 2 * $pairCount pairs")
+  }
+
+  test("q144: intervals chain per key — one current row, valid_to = next valid_from") {
+    val out = SparkEntry.queries("q144_scd2_intervals")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byKey = out.groupBy(r => (r.getLong(0), r.getString(1)))
+    byKey.foreach { case (k, rows) =>
+      assert(rows.count(_.getLong(5) == 1L) == 1, s"key $k: not exactly one current row")
+      val chain = rows.sortBy(_.getString(3)) // valid_from ascending (ties broken below)
+      chain.zip(chain.tail).foreach { case (a, b) =>
+        assert(a.getString(4) == b.getString(3) || a.getString(3) == b.getString(3),
+          s"key $k: interval chain broken (${a.getString(4)} -> ${b.getString(3)})")
+      }
+      assert(chain.last.getString(4) == "9999-12-31 00:00:00",
+        s"key $k: current row not open-ended")
+    }
+  }
+
   test("q141: drift ranking matches the integer cross-product identity") {
     val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
     assert(out.length > 0)
