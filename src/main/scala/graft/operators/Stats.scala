@@ -426,7 +426,77 @@ object Stats extends QueryPack {
       .orderBy("degree")
   }
 
+  /** Hot keys reported by q145. */
+  private val skewK = 10
+
+  /** q145: JOIN-KEY SKEW REPORT — the diagnostic run BEFORE pointing a
+    * 100 TB join at a key: per-key cardinality of the prospective join
+    * key (user_id — the key the event log joins and buckets by), the
+    * top-[[skewK]] hottest keys with their corpus share and their
+    * skew ratio (count ÷ mean-per-key). A ratio ≫ 1 on the head key is
+    * the signal that routes the join through [[Skew.saltedJoin]] or
+    * AQE's skew split; without this report the first symptom is a
+    * straggler task at hour three. Plan: one key-grain count aggregate
+    * (map-side combined), totals as a lazy one-row broadcast aggregate,
+    * top-k as TakeOrderedAndProject — the report costs one shuffle of
+    * (key, count) pairs. Ratio/share are floored single divisions from
+    * integer counts. */
+  private def q145SkewReport(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = keyed.agg(sum("cnt").as("total"), count(lit(1)).as("nkeys"))
+    keyed.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("total").cast("double")
+               * 1000000) / 1000000).as("share"),
+        (floor(col("cnt").cast("double") * col("nkeys").cast("double")
+               / col("total").cast("double") * 1000) / 1000).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(skewK)
+  }
+
+  /** q146: IQR OUTLIER AUDIT — Tukey-fence anomaly detection per group
+    * (the numeric-column validation check every data-quality harness
+    * ships): exact p25/p75 per event type, fences at ±1.5·IQR, count of
+    * outliers and the largest high-side outlier. The inherent shape is
+    * TWO passes — fences need the global distribution before any row
+    * can be judged — with the first pass's output a group-count-sized
+    * broadcast, which is exactly how a 100 TB scan does it (stats pass
+    * → tiny broadcast → flag pass; no sort, no window). Exact
+    * `percentile` interpolation is the q19-proven cross-engine surface;
+    * fences are FLOORED (1e-6) before the comparison so the flag
+    * boundary is the same literal double on both engines. */
+  private def q146OutlierEvents(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           expr("percentile(value, 0.25)").as("p25"),
+           expr("percentile(value, 0.75)").as("p75"))
+      .withColumn("fence_hi",
+        floor((col("p75") + (col("p75") - col("p25")) * 1.5) * 1000000)
+          / 1000000)
+      .withColumn("fence_lo",
+        floor((col("p25") - (col("p75") - col("p25")) * 1.5) * 1000000)
+          / 1000000)
+    val outs = Tables.events(s, d).select(col("event_type"), col("value"))
+      .join(broadcast(p.select("event_type", "fence_lo", "fence_hi")),
+            "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("value") > col("fence_hi")
+                    || col("value") < col("fence_lo"), 1L).otherwise(0L))
+             .as("n_outliers"),
+           round(max(when(col("value") > col("fence_hi"), col("value"))), 2)
+             .as("max_hi_outlier"))
+    p.join(outs, "event_type")
+      .select(col("event_type"), col("n"),
+              (floor(col("p25") * 1000000) / 1000000).as("p25"),
+              (floor(col("p75") * 1000000) / 1000000).as("p75"),
+              col("n_outliers"), col("max_hi_outlier"))
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_skew_report" -> q145SkewReport _,
+    "q146_outlier_events" -> q146OutlierEvents _,
     "q137_weighted_sample" -> q137WeightedSample _,
     "q138_cluster_purity" -> q138ClusterPurity _,
     "q139_mmr_rerank" -> q139MmrRerank _,
@@ -487,6 +557,44 @@ object Stats extends QueryPack {
           SELECT t AS token, cnt AS exact_cnt, cms_est,
                  cms_est - cnt AS overestimate
           FROM est ORDER BY exact_cnt DESC, token""",
+    // integer counts, one floored division each for share and ratio,
+    // identical operand order
+    "q145_skew_report" ->
+      s"""WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                     FROM events GROUP BY 1),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS nkeys FROM k)
+          SELECT user_id, cnt,
+                 floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)
+                       * 1000000) / 1000000 AS share,
+                 floor(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+                       / CAST(total AS DOUBLE) * 1000) / 1000 AS skew_ratio
+          FROM k, t ORDER BY cnt DESC, user_id LIMIT $skewK""",
+    // exact-percentile fences floored before the comparison; max over an
+    // empty outlier set is NULL on both engines
+    "q146_outlier_events" ->
+      """WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           quantile_cont("value", 0.25) AS p25,
+                           quantile_cont("value", 0.75) AS p75
+                    FROM events GROUP BY 1),
+         f AS (SELECT *,
+                      floor((p75 + (p75 - p25) * 1.5) * 1000000) / 1000000
+                        AS fence_hi,
+                      floor((p25 - (p75 - p25) * 1.5) * 1000000) / 1000000
+                        AS fence_lo
+               FROM p),
+         o AS (SELECT e.event_type,
+                      CAST(sum(CASE WHEN e."value" > f.fence_hi
+                                      OR e."value" < f.fence_lo
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                      round(max(CASE WHEN e."value" > f.fence_hi
+                                THEN e."value" END), 2) AS max_hi_outlier
+               FROM events e JOIN f USING (event_type) GROUP BY 1)
+         SELECT f.event_type, f.n,
+                floor(p25 * 1000000) / 1000000 AS p25,
+                floor(p75 * 1000000) / 1000000 AS p75,
+                o.n_outliers, o.max_hi_outlier
+         FROM f JOIN o USING (event_type) ORDER BY event_type""",
     // one ln per distinct token + one ln(n); the per-doc float sum is a
     // token-sorted list_reduce ↔ Spark's sorted aggregate left fold
     // (0.0 seed vs first-element seed are IEEE-identical: 0.0 + x == x)

@@ -158,6 +158,29 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("q145: shares and ratios consistent; report is count-ordered") {
+    val out = SparkEntry.queries("q145_skew_report")(spark, sfDir).collect()
+    assert(out.length == 10)
+    val cnts = out.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "not count-ordered")
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0, "share outside (0,1]")
+      assert(r.getDouble(3) > 0.0, "non-positive skew ratio")
+    }
+  }
+
+  test("q146: outliers lie outside the fences; counts bounded by group size") {
+    val out = SparkEntry.queries("q146_outlier_events")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1); val p25 = r.getDouble(2); val p75 = r.getDouble(3)
+      assert(p25 <= p75, "p25 > p75")
+      assert(r.getLong(4) >= 0 && r.getLong(4) < n, "outlier count out of range")
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) > p75, "reported max outlier not above p75")
+    }
+  }
+
   test("q141: drift ranking matches the integer cross-product identity") {
     val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
     assert(out.length > 0)
