@@ -148,7 +148,43 @@ object EventOps extends QueryPack {
       .orderBy("user_id", "event_type", "event_id")
   }
 
+  /** q148: CDC STATE DIFF — the incremental-refresh audit between two
+    * points of the change log: latest state per (user_id, event_type)
+    * key at the log's temporal midpoint vs at the end, classified per
+    * key as `added` (key did not exist at T_mid), `changed` (a newer
+    * event superseded the T_mid state) or `unchanged`, rolled up to
+    * counts per event type. This is the report that sizes an
+    * incremental pipeline run — how much state actually moved since
+    * the last snapshot — and decides merge-vs-rebuild. Plan: the time
+    * midpoint is a lazy one-row min/max aggregate broadcast (integer
+    * microsecond arithmetic); both states are q72's partial-agg argmax
+    * (shuffle carries one row per live key, not history); the diff is
+    * one key-grain left join (final ⊇ early by construction, so no
+    * full-outer pass) and the rollup a groups-sized count. */
+  private def q148StateDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), expr("unix_micros(ts)").as("us"))
+    val mid = ev.agg(((min("us") + max("us")) / lit(2)).cast("long").as("mid"))
+    def latest(df: DataFrame) = df
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("event_type"),
+              col("last.event_id").as("eid"))
+    val early = latest(ev.crossJoin(broadcast(mid))
+        .filter(col("us") <= col("mid")))
+      .withColumnRenamed("eid", "eid_early")
+    latest(ev).join(early, Seq("user_id", "event_type"), "left")
+      .withColumn("status",
+        when(col("eid_early").isNull, "added")
+          .when(col("eid_early") =!= col("eid"), "changed")
+          .otherwise(lit("unchanged")))
+      .groupBy("event_type", "status").agg(count(lit(1)).as("n_keys"))
+      .orderBy("event_type", "status")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_state_diff" -> q148StateDiff _,
     "q144_scd2_intervals" -> q144Scd2Intervals _,
     "q20_ingest_bucket" -> q20IngestBucket _,
     "q25_json_extract"  -> q25JsonExtract _,
@@ -160,6 +196,31 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q148_state_diff" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, ts,
+                epoch_us(ts::TIMESTAMP) AS us FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         fin AS (SELECT user_id, event_type, event_id AS eid FROM (
+                   SELECT user_id, event_type, event_id,
+                          row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+                 WHERE rn = 1),
+         early AS (SELECT user_id, event_type, event_id AS eid_early FROM (
+                     SELECT user_id, event_type, event_id,
+                            row_number() OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM ev, m WHERE us <= mid)
+                   WHERE rn = 1),
+         st AS (SELECT fin.event_type,
+                       CASE WHEN early.eid_early IS NULL THEN 'added'
+                            WHEN early.eid_early <> fin.eid THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM fin LEFT JOIN early
+                  ON early.user_id = fin.user_id
+                 AND early.event_type = fin.event_type)
+         SELECT event_type, status, CAST(count(*) AS BIGINT) AS n_keys
+         FROM st GROUP BY 1, 2 ORDER BY event_type, status""",
     "q144_scd2_intervals" ->
       """WITH v AS (SELECT user_id, event_type, event_id, ts,
                 lead(ts) OVER (PARTITION BY user_id, event_type

@@ -494,7 +494,37 @@ object Stats extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Report size for q147. */
+  private val bpeK = 20
+
+  /** q147: BPE MERGE-PAIR STATISTICS — the table byte-pair-encoding
+    * training is built on: occurrence-weighted counts of adjacent
+    * character pairs inside tokens, reported for the top-[[bpeK]]
+    * pairs. The highest-count pair IS the first BPE merge; training a
+    * vocabulary is this statistic iterated over a shrinking symbol
+    * table, and the distributed shape stays exactly this query's
+    * (tokenizer training at corpus scale — the step before q30's
+    * token counting can exist). Plan: the pair grain derives from the
+    * DISTINCT-token vocabulary (Zipf-bounded), not the token stream —
+    * each vocabulary entry explodes into its ≤ len−1 pairs weighted by
+    * the token's occurrence count, so the explode touches vocab·len
+    * rows regardless of corpus size; top-k is a TakeOrderedAndProject.
+    * Fully integer. */
+  private def q147BpePairs(s: SparkSession, d: String): DataFrame = {
+    val tokC = Tables.documents(s, d)
+      .select(explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    tokC.filter(length(col("t")) >= 2)
+      .select(col("cnt"),
+        explode(expr("transform(sequence(1, length(t) - 1), " +
+                     "i -> substring(t, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(bpeK)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_bpe_pairs" -> q147BpePairs _,
     "q145_skew_report" -> q145SkewReport _,
     "q146_outlier_events" -> q146OutlierEvents _,
     "q137_weighted_sample" -> q137WeightedSample _,
@@ -557,6 +587,18 @@ object Stats extends QueryPack {
           SELECT t AS token, cnt AS exact_cnt, cms_est,
                  cms_est - cnt AS overestimate
           FROM est ORDER BY exact_cnt DESC, token""",
+    // fully integer: vocabulary counts, substr pair explode, sum, top-k
+    "q147_bpe_pairs" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                        AS t FROM documents),
+          tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tk GROUP BY 1),
+          pr AS (SELECT cnt, unnest([substr(t, i, 2)
+                                     for i in range(1, length(t))]) AS pair
+                 FROM tc WHERE length(t) >= 2)
+          SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+          FROM pr GROUP BY 1
+          ORDER BY n_occurrences DESC, pair LIMIT $bpeK""",
     // integer counts, one floored division each for share and ratio,
     // identical operand order
     "q145_skew_report" ->

