@@ -248,4 +248,38 @@ class PlanSpec extends SparkTestBase {
     assert(aggModes.contains(Partial), "map-side partial aggregation missing")
     assert(aggModes.contains(Final))
   }
+
+  test("q140/q141/q145/q147: global top-k plans as TakeOrderedAndProject") {
+    // bounded per-partition heaps + a driver merge — never a full sort of
+    // the vocabulary/key space
+    for (q <- Seq("q140_heavy_hitters", "q141_corpus_drift",
+                  "q145_skew_report", "q147_bpe_pairs")) {
+      val nodes = executed(SparkEntry.queries(q)(spark, sfDir))
+      assert(nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+        s"$q: top-k did not plan as TakeOrderedAndProject")
+    }
+  }
+
+  test("q139: greedy rerank plans without windows or cartesian products") {
+    val nodes = executed(SparkEntry.queries("q139_mmr_rerank")(spark, sfDir))
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "a window sort leaked into the MMR plan")
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "a non-broadcast cartesian product leaked into the MMR plan")
+  }
+
+  test("q137: the sampling heap aggregates partially before the shuffle") {
+    val nodes = executed(SparkEntry.queries("q137_weighted_sample")(spark, sfDir))
+    val modes = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.aggregateExpressions.map(_.mode)
+    }.flatten
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    assert(modes.contains(Partial),
+      "TopKAgg partial phase missing — each map partition must send <= k rows")
+    assert(modes.contains(Final))
+  }
 }
