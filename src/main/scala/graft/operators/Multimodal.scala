@@ -202,7 +202,60 @@ object Multimodal extends QueryPack {
       .orderBy("kept_id")
   }
 
+  /** One feature-vector row (the codec's embedding, undigested). */
+  final case class MediaVec(asset_id: Long, features: Array[Float])
+
+  /** Batched embedding extraction keeping the VECTOR (not just its
+    * norm) — the mapInPandas batch shape again; feeds similarity. */
+  private[graft] def extractVectors(ds: DataFrame, codec: MediaCodec)
+                                   (implicit s: SparkSession): Dataset[MediaVec] = {
+    import s.implicits._
+    ds.select("asset_id", "media_type", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec
+        it.map { case (id, mt, bytes) => MediaVec(id, c.decodeAndEmbed(mt, bytes)) }
+      }
+  }
+
+  private val simK = 3
+  private val simNQ = 10
+
+  /** q149: MEDIA SIMILARITY SEARCH — the multimodal→ANN composition
+    * closing this row: stub-codec embeddings (extracted where the
+    * payloads live, mapPartitions-batched) ranked by exact feature
+    * cosine for a broadcast query set, top-[[simK]] per query — the
+    * "find assets like this one" retrieval that q54's digest dedup
+    * cannot express (different bytes, similar content). Downstream of
+    * extraction this IS the q40 plan (broadcast queries, map-side
+    * cosine, bounded-heap top-k; at corpus scale the brute-force
+    * candidate pass swaps for q41/q86's bucketed/coded forms over the
+    * same vectors unchanged). Oracle-checkable end-to-end because the
+    * stub features are exact dyadic lattice points (k/1024): dot
+    * products and norms are single-rounded IEEE on both engines, so
+    * the DuckDB side reconstructs the embeddings from md5 and matches
+    * bit-exactly. Payloads never shuffle — only (asset_id, 16 floats)
+    * rows move. */
+  private def q149MediaSimilar(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{NativeExprs, TopKAgg}
+    val feats = extractVectors(assets(s, d), new StubMediaCodec(16))(s).toDF()
+    val q = feats.filter(col("asset_id") < simNQ)
+      .select(col("asset_id").as("q_id"), col("features").as("qf"))
+    feats.crossJoin(broadcast(q))
+      .filter(col("asset_id") =!= col("q_id"))
+      .select(col("q_id"), col("asset_id").as("cand_id"),
+              NativeExprs.cosine_sim(col("features"), col("qf")).as("cos"))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("cos"), col("cand_id"), simK).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.id").as("asset_id"),
+              (floor(col("col.score") * 1000000) / 1000000).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_media_similar" -> q149MediaSimilar _,
     "q50_media_meta"     -> q50MediaMeta _,
     "q51_media_features" -> q51MediaFeatures _,
     "q52_frame_sample"   -> q52FrameSample _,
@@ -211,6 +264,29 @@ object Multimodal extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // embeddings reconstructed from md5 per (asset, j) — exact dyadic
+    // lattice values, so cosine matches the codec bit-for-bit
+    "q149_media_similar" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id,
+                 ['image','audio','video'][(doc_id % 3 + 1)::INT] AS mt,
+                 text FROM documents),
+          fv AS (SELECT asset_id,
+                   [CAST(CAST(('0x' || substr(md5(text || ':' || mt || ':'
+                        || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+                      AS DOUBLE) / 1024.0
+                    for j in range(0, 16)] AS v
+                 FROM f),
+          q AS (SELECT asset_id AS q_id, v AS qv FROM fv
+                WHERE asset_id < $simNQ),
+          sc AS (SELECT q.q_id, fv.asset_id AS cand_id,
+                        list_cosine_similarity(fv.v, q.qv) AS cos
+                 FROM fv, q WHERE fv.asset_id <> q.q_id),
+          r AS (SELECT q_id, cand_id, cos,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand_id) AS rnk FROM sc)
+          SELECT q_id, CAST(rnk AS BIGINT) AS rank, cand_id AS asset_id,
+                 floor(cos * 1000000) / 1000000 AS cos
+          FROM r WHERE rnk <= $simK ORDER BY q_id, rank""",
     "q50_media_meta" ->
       """SELECT media_type, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          max(n_bytes) AS max_bytes

@@ -49,6 +49,21 @@ class MultimodalSpec extends SparkTestBase {
            again.map(a => a.asset_id -> a.content_sig).toMap)
   }
 
+  test("q149: media similarity excludes self, ranks descending, is deterministic") {
+    val out = Multimodal.queries("q149_media_similar")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"query $q returned ${rows.length} != 3")
+      assert(rows.forall(_.getLong(2) != q), s"query $q retrieved itself")
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q not rank-ordered")
+    }
+    val again = Multimodal.queries("q149_media_similar")(spark, sfDir).collect()
+    assert(out.sameElements(again), "retrieval is not deterministic")
+  }
+
   test("frame sampling explodes only video assets, capped at 5 frames") {
     val fs = Multimodal.queries("q52_frame_sample")(spark, sfDir)
     val byAsset = fs.groupBy("asset_id").agg(count(lit(1)).as("n"))
