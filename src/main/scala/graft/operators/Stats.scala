@@ -168,9 +168,16 @@ object Stats extends QueryPack {
     * unchanged. Greedy comparisons use raw doubles with (score DESC,
     * id) tie-break — both engines compute identical IEEE arithmetic
     * from identical literals, the q126 margin precedent. */
-  private def q139MmrRerank(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < mmrNQueries)
+  private def q139MmrRerank(s: SparkSession, d: String): DataFrame =
+    mmrRerankCore(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      mmrNQueries, mmrK)
+
+  /** The q139 core over any (vec_id, embedding) relation — see the q139
+    * scaladoc; injectable for planted-data specs. */
+  private[graft] def mmrRerankCore(e: DataFrame, nQueries: Int,
+                                   k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -203,7 +210,7 @@ object Stats extends QueryPack {
     // stages; max(struct(m, -cid)) realizes the (m DESC, cid ASC)
     // argmax the oracle's row_number states
     poolAgg.join(simsMap, "q_id")
-      .select(col("q_id"), posexplode(expr(mmrGreedyExpr)))
+      .select(col("q_id"), posexplode(expr(mmrGreedyExpr(k))))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("step"),
               col("col.cid").as("cand_id"),
               (floor(col("col.m") * 1000000) / 1000000).as("mmr"))
@@ -214,9 +221,9 @@ object Stats extends QueryPack {
     * fold: seed with the pool's rank-1 element, then [[mmrK]]−1 steps of
     * argmax(λ·rel − (1−λ)·max-sim-to-selected) over the not-yet-selected
     * pool. Identical IEEE operations to the oracle's chained CTEs. */
-  private def mmrGreedyExpr: String =
+  private def mmrGreedyExpr(k: Int): String =
     s"""aggregate(
-          sequence(2, $mmrK),
+          sequence(2, $k),
           array(named_struct('cid', pool[0].id, 'm', pool[0].score)),
           (acc, i) -> concat(acc, transform(
             array(array_max(transform(
@@ -299,18 +306,25 @@ object Stats extends QueryPack {
     * exacts and their difference cross engines bit-exactly with no
     * float anywhere. Top-k is a TakeOrderedAndProject (bounded heaps,
     * no vocabulary sort). */
-  private def q140HeavyHitters(s: SparkSession, d: String): DataFrame = {
-    val tokC = Tables.documents(s, d)
+  private def q140HeavyHitters(s: SparkSession, d: String): DataFrame =
+    cmsHeavyHittersCore(Tables.documents(s, d), cmsD, cmsW, hhK)
+
+  /** The q140 core over any (text) relation with injectable sketch
+    * geometry — see the q140 scaladoc; planted-data specs shrink `w`
+    * to force collisions and watch the min-of-rows estimate behave. */
+  private[graft] def cmsHeavyHittersCore(docs: DataFrame, d: Int, w: Int,
+                                         k: Int): DataFrame = {
+    val tokC = docs
       .select(explode(expr(TextExprs.toks)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
     val tb = tokC.select(col("t"), col("cnt"),
-        explode(array((0 until cmsD).map(j =>
+        explode(array((0 until d).map(j =>
           struct(lit(j.toLong).as("j"),
                  (expr(s"cast(conv(substr(md5(concat('$j:', t)), 1, 15), " +
-                       s"16, 10) as bigint)") % cmsW).as("bkt"))): _*)).as("jb"))
+                       s"16, 10) as bigint)") % w).as("bkt"))): _*)).as("jb"))
       .select(col("t"), col("cnt"), col("jb.j").as("j"), col("jb.bkt").as("bkt"))
     val cms = tb.groupBy("j", "bkt").agg(sum("cnt").as("c"))
-    val top = tokC.orderBy(col("cnt").desc, col("t")).limit(hhK)
+    val top = tokC.orderBy(col("cnt").desc, col("t")).limit(k)
     broadcast(top)
       .join(tb.select("t", "j", "bkt"), "t")
       .join(cms, Seq("j", "bkt"))
@@ -379,8 +393,14 @@ object Stats extends QueryPack {
     * aggregation carrying (token, cnt) structs; at 100 TB the fold's
     * list is per-doc vocabulary-sized (bounded by doc length), never
     * corpus-sized. */
-  private def q142TokenEntropy(s: SparkSession, d: String): DataFrame = {
-    val tc = Tables.documents(s, d)
+  private def q142TokenEntropy(s: SparkSession, d: String): DataFrame =
+    tokenEntropyCore(Tables.documents(s, d))
+
+  /** The q142 core over any (doc_id, text) relation — injectable for
+    * exact-value specs (H = 0 for a one-token doc, ln k for a uniform
+    * k-token doc). */
+  private[graft] def tokenEntropyCore(docs: DataFrame): DataFrame = {
+    val tc = docs
       .select(col("doc_id"), explode(expr(TextExprs.toks)).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
     tc.groupBy("doc_id")

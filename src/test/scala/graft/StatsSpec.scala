@@ -203,6 +203,63 @@ class StatsSpec extends SparkTestBase {
       "status counts do not partition the live key set")
   }
 
+  test("planted MMR: the duplicate of an already-selected result is skipped") {
+    import spark.implicits._
+    // query v0; candidates: v1 and v2 IDENTICAL (rel 0.6 to q, sim 1.0
+    // to each other), v3 less relevant (0.3) but nearly orthogonal to
+    // v1. Plain top-2 = {v1, v2}; MMR step 2 must skip the duplicate:
+    //   m(v2) = 0.7*0.6 - 0.3*1.00 = 0.120
+    //   m(v3) = 0.7*0.3 - 0.3*0.18 = 0.156  > m(v2)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f)),
+      (3L, Array(0.3f, 0.0f, 0.954f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Stats.mmrRerankCore(e, nQueries = 1, k = 2)
+      .collect().sortBy(_.getLong(1))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L),
+      s"expected selection [1, 3], got ${out.map(_.getLong(2)).toSeq} — " +
+        "MMR failed to skip the planted duplicate")
+  }
+
+  test("planted CMS: a colliding sketch still never underestimates, and the min matters") {
+    import spark.implicits._
+    // 3 distinct tokens into w=2 buckets per row forces collisions; with
+    // d=3 rows the min can beat a single row's collided estimate
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha beta"),
+      (2L, "gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Stats
+      .cmsHeavyHittersCore(docs, d = 3, w = 2, k = 3).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: estimate below exact count")
+    }
+    // with 3 tokens in 2 buckets at least one token must share a bucket
+    // somewhere — the total overestimate across the report is positive
+    assert(out.map(_.getLong(3)).sum > 0,
+      "no collision at w=2 with 3 tokens — the sketch paths are untested")
+  }
+
+  test("planted entropy: exact values — 0 for constant doc, ln k for uniform doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x x"),
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Stats.tokenEntropyCore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the floored value may sit one 1e-6 grid step below the exact 0
+    // (ln n and (n·ln n)/n round differently by one ulp)
+    assert(math.abs(out(1L)) <= 1e-6, s"constant doc entropy ${out(1L)} != ~0")
+    val lnkFloored = math.floor(math.log(4.0) * 1e6) / 1e6
+    assert(math.abs(out(2L) - lnkFloored) < 1e-9,
+      s"uniform 4-token doc entropy ${out(2L)} != floor(ln 4)")
+  }
+
   test("q141: drift ranking matches the integer cross-product identity") {
     val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
     assert(out.length > 0)
