@@ -375,8 +375,9 @@ object Stats extends QueryPack {
   }
 
   /** Low-entropy flag threshold for q142 (compared on the FLOORED
-    * entropy so the flag is as deterministic as the value). */
-  private val entThreshold = 2.0
+    * entropy so the flag is as deterministic as the value); shared with
+    * the streaming gate so both forms agree on the boundary. */
+  private[graft] val entThreshold = 2.0
 
   /** q142: TOKEN-ENTROPY QUALITY SIGNAL — per-document Shannon entropy
     * of the token distribution, H = ln(n) − (Σ c·ln c)/n: the

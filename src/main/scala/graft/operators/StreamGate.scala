@@ -200,7 +200,16 @@ object StreamGate extends QueryPack {
     runToBatch(s, out).orderBy("doc_id", "pos")
   }
 
+  /** Streaming entropy score over the whole documents table — the
+    * stateless per-row fold must bit-match batch q142's token-sorted
+    * aggregation, so q142's oracle gates the streamed output verbatim
+    * (see [[StreamOps.entropyScoreStream]]). */
+  private def q150EntropyStream(s: SparkSession, d: String): DataFrame =
+    runToBatch(s, StreamOps.entropyScoreStream(docStream(s, d)))
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_entropy_stream" -> q150EntropyStream _,
     "q104_incdedup_stream" -> q104IncDedupStream _,
     "q112_quality_stream" -> q112QualityStream _,
     "q118_window_stream" -> q118WindowStream _,
@@ -210,6 +219,9 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // batch-equivalence: the per-row sorted fold is bit-identical to the
+    // batch aggregation, so q142's oracle covers the stream verbatim
+    "q150_entropy_stream" -> Stats.oracles("q142_token_entropy"),
     // batch-equivalence: the streaming twin must hash-match the batch
     // q76 oracle verbatim
     "q104_incdedup_stream" -> Dedup.oracles("q76_incremental_dedup"),

@@ -139,6 +139,39 @@ object StreamOps {
       .drop("sh", "bench_sh")
   }
 
+  /** Streaming TOKEN-ENTROPY SCORE — batch q142 as a pure projection:
+    * per-row Shannon entropy of the document's own token distribution
+    * (the statistic needs nothing beyond the row, so the stream form is
+    * STATELESS map work — no state store, no watermark, any trigger; at
+    * ingest this is the cheapest gibberish gate that can run). The per-
+    * row fold visits distinct tokens in SORTED order (`array_distinct`
+    * of the sorted token array preserves that order), so the float sum
+    * adds the exact same terms in the exact same order as the batch
+    * aggregation's token-sorted fold — the two forms are bit-identical
+    * and the batch DuckDB oracle covers the streamed output verbatim
+    * (q150's gate). Per-row cost is O(tokens · distinct) from the
+    * count-by-filter; documents bound both factors. */
+  def entropyScoreStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextExprs.let1
+    val raw = let1("sort_array(split(trim(text), '\\\\s+'))", "t",
+      let1("cast(size(t) as double)", "n",
+        """named_struct(
+             'n_tokens', cast(size(t) as bigint),
+             'distinct_tokens', cast(size(array_distinct(t)) as bigint),
+             'raw', ln(n) - aggregate(
+                 transform(array_distinct(t), x -> """ +
+          let1("cast(size(filter(t, y -> y = x)) as double)", "c",
+               "c * ln(c)") + """),
+                 cast(0 as double), (acc, x) -> acc + x) / n)"""))
+    docs.select(col("doc_id"), expr(raw).as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+              col("e.distinct_tokens").as("distinct_tokens"),
+              (floor(col("e.raw") * 1000000) / 1000000).as("entropy"))
+      .withColumn("low_entropy",
+        when(col("entropy") < graft.operators.Stats.entThreshold, 1L)
+          .otherwise(0L))
+  }
+
   final case class BucketDoc(bucket: Long, doc_id: Long,
                              ts: java.sql.Timestamp, sh: Array[Long])
   final case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double,
