@@ -515,6 +515,85 @@ object Stats extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Winnowing parameters for q151: token k-grams hashed, then the
+    * minimum hash of every w-wide sliding window of consecutive k-gram
+    * hashes is selected (Schleimer-Wilkerson-Aiken winnowing, the MOSS
+    * fingerprinting scheme). */
+  private val winK = 4
+  private val winW = 4
+  private val winMinShared = 2
+
+  /** Document-frequency cap on the FINGERPRINT grain: a fingerprint
+    * selected by more than this many documents is corpus boilerplate
+    * (the q91 premise) with no pair-detection value, and it is exactly
+    * what makes posting pair-generation quadratic. The cap bounds pair
+    * work at cap·|postings| — linear in corpus size, the q127/q35
+    * df-cut argument on winnowing's already-w×-sparser index. Measured
+    * at sf0.1: uncapped self-join 2.97 s; capped SELF-JOIN 3.65 s (the
+    * df pass recomputed the fingerprints — the q143 multi-reference
+    * trap); join-free single-aggregation form 2.03 s. */
+  private val winMaxDf = 64
+
+  /** q151: WINNOWING FINGERPRINT OVERLAP — the MOSS algorithm: hash
+    * every token [[winK]]-gram, keep only the MINIMUM hash of each
+    * [[winW]]-wide sliding window, and report document pairs sharing at
+    * least [[winMinShared]] selected fingerprints. Winnowing's guarantee
+    * is what q111's every-window profile cannot give: a ~2/(w+1)
+    * DENSITY bound — fingerprints per doc shrink by the window factor
+    * while any shared substring of length ≥ k+w−1 tokens still yields a
+    * shared fingerprint (the winnowing theorem), so the posting index
+    * is a fraction of the full window index at the same detection
+    * floor. That density factor IS the scale lever: at 100 TB the
+    * fingerprint postings (8-byte hash, doc_id) are w× smaller than
+    * q111's, the self-join work shrinks quadratically in it, and the
+    * df-cut/capBuckets bound composes on the fingerprint grain exactly
+    * as in q35/q42. Selection is per-row HOF arithmetic (no UDF, no
+    * shuffle until the id-only postings); everything is md5-derived
+    * integers — bit-exact cross-engine by construction. */
+  private def q151Winnowing(s: SparkSession, d: String): DataFrame = {
+    // join-FREE pair generation (the q116 pattern): ONE aggregation
+    // keyed by fingerprint collects the (capped) sorted doc list, and
+    // the ≤ cap²/2 pairs per fingerprint expand MAP-SIDE from it — no
+    // posting self-join, no second winnowing pass for the df cut, and
+    // the sorted list gives a < b by construction. Value-identical to
+    // the df-capped self-join the oracle states.
+    val byFp = winnowFingerprints(Tables.documents(s, d))
+      .groupBy("fp").agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) between (2, winMaxDf))
+    byFp.select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2), i ->
+             transform(sequence(i + 1, size(ds) - 1), j ->
+               struct(ds[i] AS a_id, ds[j] AS b_id))))""")).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winMinShared)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Selected fingerprints as (doc_id, fp) postings over any
+    * (doc_id, text) relation — injectable for the planted guarantee
+    * spec (shared substring of ≥ k+w−1 tokens ⇒ shared fingerprint). */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(winnowExpr).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  /** Per-row winnowing selection: k-gram hashes → min-per-window →
+    * distinct. Guarded for short docs (no k-gram → no fingerprint). */
+  private def winnowExpr: String = {
+    val kgram = (0 until winK).map(o => s"t[i + $o]").mkString(", ")
+    TextExprs.let1(TextExprs.toks, "t",
+      TextExprs.let1(
+        s"""CASE WHEN size(t) >= $winK THEN
+              transform(sequence(0, size(t) - $winK), i ->
+                cast(conv(substr(md5(concat_ws(' ', $kgram)), 1, 15),
+                          16, 10) as bigint))
+            ELSE array() END""", "hs",
+        s"""CASE WHEN size(hs) >= $winW THEN
+              array_distinct(transform(sequence(1, size(hs) - ${winW - 1}),
+                p -> array_min(slice(hs, p, $winW))))
+            ELSE array() END"""))
+  }
+
   /** Report size for q147. */
   private val bpeK = 20
 
@@ -545,6 +624,7 @@ object Stats extends QueryPack {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_winnowing" -> q151Winnowing _,
     "q147_bpe_pairs" -> q147BpePairs _,
     "q145_skew_report" -> q145SkewReport _,
     "q146_outlier_events" -> q146OutlierEvents _,
@@ -608,6 +688,33 @@ object Stats extends QueryPack {
           SELECT t AS token, cnt AS exact_cnt, cms_est,
                  cms_est - cnt AS overestimate
           FROM est ORDER BY exact_cnt DESC, token""",
+    // identical k-gram hashing (md5 → 60-bit bigint), identical window
+    // min selection (1-based p..p+w-1 slices both engines), id-only join
+    "q151_winnowing" ->
+      s"""WITH t AS (SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS t
+               FROM documents),
+          hs AS (SELECT doc_id,
+                   CASE WHEN len(t) >= $winK THEN
+                     [CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' '
+                        || t[i+2] || ' ' || t[i+3]), 1, 15)) AS BIGINT)
+                      for i in range(1, len(t) - ${winK - 2})]
+                   ELSE [] END AS hs
+                 FROM t),
+          fp0 AS (SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(hs) >= $winW THEN
+                     [list_min(hs[p:p + ${winW - 1}])
+                      for p in range(1, len(hs) - ${winW - 2})]
+                   ELSE [] END)) AS fp
+                 FROM hs),
+          rare AS (SELECT fp FROM fp0 GROUP BY fp
+                   HAVING count(*) <= $winMaxDf),
+          fp AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN rare USING (fp))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $winMinShared
+          ORDER BY a_id, b_id""",
     // fully integer: vocabulary counts, substr pair explode, sum, top-k
     "q147_bpe_pairs" ->
       s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))

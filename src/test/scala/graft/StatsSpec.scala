@@ -260,6 +260,27 @@ class StatsSpec extends SparkTestBase {
       s"uniform 4-token doc entropy ${out(2L)} != floor(ln 4)")
   }
 
+  test("planted winnowing: a shared >= k+w-1 token span yields a shared fingerprint") {
+    import spark.implicits._
+    // shared span of 10 tokens > k+w-1 = 7 — the winnowing theorem
+    // guarantees at least one selected fingerprint in common, despite
+    // completely different surrounding context
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four five $shared six seven")
+    ).toDF("doc_id", "text")
+    val byDoc = graft.operators.Stats.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "no shared fingerprint for a 10-token shared span — guarantee violated")
+    // density: doc 1 has 15 tokens -> 12 k-gram hashes; winnowing must
+    // select strictly fewer fingerprints than raw hashes
+    assert(byDoc(1L).size < 12,
+      s"winnowing selected ${byDoc(1L).size} of 12 hashes — no density win")
+  }
+
   test("q141: drift ranking matches the integer cross-product identity") {
     val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
     assert(out.length > 0)
