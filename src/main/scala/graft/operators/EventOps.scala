@@ -183,7 +183,42 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "status")
   }
 
+  /** q152: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    * merge pattern: yesterday's aggregate (base = rows up to the log's
+    * temporal midpoint, standing in for the persisted snapshot) merged
+    * with the fresh delta's aggregate by KEYED ADDITION of partial
+    * states, instead of rescanning history — at 100 TB the base side is
+    * a read of the stored (key, count, sum) rows and only the delta
+    * scans, which is the entire point of maintaining the view. Count
+    * and sum merge exactly (min/max do too; avg rides (sum, n);
+    * distinct needs q28's sketches); the DuckDB oracle is the FULL
+    * recompute over all rows, so the hash gate certifies
+    * merge ≡ recompute cross-engine. Plan: two groups-sized aggregates
+    * and one key-grain full-outer join; the float sums land on the
+    * repo's round(·, 2) aggregate contract (q21's precedent on the
+    * same column). */
+  private def q152IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"),
+      expr("unix_micros(ts)").as("us"))
+    val mid = ev.agg(((min("us") + max("us")) / lit(2)).cast("long").as("mid"))
+    def partialAgg(df: DataFrame, p: String) = df.groupBy("event_type", "day")
+      .agg(count(lit(1)).as(s"${p}_n"), sum("value").as(s"${p}_s"))
+    val base = partialAgg(
+      ev.crossJoin(broadcast(mid)).filter(col("us") <= col("mid")), "b")
+    val delta = partialAgg(
+      ev.crossJoin(broadcast(mid)).filter(col("us") > col("mid")), "d")
+    base.join(delta, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        round(coalesce(col("b_s"), lit(0.0)) + coalesce(col("d_s"), lit(0.0)),
+              2).as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_incremental_agg" -> q152IncrementalAgg _,
     "q148_state_diff" -> q148StateDiff _,
     "q144_scd2_intervals" -> q144Scd2Intervals _,
     "q20_ingest_bucket" -> q20IngestBucket _,
@@ -196,6 +231,13 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the FULL recompute — a pass certifies the base+delta state merge
+    // equals rescanning history, cross-engine
+    "q152_incremental_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                round(sum("value"), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "q148_state_diff" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, ts,
                 epoch_us(ts::TIMESTAMP) AS us FROM events),

@@ -192,6 +192,21 @@ class StatsSpec extends SparkTestBase {
     assert(cnts.head > 0)
   }
 
+  test("q152: the base+delta merge equals the direct full recompute in-engine") {
+    val merged = SparkEntry.queries("q152_incremental_agg")(spark, sfDir).collect()
+    val full = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type", "day").collect()
+    assert(merged.length == full.length)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.getString(0) == f.getString(0) && m.getString(1) == f.getString(1))
+      assert(m.getLong(2) == f.getLong(2), s"count mismatch at ${m.getString(1)}")
+      assert(m.getDouble(3) == f.getDouble(3),
+        s"merged sum ${m.getDouble(3)} != recomputed ${f.getDouble(3)} at ${m.getString(1)}")
+    }
+  }
+
   test("q148: statuses partition the live key set; early keys never 'added'") {
     val out = SparkEntry.queries("q148_state_diff")(spark, sfDir).collect()
     assert(out.nonEmpty)
