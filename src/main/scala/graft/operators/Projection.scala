@@ -467,10 +467,83 @@ object Projection extends QueryPack {
         GROUP BY base.q_id ORDER BY base.q_id"""
   }
 
+  /** Truncated-RBO parameters for q153: persistence p and eval depth. */
+  private val rboP = 0.9
+  private val rboDepth = 5
+
+  /** Scala-computed coefficient table shared VERBATIM by both engines:
+    * a matched id whose worse-of-the-two ranks is m contributes exactly
+    * coef(m) = (1−p)·Σ_{d=m..k} p^(d−1)/d to truncated RBO@k, so the
+    * whole metric reduces to an integer histogram times these literal
+    * doubles — every cross-engine float hazard (powers, 1−p, the inner
+    * sum) collapses into constants computed once here and interpolated
+    * into BOTH the Spark plan and the DuckDB oracle. */
+  private val rboCoefs: Array[Double] = {
+    val w = Array.iterate(1.0, rboDepth)(_ * rboP)
+    Array.tabulate(rboDepth)(i =>
+      (1.0 - rboP) * (i until rboDepth).map(d => w(d) / (d + 1)).sum)
+  }
+
+  /** q153: RANK-BIASED OVERLAP EVAL — the top-weighted ranking-quality
+    * metric beside q109/q115's flat recall: truncated RBO@[[rboDepth]]
+    * (Webber et al.) between the 64-bit sign-bit Hamming ranking
+    * (q135's retrieval) and the exact-cosine ranking, per query.
+    * Recall treats a hit at rank 1 and rank 5 the same; RBO's
+    * geometric weights (p = [[rboP]]) score agreement where users
+    * look — the metric retrieval teams actually tune compressed
+    * indexes against. Shape: both rankings are the existing bounded
+    * harness (broadcast queries, map-side scoring, heap top-k); the
+    * metric itself is ONE integer histogram per query (worse-rank m of
+    * each intersected id) dotted with the [[rboCoefs]] literals — no
+    * float enters until that final dot product, whose five terms fold
+    * in written order on both engines. */
+  private def q153RboEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val sigs = e.select(col("vec_id"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
+        acc + IF(element_at(embedding, j + 1) >= 0.0F,
+                 shiftleft(1L, j), 0L))""").as("sig"))
+    val q = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val binRank = sigs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham", expr("bit_count(sig ^ qsig)").cast("long"))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score((lit(64L) - col("ham")).cast("double"),
+             col("vec_id"), rboDepth).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"), (col("pos") + 1).as("br"))
+    val qo = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exRank = e.crossJoin(broadcast(qo))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("qv")))
+      .groupBy("q_id")
+      .agg(TopKAgg.top_k_by_score(col("cos"), col("vec_id"), rboDepth)
+             .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"), (col("pos") + 1).as("ar"))
+    val histAggs = (1 to rboDepth).map(k =>
+      sum(when(col("m") === k, 1L).otherwise(0L)).as(s"h$k"))
+    val hs = exRank.join(binRank, Seq("q_id", "n_id"))
+      .select(col("q_id"), greatest(col("ar"), col("br")).as("m"))
+      .groupBy("q_id")
+      .agg(histAggs.head, histAggs.tail: _*)
+    val overlap = (1 to rboDepth).map(k => col(s"h$k")).reduce(_ + _)
+    val rbo = (1 to rboDepth).map(k => col(s"h$k") * lit(rboCoefs(k - 1)))
+      .reduce(_ + _)
+    qo.select("q_id").join(hs, Seq("q_id"), "left")
+      .na.fill(0, (1 to rboDepth).map(k => s"h$k"))
+      .select(col("q_id"), overlap.as("overlap"),
+              (floor(rbo * 1000000) / 1000000).as("rbo"))
+      .orderBy("q_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_pca_sweep" -> q125PcaSweep _,
     "q135_binary_ann" -> q135BinaryAnn _,
     "q136_pca_binary" -> q136PcaBinary _,
+    "q153_rbo_eval" -> q153RboEval _,
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -482,7 +555,60 @@ object Projection extends QueryPack {
 
   // dir-agnostic fallback, usable only when exactly one projection was
   // trained this process (the Similarity codebook contract)
+  /** q153's oracle: both rankings replicated with their rank positions
+    * kept, the worse-rank histogram, and the [[rboCoefs]] literals in
+    * the same written fold order as the Spark column expression. */
+  private def rboOracleSql: String = {
+    val hCols = (1 to rboDepth).map(k =>
+      s"CAST(sum(CASE WHEN m = $k THEN 1 ELSE 0 END) AS BIGINT) AS h$k")
+      .mkString(",\n                      ")
+    val overlap = (1 to rboDepth).map(k => s"coalesce(h$k, 0)").mkString(" + ")
+    // CAST the integer histogram to DOUBLE before multiplying: a bare
+    // decimal literal is DECIMAL in DuckDB, and BIGINT × DECIMAL stays
+    // exact-decimal arithmetic — one grid step off Spark's IEEE double
+    // fold. DOUBLE × DECIMAL promotes the literal to double instead.
+    val dot = (1 to rboDepth)
+      .map(k => s"CAST(coalesce(h$k, 0) AS DOUBLE) * ${rboCoefs(k - 1)}")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sg AS (SELECT vec_id,
+                 CAST(list_sum(list_transform(range(0, 64), j ->
+                   CASE WHEN v[j + 1] >= 0 THEN
+                     (CASE WHEN j = 63 THEN -9223372036854775808
+                           ELSE (1::BIGINT << j) END)
+                   ELSE 0 END)) AS BIGINT) AS sig
+               FROM e),
+        q AS (SELECT vec_id AS q_id, sig AS qsig FROM sg WHERE vec_id < 10),
+        sc AS (SELECT q.q_id, sg.vec_id AS n_id,
+                      bit_count(xor(sg.sig, q.qsig)) AS ham
+               FROM sg, q WHERE sg.vec_id <> q.q_id),
+        tp AS (SELECT q_id, n_id, rnk AS br FROM (
+                 SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY ham ASC, n_id) AS rnk FROM sc)
+               WHERE rnk <= $rboDepth),
+        qo AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        bsc AS (SELECT qo.q_id, e.vec_id AS n_id,
+                       list_cosine_similarity(e.v, qo.qv) AS c
+                FROM e, qo WHERE e.vec_id <> qo.q_id),
+        base AS (SELECT q_id, n_id, rnk AS ar FROM (
+                   SELECT q_id, n_id,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY c DESC, n_id) AS rnk FROM bsc)
+                 WHERE rnk <= $rboDepth),
+        mm AS (SELECT base.q_id, greatest(base.ar, tp.br) AS m
+               FROM base JOIN tp ON tp.q_id = base.q_id
+                                AND tp.n_id = base.n_id),
+        hh AS (SELECT q_id, $hCols
+               FROM mm GROUP BY 1),
+        ql AS (SELECT vec_id AS q_id FROM e WHERE vec_id < 10)
+        SELECT ql.q_id, CAST($overlap AS BIGINT) AS overlap,
+               floor(($dot) * 1000000) / 1000000 AS rbo
+        FROM ql LEFT JOIN hh USING (q_id) ORDER BY ql.q_id"""
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q153_rbo_eval" -> rboOracleSql,
     "q125_pca_sweep" -> (if (pcaCache.size == 1)
         pcaOracleSqlTrained(pcaCache.values.iterator.next())
       else "SELECT 1 AS q125_not_built_unambiguously_this_process"),

@@ -74,4 +74,22 @@ class ProjectionSpec extends SparkTestBase {
         s"rotation distorted the distance between rows $i and $j")
     }
   }
+
+  test("q153: RBO in [0,1], top-weighted, and overlap agrees with q135's hits") {
+    val rbo = Projection.queries("q153_rbo_eval")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rbo.nonEmpty)
+    rbo.values.foreach { case (ov, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"RBO $v outside [0,1]")
+      assert(ov >= 0 && ov <= 5)
+      // zero overlap forces zero RBO and vice versa
+      assert((ov == 0) == (v == 0.0), "overlap/RBO zero-consistency broken")
+    }
+    // the intersected id set is the same one q135's recall counts
+    val hits = Projection.queries("q135_binary_ann")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rbo.foreach { case (q, (ov, _)) =>
+      assert(ov == hits(q), s"query $q: RBO overlap $ov != q135 hits ${hits(q)}")
+    }
+  }
 }
