@@ -356,6 +356,42 @@ object Dedup extends QueryPack {
   private def q81SimhashNearDup(s: SparkSession, d: String): DataFrame =
     simhashNearDupPairs(s, d)
 
+  /** q154: SIMHASH RADIUS TUNING CURVE — the Hamming-threshold knob
+    * swept the way q115 sweeps nprobe and q129 sweeps shingle n: pair
+    * volume and precision (against q42's exact-verified Jaccard ≥ 0.8
+    * ground truth) at radius r ∈ {1, 2, 3}, in ONE pass over the
+    * banded candidate set (radius ≤ 3 keeps q81's pigeonhole recall-1
+    * guarantee for every swept r, so the curve is exact, not sampled).
+    * Tightening r trades recall of looser near-dups for precision —
+    * THE decision every simhash deployment tunes, made visible and
+    * cross-engine-gated. Plan: the q81 pair set joins the q42 pair set
+    * once (both id-only bounded pipelines), one conditional-sum
+    * aggregate produces all six counters, and the three report rows
+    * explode from that single row — no per-radius recompute (the q143
+    * single-reference lesson). */
+  private def q154SimhashSweep(s: SparkSession, d: String): DataFrame = {
+    val ham = simhashNearDupPairs(s, d)
+    val nd = minhashLshPairsCore(s, d)
+      .select(col("a_id"), col("b_id"), lit(1L).as("isdup"))
+    val j = ham.join(nd, Seq("a_id", "b_id"), "left")
+    val aggs = (1 to 3).flatMap(r => Seq(
+      sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"p$r"),
+      sum(when(col("hamming") <= r, coalesce(col("isdup"), lit(0L)))
+        .otherwise(0L)).as(s"t$r")))
+    j.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to 3).map(r =>
+        struct(lit(r.toLong).as("radius"),
+               coalesce(col(s"p$r"), lit(0L)).as("n_pairs"),
+               coalesce(col(s"t$r"), lit(0L)).as("n_true"))): _*)).as("x"))
+      .select(col("x.radius").as("radius"), col("x.n_pairs").as("n_pairs"),
+              col("x.n_true").as("n_true"),
+              when(col("x.n_pairs") === 0, lit(null).cast("double"))
+                .otherwise(floor(col("x.n_true")
+                  / col("x.n_pairs").cast("double") * 1000) / 1000)
+                .as("precision"))
+      .orderBy("radius")
+  }
+
   /** NEAR-DUP CONSENSUS — the ensemble report production dedup ships
     * when it runs more than one detector: the union of the MinHash-LSH
     * pair set (q42: shingle Jaccard >= 0.8, recall 1 by exact verify)
@@ -761,7 +797,35 @@ object Dedup extends QueryPack {
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
+    "q154_simhash_sweep" -> q154SimhashSweep _,
   )
+
+  /** q154's oracle — the q81 banded-signature SQL and q42's exact
+    * Jaccard SQL composed verbatim (both already pass the gate), the
+    * six conditional sums, and the three report rows. */
+  private def simhashSweepOracleSql: String = {
+    val counters = (1 to 3).map(r =>
+      s"""CAST(coalesce(sum(CASE WHEN hamming <= $r THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS p$r,
+          CAST(coalesce(sum(CASE WHEN hamming <= $r THEN isdup ELSE 0 END), 0)
+            AS BIGINT) AS t$r""").mkString(",\n          ")
+    val rows = (1 to 3).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS radius, p$r AS n_pairs, t$r AS n_true FROM one")
+      .mkString("\n          UNION ALL ")
+    s"""WITH ham AS ($simhashNearDupOracleSql),
+        nd AS (${TextAnalysis.oracles("q35_ngram_jaccard")}),
+        j AS (SELECT ham.hamming,
+                     CASE WHEN nd.a_id IS NOT NULL THEN 1 ELSE 0 END AS isdup
+              FROM ham LEFT JOIN nd ON nd.a_id = ham.a_id
+                                   AND nd.b_id = ham.b_id),
+        one AS (SELECT $counters FROM j),
+        r AS ($rows)
+        SELECT radius, n_pairs, n_true,
+               CASE WHEN n_pairs = 0 THEN NULL
+                    ELSE floor(n_true / CAST(n_pairs AS DOUBLE) * 1000) / 1000
+               END AS precision
+        FROM r ORDER BY radius"""
+  }
 
   /** q81's oracle — the banded-signature SQL, hoisted so q114's consensus
     * oracle can reuse it verbatim (and q106's stream gate references it
@@ -854,6 +918,7 @@ object Dedup extends QueryPack {
     // at Hamming <= 3 (pigeonhole over 4 bands), so banded retrieval ≡
     // the all-pairs scan the oracle effectively performs.
     "q81_simhash_neardup" -> simhashNearDupOracleSql,
+    "q154_simhash_sweep" -> simhashSweepOracleSql,
     // q114: the two exact pair oracles (q42's = the q35 inverted-index
     // SQL at recall 1; q81's = the banded-signature SQL) full-joined on
     // the pair key, flags from side presence — the same fusion the Spark

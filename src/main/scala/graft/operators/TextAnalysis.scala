@@ -116,6 +116,21 @@ object TextAnalysis extends QueryPack {
               }._2))
   }
 
+  /** q155: LANGUAGE-ID CONFUSION MATRIX — the classifier EVAL for q33:
+    * the declared `lang` column (ground truth) crossed with the
+    * n-gram-heuristic prediction, one row per (actual, predicted) cell.
+    * This is the report that decides whether the cheap heuristic is
+    * good enough to gate a per-language corpus split (q131 shows what
+    * label noise does downstream): off-diagonal mass IS the label-noise
+    * rate, per language. Pure map work + one groups-sized aggregate —
+    * fully integer, and the prediction logic is the SAME function q33
+    * gates, so the matrix is consistent with the declared classifier by
+    * construction. */
+  private def q155LangConfusion(s: SparkSession, d: String): DataFrame =
+    langIdScored(Tables.documents(s, d))
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
   private def q33LangId(s: SparkSession, d: String): DataFrame =
     langIdScored(Tables.documents(s, d))
       .select(col("doc_id"), col("predicted_lang"),
@@ -391,6 +406,7 @@ object TextAnalysis extends QueryPack {
     "q31_lang_stats"    -> q31LangStats _,
     "q32_quality"       -> q32Quality _,
     "q33_langid"        -> q33LangId _,
+    "q155_lang_confusion" -> q155LangConfusion _,
     "q34_fingerprint"   -> q34Fingerprint _,
     "q35_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       // maxDf = -1 → corpus size as a lazy broadcast scalar: no shingle
@@ -452,6 +468,27 @@ object TextAnalysis extends QueryPack {
          JOIN norms nb ON nb.doc_id = b_id
          WHERE dot / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.8
          ORDER BY a_id, b_id""",
+    // q33's prediction CASE verbatim, with the ground-truth lang kept
+    "q155_lang_confusion" ->
+      """WITH t AS (SELECT lang, text,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT lang, length(text) AS n_len,
+           length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS score_cjk,
+           len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it'))) AS score_en,
+           len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit'))) AS score_de,
+           len(list_filter(toks, t -> t IN ('el','la','los','las','es','una','que','por'))) AS score_es,
+           len(list_filter(toks, t -> t IN ('le','les','des','est','une','dans','qui','pas'))) AS score_fr
+           FROM t),
+         p AS (SELECT lang,
+           CASE WHEN score_cjk > n_len * 0.3 THEN 'zh'
+                WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+           FROM s)
+         SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+         FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""",
     "q33_langid" ->
       """WITH t AS (SELECT doc_id, text,
            string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -54,7 +54,7 @@ class PlanSpec extends SparkTestBase {
       // q114/q122/q131 compose the q42 (+ q81) pair pipelines, so they
       // inherit q42's verifyJoin adaptive size guard
       "q114_neardup_consensus", "q122_split_leakage", "q131_crosslang_audit",
-      "q143_neardup_degree",
+      "q143_neardup_degree", "q154_simhash_sweep",
       // the streaming-gate queries RUN a bounded streaming query inside
       // the declared function by design (the batch-equivalence harness)
       "q104_incdedup_stream", "q105_contamination_stream",

@@ -296,6 +296,37 @@ class StatsSpec extends SparkTestBase {
       s"winnowing selected ${byDoc(1L).size} of 12 hashes — no density win")
   }
 
+  test("q154: radius curve is monotone; true pairs bounded by detected pairs") {
+    val out = SparkEntry.queries("q154_simhash_sweep")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_true exceeds n_pairs")
+    }
+    val pairs = out.map(_.getLong(1)); val trues = out.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b },
+      "pair volume must grow with the radius")
+    assert(trues.zip(trues.tail).forall { case (a, b) => a <= b },
+      "true-pair count must grow with the radius")
+  }
+
+  test("q155: confusion-matrix mass covers the corpus; diagonal is majority per lang") {
+    val out = SparkEntry.queries("q155_lang_confusion")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(2)).sum == nDocs, "matrix mass != corpus size")
+    // the heuristic must beat noise on its home turf: for every actual
+    // language that IS one of the classifier's classes, the diagonal
+    // cell outweighs each single off-diagonal cell
+    val byLang = out.groupBy(_.getString(0))
+    for ((lang, cells) <- byLang if Set("en", "de", "es", "fr", "zh")(lang)) {
+      val diag = cells.filter(_.getString(1) == lang).map(_.getLong(2)).sum
+      val offMax = cells.filter(_.getString(1) != lang).map(_.getLong(2))
+        .foldLeft(0L)(math.max)
+      assert(diag >= offMax,
+        s"$lang: diagonal $diag below an off-diagonal cell $offMax")
+    }
+  }
+
   test("q141: drift ranking matches the integer cross-product identity") {
     val out = SparkEntry.queries("q141_corpus_drift")(spark, sfDir).collect()
     assert(out.length > 0)
