@@ -138,6 +138,15 @@ object Bench {
     // the full record above
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","truncated":true,"n_queries":${results.size},"reps":$reps,"stream_rows_per_sec":${f3(sRate)},"failed":$failed,"queries_note":"slowest only; full per-query map in the preceding line and the sidecar","queries":$slowQs,"sf":"$sfDir"}""")
     spark.stop()
+    // a non-empty failed list is a red run, and the exit code must say so:
+    // round 6 exited 0 over 13 crashed queries and five commits shipped on
+    // top of the green-looking total (both JSON lines above are already
+    // flushed, so the driver still gets the full record)
+    val nFailed = results.count(_._2 < 0)
+    if (nFailed > 0) {
+      System.err.println(s"[bench] RED RUN: $nFailed queries failed every rep")
+      sys.exit(1)
+    }
   }
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {

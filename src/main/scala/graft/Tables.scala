@@ -34,17 +34,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects at scan
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long (legacy conf) and
-    * convert with integer division — `ts div 1000` keeps full precision
-    * (a double would lose it: ns-since-2024 ≈ 1.7e18 > 2^53), truncating
-    * toward zero exactly like DuckDB's `::TIMESTAMP` ns→µs cast.
+  /** `events.ts` has shipped under two physical parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark 4 rejects at scan
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as a raw nanos long via the
+    * legacy conf — and plain TIMESTAMP(MICROS), which scans natively as
+    * TIMESTAMP_NTZ. Dispatch on the SCANNED type so a driver-side testdata
+    * regeneration can never break the events family again (SchemaDriftSpec
+    * pins both encodings):
+    *   - LongType (nanos-as-long): `ts div 1000` integer division keeps
+    *     full precision (a double would lose it: ns-since-2024 ≈ 1.7e18 >
+    *     2^53), truncating toward zero exactly like DuckDB's ns→µs cast.
+    *   - anything else (NTZ/LTZ): cast to session-local TIMESTAMP — LTZ
+    *     semantics are required because downstream queries use
+    *     `unix_micros`, which rejects NTZ.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -12,6 +12,21 @@ import java.nio.file.{Files, Paths}
   * hanging the whole round's correctness gate.
   */
 object Verify {
+  /** Analysis-only preflight: build every query's plan via `.schema` (no
+    * execution) and return the queries that fail analysis. Round 6 shipped
+    * 13 crashed queries because an analysis error only surfaced as a
+    * shrunken correctness file; the preflight turns that into a named,
+    * non-zero-exit failure BEFORE anything is dumped. Exposed for
+    * PreflightSpec, which feeds it a deliberately-broken query. */
+  private[graft] def preflight(
+      spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Seq[(String, Throwable)] =
+    queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).schema; None }
+      catch { case e: Throwable => Some(name -> e) }
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,6 +53,19 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
+    }
+    // Stop-the-line gate: if ANY selected plan fails analysis, name every
+    // failure and abort non-zero before dumping — a partial dump looks like
+    // a green round with fewer queries (the round-6 failure mode).
+    val broken = preflight(spark, sfDir, selected)
+    if (broken.nonEmpty) {
+      broken.foreach { case (name, e) =>
+        System.err.println(s"[verify] PREFLIGHT FAILED $name: ${e.getMessage}")
+      }
+      System.err.println(
+        s"[verify] aborting: ${broken.size}/${selected.size} plans fail analysis")
+      spark.stop()
+      sys.exit(2)
     }
     selected.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {

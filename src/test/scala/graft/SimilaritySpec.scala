@@ -325,6 +325,18 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q156 persisted-index rerank: shape, descending cosine, no self-match") {
+    val rows = Similarity.queries("q156_ann_rerank")(spark, sfDir).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "rnk not 1..5")
+      val cs = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "cosine must descend with rank")
+      assert(g.forall(_.getLong(2) != q), "self-match leaked")
+    }
+  }
+
   test("q84 int8 quantization: code range and reconstruction-error bound") {
     val rows = Similarity.queries("q84_int8_quant")(spark, sfDir).collect()
     assert(rows.nonEmpty)
