@@ -570,6 +570,41 @@ object Similarity extends QueryPack {
     pqCodebookDf(s, pq, residual).write.mode("overwrite").parquet(s"$path/_pq_codebook")
   }
 
+  /** Load the persisted coarse codebook back into driver-side array form
+    * (k rows — constant, the same shape the training functions emit). */
+  private def loadCodebookArray(s: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = loadCodebook(s, path).collect()
+    val arr = new Array[Array[Double]](rows.length)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+    arr
+  }
+
+  /** APPEND a fresh vector batch to a persisted IVF-PQ index with FROZEN
+    * codebooks — incremental index maintenance: the batch is assigned and
+    * residual-encoded with the codebooks loaded from the index (never
+    * retrained — the production contract: codebooks are versioned
+    * artifacts, not per-batch state), and the new code rows land as
+    * additional files under their cells' partitions. The standing index
+    * is never read or rewritten; cost is one broadcast of k coarse rows +
+    * map-side encode + one batch-sized shuffle keyed by cell. q157
+    * certifies append ≡ full rebuild cross-engine. */
+  def ivfPqAppend(s: SparkSession, path: String, fresh: DataFrame): Unit = {
+    val coarse = loadCodebookArray(s, path)
+    val (pq, residual) = loadPqCodebook(s, path)
+    val assigned = ivfAssignCodebook(s, fresh, coarse)
+    val toEncode =
+      if (residual)
+        assigned
+          .join(broadcast(codebookDf(s, coarse)), col("centroid") === col("c_id"))
+          .withColumn("enc", expr(
+            "zip_with(transform(embedding, x -> cast(x as double)), cv, (a, b) -> a - b)"))
+      else assigned.withColumn("enc", col("embedding"))
+    toEncode
+      .select(col("vec_id"), col("centroid"),
+              NativeExprs.pq_encode(col("enc"), pq).as("codes"))
+      .write.mode("append").partitionBy("centroid").parquet(path)
+  }
+
   /** Search a materialized IVF-PQ index: rank the k coarse centroids per
     * query (broadcast, heap-ranked), scan only the top-`nprobe` cells'
     * partitions, score candidates by ADC over their code bytes (smallest
@@ -589,13 +624,14 @@ object Similarity extends QueryPack {
     * output IS the exact-cosine top-k of the ADC pool. */
   def ivfPqSearchRerank(s: SparkSession, path: String, queries: DataFrame,
                         corpus: DataFrame, topK: Int, nprobe: Int,
-                        rerankK: Int): DataFrame = {
+                        rerankK: Int,
+                        deleted: Option[DataFrame] = None): DataFrame = {
     require(rerankK >= topK, "rerank pool must be at least topK")
     // localCheckpoint: cand feeds TWO branches (the semi-join filter and
     // the rerank join) — without it each broadcast would re-execute the
     // whole ADC search (index scan + probe ranking + heap agg) from
     // scratch (the verifyJoin pattern)
-    val cand = ivfPqSearch(s, path, queries, rerankK, nprobe)
+    val cand = ivfPqSearch(s, path, queries, rerankK, nprobe, deleted)
       .select(col("q_id").as("c_q_id"), col("n_id"))
       .localCheckpoint()
     val vecs = corpus.select(col("vec_id"), col("embedding"))
@@ -608,9 +644,17 @@ object Similarity extends QueryPack {
       topK)
   }
 
+  /** `deleted`: optional tombstone set (vec_id rows) masked out of the
+    * candidate stream BEFORE ADC ranking — deleted ids neither surface
+    * nor consume top-k slots. Broadcast anti-join on the pruned scan;
+    * a tombstone set outgrowing broadcast swaps in the sharded-bloom
+    * split (q95) with a final exact anti-join on the top-k only. */
   def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
-                  topK: Int, nprobe: Int): DataFrame = {
-    val idx = s.read.parquet(path).select("vec_id", "centroid", "codes")
+                  topK: Int, nprobe: Int,
+                  deleted: Option[DataFrame] = None): DataFrame = {
+    val idx0 = s.read.parquet(path).select("vec_id", "centroid", "codes")
+    val idx = deleted.fold(idx0)(t =>
+      idx0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     val (pq, residual) = loadPqCodebook(s, path)
     val cents = loadCodebook(s, path)
     val probes = queries.crossJoin(broadcast(cents))
@@ -832,21 +876,137 @@ object Similarity extends QueryPack {
     * behind "recall looks fine". Scale shape: the corpus shuffles only
     * at index build; a search reads nprobe/k of the codes + |Q|·poolK
     * raw vectors. */
-  private def q156AnnRerank(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val path = rerankIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+  /** The q156 persisted index, built once per (session, dataset). */
+  private def rerankIndexFor(s: SparkSession, e: DataFrame, d: String): String =
+    rerankIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString
       ivfPqIndex(e, ivfK, dir) // residual default — the FAISS semantic
       dir
     })
+
+  /** Codebooks for oracle generation, trained once per dataset (equal to
+    * what the index builds persisted — training is deterministic over the
+    * fixed vec_id < 256 sample). */
+  private def rerankCodebooksFor(e: DataFrame, d: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
     rerankCodebooks.computeIfAbsent(d, _ => {
       val coarse = trainCentroids(e, ivfK)
       (coarse, trainPqResidual(e, coarse))
     })
-    val qs = e.filter(col("vec_id") < 10)
+
+  private def rerankQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), VectorExprs.asDouble("embedding").as("qv"))
-    ivfPqSearchRerank(s, path, qs, e,
+
+  private def q156AnnRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val path = rerankIndexFor(s, e, d)
+    rerankCodebooksFor(e, d)
+    ivfPqSearchRerank(s, path, rerankQueries(e), e,
                       topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
+  }
+
+  /** Fresh-batch split point for q157 — covers the fixed vec_id < 256
+    * training sample, so codebooks trained on the INITIAL corpus equal
+    * codebooks trained on the full one (the append ≡ rebuild argument the
+    * oracle certifies). */
+  private val appendSplit = 300
+
+  private val appendIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** INDEX APPEND + SEARCH — incremental maintenance under the oracle
+    * gate: build the persisted IVF-PQ index on the initial corpus
+    * (vec_id < [[appendSplit]]), append the rest via [[ivfPqAppend]]
+    * (frozen codebooks — no retraining, no rebuild, the existing index
+    * files untouched), then run the q156 two-stage search over the
+    * APPENDED index. The oracle is byte-for-byte q156's full-rebuild SQL:
+    * a pass proves append ≡ rebuild — assignment, residual encoding and
+    * search results all identical — which is the contract every
+    * ingest-while-serving vector store depends on. Scale shape: the
+    * append encodes ONLY the fresh batch (one broadcast of the k coarse
+    * rows, map-side PQ encode, one shuffle of the batch keyed by cell);
+    * the standing corpus is never rescanned. */
+  private def q157IndexAppend(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val path = appendIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+      ivfPqIndex(e.filter(col("vec_id") < appendSplit), ivfK, dir)
+      ivfPqAppend(s, dir, e.filter(col("vec_id") >= appendSplit))
+      dir
+    })
+    rerankCodebooksFor(e, d)
+    ivfPqSearchRerank(s, path, rerankQueries(e), e,
+                      topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
+  }
+
+  /** q158's deletion predicate — a deterministic id subset so the oracle
+    * can state it as SQL. */
+  private val tombstoneMod = 7
+  private val tombstoneRem = 3
+
+  /** INDEX DELETE (TOMBSTONES) + SEARCH — the other half of index
+    * maintenance: vectors are deleted by id WITHOUT rewriting the
+    * partitioned code files (immutable at scale); the search masks the
+    * candidate stream against the tombstone set BEFORE pool truncation,
+    * so deleted ids neither surface nor consume pool slots — exactly how
+    * FAISS/Lucene-style stores serve deletes between compactions. The
+    * oracle is q156's SQL with the deletion predicate applied at the
+    * same stage. Scale shape: the mask is a broadcast anti-join on the
+    * pruned cells' scan (a tombstone set outgrowing broadcast swaps in
+    * the q95 sharded-bloom split — same contract, documented trade). */
+  private def q158IndexTombstone(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val path = rerankIndexFor(s, e, d)
+    rerankCodebooksFor(e, d)
+    val dead = e.filter(col("vec_id") % tombstoneMod === tombstoneRem)
+      .select(col("vec_id"))
+    ivfPqSearchRerank(s, path, rerankQueries(e), e,
+                      topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK,
+                      deleted = Some(dead))
+  }
+
+  /** INDEX HEALTH REPORT — the maintenance stat every IVF deployment
+    * watches: per-cell occupancy of the persisted index (cell id, vector
+    * count, corpus share). Cell imbalance is what decides retraining and
+    * nprobe tuning (a 10× hot cell makes every probe of it 10× the
+    * work). Reads ONLY the index's vec_id/centroid columns (column
+    * pruning on the code files); the corpus size is the lazy one-row
+    * aggregate broadcast. Oracle: the coarse-assignment argmax from the
+    * codebook literals, grouped per cell. */
+  private def q159IndexStats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val path = rerankIndexFor(s, e, d)
+    rerankCodebooksFor(e, d)
+    val total = e.agg(count(lit(1)).as("n"))
+    s.read.parquet(path).select("vec_id", "centroid")
+      .groupBy("centroid").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .select(col("centroid").cast("long").as("cell_id"),
+              col("n_vecs"),
+              (floor(col("n_vecs") * 1000.0 / col("n")) / 1000).as("pct"))
+      .orderBy("cell_id")
+  }
+
+  /** q159's oracle: assignment argmax (cs desc, c_id desc — the
+    * max(struct) tie rule) from the coarse codebook literals, grouped
+    * per cell with the corpus-share arithmetic replicated. */
+  private def indexStatsOracleSql(coarse: Array[Array[Double]]): String = {
+    val coarseRows = coarse.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(fmt).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cc(c_id, cv) AS (VALUES
+             $coarseRows),
+        sc0 AS (SELECT e.vec_id, cc.c_id,
+                       list_cosine_similarity(e.v, cc.cv) AS cs FROM e, cc),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, c_id DESC) AS rn FROM sc0) WHERE rn = 1)
+        SELECT CAST(centroid AS BIGINT) AS cell_id,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               floor(count(*) * 1000.0 / (SELECT count(*) FROM e)) / 1000 AS pct
+        FROM asg GROUP BY centroid ORDER BY cell_id"""
   }
 
   /** q156's oracle: the q86 encode CTEs, the q115 multi-probe centroid
@@ -854,8 +1014,12 @@ object Similarity extends QueryPack {
     * truncated at [[rerankPoolK]] (adist asc, id asc — TopKAgg's order),
     * then the exact-cosine rerank (cos desc, id asc — rankTopK's order)
     * down to the final top-5. */
+  /** `candPred`: extra SQL predicate on the candidate stream (`recon`
+    * alias) — q158 injects its tombstone mask here, at the same
+    * pre-pool stage the Spark path applies it. */
   private def annRerankOracleSql(coarse: Array[Array[Double]],
-                                 pq: Array[Array[Array[Double]]]): String = {
+                                 pq: Array[Array[Array[Double]]],
+                                 candPred: String = ""): String = {
     val m = pq.length
     val sub = pq(0)(0).length
     val dim = m * sub
@@ -910,7 +1074,7 @@ object Similarity extends QueryPack {
         s2 AS (SELECT qr.q_id, recon.vec_id AS n_id,
                       $adcDist AS adist
                FROM recon JOIN qr ON recon.centroid = qr.cell
-               WHERE recon.vec_id <> qr.q_id),
+               WHERE recon.vec_id <> qr.q_id $candPred),
         cand AS (SELECT q_id, n_id FROM (
                    SELECT q_id, n_id,
                           row_number() OVER (PARTITION BY q_id
@@ -1167,6 +1331,9 @@ object Similarity extends QueryPack {
     "q115_recall_sweep"   -> q115RecallSweep _,
     "q123_dim_sweep"      -> q123DimSweep _,
     "q156_ann_rerank"     -> q156AnnRerank _,
+    "q157_index_append"   -> q157IndexAppend _,
+    "q158_index_tombstone" -> q158IndexTombstone _,
+    "q159_index_stats"    -> q159IndexStats _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -1382,7 +1549,20 @@ object Similarity extends QueryPack {
         .getOrElse("SELECT 1 AS q115_not_built_for_this_dataset")) +
       ("q156_ann_rerank" -> Option(rerankCodebooks.get(dir))
         .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
-        .getOrElse("SELECT 1 AS q156_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q156_not_built_for_this_dataset")) +
+      // q157's oracle IS q156's full-rebuild SQL: the pass certifies
+      // append ≡ rebuild (frozen codebooks equal the full-corpus training
+      // because both draw the fixed vec_id < 256 sample)
+      ("q157_index_append" -> Option(rerankCodebooks.get(dir))
+        .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
+        .getOrElse("SELECT 1 AS q157_not_built_for_this_dataset")) +
+      ("q158_index_tombstone" -> Option(rerankCodebooks.get(dir))
+        .map { case (cc, pq) => annRerankOracleSql(cc, pq,
+          s"AND recon.vec_id % $tombstoneMod <> $tombstoneRem") }
+        .getOrElse("SELECT 1 AS q158_not_built_for_this_dataset")) +
+      ("q159_index_stats" -> Option(rerankCodebooks.get(dir))
+        .map { case (cc, _) => indexStatsOracleSql(cc) }
+        .getOrElse("SELECT 1 AS q159_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -1431,6 +1611,19 @@ object Similarity extends QueryPack {
         val (cc, pq) = rerankCodebooks.values.iterator.next()
         annRerankOracleSql(cc, pq)
       } else "SELECT 1 AS q156_not_built_unambiguously_this_process"),
+    "q157_index_append" -> (if (rerankCodebooks.size == 1) {
+        val (cc, pq) = rerankCodebooks.values.iterator.next()
+        annRerankOracleSql(cc, pq)
+      } else "SELECT 1 AS q157_not_built_unambiguously_this_process"),
+    "q158_index_tombstone" -> (if (rerankCodebooks.size == 1) {
+        val (cc, pq) = rerankCodebooks.values.iterator.next()
+        annRerankOracleSql(cc, pq,
+          s"AND recon.vec_id % $tombstoneMod <> $tombstoneRem")
+      } else "SELECT 1 AS q158_not_built_unambiguously_this_process"),
+    "q159_index_stats" -> (if (rerankCodebooks.size == 1) {
+        val (cc, _) = rerankCodebooks.values.iterator.next()
+        indexStatsOracleSql(cc)
+      } else "SELECT 1 AS q159_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q123: pure prefix-slice arithmetic — no trained literals, so the
     // oracle is static; dim = 64 is the self-baseline (recall 1 row)

@@ -57,6 +57,10 @@ object StreamGate extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("GRAFT_GATE_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[gate] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} stateOps=${p.stateOperators.length}"))
     } finally s.conf.set(pKey, prevP)
     s.table(name)
   }

@@ -337,6 +337,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q157 index append: appended-index search equals full-rebuild search") {
+    val rebuilt = Similarity.queries("q156_ann_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val appended = Similarity.queries("q157_index_append")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(appended == rebuilt,
+      "append with frozen codebooks must reproduce the full rebuild exactly")
+  }
+
+  test("q158 tombstones: deleted ids never surface; survivors keep q156 order") {
+    val rows = Similarity.queries("q158_index_tombstone")(spark, sfDir).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getLong(2) % 7 != 3), "tombstoned id surfaced")
+    // masking pre-pool can only remove candidates: every returned pair
+    // that q156 also returns must keep its relative cosine order
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val cs = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q159 index stats: cell masses cover the corpus; shares bounded") {
+    val rows = Similarity.queries("q159_index_stats")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "cell masses != corpus size")
+    assert(rows.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("q84 int8 quantization: code range and reconstruction-error bound") {
     val rows = Similarity.queries("q84_int8_quant")(spark, sfDir).collect()
     assert(rows.nonEmpty)
