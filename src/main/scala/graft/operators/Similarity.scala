@@ -927,14 +927,58 @@ object Similarity extends QueryPack {
     * append encodes ONLY the fresh batch (one broadcast of the k coarse
     * rows, map-side PQ encode, one shuffle of the batch keyed by cell);
     * the standing corpus is never rescanned. */
-  private def q157IndexAppend(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val path = appendIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+  private[graft] def appendIndexFor(s: SparkSession, e: DataFrame, d: String): String =
+    appendIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
       ivfPqIndex(e.filter(col("vec_id") < appendSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") >= appendSplit))
       dir
     })
+
+  private def q157IndexAppend(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val path = appendIndexFor(s, e, d)
+    rerankCodebooksFor(e, d)
+    ivfPqSearchRerank(s, path, rerankQueries(e), e,
+                      topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
+  }
+
+  /** COMPACT a persisted IVF-PQ index into one file per cell — the
+    * maintenance pass that undoes append fragmentation (every q157-style
+    * append adds a file per touched cell; a thousand appends = a
+    * thousand small files per cell, and probe cost becomes file-open
+    * bound instead of byte bound). Rewrites code rows cell-clustered
+    * (one shuffle keyed by cell) into a NEW versioned directory — the
+    * standing index stays readable throughout, the standard
+    * compact-then-swap lifecycle — and carries the codebooks over
+    * unchanged. Returns the new path. */
+  def ivfPqCompact(s: SparkSession, path: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    s.read.parquet(path).select("vec_id", "centroid", "codes")
+      .repartition(col("centroid"))
+      .write.mode("overwrite").partitionBy("centroid").parquet(out)
+    s.read.parquet(s"$path/_codebook")
+      .write.mode("overwrite").parquet(s"$out/_codebook")
+    s.read.parquet(s"$path/_pq_codebook")
+      .write.mode("overwrite").parquet(s"$out/_pq_codebook")
+    out
+  }
+
+  private val compactIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** INDEX COMPACTION + SEARCH — closes the maintenance lifecycle under
+    * the oracle gate: q157's appended (fragmented) index is compacted via
+    * [[ivfPqCompact]] and searched with the q156 two-stage plan; the
+    * oracle is again the full-rebuild SQL, so a pass proves
+    * append → compact → search ≡ rebuild → search. SimilaritySpec
+    * additionally pins the physical effect (one file per cell after, more
+    * before). */
+  private def q160IndexCompact(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val appended = appendIndexFor(s, e, d)
+    val path = compactIndexMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      ivfPqCompact(s, appended))
     rerankCodebooksFor(e, d)
     ivfPqSearchRerank(s, path, rerankQueries(e), e,
                       topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
@@ -1334,6 +1378,7 @@ object Similarity extends QueryPack {
     "q157_index_append"   -> q157IndexAppend _,
     "q158_index_tombstone" -> q158IndexTombstone _,
     "q159_index_stats"    -> q159IndexStats _,
+    "q160_index_compact"  -> q160IndexCompact _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -1562,7 +1607,11 @@ object Similarity extends QueryPack {
         .getOrElse("SELECT 1 AS q158_not_built_for_this_dataset")) +
       ("q159_index_stats" -> Option(rerankCodebooks.get(dir))
         .map { case (cc, _) => indexStatsOracleSql(cc) }
-        .getOrElse("SELECT 1 AS q159_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q159_not_built_for_this_dataset")) +
+      // append → compact → search ≡ rebuild → search: same SQL as q156
+      ("q160_index_compact" -> Option(rerankCodebooks.get(dir))
+        .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
+        .getOrElse("SELECT 1 AS q160_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -1624,6 +1673,10 @@ object Similarity extends QueryPack {
         val (cc, _) = rerankCodebooks.values.iterator.next()
         indexStatsOracleSql(cc)
       } else "SELECT 1 AS q159_not_built_unambiguously_this_process"),
+    "q160_index_compact" -> (if (rerankCodebooks.size == 1) {
+        val (cc, pq) = rerankCodebooks.values.iterator.next()
+        annRerankOracleSql(cc, pq)
+      } else "SELECT 1 AS q160_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q123: pure prefix-slice arithmetic — no trained literals, so the
     // oracle is static; dim = 64 is the self-baseline (recall 1 row)

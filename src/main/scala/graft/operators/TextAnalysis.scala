@@ -394,7 +394,58 @@ object TextAnalysis extends QueryPack {
               md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** WITHIN-DOCUMENT REPETITION METRICS — the Gopher/C4 repetition
+    * filters on the 2-gram level: per document, the total 2-gram count,
+    * the count of the single most frequent 2-gram (`top2_n`), the mass
+    * of 2-grams occurring more than once (`dup2_mass`), and the floored
+    * repetition ratio dup2_mass / n_2grams. High values mark the
+    * degenerate auto-generated/boilerplate docs every pretraining
+    * curation pass drops. Scale shape: ENTIRELY map-side — the per-doc
+    * run-length fold over the SORTED 2-gram array replaces the
+    * (doc_id, gram) groupBy shuffle a naive plan would pay (corpus
+    * tokens never shuffle; the only exchange is the final orderBy).
+    * All counts integer; the single ratio is floored for cross-engine
+    * output stability. */
+  private def q161Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOn(Tables.documents(s, d))
+
+  /** q161's scoring core on any (doc_id, text) relation — injectable for
+    * planted-fixture specs (the q139/q140/q142 convention). */
+  private[graft] def repetitionOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(toksExpr).as("tk"))
+      .withColumn("grams", expr(
+        """CASE WHEN size(tk) >= 2 THEN
+             transform(sequence(1, size(tk) - 1),
+                       i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+           ELSE array() END"""))
+      .withColumn("st", expr(
+        // run-length stats over the sorted gram array: one pass, no shuffle.
+        // merge closes a run when the gram changes (dup mass += run if the
+        // run repeated); finish closes the final run the same way.
+        """aggregate(array_sort(grams),
+             struct(cast(null as string) as prev, 0L as run,
+                    0L as maxrun, 0L as dup),
+             (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
+               struct(x as prev, a.run + 1L as run,
+                      a.maxrun as maxrun, a.dup as dup),
+               struct(x as prev, 1L as run,
+                      greatest(a.maxrun, a.run) as maxrun,
+                      a.dup + IF(a.run >= 2L, a.run, 0L) as dup)),
+             a -> struct(a.prev as prev, a.run as run,
+                         greatest(a.maxrun, a.run) as maxrun,
+                         a.dup + IF(a.run >= 2L, a.run, 0L) as dup))"""))
+      .select(col("doc_id"),
+              size(col("grams")).cast("long").as("n_2grams"),
+              col("st.maxrun").as("top2_n"),
+              col("st.dup").as("dup2_mass"),
+              expr("""CASE WHEN size(grams) = 0 THEN cast(0 as double)
+                      ELSE floor(st.dup * 1e3 / size(grams)) / 1000
+                      END""").as("rep_ratio"))
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_repetition"   -> q161Repetition _,
     "q37_curation"      -> q37Curation _,
     "q38_vocab"         -> q38Vocab _,
     "q85_token_rarity"  -> q85TokenRarity _,
@@ -416,6 +467,29 @@ object TextAnalysis extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q161: the unnest+GROUP BY form — value-identical to the map-side
+    // run-length fold (counts are integers; one floored division)
+    "q161_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 2 THEN
+                        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                      ELSE [] END AS grams
+               FROM t),
+         cnt AS (SELECT doc_id, gram, count(*) AS n
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+                 GROUP BY doc_id, gram),
+         agg AS (SELECT doc_id, max(n) AS top2_n,
+                        sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup2_mass
+                 FROM cnt GROUP BY doc_id)
+         SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_2grams,
+                CAST(coalesce(agg.top2_n, 0) AS BIGINT) AS top2_n,
+                CAST(coalesce(agg.dup2_mass, 0) AS BIGINT) AS dup2_mass,
+                CASE WHEN len(g.grams) = 0 THEN 0.0
+                     ELSE floor(coalesce(agg.dup2_mass, 0) * 1000.0
+                                / len(g.grams)) / 1000 END AS rep_ratio
+         FROM g LEFT JOIN agg USING (doc_id) ORDER BY g.doc_id""",
     // q85: df/min/count are exact integers; mean_df is one division of
     // exact longs — bit-identical cross-engine.
     "q85_token_rarity" ->

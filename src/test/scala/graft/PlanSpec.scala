@@ -61,7 +61,12 @@ class PlanSpec extends SparkTestBase {
       "q106_simhash_stream", "q107_minhash_stream", "q112_quality_stream",
       "q118_window_stream", "q150_entropy_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
-      "q108_neardup_indexed")
+      "q108_neardup_indexed",
+      // IVF-PQ persisted-index family: index build/append (write-once per
+      // session+dataset), codebook training, and the probe-cell collect
+      // (|Q|·nprobe ids) documented at ivfPqSearch
+      "q156_ann_rerank", "q157_index_append", "q158_index_tombstone",
+      "q159_index_stats", "q160_index_compact")
     // warm the memoized ANALYZE-style stats (documented one-off per
     // session+dataset) so they don't attribute to whichever query builds
     // first
@@ -269,6 +274,37 @@ class PlanSpec extends SparkTestBase {
     assert(!nodes.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "a non-broadcast cartesian product leaked into the MMR plan")
+  }
+
+  test("q156/q157/q158: rerank joins broadcast-only, no windows, no shuffle joins") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // (the pruned index scan itself is pinned in SimilaritySpec — it runs
+    // inside the localCheckpoint; this pins the post-retrieve plan)
+    for (name <- Seq("q156_ann_rerank", "q157_index_append",
+                     "q158_index_tombstone")) {
+      val plan = executed(Similarity.queries(name)(spark, sfDir))
+      assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name: the candidate/query joins must broadcast")
+      assert(!plan.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"$name: a shuffle join has no place in the rerank plan")
+      assert(!plan.exists(_.isInstanceOf[WindowExec]),
+        s"$name: ranking must stay in the bounded heap, not a window sort")
+    }
+  }
+
+  test("q159: the stats read prunes to the id/cell columns") {
+    import graft.operators.Similarity
+    val plan = executed(Similarity.queries("q159_index_stats")(spark, sfDir))
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // the occupancy count collapses to the partition column alone — no
+    // scan in the plan may read the code bytes (or any data column: the
+    // index scan's requiredSchema prunes to empty, counting rows per
+    // centroid from footers + partition values)
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("codes")),
+      "stats scan must prune the codes column")
   }
 
   test("q137: the sampling heap aggregates partially before the shuffle") {

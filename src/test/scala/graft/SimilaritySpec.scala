@@ -358,6 +358,25 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("q160 compaction: one file per cell after, search equals rebuild") {
+    import org.apache.spark.sql.functions.col
+    val compacted = Similarity.queries("q160_index_compact")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = Similarity.queries("q156_ann_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(compacted == rebuilt, "compaction must not change search results")
+    // the physical effect: the appended index is fragmented (>1 file in
+    // at least one cell), the compacted one is exactly 1 file per cell
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val appended = Similarity.appendIndexFor(spark, e, sfDir)
+    val compactedDir = Similarity.ivfPqCompact(spark, appended)
+    def filesPerCell(dir: String): Seq[Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(filesPerCell(appended).exists(_ > 1), "append should fragment")
+    assert(filesPerCell(compactedDir).forall(_ == 1), "compaction must coalesce")
+  }
+
   test("q159 index stats: cell masses cover the corpus; shares bounded") {
     val rows = Similarity.queries("q159_index_stats")(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

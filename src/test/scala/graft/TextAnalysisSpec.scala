@@ -66,4 +66,28 @@ class TextAnalysisSpec extends SparkTestBase {
         s"near-dup pair scores diverge: $a vs $b")
     }
   }
+
+  test("q161 repetition: bounds hold; planted repeats score exactly") {
+    val rows = TextAnalysis.queries("q161_repetition")(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (n, top, dup, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(top <= n && dup <= n, "counts bounded by gram total")
+      assert(top <= dup || top == 1,
+        "a repeated top gram contributes to the dup mass")
+      assert(ratio >= 0 && ratio <= 1)
+    }
+    // planted: "a b a b a" → 2-grams [a b, b a, a b, b a]: top2=2, dup=4
+    import spark.implicits._
+    val planted = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "w"))
+      .toDF("doc_id", "text")
+    val fn = TextAnalysis.queries("q161_repetition")
+    val got = graft.operators.TextAnalysis.repetitionOn(planted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 2L, 4L)), s"planted repeat doc: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L)), s"all-distinct doc: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L)), s"single-token doc: ${got(3L)}")
+  }
 }
