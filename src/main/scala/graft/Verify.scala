@@ -17,15 +17,49 @@ object Verify {
     * 13 crashed queries because an analysis error only surfaced as a
     * shrunken correctness file; the preflight turns that into a named,
     * non-zero-exit failure BEFORE anything is dumped. Exposed for
-    * PreflightSpec, which feeds it a deliberately-broken query. */
+    * PreflightSpec, which feeds it a deliberately-broken query.
+    *
+    * `perQueryTimeoutSec`: some builders legitimately run driver work at
+    * plan construction (streaming gate passes, memoized index builds), so
+    * the gate run bounds each build and treats a TIMEOUT as a pass — the
+    * dump loop's own job-group timeout owns slowness; the preflight owns
+    * analysis errors only. A timed-out builder may leave its thread
+    * stuck, so the pool is rebuilt (the dump loop's pattern). */
   private[graft] def preflight(
       spark: SparkSession, sfDir: String,
-      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
-      : Seq[(String, Throwable)] =
-    queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).schema; None }
-      catch { case e: Throwable => Some(name -> e) }
-    }
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      perQueryTimeoutSec: Option[Long] = None)
+      : Seq[(String, Throwable)] = perQueryTimeoutSec match {
+    case None =>
+      queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try { fn(spark, sfDir).schema; None }
+        catch { case e: Throwable => Some(name -> e) }
+      }
+    case Some(limit) =>
+      import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+      var pool = Executors.newSingleThreadExecutor()
+      val broken = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = { fn(spark, sfDir).schema; () }
+        })
+        try { task.get(limit, TimeUnit.SECONDS); None }
+        catch {
+          case _: TimeoutException =>
+            task.cancel(true)
+            pool.shutdownNow()
+            pool = Executors.newSingleThreadExecutor()
+            System.err.println(
+              s"[verify] preflight: $name build exceeded ${limit}s — " +
+                "deferred to the dump loop's timeout")
+            None
+          case e: java.util.concurrent.ExecutionException =>
+            Some(name -> Option(e.getCause).getOrElse(e))
+          case e: Throwable => Some(name -> e)
+        }
+      }
+      pool.shutdownNow()
+      broken
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -57,7 +91,7 @@ object Verify {
     // Stop-the-line gate: if ANY selected plan fails analysis, name every
     // failure and abort non-zero before dumping — a partial dump looks like
     // a green round with fewer queries (the round-6 failure mode).
-    val broken = preflight(spark, sfDir, selected)
+    val broken = preflight(spark, sfDir, selected, Some(timeoutSec))
     if (broken.nonEmpty) {
       broken.foreach { case (name, e) =>
         System.err.println(s"[verify] PREFLIGHT FAILED $name: ${e.getMessage}")

@@ -28,6 +28,16 @@ class PreflightSpec extends SparkTestBase {
     assert(out.forall(_._2.getMessage != null))
   }
 
+  test("timed preflight: analysis errors still named; a slow builder is NOT a failure") {
+    val slow: (SparkSession, String) => DataFrame =
+      (s, d) => { Thread.sleep(5000); Tables.events(s, d).limit(1) }
+    val out = Verify.preflight(spark, sfDir,
+      Map("ok" -> good, "bad_col" -> brokenCol, "slow" -> slow),
+      perQueryTimeoutSec = Some(1L))
+    assert(out.map(_._1) == Seq("bad_col"),
+      "only the analysis error fails; the timeout defers to the dump loop")
+  }
+
   test("every declared query plan analyzes clean") {
     val out = Verify.preflight(spark, sfDir, SparkEntry.queries)
     assert(out.isEmpty, "plans failing analysis: " +
