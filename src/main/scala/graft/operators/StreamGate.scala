@@ -212,7 +212,19 @@ object StreamGate extends QueryPack {
     runToBatch(s, StreamOps.entropyScoreStream(docStream(s, d)))
       .orderBy("doc_id")
 
+  /** Streaming REPETITION scoring — q161's Gopher-style 2-gram filters
+    * as an ingest-time gate: the scoring core is the SAME function
+    * object the batch query runs ([[TextAnalysis.repetitionOn]] — a
+    * stateless per-doc run-length fold, no state store, any trigger),
+    * so batch q161's oracle covers the streamed output verbatim. The
+    * score-at-ingest shape for the filter most pretraining pipelines
+    * apply first: degenerate docs never reach the corpus store. */
+  private def q162RepetitionStream(s: SparkSession, d: String): DataFrame =
+    runToBatch(s, TextAnalysis.repetitionOn(docStream(s, d)))
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_repetition_stream" -> q162RepetitionStream _,
     "q150_entropy_stream" -> q150EntropyStream _,
     "q104_incdedup_stream" -> q104IncDedupStream _,
     "q112_quality_stream" -> q112QualityStream _,
@@ -226,6 +238,9 @@ object StreamGate extends QueryPack {
     // batch-equivalence: the per-row sorted fold is bit-identical to the
     // batch aggregation, so q142's oracle covers the stream verbatim
     "q150_entropy_stream" -> Stats.oracles("q142_token_entropy"),
+    // batch-equivalence: one shared scoring core (TextAnalysis
+    // .repetitionOn), so batch q161's oracle covers the stream verbatim
+    "q162_repetition_stream" -> TextAnalysis.oracles("q161_repetition"),
     // batch-equivalence: the streaming twin must hash-match the batch
     // q76 oracle verbatim
     "q104_incdedup_stream" -> Dedup.oracles("q76_incremental_dedup"),

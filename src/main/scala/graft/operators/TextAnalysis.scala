@@ -407,10 +407,13 @@ object TextAnalysis extends QueryPack {
     * All counts integer; the single ratio is floored for cross-engine
     * output stability. */
   private def q161Repetition(s: SparkSession, d: String): DataFrame =
-    repetitionOn(Tables.documents(s, d))
+    repetitionOn(Tables.documents(s, d)).orderBy("doc_id")
 
   /** q161's scoring core on any (doc_id, text) relation — injectable for
-    * planted-fixture specs (the q139/q140/q142 convention). */
+    * planted-fixture specs (the q139/q140/q142 convention) and UNORDERED,
+    * so it lifts to Structured Streaming unchanged (q162's gate — the
+    * q112/q150 shared-core pattern: a stateless projection is the same
+    * operator in both execution modes). */
   private[graft] def repetitionOn(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), expr(toksExpr).as("tk"))
@@ -442,7 +445,6 @@ object TextAnalysis extends QueryPack {
               expr("""CASE WHEN size(grams) = 0 THEN cast(0 as double)
                       ELSE floor(st.dup * 1e3 / size(grams)) / 1000
                       END""").as("rep_ratio"))
-      .orderBy("doc_id")
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_repetition"   -> q161Repetition _,

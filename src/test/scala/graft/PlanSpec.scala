@@ -59,7 +59,7 @@ class PlanSpec extends SparkTestBase {
       // the declared function by design (the batch-equivalence harness)
       "q104_incdedup_stream", "q105_contamination_stream",
       "q106_simhash_stream", "q107_minhash_stream", "q112_quality_stream",
-      "q118_window_stream", "q150_entropy_stream",
+      "q118_window_stream", "q150_entropy_stream", "q162_repetition_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
       // IVF-PQ persisted-index family: index build/append (write-once per
