@@ -595,6 +595,33 @@ object Dedup extends QueryPack {
     * (doc_id, cluster_id) blocks, one row per CLUSTER shuffled); only a
     * cold standalone invocation recomputes the assignment.
     */
+  /** PRIORITY SURVIVORSHIP — dedup with a SOURCE-PREFERENCE policy
+    * instead of q73's neutral min-id election: within every near-dup
+    * family the kept copy is the one from the most-trusted source tier
+    * (ties by smaller doc_id). This is the survivorship rule real corpus
+    * merges apply — when a curated source and a crawl carry near-dup
+    * copies, the curated one survives regardless of id order. Tier
+    * policy here: source index div 7 (src0-6 = tier 0 "curated", src7-13
+    * = tier 1, rest tier 2) — a declared config, swapped per deployment.
+    * Plan shape: the memoized q73 assignment joined to doc-grain source
+    * labels, then ONE lexicographic `min(struct(tier, id))` aggregate
+    * per family — partial-aggregatable, no window sort; at scale this is
+    * a cluster-keyed shuffle of (cluster, tier, id) triples only. */
+  private def q164PrioritySurvivor(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterAssignmentOf(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr("cast(substring(source, 4) as int) div 7")
+        .as("tier"))
+    labels.select(col("doc_id"), col("cluster_id")).join(docs, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           min(struct(col("tier"), col("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+              col("best.doc_id").as("survivor_id"),
+              col("best.tier").as("survivor_tier"))
+      .orderBy("cluster_id")
+  }
+
   private def q101ClusterSizes(s: SparkSession, d: String): DataFrame =
     clusterAssignMemo.getOrElse((System.identityHashCode(s), d),
                                 dedupClusterAssignment(s, d))
@@ -796,6 +823,7 @@ object Dedup extends QueryPack {
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
+    "q164_priority_survivor" -> q164PrioritySurvivor _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
     "q154_simhash_sweep" -> q154SimhashSweep _,
   )
@@ -1036,6 +1064,44 @@ object Dedup extends QueryPack {
                 CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
                 CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped
          FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+    // q164: q73's closure joined to source tiers; the lexicographic
+    // (tier, id) minimum replicated as a window rank
+    "q164_priority_survivor" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT a_id, b_id FROM p
+                   WHERE common / (asz + bsz - common) >= 0.8),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         lbl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         t AS (SELECT doc_id,
+                      CAST(CAST(source[4:] AS INT) // 7 AS BIGINT) AS tier
+               FROM documents),
+         j AS (SELECT lbl.cluster_id, t.doc_id, t.tier
+               FROM lbl JOIN t USING (doc_id)),
+         r2 AS (SELECT cluster_id, doc_id, tier,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY tier, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS n_members
+                FROM j)
+         SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+                doc_id AS survivor_id, tier AS survivor_tier
+         FROM r2 WHERE rn = 1 ORDER BY cluster_id""",
     "q73_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id,

@@ -539,11 +539,44 @@ object Projection extends QueryPack {
       .orderBy("q_id")
   }
 
+  /** EMBEDDING-COLUMN AUDIT — per-dimension count/mean/std/min/max of
+    * the whole embedding table in ONE aggregate pass: the data-quality
+    * scan run before training codebooks or trusting an index (dead
+    * dimensions read as std ≈ 0, clipped ranges as hard min/max walls,
+    * scale drift as per-dim mean shift). Plan shape: values quantize to
+    * exact integers map-side (×10⁶, floored — deterministic), then the
+    * native [[graft.functions.VecStatsAgg]] TypedImperativeAggregate
+    * folds each map task into ONE (4d+1)-long buffer — the shuffle
+    * carries one buffer per task instead of the N·d exploded rows the
+    * naive posexplode + groupBy(dim) plan ships (at d = 64 that is the
+    * whole job). Integer accumulation is order-independent, so the
+    * mean/std derivations are bit-exact cross-engine from identical
+    * integer inputs — no float-sum parity hazard. */
+  private def q163EmbeddingAudit(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.embeddings(s, d)
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+        .as("q"))
+      .agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")).as("st"))
+    st.select(col("st.n").as("n"),
+              posexplode(expr("arrays_zip(st.sums, st.sumsqs, st.mins, st.maxs)"))
+                .as(Seq("d0", "z")))
+      .select((col("d0") + 1).cast("long").as("dim"), col("n"),
+              col("z.sums").as("sum_q"), col("z.sumsqs").as("sumsq_q"),
+              col("z.mins").as("min_q"), col("z.maxs").as("max_q"))
+      .withColumn("mean", expr("cast(sum_q as double) / n / 1e6"))
+      .withColumn("std", expr(
+        """sqrt(cast(sumsq_q as double) / n
+                - (cast(sum_q as double) / n) * (cast(sum_q as double) / n)) / 1e6"""))
+      .orderBy("dim")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_pca_sweep" -> q125PcaSweep _,
     "q135_binary_ann" -> q135BinaryAnn _,
     "q136_pca_binary" -> q136PcaBinary _,
     "q153_rbo_eval" -> q153RboEval _,
+    "q163_embedding_audit" -> q163EmbeddingAudit _,
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -608,6 +641,25 @@ object Projection extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // q163: the zipped co-unnest + GROUP BY(dim) form over the SAME
+    // integer quantization; divisions cast explicitly (DuckDB BIGINT /
+    // BIGINT truncates where Spark's `/` is true division)
+    "q163_embedding_audit" ->
+      """WITH q AS (SELECT [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                            for x in embedding] AS qv
+                    FROM embeddings),
+         d AS (SELECT unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_q,
+                      CAST(sum(v * v) AS BIGINT) AS sumsq_q,
+                      min(v) AS min_q, max(v) AS max_q
+               FROM d GROUP BY dim)
+         SELECT CAST(dim AS BIGINT) AS dim, n, sum_q, sumsq_q, min_q, max_q,
+                CAST(sum_q AS DOUBLE) / n / 1e6 AS mean,
+                sqrt(CAST(sumsq_q AS DOUBLE) / n
+                     - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n))
+                  / 1e6 AS std
+         FROM a ORDER BY dim""",
     "q153_rbo_eval" -> rboOracleSql,
     "q125_pca_sweep" -> (if (pcaCache.size == 1)
         pcaOracleSqlTrained(pcaCache.values.iterator.next())

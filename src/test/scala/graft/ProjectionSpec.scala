@@ -92,4 +92,36 @@ class ProjectionSpec extends SparkTestBase {
       assert(ov == hits(q), s"query $q: RBO overlap $ov != q135 hits ${hits(q)}")
     }
   }
+
+  test("q163 embedding audit: one row per dim, n = corpus, bounds hold") {
+    val rows = Projection.queries("q163_embedding_audit")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == n))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      val (mn, mx, mean, std) =
+        (r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))
+      assert(mn <= mx)
+      assert(mean * 1e6 >= mn - 1 && mean * 1e6 <= mx + 1,
+        "mean outside the [min, max] envelope")
+      assert(std >= 0)
+    }
+  }
+
+  test("planted vec_int_stats: exact sums/minmax; partial buffers merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // 2 partitions force a real partial-agg merge of two buffers
+    val df = Seq(Seq(1L, -2L, 3L), Seq(5L, 0L, -1L), Seq(-3L, 4L, 2L))
+      .toDF("q").repartition(2)
+    val st = df.agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")).as("st"))
+      .select(col("st.n"), expr("st.sums"), expr("st.sumsqs"),
+              expr("st.mins"), expr("st.maxs"))
+      .collect().head
+    assert(st.getLong(0) == 3L)
+    assert(st.getSeq[Long](1) == Seq(3L, 2L, 4L), "sums")
+    assert(st.getSeq[Long](2) == Seq(35L, 20L, 14L), "sum of squares")
+    assert(st.getSeq[Long](3) == Seq(-3L, -2L, -1L), "mins")
+    assert(st.getSeq[Long](4) == Seq(5L, 4L, 3L), "maxs")
+  }
 }

@@ -451,6 +451,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(labels.size == Tables.documents(spark, sfDir).count())
   }
 
+  test("q164 priority survivorship: survivor is a member with the family-min tier") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val labels = Dedup.queries("q73_dedup_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val tiers = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("cast(substring(source, 4) as int) div 7").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val families = labels.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val rows = Dedup.queries("q164_priority_survivor")(spark, sfDir).collect()
+    assert(rows.length == families.size, "one survivor row per family")
+    assert(rows.exists(_.getLong(1) > 1), "multi-member families must exist")
+    rows.foreach { r =>
+      val (cid, n, sid, stier) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val fam = families(cid)
+      assert(fam.contains(sid), s"survivor $sid not in family $cid")
+      assert(n == fam.size)
+      assert(stier == fam.map(tiers).min,
+        s"family $cid: survivor tier $stier above the family minimum")
+      // within the winning tier, the survivor is the smallest id
+      assert(sid == fam.filter(tiers(_) == stier).min)
+    }
+    // the policy BITES somewhere: some survivor differs from min-id election
+    assert(rows.exists(r => r.getLong(2) != families(r.getLong(0)).min),
+      "expected at least one family where priority overrides min-id")
+  }
+
   test("q43 SimHash: identical texts collide, near-dups are Hamming-close") {
     import spark.implicits._
     val sim = Dedup.queries("q43_simhash")(spark, sfDir)
