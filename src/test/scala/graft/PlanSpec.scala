@@ -319,4 +319,20 @@ class PlanSpec extends SparkTestBase {
       "TopKAgg partial phase missing — each map partition must send <= k rows")
     assert(modes.contains(Final))
   }
+
+  test("q163: the audit aggregate folds partially — one buffer per map task") {
+    val nodes = executed(SparkEntry.queries("q163_embedding_audit")(spark, sfDir))
+    val modes = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.aggregateExpressions.map(_.mode)
+    }.flatten
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    assert(modes.contains(Partial),
+      "VecStatsAgg partial phase missing — the shuffle must carry buffers, not rows")
+    assert(modes.contains(Final))
+    // and no explode feeds the aggregate: the d-fanout happens AFTER it
+    val gens = nodes.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size <= 1, "only the post-agg posexplode may generate rows")
+  }
 }
