@@ -254,7 +254,45 @@ object Multimodal extends QueryPack {
       .orderBy("q_id", "rank")
   }
 
+  /** VIDEO NEAR-DUP BY SHARED FRAMES — the content-level dedup q54's
+    * whole-file digest cannot express: a TRIMMED or re-encoded copy has
+    * a different file hash but shares most frame contents. Each video's
+    * sampled frames are fingerprinted (q52's sigs model per-frame
+    * content); a deterministic head-trimmed re-upload set is planted
+    * (every ≥3-frame video re-uploaded minus its first frame, re-keyed
+    * +200000 — the q54 planting convention); pairs sharing ≥ 2 frame
+    * sigs are reported with the shared count. Plan shape: the inverted
+    * frame-sig index — the shuffle carries (sig, id) only, payloads
+    * never move, and pair generation is the bounded equi-join (a hot
+    * intro-frame sig at corpus scale composes with capBuckets exactly
+    * like q42's shingle buckets). */
+  private def q165VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val vids = assets(s, d).filter(col("media_type") === "video")
+      .select(col("asset_id"), col("content"),
+              expr("cast(least(n_frames, 5) as long)").as("nf"))
+    val baseFrames = vids
+      .select(col("asset_id"), col("content"),
+              explode(expr("sequence(0L, nf - 1)")).as("fi"))
+    // the trimmed copy's frame j IS the original's frame j+1, so its
+    // content fingerprint carries the ORIGINAL index — position-free
+    // content identity, which is what makes trim detection work
+    val reupFrames = vids.filter(col("nf") >= 3)
+      .select((col("asset_id") + 200000).as("asset_id"), col("content"),
+              explode(expr("sequence(1L, nf - 1)")).as("fi"))
+    val frames = baseFrames.unionByName(reupFrames)
+      .select(col("asset_id"),
+              md5(concat(col("content").cast("string"), lit(":"),
+                         col("fi").cast("string"))).as("sig"))
+    frames.select(col("sig"), col("asset_id").as("a_id"))
+      .join(frames.select(col("sig"), col("asset_id").as("b_id")), Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_video_neardup" -> q165VideoNeardup _,
     "q149_media_similar" -> q149MediaSimilar _,
     "q50_media_meta"     -> q50MediaMeta _,
     "q51_media_features" -> q51MediaFeatures _,
@@ -301,6 +339,22 @@ object Multimodal extends QueryPack {
          SELECT min(asset_id) AS kept_id, count(*) AS n_copies
          FROM unioned GROUP BY md5(text)
          ORDER BY kept_id""",
+    // q165: the frame-sig inverted index replicated — base frames 0..n-1,
+    // trimmed re-uploads carrying frames 1..n-1 under original indices
+    "q165_video_neardup" ->
+      """WITH v AS (SELECT doc_id AS asset_id, text,
+                  CAST(least((doc_id % 4 + 2), 5) AS BIGINT) AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         bf AS (SELECT asset_id, md5(text || ':' || fi::VARCHAR) AS sig
+                FROM v, unnest(range(0, nf)) t(fi)),
+         rf AS (SELECT asset_id + 200000 AS asset_id,
+                       md5(text || ':' || fi::VARCHAR) AS sig
+                FROM v, unnest(range(1, nf)) t(fi) WHERE nf >= 3),
+         f AS (SELECT * FROM bf UNION ALL SELECT * FROM rf)
+         SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                count(*) AS n_shared
+         FROM f a JOIN f b ON a.sig = b.sig AND a.asset_id < b.asset_id
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id""",
     "q52_frame_sample" ->
       """SELECT doc_id AS asset_id, frame_idx,
          md5(text || ':' || frame_idx::VARCHAR) AS frame_sig

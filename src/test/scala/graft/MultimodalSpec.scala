@@ -74,4 +74,21 @@ class MultimodalSpec extends SparkTestBase {
       assert((id % 3 + 1) == 3, s"asset $id is not video-typed")
     }
   }
+
+  test("q165: every pair is an (original, trimmed copy); shared count = frames - 1") {
+    val rows = Multimodal.queries("q165_video_neardup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b == a + 200000, s"unexpected pair ($a,$b) — cross-video collision")
+      val nf = math.min(a % 4 + 2, 5)
+      assert(nf >= 3, "only >=3-frame videos were re-uploaded")
+      assert(n == nf - 1, s"pair ($a,$b): shared $n != ${nf - 1}")
+    }
+    // exactly the >=3-frame videos produce a pair
+    val expected = Tables.documents(spark, sfDir)
+      .filter(expr("doc_id % 3 = 2 AND least(doc_id % 4 + 2, 5) >= 3"))
+      .count()
+    assert(rows.length == expected)
+  }
 }
