@@ -571,12 +571,52 @@ object Projection extends QueryPack {
       .orderBy("dim")
   }
 
+  /** PER-DIMENSION STANDARDIZATION — the z-score normalization pass run
+    * before training codebooks or distance-sensitive indexes (a hot
+    * dimension with 10× the variance dominates every L2/PQ subspace;
+    * standardizing equalizes the axes). Two-phase at any scale: phase 1
+    * is q163's ONE-buffer-per-task stats aggregate (means/stds from
+    * exact quantized integers), broadcast back as a single row; phase 2
+    * is a map-side zip_with over every vector — no shuffle of the
+    * corpus at all. The derived mean/std doubles are bit-identical
+    * cross-engine (integer inputs), so the per-element (x − μ)/σ is
+    * single-rounded IEEE both sides; elements are quantized to INTEGER
+    * 1e-4 units before the joined-string output (the q84 convention —
+    * integers in strings are formatting-hazard-free cross-engine where
+    * joined doubles are not). Zero-std dimensions pass through as 0
+    * (the dead-axis convention). */
+  private def q166Standardize(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.embeddings(s, d)
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+        .as("q"))
+      .agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")).as("st"))
+      .select(
+        expr("transform(st.sums, s -> cast(s as double) / st.n / 1e6)").as("mu"),
+        expr("""zip_with(st.sumsqs, st.sums, (sq, s) ->
+                  sqrt(cast(sq as double) / st.n
+                       - (cast(s as double) / st.n) * (cast(s as double) / st.n))
+                  / 1e6)""").as("sd"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        expr("""array_join(
+                  zip_with(zip_with(v, mu, (x, m) -> x - m), sd,
+                           (c, s) -> CASE WHEN s = 0 THEN 0L
+                                     ELSE cast(floor(c / s * 1e4) as bigint) END),
+                  ',')""").as("z4"))
+      .orderBy("vec_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_pca_sweep" -> q125PcaSweep _,
     "q135_binary_ann" -> q135BinaryAnn _,
     "q136_pca_binary" -> q136PcaBinary _,
     "q153_rbo_eval" -> q153RboEval _,
     "q163_embedding_audit" -> q163EmbeddingAudit _,
+    "q166_standardize" -> q166Standardize _,
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -660,6 +700,31 @@ object Projection extends QueryPack {
                      - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n))
                   / 1e6 AS std
          FROM a ORDER BY dim""",
+    // q166: per-dim stats from the same integer quantization, listed in
+    // dim order, then the per-element (x − μ)/σ in 1e-4 integer units
+    "q166_standardize" ->
+      """WITH q AS (SELECT vec_id, embedding,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   for x in embedding] AS qv
+           FROM embeddings),
+         d AS (SELECT unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_q,
+                      CAST(sum(v * v) AS BIGINT) AS sumsq_q
+               FROM d GROUP BY dim),
+         st AS (SELECT list(CAST(sum_q AS DOUBLE) / n / 1e6 ORDER BY dim) AS mu,
+                       list(sqrt(CAST(sumsq_q AS DOUBLE) / n
+                              - (CAST(sum_q AS DOUBLE) / n)
+                                * (CAST(sum_q AS DOUBLE) / n)) / 1e6
+                            ORDER BY dim) AS sd
+                FROM a)
+         SELECT vec_id,
+                array_to_string(
+                  [CASE WHEN st.sd[i] = 0 THEN 0
+                        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - st.mu[i])
+                                        / st.sd[i] * 1e4) AS BIGINT) END
+                   for i in range(1, len(embedding) + 1)], ',') AS z4
+         FROM q, st ORDER BY vec_id""",
     "q153_rbo_eval" -> rboOracleSql,
     "q125_pca_sweep" -> (if (pcaCache.size == 1)
         pcaOracleSqlTrained(pcaCache.values.iterator.next())

@@ -108,6 +108,21 @@ class ProjectionSpec extends SparkTestBase {
     }
   }
 
+  test("q166 standardization: per-dim z mean ~ 0, std ~ 1") {
+    val rows = Projection.queries("q166_standardize")(spark, sfDir).collect()
+    assert(rows.length == Tables.embeddings(spark, sfDir).count())
+    val mat = rows.map(_.getString(1).split(',').map(_.toLong / 1e4))
+    assert(mat.map(_.length).distinct.length == 1, "ragged z vectors")
+    for (j <- mat.head.indices) {
+      val colv = mat.map(_(j))
+      val m = colv.sum / colv.length
+      val sd = math.sqrt(colv.map(x => (x - m) * (x - m)).sum / colv.length)
+      // 1e-4 output quantization + 1e-6 input quantization head-room
+      assert(math.abs(m) < 2e-3, s"dim ${j + 1}: z mean $m")
+      assert(math.abs(sd - 1) < 2e-3, s"dim ${j + 1}: z std $sd")
+    }
+  }
+
   test("planted vec_int_stats: exact sums/minmax; partial buffers merge") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
