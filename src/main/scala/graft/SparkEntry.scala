@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Projection,
     operators.Mining,
     operators.Stats,
+    operators.Skew,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -65,6 +65,21 @@ object StreamGate extends QueryPack {
     s.table(name)
   }
 
+  /** [[runToBatch]] with the RocksDB state-store provider set for the
+    * pass (transformWithState requires multiple column families, which
+    * the default HDFS-backed provider lacks), restored after. */
+  private def runToBatchRocks(s: SparkSession, out: DataFrame): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToBatch(s, out)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private val stageMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -85,6 +100,49 @@ object StreamGate extends QueryPack {
   private def docStream(s: SparkSession, d: String): DataFrame =
     s.readStream.schema(Tables.documents(s, d).schema)
       .parquet(stagedDir(d, "documents"))
+
+  private val evStageMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.types.StructType)]
+
+  /** The events table staged for the file-stream source: NORMALIZED
+    * through the batch loader (so the nanos-vs-micros physical-encoding
+    * dispatch of `Tables.events` applies — streaming the raw file with a
+    * guessed schema would re-create the round-6 loader bug) and with one
+    * far-future SENTINEL row appended (event_id/user_id = -1, 35 days
+    * past max(ts)).
+    *
+    * The sentinel is the watermark-flush contract, not a test hack: an
+    * unbounded production stream always has a next event to advance the
+    * watermark, but a bounded AvailableNow pass ends at max(ts), leaving
+    * every append-mode window and event-time timer whose horizon lies
+    * beyond `max(ts) − delay` unfired. The sentinel plays that next
+    * event: after the data batch the watermark jumps past every real
+    * row's (window end + gap + delay) and the closing no-data
+    * micro-batch flushes all of them. Gates filter the sentinel's own
+    * key (< 0) from the sink. Staged once per (session, dataset). */
+  private def eventsStaged(s: SparkSession, d: String): (String, org.apache.spark.sql.types.StructType) =
+    evStageMemo.getOrElseUpdate(s"${System.identityHashCode(s)}/$d", {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+                col("ts"), col("value"))
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 35L * 24 * 3600 * 1000)
+      val sentinel = Seq((-1L, "zzz_sentinel", -1L, sentinelTs, 0.0))
+        .toDF("event_id", "event_type", "user_id", "ts", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+      ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
+      (dir, ev.schema)
+    })
+
+  /** The normalized events table (+ watermark sentinel) as a file-source
+    * STREAM. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val (dir, schema) = eventsStaged(s, d)
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+  }
 
   /** Streaming incremental exact dedup vs the static existing corpus,
     * through the BLOOM-split path (map-side definitive negatives + exact
@@ -126,19 +184,7 @@ object StreamGate extends QueryPack {
     val out = StreamOps.simhashNearDupStream(stream, "ts", "1 hour",
       delayMs = 3600000L, maxHamming = 3, nBands = 4, bitsPerBand = 15,
       maxResidents = 1000000)
-    // transformWithState needs the RocksDB provider (multiple column
-    // families); set for the bounded run, restore after
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val result =
-      try runToBatch(s, out)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    result
+    runToBatchRocks(s, out)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
   }
@@ -154,17 +200,7 @@ object StreamGate extends QueryPack {
       .withColumn("ts", timestamp_seconds(lit(1704067200L))) // 2024-01-01
     val out = StreamOps.nearDupPairsStream(stream, "ts", "1 hour",
       delayMs = 3600000L, threshold = 0.8, maxResidents = 1000000)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val result =
-      try runToBatch(s, out)
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    result
+    runToBatchRocks(s, out)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
   }
@@ -223,7 +259,101 @@ object StreamGate extends QueryPack {
     runToBatch(s, TextAnalysis.repetitionOn(docStream(s, d)))
       .orderBy("doc_id")
 
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Streaming GAP-BASED SESSIONIZATION — [[StreamOps.sessionizeStream]]
+    * (flatMapGroupsWithState, event-time timeout) under the oracle gate:
+    * the event-time upgrade of the reference's processing-time file roll
+    * (`ETLTask.java:285-296`), certified batch-equivalent against q24's
+    * lag/running-sum session SQL extended with the per-session value sum.
+    * Two cross-engine parity choices make the equivalence exact: gap
+    * arithmetic runs on epoch MILLIS on both sides (`Timestamp.getTime`
+    * is ms; the oracle compares `epoch_ms` diffs), and the value sum is
+    * integer-cent arithmetic (`floor(value·100 + 0.5)` is one IEEE
+    * multiply+floor on the same double both sides; integer-valued double
+    * sums are order-independent) — no float-sum-order hazard.
+    * Mid-stream sessions emit when their successor opens; each user's
+    * LAST session emits via the event-time timeout once the sentinel
+    * advances the watermark past session_end + gap. */
+  private def q167SessionizeStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ev = eventStream(s, d)
+      .select(col("user_id"), col("ts"),
+              expr("floor(value * 100 + 0.5)").as("value")) // exact cents
+      .as[graft.streaming.StreamOps.SessionEvent]
+    val out = graft.streaming.StreamOps
+      .sessionizeStream(ev, gapMs = 3600000L, watermarkDelay = "1 minute")
+    runToBatch(s, out.toDF())
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+              date_format(col("session_start"), tsFmt).as("session_start"),
+              date_format(col("session_end"), tsFmt).as("session_end"),
+              col("n_events"),
+              (col("total_value") / 100).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming PER-WINDOW TOP-K — [[StreamOps.windowTopK]] (the
+    * bounded-heap [[graft.functions.TopKAgg]] inside an append-mode
+    * windowed aggregation — possible precisely because top-k is an
+    * AGGREGATE here; rank windows don't run on streams) under the oracle
+    * gate. Each closed 1-hour window emits its value-ranked top-3 events
+    * once the watermark passes the window end (the sentinel closes the
+    * tail windows); the oracle is the window-function formulation (score
+    * desc, id asc — TopKAgg's total order, q77's precedent). */
+  private def q168WindowTopkStream(s: SparkSession, d: String): DataFrame = {
+    val out = graft.streaming.StreamOps.windowTopK(
+      eventStream(s, d), "ts", delay = "1 minute", window_ = "1 hour",
+      scoreCol = "value", idCol = "event_id", k = 3)
+    runToBatch(s, out)
+      .filter(col("event_id") >= 0)
+      .select(date_format(col("window_start"), tsFmt).as("window_start"),
+              col("rnk"), col("event_id"), col("value"))
+      .orderBy("window_start", "rnk")
+  }
+
+  /** Streaming PER-KEY QUOTA — [[StreamOps.quotaPerKeyStream]]
+    * (transformWithState, one admitted-counter per open (key, window))
+    * under the oracle gate: admit at most 5 events per (event_type,
+    * 1-hour window). Admission order inside the single AvailableNow
+    * batch is (epoch-ms, event_id) — deterministic — so the oracle is
+    * the row_number formulation over the same ms-granularity window id
+    * and ordering. Emission is at arrival (no watermark flush needed);
+    * the sentinel just rides along and is filtered by key. */
+  private def q169QuotaStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val out = graft.streaming.StreamOps.quotaPerKeyStream(
+      eventStream(s, d), "ts", delay = "1 minute", delayMs = 60000L,
+      windowMs = 3600000L, keyCol = "event_type", idCol = "event_id", cap = 5)
+    runToBatchRocks(s, out)
+      .filter(col("doc_id") >= 0)
+      .select(col("key").as("event_type"), col("doc_id").as("event_id"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Streaming EXACT DEDUP WITHIN WATERMARK —
+    * [[StreamOps.dedupWithinWatermark]] (`dropDuplicatesWithinWatermark`)
+    * under the oracle gate: first-seen row per (user_id, event_type)
+    * key. The gate projects the KEY COLUMNS ONLY, so the output is
+    * value-deterministic regardless of which physical row survives —
+    * what the oracle can then state as SELECT DISTINCT: the certified
+    * contract is "exactly the distinct key set, each key once". */
+  private def q170DedupStream(s: SparkSession, d: String): DataFrame = {
+    val out = graft.streaming.StreamOps.dedupWithinWatermark(
+      eventStream(s, d).select(col("user_id"), col("event_type"), col("ts")),
+      "ts", delay = "40 days", keys = Seq("user_id", "event_type"))
+    runToBatch(s, out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_sessionize_stream" -> q167SessionizeStream _,
+    "q168_window_topk_stream" -> q168WindowTopkStream _,
+    "q169_quota_stream" -> q169QuotaStream _,
+    "q170_dedup_stream" -> q170DedupStream _,
     "q162_repetition_stream" -> q162RepetitionStream _,
     "q150_entropy_stream" -> q150EntropyStream _,
     "q104_incdedup_stream" -> q104IncDedupStream _,
@@ -235,6 +365,52 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q24's session segmentation on epoch-MILLIS gaps (Timestamp.getTime
+    // parity) + integer-cent value sums (order-independent, bit-exact)
+    "q167_sessionize_stream" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, "value",
+             CASE WHEN lag(epoch_ms(ts::TIMESTAMP)) OVER w IS NULL
+                    OR epoch_ms(ts::TIMESTAMP) - lag(epoch_ms(ts::TIMESTAMP)) OVER w > 3600000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), numbered AS (
+           SELECT user_id, ts, "value",
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged
+         )
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           sum(floor("value" * 100 + 0.5)) / 100 AS total_value
+         FROM numbered GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+    // the window formulation of the bounded-heap aggregate's total order
+    // (score desc, id asc — q77's precedent), per 1-hour tumbling window
+    "q168_window_topk_stream" ->
+      """WITH r AS (SELECT date_trunc('hour', ts) AS ws, event_id, "value",
+                    row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                      ORDER BY "value" DESC, event_id) AS rnk
+             FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                CAST(rnk AS BIGINT) AS rnk, event_id, "value"
+         FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""",
+    // admission = first 5 per (key, epoch-ms hour window) in
+    // (epoch-ms, id) order — the processor's in-batch admission order
+    "q169_quota_stream" ->
+      """WITH r AS (SELECT event_type, event_id,
+                    row_number() OVER (
+                      PARTITION BY event_type, epoch_ms(ts::TIMESTAMP) // 3600000
+                      ORDER BY epoch_ms(ts::TIMESTAMP), event_id) AS rn
+             FROM events)
+         SELECT event_type, event_id FROM r WHERE rn <= 5
+         ORDER BY event_type, event_id""",
+    // key-projection contract: exactly the distinct key set, each once
+    "q170_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // batch-equivalence: the per-row sorted fold is bit-identical to the
     // batch aggregation, so q142's oracle covers the stream verbatim
     "q150_entropy_stream" -> Stats.oracles("q142_token_entropy"),

@@ -61,6 +61,8 @@ class PlanSpec extends SparkTestBase {
       "q104_incdedup_stream", "q105_contamination_stream",
       "q106_simhash_stream", "q107_minhash_stream", "q112_quality_stream",
       "q118_window_stream", "q150_entropy_stream", "q162_repetition_stream",
+      "q167_sessionize_stream", "q168_window_topk_stream",
+      "q169_quota_stream", "q170_dedup_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
       // IVF-PQ persisted-index family: index build/append (write-once per
@@ -334,5 +336,32 @@ class PlanSpec extends SparkTestBase {
     val gens = nodes.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g }
     assert(gens.size <= 1, "only the post-agg posexplode may generate rows")
+  }
+
+  test("q171: the salted join fans the dim side out by the salt factor " +
+       "and joins on __salt") {
+    import graft.operators.Skew
+    val nodes = executed(Skew.queries("q171_salted_join")(spark, sfDir))
+    // the dim side replicates via explode(sequence(0, salts-1)) —
+    // constant-folded by Catalyst into explode(<literal array>) whose
+    // length IS the replication factor; assert it produces __salt
+    val gens = nodes.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    val saltGens = gens.filter(_.generatorOutput.exists(_.name == "__salt"))
+    assert(saltGens.nonEmpty, "expected an explode producing __salt on the dim side")
+    val fanouts = saltGens.flatMap(_.generator.children.collect {
+      case org.apache.spark.sql.catalyst.expressions.Literal(a:
+          org.apache.spark.sql.catalyst.util.ArrayData, _) => a.numElements()
+    })
+    assert(fanouts.contains(Skew.q171Salts),
+      s"expected the ${Skew.q171Salts}-way dim fan-out, got $fanouts")
+    // and the salt is a JOIN KEY (the hot key becomes salts sub-keys)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.exists(j =>
+        j.leftKeys.exists(_.toString.contains("__salt")) &&
+        j.rightKeys.exists(_.toString.contains("__salt"))),
+      s"expected __salt among the equi-join keys; joins: " +
+        s"${joins.map(j => j.leftKeys.mkString(","))}")
   }
 }
