@@ -589,8 +589,9 @@ object Similarity extends QueryPack {
     * map-side encode + one batch-sized shuffle keyed by cell. q157
     * certifies append ≡ full rebuild cross-engine. */
   def ivfPqAppend(s: SparkSession, path: String, fresh: DataFrame): Unit = {
-    val coarse = loadCodebookArray(s, path)
-    val (pq, residual) = loadPqCodebook(s, path)
+    val cur = resolveIndex(s, path) // append lands in the SERVING version
+    val coarse = loadCodebookArray(s, cur)
+    val (pq, residual) = loadPqCodebook(s, cur)
     val assigned = ivfAssignCodebook(s, fresh, coarse)
     val toEncode =
       if (residual)
@@ -602,7 +603,7 @@ object Similarity extends QueryPack {
     toEncode
       .select(col("vec_id"), col("centroid"),
               NativeExprs.pq_encode(col("enc"), pq).as("codes"))
-      .write.mode("append").partitionBy("centroid").parquet(path)
+      .write.mode("append").partitionBy("centroid").parquet(cur)
   }
 
   /** Search a materialized IVF-PQ index: rank the k coarse centroids per
@@ -652,11 +653,12 @@ object Similarity extends QueryPack {
   def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
                   topK: Int, nprobe: Int,
                   deleted: Option[DataFrame] = None): DataFrame = {
-    val idx0 = s.read.parquet(path).select("vec_id", "centroid", "codes")
+    val cur = resolveIndex(s, path) // follow the compact/retrain manifest
+    val idx0 = s.read.parquet(cur).select("vec_id", "centroid", "codes")
     val idx = deleted.fold(idx0)(t =>
       idx0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
-    val (pq, residual) = loadPqCodebook(s, path)
-    val cents = loadCodebook(s, path)
+    val (pq, residual) = loadPqCodebook(s, cur)
+    val cents = loadCodebook(s, cur)
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("cos_c", NativeExprs.cosine_sim(col("qv"), col("cv")))
       .groupBy("q_id")
@@ -879,7 +881,8 @@ object Similarity extends QueryPack {
   /** The q156 persisted index, built once per (session, dataset). */
   private def rerankIndexFor(s: SparkSession, e: DataFrame, d: String): String =
     rerankIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString)
       ivfPqIndex(e, ivfK, dir) // residual default — the FAISS semantic
       dir
     })
@@ -929,7 +932,8 @@ object Similarity extends QueryPack {
     * the standing corpus is never rescanned. */
   private[graft] def appendIndexFor(s: SparkSession, e: DataFrame, d: String): String =
     appendIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString)
       ivfPqIndex(e.filter(col("vec_id") < appendSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") >= appendSplit))
       dir
@@ -943,25 +947,84 @@ object Similarity extends QueryPack {
                       topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
   }
 
+  private def indexFsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+
+  private val versionPat = "_v(\\d+)".r
+
+  /** Resolve the SERVING directory of a possibly-versioned index: the
+    * `_manifest` pointer (one line, e.g. `_v2`) names the live
+    * subdirectory after a [[ivfPqCompact]]/[[ivfPqRetrain]] swap; with
+    * no manifest the index is the loose v0 files at the root.
+    * Underscore-prefixed names are invisible to parquet scans of the
+    * root, so versions and manifest coexist with the v0 files. All
+    * readers ([[ivfPqSearch]], [[ivfPqAppend]], the stats query) resolve
+    * through this, which is what makes the manifest swap the cutover. */
+  private[graft] def resolveIndex(s: SparkSession, path: String): String = {
+    val fs = indexFsOf(s, path)
+    val m = new org.apache.hadoop.fs.Path(path, "_manifest")
+    if (!fs.exists(m)) path
+    else {
+      val in = fs.open(m)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      if (v.isEmpty) path else s"$path/$v"
+    }
+  }
+
+  /** Point `$path/_manifest` at version subdir `v` — write-temp +
+    * rename, the closest to atomic a generic Hadoop filesystem offers
+    * (rename is atomic on HDFS; the delete-then-rename window on stores
+    * without overwrite-rename is the documented compromise, and a reader
+    * falling into it sees the previous still-complete version root). */
+  private def swapManifest(s: SparkSession, path: String, v: String): Unit = {
+    val fs = indexFsOf(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_manifest.tmp.$v")
+    val out = fs.create(tmp, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+    val man = new org.apache.hadoop.fs.Path(path, "_manifest")
+    if (fs.exists(man)) fs.delete(man, false)
+    fs.rename(tmp, man)
+    ()
+  }
+
+  /** Next unused `_v<N>` name under the index root. */
+  private def nextVersion(s: SparkSession, path: String): String = {
+    val fs = indexFsOf(s, path)
+    val used = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath.getName)
+      .collect { case versionPat(n) => n.toInt }
+    s"_v${if (used.isEmpty) 1 else used.max + 1}"
+  }
+
   /** COMPACT a persisted IVF-PQ index into one file per cell — the
     * maintenance pass that undoes append fragmentation (every q157-style
     * append adds a file per touched cell; a thousand appends = a
     * thousand small files per cell, and probe cost becomes file-open
     * bound instead of byte bound). Rewrites code rows cell-clustered
-    * (one shuffle keyed by cell) into a NEW versioned directory — the
-    * standing index stays readable throughout, the standard
-    * compact-then-swap lifecycle — and carries the codebooks over
-    * unchanged. Returns the new path. */
+    * (one shuffle keyed by cell) into a NEW versioned directory
+    * `$path/_v<N>` BESIDE the serving files — on the index's own
+    * filesystem, valid on a shared store where a driver-local temp dir
+    * is not — then atomically points `$path/_manifest` at it: the
+    * standing index serves reads throughout and the swap is the
+    * cutover; the previous version stays on disk for rollback until
+    * retention deletes it. Codebooks carry over unchanged. Returns
+    * `path` (readers keep addressing the root and follow the
+    * manifest). */
   def ivfPqCompact(s: SparkSession, path: String): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
-    s.read.parquet(path).select("vec_id", "centroid", "codes")
+    val cur = resolveIndex(s, path)
+    val v = nextVersion(s, path)
+    val out = s"$path/$v"
+    s.read.parquet(cur).select("vec_id", "centroid", "codes")
       .repartition(col("centroid"))
       .write.mode("overwrite").partitionBy("centroid").parquet(out)
-    s.read.parquet(s"$path/_codebook")
+    s.read.parquet(s"$cur/_codebook")
       .write.mode("overwrite").parquet(s"$out/_codebook")
-    s.read.parquet(s"$path/_pq_codebook")
+    s.read.parquet(s"$cur/_pq_codebook")
       .write.mode("overwrite").parquet(s"$out/_pq_codebook")
-    out
+    swapManifest(s, path, v)
+    path
   }
 
   private val compactIndexMemo =
@@ -979,6 +1042,85 @@ object Similarity extends QueryPack {
     val appended = appendIndexFor(s, e, d)
     val path = compactIndexMemo.getOrElseUpdate((System.identityHashCode(s), d),
       ivfPqCompact(s, appended))
+    rerankCodebooksFor(e, d)
+    ivfPqSearchRerank(s, path, rerankQueries(e), e,
+                      topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
+  }
+
+  /** RETRAIN DECISION + REBUILD — the FAISS re-train-when-unbalanced
+    * step composed from the lifecycle pieces: read the SERVING index's
+    * per-cell occupancy (q159's stats shape — a partition-column-only
+    * scan, no code bytes), and if the hottest cell's corpus share
+    * exceeds `maxCellShare`, retrain codebooks on `corpus` and rebuild
+    * the whole index into the next `_v<N>` under the same root with the
+    * [[ivfPqCompact]] manifest-swap cutover (the standing index serves
+    * reads until the swap). Returns whether it retrained — a no-op
+    * below the threshold, so callers can run this after every append
+    * batch as the standing health check. Scale shape: the decision
+    * costs one footer-level count per cell; the rebuild is the one-off
+    * full-corpus pass retraining implies (that's the point of gating it
+    * on a threshold). */
+  def ivfPqRetrain(s: SparkSession, path: String, corpus: DataFrame, k: Int,
+                   maxCellShare: Double): Boolean = {
+    val cur = resolveIndex(s, path)
+    val occ = s.read.parquet(cur).select("centroid")
+      .groupBy("centroid").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), sum("n").as("tot")).head()
+    val share = occ.getLong(0).toDouble / occ.getLong(1)
+    if (share <= maxCellShare) false
+    else {
+      val v = nextVersion(s, path)
+      ivfPqIndex(corpus, k, s"$path/$v") // fresh codebooks, full rebuild
+      swapManifest(s, path, v)
+      true
+    }
+  }
+
+  /** q172's stale-corpus split: the initial index is trained on
+    * vec_id >= [[retrainStaleSplit]] only, so its codebooks draw the
+    * sample [150, 256) — genuinely DIFFERENT from the full-corpus
+    * codebooks — and the appended early vectors are coded under that
+    * stale quantizer. */
+  private val retrainStaleSplit = 150
+
+  /** q172's occupancy trigger: retrain when the hottest cell exceeds
+    * 1.2× the balanced share (1/ivfK = 0.0625 ⇒ threshold 0.075). The
+    * synthetic gaussian corpus is NEAR-balanced under any codebook
+    * (measured stale-index max shares 0.079–0.088 across the three test
+    * scale factors), so the production-style "fire only on gross drift"
+    * setting would never exercise the rebuild path here; 1.2×-balanced
+    * fires on the stale index at every test sf — measured, and the
+    * query build fails loudly (require below) if a testdata change ever
+    * stops the trigger firing, rather than serving the stale index into
+    * a confusing oracle mismatch. */
+  private val retrainShare = 1.2 / ivfK
+
+  private val retrainIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** INDEX RETRAIN + SEARCH — closes the lifecycle loop under the
+    * oracle gate: an index whose codebooks went STALE (trained on an
+    * old corpus slice, the rest appended frozen — drift an append-only
+    * deployment accumulates) is health-checked by [[ivfPqRetrain]]; the
+    * occupancy trigger fires, codebooks retrain on the full corpus and
+    * the index rebuilds behind the manifest swap. The oracle is q156's
+    * full-rebuild SQL: a pass proves retrain-then-search ≡
+    * fresh-rebuild-search — and the gate has teeth, because if the
+    * trigger failed to fire the search would serve the STALE quantizer,
+    * whose different cell assignments and ADC tables hash-mismatch the
+    * oracle. */
+  private def q172IndexRetrain(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val path = retrainIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_ivfpq_rt").toString)
+      ivfPqIndex(e.filter(col("vec_id") >= retrainStaleSplit), ivfK, dir)
+      ivfPqAppend(s, dir, e.filter(col("vec_id") < retrainStaleSplit))
+      val retrained = ivfPqRetrain(s, dir, e, ivfK, retrainShare)
+      require(retrained,
+        s"q172 expects the occupancy trigger (> $retrainShare) to fire here")
+      dir
+    })
     rerankCodebooksFor(e, d)
     ivfPqSearchRerank(s, path, rerankQueries(e), e,
                       topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK)
@@ -1023,7 +1165,7 @@ object Similarity extends QueryPack {
     val path = rerankIndexFor(s, e, d)
     rerankCodebooksFor(e, d)
     val total = e.agg(count(lit(1)).as("n"))
-    s.read.parquet(path).select("vec_id", "centroid")
+    s.read.parquet(resolveIndex(s, path)).select("vec_id", "centroid")
       .groupBy("centroid").agg(count(lit(1)).as("n_vecs"))
       .crossJoin(broadcast(total))
       .select(col("centroid").cast("long").as("cell_id"),
@@ -1379,6 +1521,7 @@ object Similarity extends QueryPack {
     "q158_index_tombstone" -> q158IndexTombstone _,
     "q159_index_stats"    -> q159IndexStats _,
     "q160_index_compact"  -> q160IndexCompact _,
+    "q172_index_retrain"  -> q172IndexRetrain _,
   )
 
   // ---- generated DuckDB oracles -------------------------------------------
@@ -1611,7 +1754,12 @@ object Similarity extends QueryPack {
       // append → compact → search ≡ rebuild → search: same SQL as q156
       ("q160_index_compact" -> Option(rerankCodebooks.get(dir))
         .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
-        .getOrElse("SELECT 1 AS q160_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q160_not_built_for_this_dataset")) +
+      // retrain → search ≡ fresh rebuild → search: same SQL as q156 (a
+      // non-firing trigger would serve the STALE quantizer and mismatch)
+      ("q172_index_retrain" -> Option(rerankCodebooks.get(dir))
+        .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
+        .getOrElse("SELECT 1 AS q172_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
   // fallback (single-codebook case) kept for the QueryPack contract.
@@ -1677,6 +1825,10 @@ object Similarity extends QueryPack {
         val (cc, pq) = rerankCodebooks.values.iterator.next()
         annRerankOracleSql(cc, pq)
       } else "SELECT 1 AS q160_not_built_unambiguously_this_process"),
+    "q172_index_retrain" -> (if (rerankCodebooks.size == 1) {
+        val (cc, pq) = rerankCodebooks.values.iterator.next()
+        annRerankOracleSql(cc, pq)
+      } else "SELECT 1 AS q172_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q123: pure prefix-slice arithmetic — no trained literals, so the
     // oracle is static; dim = 64 is the self-baseline (recall 1 row)

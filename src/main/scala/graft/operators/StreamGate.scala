@@ -88,7 +88,8 @@ object StreamGate extends QueryPack {
     * temp dir, once per (dataset, table). */
   private def stagedDir(d: String, table: String): String =
     stageMemo.getOrElseUpdate(s"$d/$table", {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      val dir = java.nio.file.Paths.get(graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory(s"graft_stream_$table").toString))
       java.nio.file.Files.createSymbolicLink(
         dir.resolve(s"$table.parquet"),
         java.nio.file.Paths.get(s"$d/$table.parquet"))
@@ -130,7 +131,8 @@ object StreamGate extends QueryPack {
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 35L * 24 * 3600 * 1000)
       val sentinel = Seq((-1L, "zzz_sentinel", -1L, sentinelTs, 0.0))
         .toDF("event_id", "event_type", "user_id", "ts", "value")
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_events").toString
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_stream_events").toString)
       ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(dir)
       (dir, ev.schema)
     })

@@ -69,7 +69,7 @@ class PlanSpec extends SparkTestBase {
       // session+dataset), codebook training, and the probe-cell collect
       // (|Q|·nprobe ids) documented at ivfPqSearch
       "q156_ann_rerank", "q157_index_append", "q158_index_tombstone",
-      "q159_index_stats", "q160_index_compact")
+      "q159_index_stats", "q160_index_compact", "q172_index_retrain")
     // warm the memoized ANALYZE-style stats (documented one-off per
     // session+dataset) so they don't attribute to whichever query builds
     // first

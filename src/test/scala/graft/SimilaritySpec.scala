@@ -365,16 +365,52 @@ class SimilaritySpec extends SparkTestBase {
     val rebuilt = Similarity.queries("q156_ann_rerank")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(compacted == rebuilt, "compaction must not change search results")
-    // the physical effect: the appended index is fragmented (>1 file in
-    // at least one cell), the compacted one is exactly 1 file per cell
+    // the physical effect: the appended (v0) files are fragmented (>1
+    // file in at least one cell); the compacted version is exactly 1
+    // file per cell, lives in a _v<N> dir UNDER the index path (a valid
+    // shared-filesystem location — not a driver-local temp dir), and the
+    // manifest points at it
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val appended = Similarity.appendIndexFor(spark, e, sfDir)
-    val compactedDir = Similarity.ivfPqCompact(spark, appended)
+    assert(Similarity.ivfPqCompact(spark, appended) == appended,
+      "compact must return the root: readers follow the manifest")
+    val serving1 = Similarity.resolveIndex(spark, appended)
+    assert(serving1 != appended && serving1.startsWith(s"$appended/_v"),
+      s"serving dir must be a _v<N> under the index path, got $serving1")
     def filesPerCell(dir: String): Seq[Int] =
       new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid="))
         .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
     assert(filesPerCell(appended).exists(_ > 1), "append should fragment")
-    assert(filesPerCell(compactedDir).forall(_ == 1), "compaction must coalesce")
+    assert(filesPerCell(serving1).forall(_ == 1), "compaction must coalesce")
+    // a second compact bumps the version and swaps the manifest forward
+    Similarity.ivfPqCompact(spark, appended)
+    val serving2 = Similarity.resolveIndex(spark, appended)
+    def vnum(p: String) = p.split("_v").last.toInt
+    assert(vnum(serving2) > vnum(serving1), "second compact must bump _v<N>")
+    assert(filesPerCell(serving2).forall(_ == 1))
+  }
+
+  test("q172 retrain: trigger fires on the stale index, search equals " +
+       "rebuild; below-threshold check is a no-op") {
+    import org.apache.spark.sql.functions.col
+    // the gated query: stale build → occupancy trigger → retrain; its
+    // search must equal the fresh-rebuild search (q156)
+    val retrained = Similarity.queries("q172_index_retrain")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = Similarity.queries("q156_ann_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(retrained == rebuilt, "retrain-then-search must equal fresh rebuild")
+    // no-op branch: a freshly built index under a permissive threshold
+    // neither retrains nor moves the serving pointer
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt_noop").toString
+    Similarity.ivfPqIndex(e, Similarity.ivfK, dir)
+    val before = Similarity.resolveIndex(spark, dir)
+    assert(!Similarity.ivfPqRetrain(spark, dir, e, Similarity.ivfK,
+                                    maxCellShare = 1.0),
+      "a below-threshold health check must not retrain")
+    assert(Similarity.resolveIndex(spark, dir) == before,
+      "a no-op check must not move the serving pointer")
   }
 
   test("q159 index stats: cell masses cover the corpus; shares bounded") {
