@@ -217,7 +217,61 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "day")
   }
 
+  /** q173's topic pair — the reference's headline mode is N topics in
+    * one consumer (`README.md:12`, `ETLTask.java:236`); two suffice to
+    * certify the per-topic fan-out. */
+  private val q173Topics = Seq("click", "view")
+
+  private val multiTopicMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** MULTI-TOPIC INGEST PARITY — the reference's headline deployment
+    * shape (N topics consumed by one job, each landing in its own
+    * partitioned output tree) as a batch-equivalent gate, mirroring
+    * [[graft.streaming.KafkaEtlPipeline]]'s fan-out exactly: one
+    * partitioned Snappy parquet write per topic under `$out/<topic>/`
+    * with event-time `dt`/`hour` Hive partitions (the pipeline's
+    * per-topic sink layout). The gate then reads the WRITTEN dataset
+    * back — `dt`/`hour` come from the DIRECTORY NAMES (partition-type
+    * inference off, the compactor's byte-preserving convention), `topic`
+    * from the per-topic root — so a row misbucketed to the wrong topic
+    * dir or time partition surfaces as a value mismatch, and a lost or
+    * duplicated row as a hash/row-count mismatch. Oracle: the q20
+    * projection restricted to the two topics. Scale shape: each topic's
+    * write is one partitioned append (executors write their partitions
+    * in parallel — the reference does this single-threaded per
+    * partition); the read-back is the gate's own verification scan. */
+  private def q173MultiTopicIngest(s: SparkSession, d: String): DataFrame = {
+    val out = multiTopicMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val root = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_multitopic").toString)
+      q173Topics.foreach { t =>
+        Ingest.withBucketColumns(
+            Tables.events(s, d).filter(col("event_type") === t))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+                  col("dt"), col("hour"))
+          .write.mode("overwrite").partitionBy("dt", "hour")
+          .option("compression", "snappy").parquet(s"$root/$t")
+      }
+      root
+    })
+    // read partition values as raw strings (hour=05 must stay "05", not
+    // int 5) — the same inference-off read compactTo documents; schema
+    // resolves eagerly inside the try, so restoring after is safe
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.get(inferKey)
+    s.conf.set(inferKey, "false")
+    val perTopic =
+      try q173Topics.map(t => s.read.parquet(s"$out/$t").withColumn("topic", lit(t)))
+      finally s.conf.set(inferKey, prev)
+    perTopic.reduce(_.unionByName(_))
+      .select(col("event_id"), col("topic"), col("dt"), col("hour"),
+              col("user_id"), round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_multi_topic"  -> q173MultiTopicIngest _,
     "q152_incremental_agg" -> q152IncrementalAgg _,
     "q148_state_diff" -> q148StateDiff _,
     "q144_scd2_intervals" -> q144Scd2Intervals _,
@@ -231,6 +285,15 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // row-for-row parity of the two-topic partitioned write+read-back:
+    // dt/hour in the Spark result came from directory names, so the SQL
+    // derivation doubles as the layout check
+    "q173_multi_topic" ->
+      """SELECT event_id, event_type AS topic,
+         strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hour,
+         user_id, round("value", 2) AS "value"
+         FROM events WHERE event_type IN ('click', 'view')
+         ORDER BY event_id""",
     // the FULL recompute — a pass certifies the base+delta state merge
     // equals rescanning history, cross-engine
     "q152_incremental_agg" ->

@@ -65,6 +65,9 @@ class PlanSpec extends SparkTestBase {
       "q169_quota_stream", "q170_dedup_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
+      // per-topic partitioned write + read-back (write-once per
+      // session+dataset) — the multi-topic ingest parity gate
+      "q173_multi_topic",
       // IVF-PQ persisted-index family: index build/append (write-once per
       // session+dataset), codebook training, and the probe-cell collect
       // (|Q|·nprobe ids) documented at ivfPqSearch
