@@ -39,18 +39,30 @@ object Verify {
       import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
       var pool = Executors.newSingleThreadExecutor()
       val broken = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val group = s"preflight-$name"
         val task = pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = { fn(spark, sfDir).schema; () }
+          override def call(): Unit = {
+            // builders may run REAL driver work (streaming gate passes,
+            // memoized index builds); own the jobs under a group so a
+            // timeout can cancel them at the scheduler — thread
+            // interruption alone does not reliably stop Spark driver
+            // work, and a zombie build racing the dump loop's re-build
+            // of the same query corrupts shared memoized artifacts
+            spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+            try { fn(spark, sfDir).schema; () }
+            finally spark.sparkContext.clearJobGroup()
+          }
         })
         try { task.get(limit, TimeUnit.SECONDS); None }
         catch {
           case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
             task.cancel(true)
             pool.shutdownNow()
             pool = Executors.newSingleThreadExecutor()
             System.err.println(
               s"[verify] preflight: $name build exceeded ${limit}s — " +
-                "deferred to the dump loop's timeout")
+                "jobs cancelled; deferred to the dump loop's timeout")
             None
           case e: java.util.concurrent.ExecutionException =>
             Some(name -> Option(e.getCause).getOrElse(e))

@@ -23,10 +23,16 @@ import org.apache.spark.sql.types._
   * order-independent and bit-exact cross-engine, sidestepping the
   * unordered-float-sum parity hazard entirely.
   *
-  * Overflow headroom: |q| ≤ Q ⇒ per-dim sumsq ≤ N·Q². At Q = 6·10⁶
-  * (unit-scale embeddings at 1e-6 quantization) Long holds N up to
-  * ~2.5·10⁵ billion rows; a corpus beyond that swaps the buffer to
-  * 128-bit accumulators without changing the contract.
+  * Overflow headroom: |q| ≤ Q ⇒ per-dim sumsq ≤ N·Q². At Q = 10⁶
+  * (unit-scale embeddings at 1e-6 quantization) Long.MaxValue/Q² bounds
+  * the WORST case at ~9.2·10⁶ rows; the typical case is ~d× roomier
+  * (unit-NORM vectors put E[q²] ≈ Q²/d, so ~6·10⁸ rows at d = 64). A
+  * corpus beyond that needs the 128-bit-accumulator variant of this
+  * buffer — and because that boundary is real at the 100 TB target, the
+  * accumulation is exact-guarded (Math.addExact/multiplyExact): crossing
+  * it FAILS LOUDLY with ArithmeticException, matching the fail-loud
+  * convention of the ragged-dims require, instead of silently wrapping
+  * into wrong means/stds.
   */
 object VecStatsAgg {
   def vec_int_stats(vec: Column): Column =
@@ -82,8 +88,9 @@ case class VecIntStats(vec: Expression,
       var i = 0
       while (i < d) {
         val x = arr.getLong(i)
-        b.sums(i) += x
-        b.sumsqs(i) += x * x
+        // exact-guarded: overflow throws instead of silently wrapping
+        b.sums(i) = Math.addExact(b.sums(i), x)
+        b.sumsqs(i) = Math.addExact(b.sumsqs(i), Math.multiplyExact(x, x))
         if (x < b.mins(i)) b.mins(i) = x
         if (x > b.maxs(i)) b.maxs(i) = x
         i += 1
@@ -99,8 +106,8 @@ case class VecIntStats(vec: Expression,
       require(b.dim == o.dim, s"ragged vectors: merging dim ${o.dim} into ${b.dim}")
       var i = 0
       while (i < b.dim) {
-        b.sums(i) += o.sums(i)
-        b.sumsqs(i) += o.sumsqs(i)
+        b.sums(i) = Math.addExact(b.sums(i), o.sums(i))
+        b.sumsqs(i) = Math.addExact(b.sumsqs(i), o.sumsqs(i))
         if (o.mins(i) < b.mins(i)) b.mins(i) = o.mins(i)
         if (o.maxs(i) > b.maxs(i)) b.maxs(i) = o.maxs(i)
         i += 1

@@ -565,9 +565,14 @@ object Projection extends QueryPack {
               col("z.sums").as("sum_q"), col("z.sumsqs").as("sumsq_q"),
               col("z.mins").as("min_q"), col("z.maxs").as("max_q"))
       .withColumn("mean", expr("cast(sum_q as double) / n / 1e6"))
+      // greatest(0, ·): E[x²] − E[x]² can round to a tiny NEGATIVE for a
+      // (near-)constant dimension; unclamped, Spark's sqrt yields NaN
+      // where DuckDB's ERRORS — clamped identically on both sides (the
+      // oracle carries the same greatest), a dead axis reads std = 0
       .withColumn("std", expr(
-        """sqrt(cast(sumsq_q as double) / n
-                - (cast(sum_q as double) / n) * (cast(sum_q as double) / n)) / 1e6"""))
+        """sqrt(greatest(cast(0 as double),
+                cast(sumsq_q as double) / n
+                - (cast(sum_q as double) / n) * (cast(sum_q as double) / n))) / 1e6"""))
       .orderBy("dim")
   }
 
@@ -593,9 +598,13 @@ object Projection extends QueryPack {
       .agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")).as("st"))
       .select(
         expr("transform(st.sums, s -> cast(s as double) / st.n / 1e6)").as("mu"),
+        // same greatest(0, ·) clamp as q163: a near-constant dimension's
+        // tiny negative variance must read sd = 0 (dead axis) on both
+        // engines, not NaN-vs-error
         expr("""zip_with(st.sumsqs, st.sums, (sq, s) ->
-                  sqrt(cast(sq as double) / st.n
-                       - (cast(s as double) / st.n) * (cast(s as double) / st.n))
+                  sqrt(greatest(cast(0 as double),
+                       cast(sq as double) / st.n
+                       - (cast(s as double) / st.n) * (cast(s as double) / st.n)))
                   / 1e6)""").as("sd"))
     Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -696,8 +705,9 @@ object Projection extends QueryPack {
                FROM d GROUP BY dim)
          SELECT CAST(dim AS BIGINT) AS dim, n, sum_q, sumsq_q, min_q, max_q,
                 CAST(sum_q AS DOUBLE) / n / 1e6 AS mean,
-                sqrt(CAST(sumsq_q AS DOUBLE) / n
-                     - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n))
+                sqrt(greatest(CAST(0 AS DOUBLE),
+                     CAST(sumsq_q AS DOUBLE) / n
+                     - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)))
                   / 1e6 AS std
          FROM a ORDER BY dim""",
     // q166: per-dim stats from the same integer quantization, listed in
@@ -713,9 +723,10 @@ object Projection extends QueryPack {
                       CAST(sum(v * v) AS BIGINT) AS sumsq_q
                FROM d GROUP BY dim),
          st AS (SELECT list(CAST(sum_q AS DOUBLE) / n / 1e6 ORDER BY dim) AS mu,
-                       list(sqrt(CAST(sumsq_q AS DOUBLE) / n
+                       list(sqrt(greatest(CAST(0 AS DOUBLE),
+                              CAST(sumsq_q AS DOUBLE) / n
                               - (CAST(sum_q AS DOUBLE) / n)
-                                * (CAST(sum_q AS DOUBLE) / n)) / 1e6
+                                * (CAST(sum_q AS DOUBLE) / n))) / 1e6
                             ORDER BY dim) AS sd
                 FROM a)
          SELECT vec_id,

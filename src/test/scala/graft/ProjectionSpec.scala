@@ -139,4 +139,22 @@ class ProjectionSpec extends SparkTestBase {
     assert(st.getSeq[Long](3) == Seq(-3L, -2L, -1L), "mins")
     assert(st.getSeq[Long](4) == Seq(5L, 4L, 3L), "maxs")
   }
+
+  test("vec_int_stats overflow FAILS LOUDLY instead of wrapping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // x ≈ sqrt(Long.MaxValue): one x² fits, two overflow the sumsq
+    // accumulator — the guard must throw, not silently wrap into wrong
+    // means/stds (the 100 TB failure mode the exact-guard exists for)
+    val big = 3037000499L
+    val ex = intercept[Exception] {
+      Seq(Seq(big), Seq(big)).toDF("q").coalesce(1)
+        .agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in the cause chain, got $ex")
+  }
 }
