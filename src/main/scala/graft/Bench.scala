@@ -62,12 +62,19 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val runsByQuery = scala.collection.mutable.Map
       .empty[String, Vector[(Double, Boolean)]].withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      runsByQuery(name) = runsByQuery(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
+    // host-load samples bracketing every rep round: a driver-vs-builder
+    // total split (round 7: 115.9 s vs 97.5 s with no plan change) must
+    // be attributable to host contention FROM THE ARTIFACT ALONE
+    val loadSamples = scala.collection.mutable.ArrayBuffer(hostLoad())
+    for (_ <- 1 to reps) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        runsByQuery(name) = runsByQuery(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
+      }
+      loadSamples += hostLoad()
     }
     val raw: Seq[(String, Seq[(Double, Boolean)])] = names.map(n => n -> runsByQuery(n))
     // the minimum is taken over SUCCESSFUL reps only — a fast failure
@@ -118,7 +125,8 @@ object Bench {
     val rawPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW",
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_SIDECAR.json").toString)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(rawPath),
-      s"""{"reps":$reps,"full":$fullLine,"queries_raw":$qsRaw}""")
+      s"""{"reps":$reps,"host_load":${loadSamples.mkString("[", ",", "]")},""" +
+        s""""full":$fullLine,"queries_raw":$qsRaw}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: could not write sidecar $rawPath: $e") }
     // TWO JSON lines, full first and compact LAST, because the driver's
@@ -148,6 +156,18 @@ object Bench {
       sys.exit(1)
     }
   }
+
+  /** One /proc/loadavg sample as a JSON object: 1/5-min load averages
+    * plus the kernel's runnable/total thread counts — enough to tell "a
+    * slow run under a loaded host" from "a slow run, host idle" when
+    * reading the sidecar later. Non-Linux or unreadable → null. */
+  private def hostLoad(): String =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      val rq = f(3).split("/")
+      s"""{"load1":${f(0)},"load5":${f(1)},"runnable":${rq(0)},"threads":${rq(1)}}"""
+    } catch { case _: Throwable => "null" }
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     def ignore(body: => Unit): Unit =
