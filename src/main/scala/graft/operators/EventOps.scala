@@ -270,7 +270,61 @@ object EventOps extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** EVENT CONVERSION FUNNEL — how many users complete the ordered
+    * journey view → signup → purchase, each stage strictly AFTER the
+    * previous (classic product-analytics conversion over the events the
+    * reference lands in parquet). Stage timestamps are defined by pure
+    * min-semantics so both engines agree without an order-by tiebreak:
+    * t1 = min view ts; t2 = min signup ts strictly > t1; t3 = min
+    * purchase ts strictly > t2 — ties at the exact boundary are
+    * excluded by the strict >, so collect_list's nondeterministic order
+    * is irrelevant (every per-user derivation is a min over a filter).
+    *
+    * Scale shape: ONE shuffle (groupBy user_id), then the three stage
+    * times fall out of native higher-order filter/transform/array_min
+    * over the per-user array — codegen'd, no UDF, no window sort, and
+    * the final funnel is a single count-aggregate producing three rows.
+    * Per-user arrays are bounded by individual activity; a whale-user
+    * corpus would swap the collect for the chained conditional-min-agg
+    * form (three aggs re-using one hash partitioning on user_id) at the
+    * cost of two more passes — at normal per-user cardinality the
+    * one-pass array form wins. */
+  private def q176Funnel(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("event_type"))).as("ev"))
+      .withColumn("t1", expr(
+        "array_min(transform(filter(ev, e -> e.event_type = 'view'), e -> e.ts))"))
+      .withColumn("t2", expr(
+        """IF(t1 IS NULL, NULL, array_min(transform(
+             filter(ev, e -> e.event_type = 'signup' AND e.ts > t1), e -> e.ts)))"""))
+      .withColumn("t3", expr(
+        """IF(t2 IS NULL, NULL, array_min(transform(
+             filter(ev, e -> e.event_type = 'purchase' AND e.ts > t2), e -> e.ts)))"""))
+    per.agg(count(lit(1)).as("n0"), count(col("t1")).as("n1"),
+            count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+      .select(explode(expr(
+        """array(
+             named_struct('stage_idx', CAST(1 AS BIGINT), 'stage', 'view',
+               'users', n1,
+               'conv', IF(n0 = 0, CAST(0 AS DOUBLE),
+                          floor(n1 * 1000.0 / n0) / 1000)),
+             named_struct('stage_idx', CAST(2 AS BIGINT), 'stage', 'signup',
+               'users', n2,
+               'conv', IF(n1 = 0, CAST(0 AS DOUBLE),
+                          floor(n2 * 1000.0 / n1) / 1000)),
+             named_struct('stage_idx', CAST(3 AS BIGINT), 'stage', 'purchase',
+               'users', n3,
+               'conv', IF(n2 = 0, CAST(0 AS DOUBLE),
+                          floor(n3 * 1000.0 / n2) / 1000)))""")).as("r"))
+      .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+              col("r.users").as("users"), col("r.conv").as("conv"))
+      .orderBy("stage_idx")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_funnel"       -> q176Funnel _,
     "q173_multi_topic"  -> q173MultiTopicIngest _,
     "q152_incremental_agg" -> q152IncrementalAgg _,
     "q148_state_diff" -> q148StateDiff _,
@@ -285,6 +339,37 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q176: the min-over-filter semantics in join form — t2/t3 exist
+    // only for users whose prior stage fired, strict > at every hop;
+    // the ratio arithmetic is explicit-double (DuckDB BIGINT/BIGINT
+    // truncates) with the same floor-to-3dp on both sides
+    "q176_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'signup' AND e.ts > t1.t GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+         c AS (SELECT (SELECT count(DISTINCT user_id) FROM events) AS n0,
+                      (SELECT count(*) FROM t1) AS n1,
+                      (SELECT count(*) FROM t2) AS n2,
+                      (SELECT count(*) FROM t3) AS n3)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                  CAST(n1 AS BIGINT) AS users,
+                  CASE WHEN n0 = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE floor(n1 * 1000.0 / n0) / 1000 END AS conv FROM c
+           UNION ALL
+           SELECT 2, 'signup', n2,
+                  CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE floor(n2 * 1000.0 / n1) / 1000 END FROM c
+           UNION ALL
+           SELECT 3, 'purchase', n3,
+                  CASE WHEN n2 = 0 THEN CAST(0 AS DOUBLE)
+                       ELSE floor(n3 * 1000.0 / n2) / 1000 END FROM c)
+         ORDER BY stage_idx""",
     // row-for-row parity of the two-topic partitioned write+read-back:
     // dt/hour in the Spark result came from directory names, so the SQL
     // derivation doubles as the layout check

@@ -579,7 +579,8 @@ object Projection extends QueryPack {
   /** PER-DIMENSION STANDARDIZATION — the z-score normalization pass run
     * before training codebooks or distance-sensitive indexes (a hot
     * dimension with 10× the variance dominates every L2/PQ subspace;
-    * standardizing equalizes the axes). Two-phase at any scale: phase 1
+    * standardizing equalizes the axes). Shares [[dimStatsRow]] with the
+    * q175 outlier audit. Two-phase at any scale: phase 1
     * is q163's ONE-buffer-per-task stats aggregate (means/stds from
     * exact quantized integers), broadcast back as a single row; phase 2
     * is a map-side zip_with over every vector — no shuffle of the
@@ -591,7 +592,29 @@ object Projection extends QueryPack {
     * joined doubles are not). Zero-std dimensions pass through as 0
     * (the dead-axis convention). */
   private def q166Standardize(s: SparkSession, d: String): DataFrame = {
-    val stats = Tables.embeddings(s, d)
+    val stats = dimStatsRow(s, d)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        expr("""array_join(
+                  zip_with(zip_with(v, mu, (x, m) -> x - m), sd,
+                           (c, s) -> CASE WHEN s = 0 THEN 0L
+                                     ELSE cast(floor(c / s * 1e4) as bigint) END),
+                  ',')""").as("z4"))
+      .orderBy("vec_id")
+  }
+
+  /** One-row (mu, sd) per-dimension stats of the embedding table — the
+    * q163 one-buffer-per-task VecStatsAgg pass, derived to double
+    * mean/std arrays. The shuffle carries one (4d+1)-long buffer per
+    * map task; integer accumulation makes the derived doubles bit-exact
+    * cross-engine. Shared phase 1 of q166 (standardize) and q175
+    * (outlier audit); always consumed via broadcast, so the corpus
+    * itself never shuffles in phase 2. */
+  private def dimStatsRow(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
         .as("q"))
@@ -606,18 +629,34 @@ object Projection extends QueryPack {
                        cast(sq as double) / st.n
                        - (cast(s as double) / st.n) * (cast(s as double) / st.n)))
                   / 1e6)""").as("sd"))
+
+  /** EMBEDDING OUTLIER AUDIT — flag vectors whose max per-dimension
+    * |z-score| exceeds 3σ: the row-level complement of q163's
+    * column-level audit (q163 finds a broken DIMENSION; this finds the
+    * broken VECTORS — encoder glitches, corrupted rows, out-of-
+    * distribution inputs — that poison codebook training and k-means
+    * seeding). Two-phase like q166: the one-row [[dimStatsRow]]
+    * broadcast back, then a map-side zip_with per vector — the corpus
+    * never shuffles, output is only the flagged tail. Parity: mu/sd are
+    * bit-exact doubles (integer-derived), each |((x − μ)/σ)| is single-
+    * rounded IEEE, max/count over exact doubles are order-independent;
+    * the reported magnitude is floored to 1e-4 integer units. Dead axes
+    * (σ = 0) read z = 0 — q166's convention. */
+  private def q175OutlierAudit(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
               expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dimStatsRow(s, d)))
       .select(col("vec_id"),
-        expr("""array_join(
-                  zip_with(zip_with(v, mu, (x, m) -> x - m), sd,
-                           (c, s) -> CASE WHEN s = 0 THEN 0L
-                                     ELSE cast(floor(c / s * 1e4) as bigint) END),
-                  ',')""").as("z4"))
+        expr("""zip_with(zip_with(v, mu, (x, m) -> x - m), sd,
+                  (c, s) -> CASE WHEN s = 0 THEN cast(0 as double)
+                            ELSE abs(c / s) END)""").as("z"))
+      .select(col("vec_id"),
+        expr("size(filter(z, x -> x > cast(3 as double)))").cast("long")
+          .as("n_extreme"),
+        expr("cast(floor(array_max(z) * 1e4) as bigint)").as("z4max"))
+      .filter(col("n_extreme") >= 1)
       .orderBy("vec_id")
-  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_pca_sweep" -> q125PcaSweep _,
@@ -626,6 +665,7 @@ object Projection extends QueryPack {
     "q153_rbo_eval" -> q153RboEval _,
     "q163_embedding_audit" -> q163EmbeddingAudit _,
     "q166_standardize" -> q166Standardize _,
+    "q175_outlier_audit" -> q175OutlierAudit _,
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -736,6 +776,38 @@ object Projection extends QueryPack {
                                         / st.sd[i] * 1e4) AS BIGINT) END
                    for i in range(1, len(embedding) + 1)], ',') AS z4
          FROM q, st ORDER BY vec_id""",
+    // q175: same st CTE as q166, then per-vector |z| list; the flag
+    // comparisons run on the identical single-rounded doubles both
+    // engines compute from the integer-derived mu/sd
+    "q175_outlier_audit" ->
+      """WITH q AS (SELECT vec_id, embedding,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   for x in embedding] AS qv
+           FROM embeddings),
+         d AS (SELECT unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_q,
+                      CAST(sum(v * v) AS BIGINT) AS sumsq_q
+               FROM d GROUP BY dim),
+         st AS (SELECT list(CAST(sum_q AS DOUBLE) / n / 1e6 ORDER BY dim) AS mu,
+                       list(sqrt(greatest(CAST(0 AS DOUBLE),
+                              CAST(sumsq_q AS DOUBLE) / n
+                              - (CAST(sum_q AS DOUBLE) / n)
+                                * (CAST(sum_q AS DOUBLE) / n))) / 1e6
+                            ORDER BY dim) AS sd
+                FROM a),
+         z AS (SELECT vec_id,
+                      [CASE WHEN st.sd[i] = 0 THEN CAST(0 AS DOUBLE)
+                            ELSE abs((CAST(embedding[i] AS DOUBLE) - st.mu[i])
+                                     / st.sd[i]) END
+                       for i in range(1, len(embedding) + 1)] AS zz
+               FROM q, st)
+         SELECT vec_id,
+                CAST(len([x for x in zz if x > 3.0]) AS BIGINT) AS n_extreme,
+                CAST(floor(list_max(zz) * 1e4) AS BIGINT) AS z4max
+         FROM z
+         WHERE len([x for x in zz if x > 3.0]) >= 1
+         ORDER BY vec_id""",
     "q153_rbo_eval" -> rboOracleSql,
     "q125_pca_sweep" -> (if (pcaCache.size == 1)
         pcaOracleSqlTrained(pcaCache.values.iterator.next())

@@ -216,6 +216,61 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** ASYMMETRIC CONTAINMENT near-dup — C(A→B) = |A∩B| / |A| over
+    * distinct word-3-gram shingles (Broder's containment, the companion
+    * measure to q35's resemblance). Jaccard misses the subset case by
+    * construction: a doc fully quoted inside one 10× its size scores
+    * J ≈ 0.1 but C = 1.0 — exactly the excerpt/expanded-revision/
+    * quote-farm duplicates a training corpus must catch, since the
+    * contained doc adds no new tokens. Emits DIRECTED pairs (a_id is
+    * the contained side); a near-identical twin appears in both
+    * directions, which is the correct reading of a symmetric relation
+    * in a directed measure.
+    *
+    * Same scale shape as q35: explode → df-cut inverted index
+    * (Σ min(df, maxDf)² join work, hot-shingle bound in the plan;
+    * maxDf = -1 is the corpus-size lazy broadcast cap, value-neutral) →
+    * integer (common, asz, bsz) agg. Directedness is recovered AFTER
+    * the aggregation: the index self-join stays UNDIRECTED (a < b, half
+    * the shuffle/grouping volume of a naive a ≠ b join — measured 3.66
+    * → ~2 s at sf0.1), and each surviving pair explodes into its two
+    * directions, each filtered by its own divisor. Score is exact
+    * integer common/size, floored to 1e-3 (parity-safe cross-engine).
+    */
+  private[graft] def containmentDfCut(s: SparkSession, d: String,
+                                      maxDf: Long = -1L,
+                                      minCont: Double = 0.9): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val keep =
+      if (maxDf > 0) dfTab.filter(col("df") <= maxDf).select("s")
+      else dfTab
+        .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("__cap"))))
+        .filter(col("df") <= col("__cap")).select("s")
+    val pruned = ex.join(keep, "s")
+    pruned.select(col("s"), col("doc_id").as("a_id"), col("sz").as("asz"))
+      .join(pruned.select(col("s"), col("doc_id").as("b_id"), col("sz").as("bsz")),
+            Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "asz", "bsz")
+      .agg(count(lit(1)).as("common"))
+      .select(explode(expr(
+        """array(
+             named_struct('a_id', a_id, 'b_id', b_id,
+                          'cont_raw', common / asz),
+             named_struct('a_id', b_id, 'b_id', a_id,
+                          'cont_raw', common / bsz))""")).as("r"))
+      .select(col("r.a_id").as("a_id"), col("r.b_id").as("b_id"),
+              col("r.cont_raw").as("cont_raw"))
+      .filter(col("cont_raw") >= minCont)
+      .withColumn("containment", floor(col("cont_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Document cosine similarity over SHINGLE-FREQUENCY vectors via the
     * inverted index — the sparse-vector complement to q35's set Jaccard
     * (counts repeated shingles instead of ignoring them) and to q40's
@@ -466,6 +521,8 @@ object TextAnalysis extends QueryPack {
       // can exceed it, so the cut is value-neutral while the plan still
       // carries the df bound — and building the plan schedules no job
       ngramJaccardDfCut(s, d)),
+    "q174_containment" -> ((s: SparkSession, d: String) =>
+      containmentDfCut(s, d)),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -685,6 +742,28 @@ object TextAnalysis extends QueryPack {
                 floor(common / (asz + bsz - common) * 1000) / 1000 AS jaccard
          FROM pairs
          WHERE common / (asz + bsz - common) >= 0.8
+         ORDER BY a_id, b_id""",
+    // q174: directed pairs, divisor is the contained side's set size
+    // only; common/asz is an exact-integer ratio (DuckDB BIGINT/BIGINT
+    // truncates, so the division is written in DOUBLE explicitly)
+    "q174_containment" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT a_id, b_id,
+                floor(CAST(common AS DOUBLE) / asz * 1000) / 1000 AS containment
+         FROM pairs
+         WHERE CAST(common AS DOUBLE) / asz >= 0.9
          ORDER BY a_id, b_id""",
   )
 }

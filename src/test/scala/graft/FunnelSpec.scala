@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.EventOps
+
+/** q176 event conversion funnel: the declared query against a driver-side
+  * brute-force recompute of the strict-ordering min-semantics, plus the
+  * monotonicity invariants any funnel must satisfy. */
+class FunnelSpec extends SparkTestBase {
+
+  test("q176 funnel: matches a brute-force strict-order recompute") {
+    val got = EventOps.queries("q176_funnel")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val n0 = byUser.size.toLong
+    def minAfter(es: Array[(Long, Long, String)], t: String,
+                 after: Option[Long]): Option[Long] = {
+      val c = es.collect { case (_, us, et)
+        if et == t && after.forall(us > _) => us }
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    byUser.values.foreach { es0 =>
+      val es = es0.toArray
+      val t1 = minAfter(es, "view", None)
+      val t2 = if (t1.isEmpty) None else minAfter(es, "signup", t1)
+      val t3 = if (t2.isEmpty) None else minAfter(es, "purchase", t2)
+      if (t1.nonEmpty) n1 += 1
+      if (t2.nonEmpty) n2 += 1
+      if (t3.nonEmpty) n3 += 1
+    }
+    def conv(a: Long, b: Long): Double =
+      if (b == 0) 0.0 else math.floor(a * 1000.0 / b) / 1000
+    val want = Seq(
+      (1L, "view", n1, conv(n1, n0)),
+      (2L, "signup", n2, conv(n2, n1)),
+      (3L, "purchase", n3, conv(n3, n2)))
+    assert(got.toSeq == want, s"funnel mismatch: got ${got.toSeq}, want $want")
+    // funnel invariants: counts only shrink down the stages, ratios in [0,1]
+    assert(n1 >= n2 && n2 >= n3)
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(n3 > 0, "testdata should contain full-journey users")
+  }
+}

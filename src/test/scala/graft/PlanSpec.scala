@@ -341,6 +341,41 @@ class PlanSpec extends SparkTestBase {
     assert(gens.size <= 1, "only the post-agg posexplode may generate rows")
   }
 
+  test("q175: stats come back as ONE broadcast row — the corpus side " +
+       "never sort-merge joins or shuffles for the flagging pass") {
+    val nodes = executed(SparkEntry.queries("q175_outlier_audit")(spark, sfDir))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "per-dim stats must broadcast back, not join by shuffle")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "no sort-merge join: the one-row stats side must broadcast")
+    // the stats pass itself still folds partially (the q163 contract)
+    val modes = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.aggregateExpressions.map(_.mode)
+    }.flatten
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    assert(modes.contains(Partial),
+      "VecStatsAgg partial phase missing in the stats subplan")
+  }
+
+  test("q176: funnel is one grouped pass — no window sort, no self-join") {
+    val nodes = executed(SparkEntry.queries("q176_funnel")(spark, sfDir))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "funnel must not rank via window functions")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "funnel must not self-join events per stage")
+    // the per-user collect folds partially before the user_id shuffle
+    val modes = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.aggregateExpressions.map(_.mode)
+    }.flatten
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    assert(modes.contains(Partial), "collect_list partial phase missing")
+  }
+
   test("q171: the salted join fans the dim side out by the salt factor " +
        "and joins on __salt") {
     import graft.operators.Skew

@@ -123,6 +123,38 @@ class ProjectionSpec extends SparkTestBase {
     }
   }
 
+  test("q175 outlier audit: matches a brute-force z-score recompute") {
+    val got = Projection.queries("q175_outlier_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force mirror: the same 1e-6 integer quantization for the
+    // stats, double z per element, flag on strictly > 3
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val d = vecs.head._2.length
+    val n = vecs.length
+    val q = vecs.map { case (_, v) =>
+      v.map(x => math.floor(x.toDouble * 1e6).toLong) }
+    val mu = Array.tabulate(d)(j => q.map(_(j)).sum.toDouble / n / 1e6)
+    val sd = Array.tabulate(d) { j =>
+      val s = q.map(_(j)).sum.toDouble / n
+      val sq = q.map(r => r(j) * r(j)).sum.toDouble / n
+      math.sqrt(math.max(0.0, sq - s * s)) / 1e6
+    }
+    val want = vecs.flatMap { case (id, v) =>
+      val z = Array.tabulate(d)(j =>
+        if (sd(j) == 0) 0.0 else math.abs((v(j).toDouble - mu(j)) / sd(j)))
+      val ne = z.count(_ > 3.0)
+      if (ne >= 1) Some((id, ne.toLong, math.floor(z.max * 1e4).toLong))
+      else None
+    }.sortBy(_._1)
+    assert(want.nonEmpty, "testdata should contain z > 3 outlier vectors")
+    assert(got.toSeq == want.toSeq, "operator != brute-force recompute")
+    // and the flagged set is a strict subset — the audit returns a tail,
+    // not the corpus
+    assert(got.length < n)
+  }
+
   test("planted vec_int_stats: exact sums/minmax; partial buffers merge") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}

@@ -40,6 +40,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("q174 containment: matches a brute-force directed recompute; " +
+       "catches a one-directional subset pair") {
+    val got = TextAnalysis.queries("q174_containment")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force mirror on the driver: distinct word-3-gram shingles,
+    // directed common/|A| >= 0.9, floored to 1e-3
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> {
+        val t = r.getString(1).trim.split("\\s+").toSeq
+        if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+        else Set.empty[String]
+      }).toMap
+    val inv = scala.collection.mutable.Map.empty[String, List[Long]]
+    docs.foreach { case (id, sh) =>
+      sh.foreach(s => inv(s) = id :: inv.getOrElse(s, Nil)) }
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    inv.values.foreach { ids =>
+      for (a <- ids; b <- ids if a != b)
+        common((a, b)) = common.getOrElse((a, b), 0L) + 1L
+    }
+    val want = common.toSeq.collect {
+      case ((a, b), c) if c.toDouble / docs(a).size >= 0.9 =>
+        (a, b, math.floor(c.toDouble / docs(a).size * 1000) / 1000)
+    }.sorted
+    assert(got.toSeq.sorted == want, "operator != brute-force recompute")
+    // the measure is genuinely directed: at least one pair is contained
+    // one way only (A inside a strictly larger B — invisible to a
+    // symmetric threshold applied both ways)
+    val set = got.map(p => (p._1, p._2)).toSet
+    assert(got.exists(p => !set.contains((p._2, p._1))),
+      "expected a one-directional containment pair in the corpus")
+  }
+
   test("q30 token counts are positive and ws_tokens <= re_tokens + punct slack") {
     val rows = TextAnalysis.queries("q30_tokens")(spark, sfDir).collect()
     assert(rows.forall(_.getLong(1) > 0))
