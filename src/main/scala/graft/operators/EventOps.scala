@@ -302,26 +302,33 @@ object EventOps extends QueryPack {
       .withColumn("t3", expr(
         """IF(t2 IS NULL, NULL, array_min(transform(
              filter(ev, e -> e.event_type = 'purchase' AND e.ts > t2), e -> e.ts)))"""))
-    per.agg(count(lit(1)).as("n0"), count(col("t1")).as("n1"),
-            count(col("t2")).as("n2"), count(col("t3")).as("n3"))
-      .select(explode(expr(
+    funnelRows(
+      per.agg(count(lit(1)).as("n0"), count(col("t1")).as("n1"),
+              count(col("t2")).as("n2"), count(col("t3")).as("n3")))
+  }
+
+  /** One-row (n0, n1, n2, n3) stage counts → the 3-row funnel table
+    * (stage_idx, stage, users, conv with the floor-to-3dp explicit-
+    * double ratio). Shared by batch q176 and the q177 streaming gate so
+    * both serve the identical oracle. */
+  private[operators] def funnelRows(counts: DataFrame): DataFrame =
+    counts.select(explode(expr(
         """array(
              named_struct('stage_idx', CAST(1 AS BIGINT), 'stage', 'view',
-               'users', n1,
+               'users', CAST(n1 AS BIGINT),
                'conv', IF(n0 = 0, CAST(0 AS DOUBLE),
                           floor(n1 * 1000.0 / n0) / 1000)),
              named_struct('stage_idx', CAST(2 AS BIGINT), 'stage', 'signup',
-               'users', n2,
+               'users', CAST(n2 AS BIGINT),
                'conv', IF(n1 = 0, CAST(0 AS DOUBLE),
                           floor(n2 * 1000.0 / n1) / 1000)),
              named_struct('stage_idx', CAST(3 AS BIGINT), 'stage', 'purchase',
-               'users', n3,
+               'users', CAST(n3 AS BIGINT),
                'conv', IF(n2 = 0, CAST(0 AS DOUBLE),
                           floor(n3 * 1000.0 / n2) / 1000)))""")).as("r"))
       .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
               col("r.users").as("users"), col("r.conv").as("conv"))
       .orderBy("stage_idx")
-  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_funnel"       -> q176Funnel _,

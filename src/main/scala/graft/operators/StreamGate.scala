@@ -351,7 +351,34 @@ object StreamGate extends QueryPack {
       .orderBy("user_id", "event_type")
   }
 
+  /** Streaming CONVERSION FUNNEL — [[graft.streaming.StreamOps
+    * .funnelStageStream]] (per-user buffered attribution finalized by
+    * event-time timer) under the oracle gate: each user emits a final
+    * reached-stage row once the watermark passes last activity + the
+    * 30-day attribution horizon (the sentinel's +35-day jump fires
+    * every timer), then the per-user rows aggregate through the SAME
+    * `EventOps.funnelRows` formatter batch q176 uses, so the stream
+    * serves q176's oracle verbatim — finalized attribution ≡ the batch
+    * strict-order min-chain, certified cross-engine. */
+  private def q177FunnelStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ev = eventStream(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.StreamOps.FunnelEvent]
+    val out = graft.streaming.StreamOps.funnelStageStream(
+      ev, stages = Seq("view", "signup", "purchase"),
+      horizonMs = 30L * 24 * 3600 * 1000, watermarkDelay = "1 minute")
+    val users = runToBatch(s, out.toDF()).filter(col("user_id") >= 0)
+    EventOps.funnelRows(users.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n3")))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_funnel_stream" -> q177FunnelStream _,
     "q167_sessionize_stream" -> q167SessionizeStream _,
     "q168_window_topk_stream" -> q168WindowTopkStream _,
     "q169_quota_stream" -> q169QuotaStream _,
@@ -367,6 +394,9 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // batch-equivalence: finalized streaming attribution must serve the
+    // batch funnel's oracle verbatim (same funnelRows formatter)
+    "q177_funnel_stream" -> EventOps.oracles("q176_funnel"),
     // q24's session segmentation on epoch-MILLIS gaps (Timestamp.getTime
     // parity) + integer-cent value sums (order-independent, bit-exact)
     "q167_sessionize_stream" ->

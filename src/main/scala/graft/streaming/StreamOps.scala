@@ -513,6 +513,75 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                               event_type: String)
+  final case class FunnelBuf(events: List[(Long, Int)], lastUs: Long)
+  final case class FunnelUserStage(user_id: Long, stage: Long)
+
+  /** Streaming CONVERSION-FUNNEL attribution — the event-time twin of
+    * EventOps.q176: per user, how far down the ordered stage chain
+    * (stage k strictly AFTER stage k−1) the journey got. Emits ONE
+    * final (user_id, reached_stage) row per user once the watermark
+    * passes the user's last activity + `horizonMs` (the attribution
+    * window — after it, no in-watermark arrival can change the answer).
+    *
+    * The strict min-chain (t_k = min ts of stage k with ts > t_{k−1})
+    * is NOT incrementally foldable under out-of-order arrival: a late
+    * early-ts stage-0 event lowers t_1 and can re-qualify earlier
+    * stage-1 events, so keeping only (t1..tk) is wrong. The correct
+    * streaming design — what attribution systems do — buffers the
+    * user's STAGE events (only those whose type is in the chain: the
+    * funnel's own selectivity bounds state) inside the attribution
+    * horizon and computes the chain once, at event-time finalization.
+    * State per user = stage events within the horizon (a few (long,
+    * int) pairs), GC'd by the timer; at 100 TB/day the store scales
+    * with users active inside the horizon, not history. */
+  def funnelStageStream(ds: Dataset[FunnelEvent], stages: Seq[String],
+                        horizonMs: Long, watermarkDelay: String)
+                       (implicit spark: SparkSession): Dataset[FunnelUserStage] = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    def update(uid: Long, events: Iterator[FunnelEvent],
+               state: GroupState[FunnelBuf]): Iterator[FunnelUserStage] = {
+      if (state.hasTimedOut) {
+        val buf = state.get.events
+        state.remove()
+        var prev = Long.MinValue
+        var reached = 0L
+        var k = 0
+        var open = true
+        while (open && k < stages.length) {
+          val cands = buf.collect {
+            case (us, c) if c == k && (k == 0 || us > prev) => us }
+          if (cands.isEmpty) open = false
+          else { prev = cands.min; reached = k + 1 }
+          k += 1
+        }
+        Iterator.single(FunnelUserStage(uid, reached))
+      } else {
+        val prevBuf = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
+        var evs = prevBuf.events
+        var last = prevBuf.lastUs
+        events.foreach { e =>
+          val us = micros(e.ts)
+          stageIdx.get(e.event_type).foreach(c => evs = (us, c) :: evs)
+          last = math.max(last, us)
+        }
+        state.update(FunnelBuf(evs, last))
+        state.setTimeoutTimestamp(last / 1000 + horizonMs)
+        Iterator.empty
+      }
+    }
+
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   final case class QuotaDoc(key: String, doc_id: Long, ts: java.sql.Timestamp)
 
   /** Per-(key, window) admission counter for [[quotaPerKeyStream]]

@@ -576,6 +576,46 @@ class StreamingSpec extends SparkTestBase {
     assert(first.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 00:10:00"))
   }
 
+  test("streaming funnel: a late early view re-qualifies an earlier signup") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.FunnelEvent]
+    val q = StreamOps.funnelStageStream(mem.toDS(),
+        stages = Seq("view", "signup", "purchase"),
+        horizonMs = 60000L, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    def ev(u: Long, t: String, ty: String) =
+      StreamOps.FunnelEvent(u, Timestamp.valueOf(t), ty)
+    // user 1 batch 1: signup BEFORE the only view → chain stalls at stage 1
+    mem.addData(Seq(ev(1L, "2024-01-01 00:10:00", "signup"),
+                    ev(1L, "2024-01-01 00:20:00", "purchase"),
+                    ev(1L, "2024-01-01 00:15:00", "view"),
+                    ev(2L, "2024-01-01 00:01:00", "view"),
+                    ev(3L, "2024-01-01 00:02:00", "click")))
+    q.processAllAvailable()
+    // batch 2, late-but-in-watermark view at 00:05: t1 drops below the
+    // signup, so the FULL chain completes — a naive (t1,t2,t3) fold
+    // frozen from batch 1 would still report stage 1
+    mem.addData(Seq(ev(1L, "2024-01-01 00:05:00", "view")))
+    q.processAllAvailable()
+    // advance the watermark past every user's last activity + horizon,
+    // then tick once more so the fired timers' batch runs
+    mem.addData(Seq(ev(99L, "2024-01-01 02:00:00", "click")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(99L, "2024-01-01 03:00:00", "click")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.get(1L).contains(3L),
+      s"late view must complete user 1's chain, got $got")
+    assert(got.get(2L).contains(1L), s"view-only user is stage 1, got $got")
+    assert(got.get(3L).contains(0L),
+      s"no-stage-event user finalizes at stage 0, got $got")
+  }
+
   test("stream-stream banded join matches in-band rows and evicts state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
