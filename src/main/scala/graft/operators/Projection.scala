@@ -658,7 +658,79 @@ object Projection extends QueryPack {
       .filter(col("n_extreme") >= 1)
       .orderBy("vec_id")
 
+  /** Per-(label, dim) integer stats rows — q163's VecStatsAgg pass
+    * GROUPED BY the label column (one (4d+1)-long buffer per task PER
+    * LABEL; with k labels the shuffle carries ≤ k buffers per map task).
+    * Shared upstream of q178 (per-label audit) and q179 (separability). */
+  private def labelDimStats(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+              expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+                .as("q"))
+      .groupBy("label")
+      .agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")).as("st"))
+    st.select(col("label"), col("st.n").as("n"),
+              posexplode(expr("arrays_zip(st.sums, st.sumsqs, st.mins, st.maxs)"))
+                .as(Seq("d0", "z")))
+      .select(col("label"), (col("d0") + 1).cast("long").as("dim"), col("n"),
+              col("z.sums").as("sum_q"), col("z.sumsqs").as("sumsq_q"),
+              col("z.mins").as("min_q"), col("z.maxs").as("max_q"))
+  }
+
+  /** PER-LABEL EMBEDDING AUDIT — q163's per-dimension stats conditioned
+    * on the class label: the audit that catches LABEL-dependent
+    * distribution problems a global scan averages away (a class whose
+    * embeddings collapsed to a point, a label whose vectors came from a
+    * different encoder revision, per-class scale drift). Same one-
+    * buffer-per-task plan shape as q163, grouped — at any corpus size
+    * the shuffle carries k·(4d+1) longs per map task, never rows. */
+  private def q178LabelAudit(s: SparkSession, d: String): DataFrame =
+    labelDimStats(s, d)
+      .withColumn("mean", expr("cast(sum_q as double) / n / 1e6"))
+      .withColumn("std", expr(
+        """sqrt(greatest(cast(0 as double),
+                cast(sumsq_q as double) / n
+                - (cast(sum_q as double) / n) * (cast(sum_q as double) / n)))
+           / 1e6"""))
+      .orderBy("label", "dim")
+
+  /** PER-DIMENSION CLASS SEPARABILITY — the Fisher ratio
+    * between-class-variance / within-class-variance of each embedding
+    * dimension against the label column: the readiness score for
+    * classification/probing use of an embedding table (a dimension with
+    * f ≈ 0 carries no label signal; a handful of high-f dims means a
+    * linear probe already works). Algebra keeps it exact: with
+    * per-label integer sums s_l, n_l and global S, SQ, N, both scatter
+    * terms share T = Σ_l s_l²/n_l and the ratio collapses to
+    * (T − S²/N) / (SQ − T) — the 1/N factors cancel, so the ONLY
+    * order-sensitive float work is the k-term T fold, which runs as a
+    * LEFT FOLD IN LABEL ORDER on both engines (the q126/q153 ordered-
+    * fold parity pattern); everything else is integer sums. Two-stage
+    * at any scale: one grouped VecStatsAgg corpus pass, then k·d-row
+    * arithmetic. Output in 1e-6 integer units; a zero within-scatter
+    * dimension (all mass between classes) reads the −1 sentinel. */
+  private def q179Separability(s: SparkSession, d: String): DataFrame =
+    labelDimStats(s, d)
+      .groupBy("dim")
+      .agg(sum(col("n")).as("nn"), sum(col("sum_q")).as("ss"),
+           sum(col("sumsq_q")).as("qq"),
+           array_sort(collect_list(struct(col("label"), col("sum_q").as("s"),
+                                          col("n").as("nl")))).as("ls"))
+      .withColumn("t", expr(
+        """aggregate(ls, cast(0 as double),
+             (acc, e) -> acc + (cast(e.s as double) * cast(e.s as double)) / e.nl)"""))
+      .withColumn("between", expr(
+        "greatest(cast(0 as double), t - (cast(ss as double) * cast(ss as double)) / nn)"))
+      .withColumn("within", expr("cast(qq as double) - t"))
+      .select(col("dim"), col("nn").as("n"),
+              expr("""CASE WHEN within <= 0 THEN CAST(-1 AS BIGINT)
+                      ELSE cast(floor(between / within * 1e6) as bigint)
+                      END""").as("f6"))
+      .orderBy("dim")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_label_audit" -> q178LabelAudit _,
+    "q179_separability" -> q179Separability _,
     "q125_pca_sweep" -> q125PcaSweep _,
     "q135_binary_ann" -> q135BinaryAnn _,
     "q136_pca_binary" -> q136PcaBinary _,
@@ -776,6 +848,57 @@ object Projection extends QueryPack {
                                         / st.sd[i] * 1e4) AS BIGINT) END
                    for i in range(1, len(embedding) + 1)], ',') AS z4
          FROM q, st ORDER BY vec_id""",
+    // q178: q163's co-unnest + GROUP BY, conditioned on label
+    "q178_label_audit" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   for x in embedding] AS qv
+           FROM embeddings),
+         d AS (SELECT label, unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT label, dim, count(*) AS n,
+                      CAST(sum(v) AS BIGINT) AS sum_q,
+                      CAST(sum(v * v) AS BIGINT) AS sumsq_q,
+                      min(v) AS min_q, max(v) AS max_q
+               FROM d GROUP BY label, dim)
+         SELECT label, CAST(dim AS BIGINT) AS dim, n, sum_q, sumsq_q,
+                min_q, max_q,
+                CAST(sum_q AS DOUBLE) / n / 1e6 AS mean,
+                sqrt(greatest(CAST(0 AS DOUBLE),
+                     CAST(sumsq_q AS DOUBLE) / n
+                     - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n)))
+                  / 1e6 AS std
+         FROM a ORDER BY label, dim""",
+    // q179: per-label integer sums, then the SAME left fold in label
+    // order both engines (list_reduce starts at the first element;
+    // Spark's aggregate starts at 0.0 — x + 0.0 = x in IEEE, so the
+    // folds are bit-identical); all other arithmetic is integer sums
+    "q179_separability" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   for x in embedding] AS qv
+           FROM embeddings),
+         d AS (SELECT label, unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT label, dim, count(*) AS n,
+                      CAST(sum(v) AS BIGINT) AS s,
+                      CAST(sum(v * v) AS BIGINT) AS sq
+               FROM d GROUP BY label, dim),
+         g AS (SELECT dim, CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(sum(s) AS BIGINT) AS ss,
+                      CAST(sum(sq) AS BIGINT) AS qq,
+                      list_reduce(
+                        list((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n
+                             ORDER BY label),
+                        (x, y) -> x + y) AS t
+               FROM a GROUP BY dim)
+         SELECT CAST(dim AS BIGINT) AS dim, nn AS n,
+                CASE WHEN (CAST(qq AS DOUBLE) - t) <= 0 THEN CAST(-1 AS BIGINT)
+                     ELSE CAST(floor(
+                       greatest(CAST(0 AS DOUBLE),
+                                t - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / nn)
+                       / (CAST(qq AS DOUBLE) - t) * 1e6) AS BIGINT) END AS f6
+         FROM g ORDER BY dim""",
     // q175: same st CTE as q166, then per-vector |z| list; the flag
     // comparisons run on the identical single-rounded doubles both
     // engines compute from the integer-derived mu/sd

@@ -155,6 +155,55 @@ class ProjectionSpec extends SparkTestBase {
     assert(got.length < n)
   }
 
+  test("q178 per-label audit sums exactly to the global q163 audit") {
+    val per = Projection.queries("q178_label_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(per.map(_._1).distinct.length > 1, "needs multiple labels")
+    val glob = Projection.queries("q163_embedding_audit")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+                                           r.getLong(3))).toMap
+    // integer sums are exact, so per-label partitions must reassemble
+    // the global pass bit-for-bit
+    per.groupBy(_._2).foreach { case (dim, rows) =>
+      val (n, s, sq) = (rows.map(_._3).sum, rows.map(_._4).sum,
+                        rows.map(_._5).sum)
+      assert((n, s, sq) == glob(dim),
+        s"dim $dim: label partition sums != global audit")
+    }
+  }
+
+  test("q179 separability matches a brute-force Fisher recompute") {
+    val got = Projection.queries("q179_separability")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1e6).toLong))
+    val d = vecs.head._2.length
+    val want = (1 to d).map { dim =>
+      val j = dim - 1
+      val byLabel = vecs.groupBy(_._1).toSeq.sortBy(_._1)
+      val nn = vecs.length.toLong
+      val ss = vecs.map(_._2(j)).sum
+      val qq = vecs.map(v => v._2(j) * v._2(j)).sum
+      // the label-ordered left fold, exactly as both engines run it
+      val t = byLabel.foldLeft(0.0) { case (acc, (_, vs)) =>
+        val s = vs.map(_._2(j)).sum
+        acc + (s.toDouble * s.toDouble) / vs.length
+      }
+      val within = qq.toDouble - t
+      val f6 =
+        if (within <= 0) -1L
+        else math.floor(math.max(0.0, t - (ss.toDouble * ss.toDouble) / nn)
+                        / within * 1e6).toLong
+      (dim.toLong, nn, f6)
+    }
+    assert(got.toSeq == want, "operator != brute-force Fisher recompute")
+    // the ratio is a real number on this corpus, not all sentinels
+    assert(got.forall(_._3 >= -1L) && got.exists(_._3 >= 0L))
+  }
+
   test("planted vec_int_stats: exact sums/minmax; partial buffers merge") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
