@@ -587,6 +587,64 @@ object Dedup extends QueryPack {
     clusterAssignMemo.getOrElse((System.identityHashCode(s), d),
                                 dedupClusterAssignment(s, d))
 
+  /** q73's oracle — the exact-Jaccard pair set closed with the recursive
+    * CTE; hoisted so q181's accounting oracle composes it verbatim. */
+  private val q73ClustersOracleSql: String =
+    """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT a_id, b_id FROM p
+                   WHERE common / (asz + bsz - common) >= 0.8),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster_id,
+                CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM reach GROUP BY id ORDER BY doc_id"""
+
+  /** EFFECTIVE TOKEN BUDGET per source — the training-data ACCOUNTING
+    * view of the q73 near-dup families: how many tokens each source
+    * contributes before dedup, and how many remain once every duplicate
+    * family keeps only its canonical doc (q73's min-id election). The
+    * per-source dup_ratio is the number a data-mixing plan actually
+    * needs — a source can look 10× bigger than its deduplicated
+    * contribution. Reads the session-memoized cluster assignment when
+    * warm (the production shape: the report runs against the
+    * materialized assignment, not a re-clustering); the join and both
+    * aggregations carry (doc_id, source, n_tok, cluster_id) rows only —
+    * no text shuffles. */
+  private def q181EffectiveTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
+    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
+    toks.join(assign, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_docs"),
+           sum("n_tok").as("total_tokens"),
+           sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+             .as("eff_docs"),
+           sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
+             .otherwise(0L)).as("eff_tokens"))
+      .withColumn("dup_ratio", expr(
+        """IF(total_tokens = 0, cast(0 as double),
+             floor((total_tokens - eff_tokens) * 1000.0 / total_tokens) / 1000)"""))
+      .orderBy("source")
+  }
+
   /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
     * the histogram of duplicate-family sizes (how many clusters of each
     * size, how many docs they hold, how many would be dropped keeping
@@ -823,6 +881,7 @@ object Dedup extends QueryPack {
     "q89_entity_resolution" -> q89EntityResolution _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
+    "q181_effective_tokens" -> q181EffectiveTokens _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q164_priority_survivor" -> q164PrioritySurvivor _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -1103,31 +1162,27 @@ object Dedup extends QueryPack {
          SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
                 doc_id AS survivor_id, tier AS survivor_tier
          FROM r2 WHERE rn = 1 ORDER BY cluster_id""",
-    "q73_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(t) >= 3 THEN
-               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
-             ELSE [] END) AS shingles
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-                 FROM documents)),
-         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
-         p AS (
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
-                  count(*) AS common
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         pairs AS (SELECT a_id, b_id FROM p
-                   WHERE common / (asz + bsz - common) >= 0.8),
-         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                   UNION ALL SELECT b_id, a_id FROM pairs),
-         reach AS (
-           SELECT doc_id AS id, doc_id AS r FROM documents
-           UNION
-           SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-         SELECT id AS doc_id, min(r) AS cluster_id,
-                CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM reach GROUP BY id ORDER BY doc_id""",
+    "q73_dedup_clusters" -> q73ClustersOracleSql,
+    // q181: the q73 closure composed with per-doc token counts — the
+    // ratio arithmetic is explicit-double over exact integer sums
+    "q181_effective_tokens" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tok
+               FROM documents)
+         SELECT source, count(*) AS total_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                CAST(sum(CASE WHEN t.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS eff_docs,
+                CAST(sum(CASE WHEN t.doc_id = cl.cluster_id THEN n_tok ELSE 0 END)
+                  AS BIGINT) AS eff_tokens,
+                CASE WHEN sum(n_tok) = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor((CAST(sum(n_tok) AS BIGINT)
+                                 - CAST(sum(CASE WHEN t.doc_id = cl.cluster_id
+                                            THEN n_tok ELSE 0 END) AS BIGINT))
+                                * 1000.0 / sum(n_tok)) / 1000 END AS dup_ratio
+         FROM t JOIN cl ON t.doc_id = cl.doc_id
+         GROUP BY source ORDER BY source""",
     // q76: NOT EXISTS ≡ Spark left_anti (incl. null semantics).
     "q76_incremental_dedup" ->
       """WITH e AS (SELECT md5(text) AS sig FROM documents WHERE doc_id < 250),

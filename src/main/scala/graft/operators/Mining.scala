@@ -177,10 +177,52 @@ object Mining extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** ADJACENT-BIGRAM COLLOCATION MINING — the corpus-level phrase
+    * extractor (multi-word expressions, fixed collocations) behind
+    * phrase-aware tokenizers and n-gram language models: bigrams whose
+    * observed adjacency rate beats the independence expectation. The
+    * association score is the PMI LIFT in ratio form,
+    * n_ab·N² / (M·n_a·n_b), NOT log-PMI — `log` is not required to be
+    * correctly rounded, so two engines' libm can differ in the last ulp
+    * where a ratio of integer-derived doubles cannot; the ranking and
+    * the floored 1e-3 output are therefore bit-exact cross-engine.
+    * Scale shape: one corpus pass fans out bigrams + unigrams, both
+    * count aggregations fold partially map-side, the two vocabulary
+    * joins are key-shuffles of count rows (never text bodies), totals
+    * ride as a lazy broadcast one-row aggregate, and the output is a
+    * TakeOrderedAndProject top-50 by (n_ab DESC, w1, w2). */
+  private def q180Collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(expr(graft.functions.TextExprs.toks).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"""))
+        .as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("nab"))
+    val uniCounts = uni.groupBy("tok").agg(count(lit(1)).as("n"))
+    val totals = uni.agg(count(lit(1)).as("nn"))
+      .crossJoin(bi.agg(count(lit(1)).as("m")))
+    biCounts
+      .join(uniCounts.select(col("tok").as("w1"), col("n").as("na")), Seq("w1"))
+      .join(uniCounts.select(col("tok").as("w2"), col("n").as("nb")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .filter(col("nab") >= 5)
+      .withColumn("lift", expr(
+        """floor(cast(nab as double) * nn * nn
+                 / (cast(m as double) * na * nb) * 1000) / 1000"""))
+      .select("w1", "w2", "nab", "lift")
+      .orderBy(col("nab").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_margin_mine" -> q126MarginMine _,
     "q127_weighted_jaccard" -> q127WeightedJaccard _,
     "q131_crosslang_audit" -> q131CrossLangAudit _,
+    "q180_collocations" -> q180Collocations _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -218,6 +260,31 @@ object Mining extends QueryPack {
           SELECT a_id, b_id, floor(margin * 100000) / 100000 AS margin
           FROM t WHERE rnk = 1 AND margin >= $marginThreshold
           ORDER BY a_id""",
+    // q180: integer counts everywhere; the lift is one fixed-shape
+    // division of integer-derived doubles (identical parenthesization
+    // both engines), no log
+    "q180_collocations" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         uni AS (SELECT unnest(w) AS tok FROM t),
+         g AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+                        AS gram
+               FROM t WHERE len(w) >= 2),
+         bi AS (SELECT split_part(gram, ' ', 1) AS w1,
+                       split_part(gram, ' ', 2) AS w2,
+                       count(*) AS nab
+                FROM g GROUP BY 1, 2),
+         uc AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM uni) AS nn,
+                        (SELECT count(*) FROM g) AS m)
+         SELECT w1, w2, nab,
+                floor(CAST(nab AS DOUBLE) * nn * nn
+                      / (CAST(m AS DOUBLE) * na * nb) * 1000) / 1000 AS lift
+         FROM (SELECT bi.w1, bi.w2, bi.nab, a.n AS na, b.n AS nb, tot.nn, tot.m
+               FROM bi JOIN uc a ON a.tok = bi.w1
+                       JOIN uc b ON b.tok = bi.w2, tot)
+         WHERE nab >= 5
+         ORDER BY nab DESC, w1, w2 LIMIT 50""",
     // integer Σmin + totals until one final division — no float-order
     // concerns; the df cut is applied identically to numerator and
     // denominator vocabularies

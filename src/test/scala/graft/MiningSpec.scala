@@ -88,6 +88,52 @@ class MiningSpec extends SparkTestBase {
       s"only the alpha/beta pair shares sub-cap vocabulary, got $out")
   }
 
+  test("q180 collocations match a brute-force lift recompute") {
+    val got = graft.operators.Mining.queries("q180_collocations")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                           r.getDouble(3)))
+    val texts = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val unis = texts.flatten
+    val bis = texts.filter(_.length >= 2).flatMap(_.sliding(2).map(p => (p(0), p(1))))
+    val uc = unis.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bc = bis.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nn = unis.size.toLong
+    val m = bis.size.toLong
+    val want = bc.toSeq.collect { case ((w1, w2), nab) if nab >= 5 =>
+      val lift = math.floor(
+        nab.toDouble * nn * nn / (m.toDouble * uc(w1) * uc(w2)) * 1000) / 1000
+      (w1, w2, nab, lift)
+    }.sortBy(t => (-t._3, t._1, t._2)).take(50)
+    assert(got.toSeq == want, "operator != brute-force lift recompute")
+    // collocation signal exists: some bigram beats independence
+    assert(got.exists(_._4 > 1.0))
+  }
+
+  test("q181 effective-token budget agrees with the q73 family election") {
+    val rows = SparkEntry.queries("q181_effective_tokens")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, td, tt, ed, et, ratio) =>
+      assert(ed <= td && et <= tt, s"$src: effective exceeds total")
+      assert(ratio >= 0.0 && ratio < 1.0, s"$src: dup_ratio $ratio")
+    }
+    // cross-check against q73's own keep flags joined to sources
+    val keep = SparkEntry.queries("q73_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) == 1L)).toMap
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val effDocs = keep.collect { case (id, true) => srcOf(id) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (src, _, _, ed, _, _) =>
+      assert(effDocs.getOrElse(src, 0L) == ed,
+        s"$src: eff_docs $ed != q73 canonical count ${effDocs.get(src)}")
+    }
+    // dedup actually discounts something on this corpus
+    assert(rows.exists(r => r._4 < r._2))
+  }
+
   test("q126: no shuffle carries an embedding vector") {
     val df = SparkEntry.queries("q126_margin_mine")(spark, sfDir)
     df.collect()
