@@ -613,7 +613,7 @@ object Projection extends QueryPack {
     * cross-engine. Shared phase 1 of q166 (standardize) and q175
     * (outlier audit); always consumed via broadcast, so the corpus
     * itself never shuffles in phase 2. */
-  private def dimStatsRow(s: SparkSession, d: String): DataFrame =
+  private[operators] def dimStatsRow(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
@@ -643,10 +643,22 @@ object Projection extends QueryPack {
     * the reported magnitude is floored to 1e-4 integer units. Dead axes
     * (σ = 0) read z = 0 — q166's convention. */
   private def q175OutlierAudit(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-              expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .crossJoin(broadcast(dimStatsRow(s, d)))
+    outlierFlagOn(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x as double))").as("v")),
+      dimStatsRow(s, d))
+      .orderBy("vec_id")
+
+  /** The q175 flagging pass over ANY (vec_id, v: array<double>) relation
+    * against a one-row (mu, sd) stats frame — shared by batch q175 and
+    * the q182 stream gate (the stats side joins on a literal key so the
+    * broadcast works identically for a static or streaming left side;
+    * stateless, so any trigger serves). */
+  private[operators] def outlierFlagOn(vecs: DataFrame,
+                                       stats: DataFrame): DataFrame =
+    vecs.withColumn("__one", lit(1))
+      .join(broadcast(stats.withColumn("__one", lit(1))), Seq("__one"))
       .select(col("vec_id"),
         expr("""zip_with(zip_with(v, mu, (x, m) -> x - m), sd,
                   (c, s) -> CASE WHEN s = 0 THEN cast(0 as double)
@@ -656,7 +668,6 @@ object Projection extends QueryPack {
           .as("n_extreme"),
         expr("cast(floor(array_max(z) * 1e4) as bigint)").as("z4max"))
       .filter(col("n_extreme") >= 1)
-      .orderBy("vec_id")
 
   /** Per-(label, dim) integer stats rows — q163's VecStatsAgg pass
     * GROUPED BY the label column (one (4d+1)-long buffer per task PER

@@ -242,6 +242,30 @@ object StreamGate extends QueryPack {
     runToBatch(s, out).orderBy("doc_id", "pos")
   }
 
+  /** The embeddings table as a file-source STREAM (schema from the batch
+    * loader; same symlink staging as [[docStream]]). */
+  private def vecStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(Tables.embeddings(s, d).schema)
+      .parquet(stagedDir(d, "embeddings"))
+
+  /** Streaming EMBEDDING OUTLIER gate — q175's row-level z-score audit
+    * at INGEST time: arriving vectors are flagged against the STATIC
+    * corpus's per-dimension stats (the [[Projection.dimStatsRow]]
+    * one-row aggregate, broadcast) through the SAME
+    * [[Projection.outlierFlagOn]] core the batch query runs — stateless
+    * stream-static broadcast join, no state store, any trigger; the
+    * shape that rejects a glitched encoder batch before it poisons the
+    * corpus store. Streaming the whole table against its own stats
+    * makes the output ≡ batch q175, so q175's oracle gates it
+    * verbatim (the q112/q150/q162 shared-core pattern). */
+  private def q182OutlierStream(s: SparkSession, d: String): DataFrame = {
+    val stream = vecStream(s, d)
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x as double))").as("v"))
+    runToBatch(s, Projection.outlierFlagOn(stream, Projection.dimStatsRow(s, d)))
+      .orderBy("vec_id")
+  }
+
   /** Streaming entropy score over the whole documents table — the
     * stateless per-row fold must bit-match batch q142's token-sorted
     * aggregation, so q142's oracle gates the streamed output verbatim
@@ -379,6 +403,7 @@ object StreamGate extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_funnel_stream" -> q177FunnelStream _,
+    "q182_outlier_stream" -> q182OutlierStream _,
     "q167_sessionize_stream" -> q167SessionizeStream _,
     "q168_window_topk_stream" -> q168WindowTopkStream _,
     "q169_quota_stream" -> q169QuotaStream _,
@@ -397,6 +422,9 @@ object StreamGate extends QueryPack {
     // batch-equivalence: finalized streaming attribution must serve the
     // batch funnel's oracle verbatim (same funnelRows formatter)
     "q177_funnel_stream" -> EventOps.oracles("q176_funnel"),
+    // batch-equivalence: same flagging core as batch q175, so its
+    // oracle covers the streamed output verbatim
+    "q182_outlier_stream" -> Projection.oracles("q175_outlier_audit"),
     // q24's session segmentation on epoch-MILLIS gaps (Timestamp.getTime
     // parity) + integer-cent value sums (order-independent, bit-exact)
     "q167_sessionize_stream" ->

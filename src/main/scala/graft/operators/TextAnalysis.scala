@@ -271,6 +271,47 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** INCREMENTAL CONTAINMENT — q174's directed measure in the
+    * batch-vs-corpus ingest shape (the q100/q76 pattern): is the
+    * ARRIVING doc already contained in the existing corpus? The
+    * everyday decision a crawl-append pipeline makes — an arriving doc
+    * that is a subset of a corpus doc adds nothing and is dropped, a
+    * superset is the interesting revision case — and the asymmetric
+    * question Jaccard-based incremental dedup (q100) cannot answer.
+    * Only CROSS pairs compute (fresh explode probes the corpus posting
+    * index; never corpus×corpus, never batch×batch), so candidate work
+    * is ∝ |batch| postings × collision rate; the corpus df-cut bounds
+    * hot shingles exactly as in q174 (maxDf = -1 is the value-neutral
+    * lazy corpus-size cap). On deployment the corpus side is the
+    * persisted posting index, the q108 shape. */
+  private[graft] def incrementalContainment(s: SparkSession, d: String,
+                                            maxDf: Long = -1L,
+                                            minCont: Double = 0.9): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    val fresh = sh.filter(col("doc_id") >= 250)
+      .select(col("doc_id").as("a_id"), size(col("sh")).as("asz"),
+              explode(col("sh")).as("s"))
+    val corpusEx = sh.filter(col("doc_id") < 250)
+      .select(col("doc_id").as("b_id"), explode(col("sh")).as("s"))
+    val dfTab = corpusEx.groupBy("s").agg(count(lit(1)).as("df"))
+    val keep =
+      if (maxDf > 0) dfTab.filter(col("df") <= maxDf).select("s")
+      else dfTab
+        .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("__cap"))))
+        .filter(col("df") <= col("__cap")).select("s")
+    fresh.join(keep, "s")
+      .join(corpusEx, Seq("s"))
+      .groupBy("a_id", "b_id", "asz")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_raw", col("common") / col("asz"))
+      .filter(col("cont_raw") >= minCont)
+      .withColumn("containment", floor(col("cont_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Document cosine similarity over SHINGLE-FREQUENCY vectors via the
     * inverted index — the sparse-vector complement to q35's set Jaccard
     * (counts repeated shingles instead of ignoring them) and to q40's
@@ -523,6 +564,8 @@ object TextAnalysis extends QueryPack {
       ngramJaccardDfCut(s, d)),
     "q174_containment" -> ((s: SparkSession, d: String) =>
       containmentDfCut(s, d)),
+    "q183_inc_containment" -> ((s: SparkSession, d: String) =>
+      incrementalContainment(s, d)),
   )
 
   override val oracles: Map[String, String] = Map(
@@ -759,6 +802,28 @@ object TextAnalysis extends QueryPack {
            SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
                   count(*) AS common
            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2, 3)
+         SELECT a_id, b_id,
+                floor(CAST(common AS DOUBLE) / asz * 1000) / 1000 AS containment
+         FROM pairs
+         WHERE CAST(common AS DOUBLE) / asz >= 0.9
+         ORDER BY a_id, b_id""",
+    // q183: q174's SQL restricted to cross pairs — fresh (>= 250)
+    // contained in corpus (< 250)
+    "q183_inc_containment" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s
+                AND a.doc_id >= 250 AND b.doc_id < 250
            GROUP BY 1, 2, 3)
          SELECT a_id, b_id,
                 floor(CAST(common AS DOUBLE) / asz * 1000) / 1000 AS containment

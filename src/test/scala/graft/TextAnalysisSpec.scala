@@ -74,6 +74,16 @@ class TextAnalysisSpec extends SparkTestBase {
       "expected a one-directional containment pair in the corpus")
   }
 
+  test("q183 incremental containment == q174 restricted to cross pairs") {
+    val inc = SparkEntry.queries("q183_inc_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = SparkEntry.queries("q174_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 >= 250 && p._2 < 250).toSeq
+    assert(inc.nonEmpty, "cross containment pairs must exist in testdata")
+    assert(inc == full, "incremental form != full form restricted to cross pairs")
+  }
+
   test("q30 token counts are positive and ws_tokens <= re_tokens + punct slack") {
     val rows = TextAnalysis.queries("q30_tokens")(spark, sfDir).collect()
     assert(rows.forall(_.getLong(1) > 0))
