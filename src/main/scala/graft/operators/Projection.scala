@@ -739,7 +739,93 @@ object Projection extends QueryPack {
                       END""").as("f6"))
       .orderBy("dim")
 
+  /** EMBEDDING SNAPSHOT DRIFT — the embedding-space counterpart of
+    * q141's token-distribution drift: per dimension, how far the mean
+    * moved between two corpus snapshots (first half vs second half by
+    * vec_id — the arrival-ordered proxy for crawl A vs crawl B), in
+    * units of the pooled per-dimension std. The report run before
+    * mixing two embedding batches or after an encoder upgrade: a dim
+    * with shift ≫ 0 means the two snapshots don't share a space and
+    * ANN/codebook structures trained on one mis-serve the other.
+    * One grouped VecStatsAgg pass (2 buffers per task), then 2·d-row
+    * arithmetic: mean/std doubles derive bit-exact from integer sums;
+    * the shift is a fixed-shape IEEE expression, floored to 1e-4;
+    * a zero pooled-std dim reads the −1 sentinel. */
+  private def q184EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.embeddings(s, d)
+      .crossJoin(broadcast(
+        Tables.embeddings(s, d).agg((count(lit(1)) / 2).cast("long").as("__half"))))
+      .select((col("vec_id") >= col("__half")).cast("int").as("snap"),
+              expr("transform(embedding, x -> cast(floor(cast(x as double) * 1e6) as bigint))")
+                .as("q"))
+      .groupBy("snap")
+      .agg(graft.functions.VecStatsAgg.vec_int_stats(col("q")).as("st"))
+    val per = st.select(col("snap"), col("st.n").as("n"),
+        posexplode(expr("arrays_zip(st.sums, st.sumsqs)")).as(Seq("d0", "z")))
+      .select(col("snap"), (col("d0") + 1).cast("long").as("dim"), col("n"),
+              col("z.sums").as("s"), col("z.sumsqs").as("sq"))
+      .withColumn("mu", expr("cast(s as double) / n / 1e6"))
+      .withColumn("va", expr(
+        """greatest(cast(0 as double),
+             cast(sq as double) / n - (cast(s as double) / n) * (cast(s as double) / n))
+           / 1e12"""))
+    per.groupBy("dim")
+      .agg(max(when(col("snap") === 0, col("n"))).as("n_a"),
+           max(when(col("snap") === 1, col("n"))).as("n_b"),
+           max(when(col("snap") === 0, col("mu"))).as("mu_a"),
+           max(when(col("snap") === 1, col("mu"))).as("mu_b"),
+           max(when(col("snap") === 0, col("va"))).as("va_a"),
+           max(when(col("snap") === 1, col("va"))).as("va_b"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        expr("""CASE WHEN sqrt((va_a + va_b) / 2) = 0 THEN CAST(-1 AS BIGINT)
+                ELSE cast(floor(abs(mu_a - mu_b) / sqrt((va_a + va_b) / 2) * 1e4)
+                          as bigint) END""").as("shift4"))
+      .orderBy("dim")
+  }
+
+  /** CENTROID-BASED LABEL-NOISE AUDIT — flag vectors that sit closer to
+    * ANOTHER label's centroid than their own (the confident-learning-
+    * style mislabel suspect list, centroid-grain): the audit run before
+    * trusting labels for classifier training or per-class sampling.
+    * Fully map-side after one stats pass: per-label centroids derive
+    * bit-exact from [[labelDimStats]]'s integer sums, collapse to ONE
+    * broadcast row (an array of (label, mu) structs in label order),
+    * and each vector computes all k squared distances in a single
+    * codegen'd higher-order expression — j-ordered left folds (the
+    * q126/q153 parity pattern), argmin with the smaller label winning
+    * ties (the fold keeps the FIRST strict minimum over the
+    * label-sorted array). The corpus never shuffles; output is only
+    * the flagged suspects with their margin. */
+  private def q185LabelNoise(s: SparkSession, d: String): DataFrame = {
+    val cents = labelDimStats(s, d)
+      .withColumn("mu", expr("cast(sum_q as double) / n / 1e6"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mu))), e -> e.mu)")
+        .as("mu"))
+      .agg(expr("array_sort(collect_list(struct(label, mu)))").as("cents"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+              expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dists", expr(
+        """transform(cents, c -> named_struct(
+             'l', c.label,
+             'd', aggregate(zip_with(v, c.mu, (x, m) -> (x - m) * (x - m)),
+                            cast(0 as double), (a, t) -> a + t)))"""))
+      .withColumn("near", expr(
+        """aggregate(dists, named_struct('l', CAST(-1 AS BIGINT),
+                                         'd', cast('Infinity' as double)),
+             (acc, e) -> IF(e.d < acc.d, e, acc))"""))
+      .withColumn("d_own", expr("filter(dists, e -> e.l = label)[0].d"))
+      .filter(col("near.l") =!= col("label"))
+      .select(col("vec_id"), col("label"), col("near.l").as("nearest"),
+              expr("cast(floor((d_own - near.d) * 1e4) as bigint)").as("margin4"))
+      .orderBy("vec_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_embedding_drift" -> q184EmbeddingDrift _,
+    "q185_label_noise" -> q185LabelNoise _,
     "q178_label_audit" -> q178LabelAudit _,
     "q179_separability" -> q179Separability _,
     "q125_pca_sweep" -> q125PcaSweep _,
@@ -859,6 +945,74 @@ object Projection extends QueryPack {
                                         / st.sd[i] * 1e4) AS BIGINT) END
                    for i in range(1, len(embedding) + 1)], ',') AS z4
          FROM q, st ORDER BY vec_id""",
+    // q184: same integer-stats derivation per snapshot; the shift is one
+    // fixed-shape IEEE expression over bit-exact doubles
+    "q184_embedding_drift" ->
+      """WITH h AS (SELECT count(*) // 2 AS half FROM embeddings),
+         q AS (SELECT CASE WHEN vec_id >= h.half THEN 1 ELSE 0 END AS snap,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   for x in embedding] AS qv
+               FROM embeddings, h),
+         d AS (SELECT snap, unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT snap, dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+                      CAST(sum(v * v) AS BIGINT) AS sq
+               FROM d GROUP BY 1, 2),
+         m AS (SELECT snap, dim, n, CAST(s AS DOUBLE) / n / 1e6 AS mu,
+                      greatest(CAST(0 AS DOUBLE),
+                        CAST(sq AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                      / 1e12 AS va
+               FROM a),
+         g AS (SELECT dim,
+                      max(CASE WHEN snap = 0 THEN n END) AS n_a,
+                      max(CASE WHEN snap = 1 THEN n END) AS n_b,
+                      max(CASE WHEN snap = 0 THEN mu END) AS mu_a,
+                      max(CASE WHEN snap = 1 THEN mu END) AS mu_b,
+                      max(CASE WHEN snap = 0 THEN va END) AS va_a,
+                      max(CASE WHEN snap = 1 THEN va END) AS va_b
+               FROM m GROUP BY dim)
+         SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
+                CASE WHEN sqrt((va_a + va_b) / 2) = 0 THEN CAST(-1 AS BIGINT)
+                     ELSE CAST(floor(abs(mu_a - mu_b)
+                                     / sqrt((va_a + va_b) / 2) * 1e4) AS BIGINT)
+                END AS shift4
+         FROM g ORDER BY dim""",
+    // q185: centroids from the same integer sums in label-ordered lists;
+    // each distance is a j-ordered left fold; argmin ties break by the
+    // smaller label on both sides (Spark's fold keeps the FIRST strict
+    // minimum over the label-sorted array ≡ ORDER BY dd, cl pick-first)
+    "q185_label_noise" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label, vec_id, embedding,
+                  [CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                   for x in embedding] AS qv
+           FROM embeddings),
+         d AS (SELECT label, unnest(range(1, len(qv) + 1)) AS dim,
+                      unnest(qv) AS v FROM q),
+         a AS (SELECT label, dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s
+               FROM d GROUP BY 1, 2),
+         c AS (SELECT label AS cl,
+                      list(CAST(s AS DOUBLE) / n / 1e6 ORDER BY dim) AS mu
+               FROM a GROUP BY label),
+         dist AS (SELECT q.vec_id, q.label, c.cl,
+                    list_reduce(
+                      [(CAST(q.embedding[j] AS DOUBLE) - c.mu[j])
+                       * (CAST(q.embedding[j] AS DOUBLE) - c.mu[j])
+                       for j in range(1, len(q.embedding) + 1)],
+                      (x, y) -> x + y) AS dd
+                  FROM q, c),
+         r AS (SELECT vec_id, label, cl, dd,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dd, cl) AS rn
+               FROM dist),
+         own AS (SELECT vec_id, dd AS d_own FROM dist WHERE label = cl),
+         nr AS (SELECT vec_id, label, cl AS nearest, dd AS d_near
+                FROM r WHERE rn = 1)
+         SELECT nr.vec_id, nr.label, nr.nearest,
+                CAST(floor((own.d_own - nr.d_near) * 1e4) AS BIGINT) AS margin4
+         FROM nr JOIN own USING (vec_id)
+         WHERE nr.nearest <> nr.label
+         ORDER BY nr.vec_id""",
     // q178: q163's co-unnest + GROUP BY, conditioned on label
     "q178_label_audit" ->
       """WITH q AS (SELECT CAST(label AS BIGINT) AS label,

@@ -342,6 +342,16 @@ class PlanSpec extends SparkTestBase {
     assert(gens.size <= 1, "only the post-agg posexplode may generate rows")
   }
 
+  test("q174: the pruned posting exchange is reused by both self-join " +
+       "branches (no second shuffle of the inverted index)") {
+    val plan = executed(SparkEntry.queries("q174_containment")(spark, sfDir))
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      "q174's df-cut posting relation must shuffle once, not per branch")
+  }
+
   test("q175: stats come back as ONE broadcast row — the corpus side " +
        "never sort-merge joins or shuffles for the flagging pass") {
     val nodes = executed(SparkEntry.queries("q175_outlier_audit")(spark, sfDir))

@@ -204,6 +204,64 @@ class ProjectionSpec extends SparkTestBase {
     assert(got.forall(_._3 >= -1L) && got.exists(_._3 >= 0L))
   }
 
+  test("q184 snapshot drift matches a brute-force recompute") {
+    val got = Projection.queries("q184_embedding_drift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1e6).toLong))
+    val half = vecs.length / 2
+    val d = vecs.head._2.length
+    def stats(vs: Array[Array[Long]], j: Int): (Long, Double, Double) = {
+      val n = vs.length.toLong
+      val s = vs.map(_(j)).sum
+      val sq = vs.map(v => v(j) * v(j)).sum
+      val mu = s.toDouble / n / 1e6
+      val va = math.max(0.0,
+        sq.toDouble / n - (s.toDouble / n) * (s.toDouble / n)) / 1e12
+      (n, mu, va)
+    }
+    val a = vecs.filter(_._1 < half).map(_._2)
+    val b = vecs.filter(_._1 >= half).map(_._2)
+    val want = (1 to d).map { dim =>
+      val j = dim - 1
+      val (na, ma, va) = stats(a, j)
+      val (nb, mb, vb) = stats(b, j)
+      val pooled = math.sqrt((va + vb) / 2)
+      val s4 = if (pooled == 0) -1L
+               else math.floor(math.abs(ma - mb) / pooled * 1e4).toLong
+      (dim.toLong, na, nb, s4)
+    }
+    assert(got.toSeq == want, "operator != brute-force drift recompute")
+  }
+
+  test("q185 label-noise suspects match a brute-force nearest-centroid pass") {
+    val got = Projection.queries("q185_label_noise")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+                 r.getSeq[Float](2).toArray.map(_.toDouble)))
+    val d = rows.head._3.length
+    val cents = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (l, vs) =>
+      val q = vs.map(_._3.map(x => math.floor(x * 1e6).toLong))
+      l -> Array.tabulate(d)(j => q.map(_(j)).sum.toDouble / q.length / 1e6)
+    }
+    val want = rows.sortBy(_._1).flatMap { case (id, lbl, v) =>
+      val dists = cents.map { case (l, mu) =>
+        l -> (0 until d).foldLeft(0.0)((acc, j) =>
+          acc + (v(j) - mu(j)) * (v(j) - mu(j)))
+      }
+      val (nl, nd) = dists.minBy { case (l, dd) => (dd, l) }
+      val dOwn = dists.find(_._1 == lbl).get._2
+      if (nl != lbl) Some((id, lbl, nl, math.floor((dOwn - nd) * 1e4).toLong))
+      else None
+    }
+    assert(want.nonEmpty && got.length < rows.length)
+    assert(got.toSeq == want.toSeq, "operator != brute-force nearest centroid")
+  }
+
   test("planted vec_int_stats: exact sums/minmax; partial buffers merge") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
