@@ -623,7 +623,71 @@ object Stats extends QueryPack {
       .limit(bpeK)
   }
 
+  /** q186: BPE MERGE TRAINING, three rounds — q147 gives the FIRST
+    * merge; this runs the actual training loop distributed: count
+    * weighted symbol pairs over the vocabulary → elect the top pair →
+    * apply the merge → recount, three times, emitting the learned merge
+    * table (the artifact a tokenizer ships). Representation: each
+    * vocabulary entry is a space-delimited SYMBOL STRING (' c a t '),
+    * so applying a merge is plain string `replace` of ' a b ' with
+    * ' ab ' — nested to depth 4, which reaches the left-to-right greedy
+    * fixpoint (canonical BPE application) for runs of the merged pair
+    * up to 16 long; `replace` is left-to-right non-overlapping in both
+    * engines, so the semantics are identical by construction. Election
+    * is one lazy broadcast `min(struct(-n, w1, w2))` row (n DESC, then
+    * lexicographic — fully deterministic); each round's recount is the
+    * q147/q180 bigram shape over the Zipf-bounded vocabulary, so the
+    * whole 3-round chain is ONE lazy plan: three vocabulary-grain
+    * map+agg passes with broadcast merge rows, no driver-side loop, no
+    * job at construction. At corpus scale this is exactly how BPE
+    * training distributes — the corpus contributes only token counts
+    * once, and every iteration is vocabulary-sized. */
+  private def q186BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val vocab0 = Tables.documents(s, d)
+      .select(explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        """concat(' ', array_join(
+             transform(sequence(1, length(t)), i -> substring(t, i, 1)), ' '),
+           ' ')""").as("s"),
+        col("cnt"))
+
+    def pairCounts(vocab: DataFrame): DataFrame =
+      vocab.select(col("cnt"), expr("split(trim(s), ' ')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+               i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"""))
+          .as("g"))
+        .select(col("cnt"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .groupBy("w1", "w2").agg(sum("cnt").as("n"))
+
+    def top(pc: DataFrame): DataFrame =
+      pc.agg(min(struct((-col("n")).as("negn"), col("w1"), col("w2"))).as("m"))
+        .select(col("m.w1").as("mw1"), col("m.w2").as("mw2"),
+                (-col("m.negn")).as("mn"))
+
+    def applyMerge(vocab: DataFrame, t: DataFrame): DataFrame = {
+      val pat = "concat(' ', mw1, ' ', mw2, ' ')"
+      val rep = "concat(' ', mw1, mw2, ' ')"
+      val r4 = (1 to 4).foldLeft("s")((acc, _) => s"replace($acc, $pat, $rep)")
+      vocab.crossJoin(broadcast(t)).select(expr(r4).as("s"), col("cnt"))
+    }
+
+    val t1 = top(pairCounts(vocab0))
+    val v1 = applyMerge(vocab0, t1)
+    val t2 = top(pairCounts(v1))
+    val v2 = applyMerge(v1, t2)
+    val t3 = top(pairCounts(v2))
+    def row(step: Int, t: DataFrame): DataFrame =
+      t.select(lit(step.toLong).as("step"), col("mw1").as("sym1"),
+               col("mw2").as("sym2"), col("mn").as("n_occurrences"))
+    row(1, t1).unionByName(row(2, t2)).unionByName(row(3, t3))
+      .orderBy("step")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_bpe_merges" -> q186BpeMerges _,
     "q151_winnowing" -> q151Winnowing _,
     "q147_bpe_pairs" -> q147BpePairs _,
     "q145_skew_report" -> q145SkewReport _,
@@ -636,6 +700,54 @@ object Stats extends QueryPack {
     "q142_token_entropy" -> q142TokenEntropy _,
     "q143_neardup_degree" -> q143NeardupDegree _,
   )
+
+  /** q186's oracle — the 3-round chain generated mechanically: each
+    * round is the q180-shape bigram recount over the symbol strings, a
+    * (n DESC, w1, w2) LIMIT-1 election, and the same 4-deep `replace`
+    * application; `replace` is left-to-right non-overlapping in DuckDB
+    * exactly as in the JVM, so the rounds agree by construction. */
+  private def bpeMergesOracleSql: String = {
+    def pc(v: String, name: String) =
+      s"""$name AS (SELECT split_part(gram, ' ', 1) AS w1,
+                split_part(gram, ' ', 2) AS w2,
+                CAST(sum(cnt) AS BIGINT) AS n
+         FROM (SELECT cnt,
+                      unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+                        AS gram
+               FROM (SELECT cnt, w FROM
+                       (SELECT cnt, string_split(trim(s), ' ') AS w FROM $v)
+                     WHERE len(w) >= 2))
+         GROUP BY 1, 2)"""
+    def tp(p: String, name: String) =
+      s"$name AS (SELECT w1, w2, n FROM $p ORDER BY n DESC, w1, w2 LIMIT 1)"
+    def ap(v: String, t: String, name: String) = {
+      val pat = s"' ' || $t.w1 || ' ' || $t.w2 || ' '"
+      val rep = s"' ' || $t.w1 || $t.w2 || ' '"
+      val r4 = (1 to 4).foldLeft(s"$v.s")((acc, _) =>
+        s"replace($acc, $pat, $rep)")
+      s"$name AS (SELECT $r4 AS s, cnt FROM $v, $t)"
+    }
+    s"""WITH v0 AS (
+           SELECT ' ' || array_to_string([t[i] for i in range(1, len(t) + 1)], ' ')
+                  || ' ' AS s, cnt
+           FROM (SELECT t, count(*) AS cnt
+                 FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+                       FROM documents)
+                 GROUP BY t)),
+         ${pc("v0", "pc1")},
+         ${tp("pc1", "t1")},
+         ${ap("v0", "t1", "v1")},
+         ${pc("v1", "pc2")},
+         ${tp("pc2", "t2")},
+         ${ap("v1", "t2", "v2")},
+         ${pc("v2", "pc3")},
+         ${tp("pc3", "t3")}
+         SELECT CAST(1 AS BIGINT) AS step, w1 AS sym1, w2 AS sym2,
+                n AS n_occurrences FROM t1
+         UNION ALL SELECT 2, w1, w2, n FROM t2
+         UNION ALL SELECT 3, w1, w2, n FROM t3
+         ORDER BY step"""
+  }
 
   override def oraclesFor(dir: String): Map[String, String] =
     oracles +
@@ -715,6 +827,7 @@ object Stats extends QueryPack {
           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= $winMinShared
           ORDER BY a_id, b_id""",
+    "q186_bpe_merges" -> bpeMergesOracleSql,
     // fully integer: vocabulary counts, substr pair explode, sum, top-k
     "q147_bpe_pairs" ->
       s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))

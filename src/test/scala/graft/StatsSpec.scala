@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
   */
 class StatsSpec extends SparkTestBase {
 
+  test("q186: three BPE merge rounds match a canonical greedy brute force") {
+    val got = SparkEntry.queries("q186_bpe_merges")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // brute force: canonical BPE — count weighted adjacent symbol pairs,
+    // elect (count DESC, pair ASC), apply greedily left-to-right
+    val counts = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    var vocab: Map[List[String], Long] =
+      counts.groupBy { case (t, _) => t.map(_.toString).toList }
+        .map { case (syms, m) => syms -> m.values.sum }
+    val want = (1 to 3).map { step =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + cnt
+          case _ => ()
+        }
+      }
+      val ((w1, w2), n) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def apply1(syms: List[String]): List[String] = syms match {
+        case a :: b :: rest if a == w1 && b == w2 => (a + b) :: apply1(rest)
+        case a :: rest => a :: apply1(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.groupBy { case (syms, _) => apply1(syms) }
+        .map { case (syms, m) => syms -> m.values.sum }
+      (step.toLong, w1, w2, n)
+    }
+    assert(got.toSeq == want,
+      s"operator != canonical BPE rounds: got ${got.toSeq}, want $want")
+    // a real second round: some merge builds on a multi-char symbol or a
+    // fresh pair — the table is not just the q147 top-3
+    assert(got.map(r => (r._2, r._3)).distinct.length == 3)
+  }
+
   test("q137: weighted sample is rerun-stable, ranked 1..k per source") {
     val a = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
     val b = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
