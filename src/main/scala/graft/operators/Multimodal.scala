@@ -291,7 +291,55 @@ object Multimodal extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** VIDEO TEMPORAL ALIGNMENT — the refinement step after q165's
+    * shared-frame detection: for each near-dup video pair, WHERE does
+    * the copy sit relative to the original? Every shared frame
+    * fingerprint votes with the difference of its LOCAL positions in
+    * the two videos (a trimmed copy's local index runs behind the
+    * original's by the trim length); the winning offset (votes DESC,
+    * offset ASC — a deterministic min-struct election) localizes the
+    * copied segment, which is what turns "these two videos share
+    * content" into an actionable trim/segment report. The planted
+    * head-trimmed re-uploads must all align at offset exactly 1 with
+    * every shared frame voting for it — MultimodalSpec asserts that.
+    * Plan shape: the same (sig, id, local) inverted index as q165 —
+    * payloads never move — plus one extra grouping by (pair, delta)
+    * before the per-pair election; both aggregations carry id-grain
+    * rows only. */
+  private def q187VideoAlign(s: SparkSession, d: String): DataFrame = {
+    val vids = assets(s, d).filter(col("media_type") === "video")
+      .select(col("asset_id"), col("content"),
+              expr("cast(least(n_frames, 5) as long)").as("nf"))
+    val baseFrames = vids
+      .select(col("asset_id"), col("content"),
+              explode(expr("sequence(0L, nf - 1)")).as("fi"))
+      .withColumn("local", col("fi"))
+    // the head-trimmed copy's frame fi sits at LOCAL position fi - 1
+    val reupFrames = vids.filter(col("nf") >= 3)
+      .select((col("asset_id") + 200000).as("asset_id"), col("content"),
+              explode(expr("sequence(1L, nf - 1)")).as("fi"))
+      .withColumn("local", col("fi") - 1)
+    val frames = baseFrames.unionByName(reupFrames)
+      .select(col("asset_id"), col("local"),
+              md5(concat(col("content").cast("string"), lit(":"),
+                         col("fi").cast("string"))).as("sig"))
+    frames.select(col("sig"), col("asset_id").as("a_id"), col("local").as("al"))
+      .join(frames.select(col("sig"), col("asset_id").as("b_id"),
+                          col("local").as("bl")), Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), (col("al") - col("bl")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("a_id", "b_id")
+      .agg(min(struct((-col("votes")).as("negv"), col("delta"))).as("m"),
+           sum(col("votes")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("a_id"), col("b_id"), col("m.delta").as("offset"),
+              (-col("m.negv")).as("votes"), col("n_shared"))
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_video_align" -> q187VideoAlign _,
     "q165_video_neardup" -> q165VideoNeardup _,
     "q149_media_similar" -> q149MediaSimilar _,
     "q50_media_meta"     -> q50MediaMeta _,
@@ -355,6 +403,35 @@ object Multimodal extends QueryPack {
                 count(*) AS n_shared
          FROM f a JOIN f b ON a.sig = b.sig AND a.asset_id < b.asset_id
          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id""",
+    // q187: the same frame relation carrying LOCAL positions; per-pair
+    // offset election (votes DESC, delta ASC) via window-rank — the
+    // min-struct's total order replicated
+    "q187_video_align" ->
+      """WITH v AS (SELECT doc_id AS asset_id, text,
+                  CAST(least((doc_id % 4 + 2), 5) AS BIGINT) AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         bf AS (SELECT asset_id, fi AS local,
+                       md5(text || ':' || fi::VARCHAR) AS sig
+                FROM v, unnest(range(0, nf)) t(fi)),
+         rf AS (SELECT asset_id + 200000 AS asset_id, fi - 1 AS local,
+                       md5(text || ':' || fi::VARCHAR) AS sig
+                FROM v, unnest(range(1, nf)) t(fi) WHERE nf >= 3),
+         f AS (SELECT * FROM bf UNION ALL SELECT * FROM rf),
+         d AS (SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+                      a.local - b.local AS delta, count(*) AS votes
+               FROM f a JOIN f b ON a.sig = b.sig
+                    AND a.asset_id < b.asset_id
+               GROUP BY 1, 2, 3),
+         r AS (SELECT a_id, b_id, delta, votes,
+                      sum(votes) OVER (PARTITION BY a_id, b_id) AS n_shared,
+                      row_number() OVER (PARTITION BY a_id, b_id
+                                         ORDER BY votes DESC, delta) AS rn
+               FROM d)
+         SELECT a_id, b_id, CAST(delta AS BIGINT) AS offset,
+                CAST(votes AS BIGINT) AS votes,
+                CAST(n_shared AS BIGINT) AS n_shared
+         FROM r WHERE rn = 1 AND n_shared >= 2
+         ORDER BY a_id, b_id""",
     "q52_frame_sample" ->
       """SELECT doc_id AS asset_id, frame_idx,
          md5(text || ':' || frame_idx::VARCHAR) AS frame_sig

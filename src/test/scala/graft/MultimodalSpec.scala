@@ -91,4 +91,22 @@ class MultimodalSpec extends SparkTestBase {
       .count()
     assert(rows.length == expected)
   }
+
+  test("q187: every planted trim aligns at offset exactly 1, unanimously") {
+    val rows = Multimodal.queries("q187_video_align")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, off, votes, shared) =>
+      assert(b == a + 200000, s"unexpected pair ($a,$b)")
+      // a head-trim by one frame: the original's local index leads the
+      // copy's by 1 on EVERY shared frame — one offset, all the votes
+      assert(off == 1L, s"pair ($a,$b): offset $off != 1")
+      assert(votes == shared, s"pair ($a,$b): split vote $votes/$shared")
+    }
+    // same pair set as q165 (alignment refines, never invents pairs)
+    val q165 = Multimodal.queries("q165_video_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == q165)
+  }
 }
