@@ -303,7 +303,53 @@ object Curation extends QueryPack {
   private def q75GlobalPack(s: SparkSession, d: String): DataFrame =
     globalPack(Tables.documents(s, d), budget = 2048L, nParts = 32)
 
+  private val releaseMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** RELEASE EXPORT — the step every curation pipeline actually ends
+    * with: materialize the surviving corpus (q130's full funnel — exact
+    * dedup ∧ quality ∧ decontamination) partitioned by the q120
+    * deterministic split, then read the artifact back with split values
+    * taken from the DIRECTORY NAMES. The oracle recomputes survivors +
+    * split + content hash from the raw table, so a misbucketed, lost,
+    * duplicated or content-corrupted row in the written dataset all
+    * surface as a hash mismatch — the q173 write+read-back parity
+    * pattern applied to the release artifact. Write-once per
+    * (session, dataset), the production shape; scale: the write is one
+    * partitioned append executed by the survivors' own partitions, the
+    * read-back is the gate's verification scan. */
+  private def q188ReleaseExport(s: SparkSession, d: String): DataFrame = {
+    val out = releaseMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val root = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_release").toString)
+      pipelineFlags(s, d).filter(col("s3"))
+        .select(col("doc_id"), col("source"), col("ntok"))
+        .withColumn("split", expr(
+          """CASE WHEN cast(conv(substr(md5(cast(doc_id as string)), 1, 15),
+                               16, 10) as bigint) % 100 < 80 THEN 'train'
+                  WHEN cast(conv(substr(md5(cast(doc_id as string)), 1, 15),
+                               16, 10) as bigint) % 100 < 90 THEN 'val'
+                  ELSE 'test' END"""))
+        .join(Tables.documents(s, d)
+                .select(col("doc_id"), md5(col("text")).as("text_md5")),
+              "doc_id")
+        .write.mode("overwrite").partitionBy("split")
+        .option("compression", "snappy").parquet(root)
+      root
+    })
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.get(inferKey)
+    s.conf.set(inferKey, "false")
+    val back =
+      try { val b = s.read.parquet(out); b.schema; b }
+      finally s.conf.set(inferKey, prev)
+    back.select(col("doc_id"), col("split"), col("source"), col("ntok"),
+                col("text_md5"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_release_export" -> q188ReleaseExport _,
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
@@ -372,6 +418,56 @@ object Curation extends QueryPack {
          GROUP BY corpus.n, doc_id
          HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
          ORDER BY n, doc_id""",
+    // q188: q130's flag CTEs (with source carried) + the q120 split
+    // bucket + a content md5 — the full release recomputed from the raw
+    // table against the written artifact's read-back
+    "q188_release_export" ->
+      """WITH base AS (SELECT doc_id, source, md5(text) AS dig,
+                              md5(text) AS text_md5,
+                              len(string_split_regex(trim(text), '\s+')) AS ntok
+                       FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         surv AS (SELECT b.doc_id, b.source, b.ntok, b.text_md5
+                  FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                  LEFT JOIN flagged fg USING (doc_id)
+                  WHERE b.doc_id = fc.first_id AND q.keep = 1
+                    AND coalesce(fg.fl, 0) = 0 AND b.doc_id >= 20)
+         SELECT doc_id,
+                CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                source, CAST(ntok AS BIGINT) AS ntok, text_md5
+         FROM surv ORDER BY doc_id""",
     // all-integer funnel; q93's keep CTE and q48's flag CTE verbatim;
     // the single division per output row is long/long → double in both
     // engines

@@ -185,4 +185,24 @@ class CurationSpec extends SparkTestBase {
       assert(distinctRatio > 0 && distinctRatio <= 1.0)
     }
   }
+
+  test("q188 release export: split-partitioned layout, funnel-consistent, " +
+       "memo-stable") {
+    val rows = SparkEntry.queries("q188_release_export")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+                 r.getString(4)))
+    assert(rows.nonEmpty)
+    // every row carries a valid split read from a directory name
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.map(_._2).toSet.contains("train"))
+    // the export IS the funnel's final stage: row count = s3 survivors
+    val s3 = graft.operators.Curation.pipelineFlags(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("s3")).count()
+    assert(rows.length.toLong == s3, s"export ${rows.length} != s3 $s3")
+    // memoized artifact: a second invocation serves the same rows
+    val again = SparkEntry.queries("q188_release_export")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                           r.getLong(3), r.getString(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -69,6 +69,9 @@ class PlanSpec extends SparkTestBase {
       // per-topic partitioned write + read-back (write-once per
       // session+dataset) — the multi-topic ingest parity gate
       "q173_multi_topic",
+      // release-artifact write + read-back (write-once per
+      // session+dataset) — q173's pattern on the curated corpus
+      "q188_release_export",
       // IVF-PQ persisted-index family: index build/append (write-once per
       // session+dataset), codebook training, and the probe-cell collect
       // (|Q|·nprobe ids) documented at ivfPqSearch
