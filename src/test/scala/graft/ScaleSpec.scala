@@ -88,6 +88,28 @@ class ScaleSpec extends SparkTestBase {
     assert(kept < total, "testdata has shingles above the cut, so work shrinks")
   }
 
+  test("containment df-cut: subset below the cap, value-neutral at corpus size") {
+    import graft.operators.TextAnalysis
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declared = pairs(TextAnalysis.queries("q174_containment")(spark, sfDir))
+    val uncut = pairs(TextAnalysis.containmentDfCut(spark, sfDir,
+                                                    maxDf = 1000000L))
+    assert(uncut == declared,
+      "declared q174 (lazy corpus-size cap) must equal the explicit no-cut run")
+    // a real cut only LOSES directed pairs (the containment numerator can
+    // only shrink when hot shingles leave the index) — never invents them
+    val cut = pairs(TextAnalysis.containmentDfCut(spark, sfDir, maxDf = 2L))
+    assert(cut.subsetOf(declared),
+      "df-cut containment must be a subset of the uncut pair set")
+    // and the incremental form inherits the same bound
+    val incCut = pairs(TextAnalysis.incrementalContainment(spark, sfDir,
+                                                           maxDf = 2L))
+    val incFull = pairs(TextAnalysis.queries("q183_inc_containment")(spark, sfDir))
+    assert(incCut.subsetOf(incFull),
+      "df-cut incremental containment must be a subset of the uncut form")
+  }
+
   test("IVF: constant-k quantizer, broadcast assignment, pruned probe scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
