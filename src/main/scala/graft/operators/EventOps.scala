@@ -330,7 +330,42 @@ object EventOps extends QueryPack {
               col("r.users").as("users"), col("r.conv").as("conv"))
       .orderBy("stage_idx")
 
+  /** EVENT TRANSITION MATRIX — the first-order Markov view of user
+    * behavior (which event follows which, and with what probability):
+    * the product-analytics companion to q176's fixed funnel, covering
+    * ALL paths instead of one declared journey. Adjacency is defined by
+    * the deterministic (ts, event_id) total order per user, so the
+    * sorted-array form and a lead() window agree exactly; probabilities
+    * are floored explicit-double ratios of integer counts. Plan shape:
+    * ONE user_id shuffle (the q176 collect pattern — per-user arrays
+    * bounded by individual activity, no corpus-wide window sort), then
+    * a transition-grain count aggregate and a broadcast join of the
+    * per-source totals (≤ |event types| rows). */
+  private def q190Transitions(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(expr("array_sort(collect_list(struct(ts, event_id, event_type)))")
+        .as("ev"))
+      .filter(size(col("ev")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ev) - 1),
+             i -> struct(element_at(ev, i).event_type as cur,
+                         element_at(ev, i + 1).event_type as nxt))""")).as("t"))
+      .select(col("t.cur").as("cur"), col("t.nxt").as("nxt"))
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("cur").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "cur")
+      // explicit double cast: a bare 1000.0 literal is DECIMAL in Spark
+      // SQL, and decimal division would ship a decimal column where the
+      // oracle has a double
+      .withColumn("p", expr("floor(cast(n as double) * 1000 / tot) / 1000"))
+      .select("cur", "nxt", "n", "p")
+      .orderBy("cur", "nxt")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_transitions"  -> q190Transitions _,
     "q176_funnel"       -> q176Funnel _,
     "q173_multi_topic"  -> q173MultiTopicIngest _,
     "q152_incremental_agg" -> q152IncrementalAgg _,
@@ -346,6 +381,19 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q190: the lead-window formulation over the same (ts, event_id)
+    // total order; counts integer, one floored explicit-double ratio
+    "q190_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+               FROM events),
+         c AS (SELECT event_type AS cur, nxt, count(*) AS n
+               FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+                floor(CAST(c.n AS DOUBLE) * 1000 / t.tot) / 1000 AS p
+         FROM c JOIN t USING (cur) ORDER BY cur, nxt""",
     // q176: the min-over-filter semantics in join form — t2/t3 exist
     // only for users whose prior stage fired, strict > at every hop;
     // the ratio arithmetic is explicit-double (DuckDB BIGINT/BIGINT

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,7 +200,60 @@ object Relational2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** DATA-QUALITY CONSTRAINT AUDIT — the Deequ-style validation suite a
+    * landing zone runs after the reference's ingest writes parquet: one
+    * row per declared constraint with its violation metric and verdict.
+    * Checks: non-emptiness, key-column null counts, primary-key
+    * uniqueness (orders, customer), referential integrity (orders →
+    * customer, lineitem → orders — counted as orphan rows via anti-
+    * joins), and a domain-range rule (TPC-H quantities in [1, 50]).
+    * All metrics are exact integer counts — cross-engine parity is
+    * trivial and the gate certifies the CHECKS themselves, not just
+    * their plumbing. Scale shape: each check is one aggregate or one
+    * key-shuffled anti-join (the dim side broadcastable); the suite is
+    * a union of one-row aggregates, so the whole audit is a single lazy
+    * plan a scheduler can run as one job. */
+  private def q189DataQuality(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    def row(id: Int, tbl: String, check: String, metric: Column,
+            pass: Column): DataFrame => DataFrame = df =>
+      df.agg(metric.cast("long").as("metric"))
+        .select(lit(id.toLong).as("check_id"), lit(tbl).as("tbl"),
+                lit(check).as("check"), col("metric"),
+                pass.as("pass"))
+    val checks = Seq(
+      row(1, "orders", "non_empty", count(lit(1)),
+          col("metric") > 0)(orders),
+      row(2, "orders", "o_custkey_nulls",
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+          col("metric") === 0)(orders),
+      row(3, "orders", "o_orderkey_unique",
+          count(lit(1)) - countDistinct(col("o_orderkey")),
+          col("metric") === 0)(orders),
+      row(4, "customer", "c_custkey_unique",
+          count(lit(1)) - countDistinct(col("c_custkey")),
+          col("metric") === 0)(customer),
+      row(5, "orders", "fk_customer", count(lit(1)),
+          col("metric") === 0)(
+        orders.join(customer,
+                    orders("o_custkey") === customer("c_custkey"),
+                    "left_anti")),
+      row(6, "lineitem", "fk_orders", count(lit(1)),
+          col("metric") === 0)(
+        lineitem.join(orders,
+                      lineitem("l_orderkey") === orders("o_orderkey"),
+                      "left_anti")),
+      row(7, "lineitem", "quantity_range",
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)),
+          col("metric") === 0)(lineitem))
+    checks.reduce(_.unionByName(_)).orderBy("check_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_data_quality" -> q189DataQuality _,
     "q63_range_join"   -> q63RangeJoin _,
     "q83_gap_fill"     -> q83GapFill _,
     "q87_rank_norm"    -> q87RankNorm _,
@@ -214,6 +267,45 @@ object Relational2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q189: every metric is an exact integer count; pass is the same
+    // integer comparison both sides
+    "q189_data_quality" ->
+      """SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS check_id, 'orders' AS tbl,
+                  'non_empty' AS "check",
+                  CAST((SELECT count(*) FROM orders) AS BIGINT) AS metric,
+                  (SELECT count(*) FROM orders) > 0 AS pass
+           UNION ALL
+           SELECT 2, 'orders', 'o_custkey_nulls',
+                  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+           UNION ALL
+           SELECT 3, 'orders', 'o_orderkey_unique',
+                  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+                  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0
+           UNION ALL
+           SELECT 4, 'customer', 'c_custkey_unique',
+                  (SELECT count(*) - count(DISTINCT c_custkey) FROM customer),
+                  (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) = 0
+           UNION ALL
+           SELECT 5, 'orders', 'fk_customer',
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+           UNION ALL
+           SELECT 6, 'lineitem', 'fk_orders',
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+                  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+           UNION ALL
+           SELECT 7, 'lineitem', 'quantity_range',
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50),
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50) = 0)
+         ORDER BY check_id""",
     // q77's oracle is the WINDOW formulation — the heap aggregate must
     // reproduce it exactly (total order: score desc, id asc).
     "q77_topk_agg" ->

@@ -43,4 +43,22 @@ class FunnelSpec extends SparkTestBase {
     assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
     assert(n3 > 0, "testdata should contain full-journey users")
   }
+
+  test("q190 transitions: mass accounting and per-state probability sums") {
+    val rows = EventOps.queries("q190_transitions")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every user contributes exactly (events − 1) transitions
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      "transition mass must equal total events minus one per user")
+    // probabilities per source state sum to 1 up to the 1e-3 flooring
+    rows.groupBy(_._1).foreach { case (cur, rs) =>
+      val p = rs.map(_._4).sum
+      assert(p <= 1.0 + 1e-9 && p > 1.0 - 0.001 * rs.length,
+        s"state $cur: probability mass $p out of the flooring envelope")
+    }
+  }
 }

@@ -50,4 +50,26 @@ class RelationalSpec extends SparkTestBase {
     // flag consistency
     assert(rows.forall(r => (r.getLong(2) == 1L) == (r.getLong(1) == 0L)))
   }
+
+  test("q189 data-quality suite: all declared checks pass on clean data, " +
+       "and a planted violation is caught") {
+    val rows = SparkEntry.queries("q189_data_quality")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+                 r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    // the synthetic warehouse is referentially clean: every check passes
+    rows.foreach { case (id, tbl, check, metric, pass) =>
+      assert(pass, s"check $id $tbl.$check failed with metric $metric")
+      if (check != "non_empty") assert(metric == 0L)
+    }
+    // the checks have teeth: an orphaned order key flips fk_customer —
+    // recompute check 5's metric against a corrupted orders relation
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 100 === 0, lit(-1L)).otherwise(col("o_custkey")))
+    val orphans = orders.join(Tables.customer(spark, sfDir),
+        orders("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(orphans > 0, "the planted corruption must register as orphans")
+  }
 }
