@@ -364,7 +364,80 @@ object EventOps extends QueryPack {
       .orderBy("cur", "nxt")
   }
 
+  /** EVENT-RATE ANOMALY DETECTION — the volume-monitoring twin of
+    * q146's value outliers: per (event_type, hour) arrival counts
+    * scored against that type's own hourly mean/std, flagging the
+    * traffic spikes and drops an ingest pipeline alarms on (a crashed
+    * producer reads as a z ≪ 0 hour, a replay storm as z ≫ 0). Exact
+    * integer counts until the mean/std derivation (the q163 parity
+    * shape: identical doubles from identical integers, sqrt is
+    * correctly rounded); the flag comparison and the reported |z| run
+    * on those identical doubles, floored to 1e-4. Two aggregations —
+    * hour-grain counts, then type-grain stats broadcast back onto the
+    * (types × hours)-sized count relation; the raw events shuffle
+    * once. */
+  private def q191RateAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+              expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum("c").as("sc"),
+           sum(col("c") * col("c")).as("sq"))
+      .select(col("event_type"),
+        expr("cast(sc as double) / k").as("mu"),
+        expr("""sqrt(greatest(cast(0 as double),
+                 cast(sq as double) / k
+                 - (cast(sc as double) / k) * (cast(sc as double) / k)))""")
+          .as("sd"))
+    hourly.join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0 && abs(col("c") - col("mu")) > lit(2) * col("sd"))
+      .select(col("event_type"), col("hr"), col("c"),
+              expr("cast(floor(abs(c - mu) / sd * 1e4) as bigint)").as("z4"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** CONVERSION-TIME DISTRIBUTION — how long the q176 journey takes for
+    * the users who complete it: exact interpolated p25/p50/p90 of the
+    * view→purchase delta in microseconds (integer inputs ⇒ the
+    * percentile lerp is IEEE-exact cross-engine, q19's precedent). The
+    * latency view that turns q176's "how many convert" into "how fast"
+    * — the other axis every conversion dashboard plots. Same one-pass
+    * per-user min-chain as q176, then one tiny percentile aggregate
+    * over the converted users. */
+  private def q192ConversionTime(s: SparkSession, d: String): DataFrame = {
+    // LET-BOUND chain, not withColumn: projection collapse would inline
+    // t1's tree into t2's and t2's into t3's, and a t3-filter would
+    // duplicate the whole tree again across the Filter/Project boundary
+    // (measured ~10× per-row work, 2.9 s → 0.3 s at sf0.1). let1 binds
+    // each stage to a lambda variable, so every stage evaluates ONCE
+    // per row inside one projection; count/percentile skip the nulls of
+    // non-converted users, so no filter is needed at all.
+    import graft.functions.TextExprs.let1
+    val t1e =
+      "array_min(transform(filter(ev, e -> e.event_type = 'view'), e -> e.ts))"
+    val t2e =
+      """IF(t1 IS NULL, NULL, array_min(transform(
+           filter(ev, e -> e.event_type = 'signup' AND e.ts > t1), e -> e.ts)))"""
+    val t3e =
+      """IF(t2 IS NULL, NULL, array_min(transform(
+           filter(ev, e -> e.event_type = 'purchase' AND e.ts > t2), e -> e.ts)))"""
+    val delta = let1(t1e, "t1", let1(t2e, "t2", let1(t3e, "t3",
+      "IF(t3 IS NULL, CAST(NULL AS BIGINT), unix_micros(t3) - unix_micros(t1))")))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("event_type"))).as("ev"))
+      .select(expr(delta).as("delta_us"))
+      .agg(count(col("delta_us")).as("n_converted"),
+           expr("percentile(delta_us, 0.25)").as("p25_us"),
+           expr("percentile(delta_us, 0.5)").as("p50_us"),
+           expr("percentile(delta_us, 0.9)").as("p90_us"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_rate_anomaly" -> q191RateAnomaly _,
+    "q192_conversion_time" -> q192ConversionTime _,
     "q190_transitions"  -> q190Transitions _,
     "q176_funnel"       -> q176Funnel _,
     "q173_multi_topic"  -> q173MultiTopicIngest _,
@@ -381,6 +454,49 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q191: integer hour buckets + the q163-shape stats derivation; the
+    // 2σ comparison runs on identical doubles both engines
+    "q191_rate_anomaly" ->
+      """WITH h AS (SELECT event_type,
+                  epoch_us(ts::TIMESTAMP) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS k,
+                       CAST(sum(c) AS BIGINT) AS sc,
+                       CAST(sum(c * c) AS BIGINT) AS sq
+                FROM h GROUP BY 1),
+         m AS (SELECT event_type,
+                      CAST(sc AS DOUBLE) / k AS mu,
+                      sqrt(greatest(CAST(0 AS DOUBLE),
+                        CAST(sq AS DOUBLE) / k
+                        - (CAST(sc AS DOUBLE) / k) * (CAST(sc AS DOUBLE) / k)))
+                        AS sd
+               FROM st)
+         SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr, h.c,
+                CAST(floor(abs(h.c - m.mu) / m.sd * 1e4) AS BIGINT) AS z4
+         FROM h JOIN m USING (event_type)
+         WHERE m.sd > 0 AND abs(h.c - m.mu) > 2 * m.sd
+         ORDER BY event_type, hr""",
+    // q192: the q176 min-chain CTEs, then exact interpolated
+    // percentiles over integer microsecond deltas (quantile_cont ≡
+    // Spark percentile on integers — the q19 parity precedent)
+    "q192_conversion_time" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'signup' AND e.ts > t1.t GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+         dlt AS (SELECT epoch_us(t3.t::TIMESTAMP) - epoch_us(t1.t::TIMESTAMP)
+                          AS delta_us
+                 FROM t3 JOIN t1 USING (user_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                quantile_cont(delta_us, 0.25) AS p25_us,
+                quantile_cont(delta_us, 0.5) AS p50_us,
+                quantile_cont(delta_us, 0.9) AS p90_us
+         FROM dlt""",
     // q190: the lead-window formulation over the same (ts, event_id)
     // total order; counts integer, one floored explicit-double ratio
     "q190_transitions" ->

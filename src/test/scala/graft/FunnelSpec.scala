@@ -61,4 +61,37 @@ class FunnelSpec extends SparkTestBase {
         s"state $cur: probability mass $p out of the flooring envelope")
     }
   }
+
+  test("q191 rate anomaly: flags exactly the brute-force 2-sigma set") {
+    val got = EventOps.queries("q191_rate_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hourly = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS hr")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, h), v) => (t, h, v.size.toLong) }.toSeq
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (t, hs) =>
+      val k = hs.length
+      val sc = hs.map(_._3).sum
+      val sq = hs.map(x => x._3 * x._3).sum
+      val mu = sc.toDouble / k
+      val sd = math.sqrt(math.max(0.0, sq.toDouble / k - mu * mu))
+      hs.collect { case (_, h, c) if sd > 0 && math.abs(c - mu) > 2 * sd =>
+        (t, h, c, math.floor(math.abs(c - mu) / sd * 1e4).toLong)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(want.nonEmpty && got.toSeq == want,
+      "operator != brute-force 2-sigma recompute")
+  }
+
+  test("q192 conversion time: anchored to the funnel's converted count, " +
+       "ordered percentiles") {
+    val r = EventOps.queries("q192_conversion_time")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (n, p25, p50, p90) = (r(0).getLong(0), r(0).getDouble(1),
+                              r(0).getDouble(2), r(0).getDouble(3))
+    val n3 = EventOps.queries("q176_funnel")(spark, sfDir).collect()
+      .find(_.getString(1) == "purchase").get.getLong(2)
+    assert(n == n3, s"converted count $n != funnel stage-3 $n3")
+    assert(n > 0 && p25 > 0 && p25 <= p50 && p50 <= p90)
+  }
 }

@@ -390,6 +390,24 @@ class PlanSpec extends SparkTestBase {
     assert(modes.contains(Partial), "collect_list partial phase missing")
   }
 
+  test("q186: the vocabulary exchange is reused across BPE rounds") {
+    val nodes = executed(SparkEntry.queries("q186_bpe_merges")(spark, sfDir))
+    val reused = nodes.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      "each round re-reads the prior vocabulary — the exchange must be " +
+        "shared, not recomputed per consumer")
+  }
+
+  test("q190: transitions build from per-user arrays — no corpus-wide " +
+       "window sort") {
+    val nodes = executed(SparkEntry.queries("q190_transitions")(spark, sfDir))
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the transition matrix must not rank via window functions")
+  }
+
   test("q171: the salted join fans the dim side out by the salt factor " +
        "and joins on __salt") {
     import graft.operators.Skew
