@@ -376,12 +376,21 @@ object EventOps extends QueryPack {
     * hour-grain counts, then type-grain stats broadcast back onto the
     * (types × hours)-sized count relation; the raw events shuffle
     * once. */
-  private def q191RateAnomaly(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
+  private def q191RateAnomaly(s: SparkSession, d: String): DataFrame =
+    scoreHourly(hourlyCounts(s, d), hourlyStats(s, d))
+
+  /** Per-(event_type, epoch-hour) arrival counts of the batch table. */
+  private def hourlyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("event_type"),
               expr("unix_micros(ts) div 3600000000").as("hr"))
       .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
-    val stats = hourly.groupBy("event_type")
+
+  /** Per-type hourly mean/std baseline (the q163 parity shape) —
+    * shared by batch q191 and the q194 streaming gate, where it plays
+    * the trained-on-history baseline the live scorer broadcasts. */
+  private[operators] def hourlyStats(s: SparkSession, d: String): DataFrame =
+    hourlyCounts(s, d).groupBy("event_type")
       .agg(count(lit(1)).as("k"), sum("c").as("sc"),
            sum(col("c") * col("c")).as("sq"))
       .select(col("event_type"),
@@ -390,12 +399,15 @@ object EventOps extends QueryPack {
                  cast(sq as double) / k
                  - (cast(sc as double) / k) * (cast(sc as double) / k)))""")
           .as("sd"))
-    hourly.join(broadcast(stats), "event_type")
+
+  /** The 2σ scoring shared by q191 and the q194 stream gate. */
+  private[operators] def scoreHourly(counts: DataFrame,
+                                     stats: DataFrame): DataFrame =
+    counts.join(broadcast(stats), "event_type")
       .filter(col("sd") > 0 && abs(col("c") - col("mu")) > lit(2) * col("sd"))
       .select(col("event_type"), col("hr"), col("c"),
               expr("cast(floor(abs(c - mu) / sd * 1e4) as bigint)").as("z4"))
       .orderBy("event_type", "hr")
-  }
 
   /** CONVERSION-TIME DISTRIBUTION — how long the q176 journey takes for
     * the users who complete it: exact interpolated p25/p50/p90 of the
@@ -435,7 +447,33 @@ object EventOps extends QueryPack {
            expr("percentile(delta_us, 0.9)").as("p90_us"))
   }
 
+  /** RETENTION COHORT MATRIX — the classic product-analytics cohort
+    * table: users grouped by first-seen day, each cohort's share still
+    * active at day offset 0, 1, 2, … (the view that separates "we
+    * acquire users" from "we keep them"). Integer day buckets and
+    * distinct-user counts throughout; the retention share is one
+    * floored explicit-double ratio. Plan shape: first-seen is a
+    * user-keyed aggregate, the events join back on the SAME user key
+    * (the hash partitioning is reusable), cells aggregate to a
+    * (days × offsets)-bounded matrix, and cohort sizes broadcast back
+    * onto it. */
+  private def q193Retention(s: SparkSession, d: String): DataFrame = {
+    val byDay = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val first = byDay.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    byDay.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_d"))
+      .agg(countDistinct("user_id").as("active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention",
+        expr("floor(cast(active as double) * 1000 / cohort_users) / 1000"))
+      .select("cohort_day", "offset_d", "active", "cohort_users", "retention")
+      .orderBy("cohort_day", "offset_d")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
     "q192_conversion_time" -> q192ConversionTime _,
     "q190_transitions"  -> q190Transitions _,
@@ -454,6 +492,25 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q193: integer day buckets + distinct-user counts; one floored
+    // explicit-double share per cell
+    "q193_retention" ->
+      """WITH f AS (SELECT user_id,
+                  min(epoch_us(ts::TIMESTAMP) // 86400000000) AS cohort_day
+               FROM events GROUP BY 1),
+         s AS (SELECT cohort_day, count(*) AS cohort_users FROM f GROUP BY 1),
+         r AS (SELECT f.cohort_day,
+                      (epoch_us(e.ts::TIMESTAMP) // 86400000000) - f.cohort_day
+                        AS offset_d,
+                      count(DISTINCT e.user_id) AS active
+               FROM events e JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT CAST(r.cohort_day AS BIGINT) AS cohort_day,
+                CAST(offset_d AS BIGINT) AS offset_d,
+                CAST(active AS BIGINT) AS active,
+                CAST(s.cohort_users AS BIGINT) AS cohort_users,
+                floor(CAST(active AS DOUBLE) * 1000 / s.cohort_users) / 1000
+                  AS retention
+         FROM r JOIN s USING (cohort_day) ORDER BY cohort_day, offset_d""",
     // q191: integer hour buckets + the q163-shape stats derivation; the
     // 2σ comparison runs on identical doubles both engines
     "q191_rate_anomaly" ->

@@ -266,6 +266,31 @@ object StreamGate extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** Streaming EVENT-RATE ANOMALY — q191's volume monitor as the live
+    * alarm it exists to be: arriving events aggregate into append-mode
+    * 1-hour tumbling windows (a real watermarked streaming aggregation;
+    * each hour emits once the watermark passes its end — the sentinel
+    * closes the tail), and the closed hours score against the
+    * per-type baseline broadcast from the static corpus (the
+    * trained-on-history shape; [[EventOps.hourlyStats]] is the SAME
+    * derivation batch q191 uses, and [[EventOps.scoreHourly]] the same
+    * 2σ scorer, so streaming the full table against its own baseline
+    * serves q191's oracle verbatim). Epoch-aligned windows make the
+    * streaming hour bucket ≡ the batch `unix_micros div 3600000000`
+    * bucket by construction. */
+  private def q194AnomalyStream(s: SparkSession, d: String): DataFrame = {
+    val counts = eventStream(s, d)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+              expr("unix_micros(window.start) div 3600000000").as("hr"),
+              col("c"))
+    val closed = runToBatch(s, counts)
+      .filter(col("event_type") =!= "zzz_sentinel")
+    EventOps.scoreHourly(closed, EventOps.hourlyStats(s, d))
+  }
+
   /** Streaming entropy score over the whole documents table — the
     * stateless per-row fold must bit-match batch q142's token-sorted
     * aggregation, so q142's oracle gates the streamed output verbatim
@@ -404,6 +429,7 @@ object StreamGate extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_funnel_stream" -> q177FunnelStream _,
     "q182_outlier_stream" -> q182OutlierStream _,
+    "q194_anomaly_stream" -> q194AnomalyStream _,
     "q167_sessionize_stream" -> q167SessionizeStream _,
     "q168_window_topk_stream" -> q168WindowTopkStream _,
     "q169_quota_stream" -> q169QuotaStream _,
@@ -425,6 +451,9 @@ object StreamGate extends QueryPack {
     // batch-equivalence: same flagging core as batch q175, so its
     // oracle covers the streamed output verbatim
     "q182_outlier_stream" -> Projection.oracles("q175_outlier_audit"),
+    // batch-equivalence: same baseline derivation + same scorer, so
+    // batch q191's oracle covers the streamed closed-hour output
+    "q194_anomaly_stream" -> EventOps.oracles("q191_rate_anomaly"),
     // q24's session segmentation on epoch-MILLIS gaps (Timestamp.getTime
     // parity) + integer-cent value sums (order-independent, bit-exact)
     "q167_sessionize_stream" ->

@@ -83,6 +83,30 @@ class FunnelSpec extends SparkTestBase {
       "operator != brute-force 2-sigma recompute")
   }
 
+  test("q193 retention: day-0 is always 1.0, cells bounded by cohort, " +
+       "cohorts partition the users") {
+    val rows = EventOps.queries("q193_retention")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val cohorts = rows.groupBy(_._1)
+    cohorts.foreach { case (cd, cells) =>
+      val day0 = cells.find(_._2 == 0L)
+      // every cohort member is active on their own first day
+      assert(day0.exists(c => c._3 == c._4 && c._5 == 1.0),
+        s"cohort $cd: day-0 cell must be full retention, got $day0")
+      cells.foreach { c =>
+        assert(c._2 >= 0 && c._3 >= 1 && c._3 <= c._4,
+          s"cohort $cd offset ${c._2}: active outside [1, cohort]")
+      }
+    }
+    // cohort sizes partition the user base exactly once each
+    val totalUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(cohorts.values.map(_.head._4).sum == totalUsers,
+      "cohort sizes must sum to the distinct user count")
+  }
+
   test("q192 conversion time: anchored to the funnel's converted count, " +
        "ordered percentiles") {
     val r = EventOps.queries("q192_conversion_time")(spark, sfDir).collect()
