@@ -686,7 +686,65 @@ object Stats extends QueryPack {
       .orderBy("step")
   }
 
+  /** Sketch size for q195 — the k of the bottom-k MinHash. */
+  private val srcSketchK = 128
+
+  /** SOURCE-LEVEL SKETCH SIMILARITY — dataset-to-dataset resemblance at
+    * sketch cost: each source's distinct-shingle set collapses to its
+    * bottom-[[srcSketchK]] MinHash (smallest 60-bit md5 hashes, the
+    * Broder bottom-k sketch), and every source pair's Jaccard is
+    * estimated as |S_k(A∪B) ∩ S(A) ∩ S(B)| / k — the two-crawls-overlap
+    * question q116 answers exactly, answered from S × k longs instead
+    * of the full window-hash matrix (at 100 TB the sketches are the
+    * only thing that leaves the corpus scan). The exact distinct-
+    * shingle Jaccard rides along per pair, so the gate certifies the
+    * ESTIMATOR against its ground truth, not just its plumbing.
+    * Parity: bottom-k via the bounded-heap TopKAgg ranked by −h —
+    * double rounding of a 60-bit score is monotone non-strict and ties
+    * break by the exact integer id, so the selected set is exactly
+    * ORDER BY h LIMIT k; everything after is integer list arithmetic.
+    * Plan: one distinct (source, h) relation feeds the per-source heap
+    * (≤ k rows per map partition into the shuffle), the pair grid is
+    * S² rows of sketches, and the exact side is one h-keyed self-join
+    * of the same relation. */
+  private def q195SourceSketch(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"),
+              explode(NativeExprs.word_shingles(col("text"))).as("sg"))
+      .select(col("source"),
+              expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
+                .as("h"))
+      .distinct()
+    val sk = sh.groupBy("source")
+      .agg(TopKAgg.top_k_by_score((-col("h")).cast("double"), col("h"),
+                                  srcSketchK).as("top"),
+           count(lit(1)).as("sz"))
+      .select(col("source"), expr("transform(top, e -> e.id)").as("sketch"),
+              col("sz"))
+    val pairs = sk.select(col("source").as("src_a"), col("sketch").as("sa"),
+                          col("sz").as("za"))
+      .crossJoin(sk.select(col("source").as("src_b"), col("sketch").as("sb"),
+                           col("sz").as("zb")))
+      .filter(col("src_a") < col("src_b"))
+    val inter = sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("nab"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("nab"))
+      .select(col("src_a"), col("src_b"),
+        expr(s"""floor(size(filter(slice(array_sort(array_distinct(concat(sa, sb))),
+                                         1, $srcSketchK),
+                               x -> array_contains(sa, x) AND array_contains(sb, x)))
+                       * cast(1000 as double) / $srcSketchK) / 1000""")
+          .as("j_est"),
+        expr("floor(cast(nab as double) * 1000 / (za + zb - nab)) / 1000")
+          .as("j_exact"))
+      .orderBy("src_a", "src_b")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_source_sketch" -> q195SourceSketch _,
     "q186_bpe_merges" -> q186BpeMerges _,
     "q151_winnowing" -> q151Winnowing _,
     "q147_bpe_pairs" -> q147BpePairs _,
@@ -828,6 +886,44 @@ object Stats extends QueryPack {
           GROUP BY 1, 2 HAVING count(*) >= $winMinShared
           ORDER BY a_id, b_id""",
     "q186_bpe_merges" -> bpeMergesOracleSql,
+    // q195: bottom-k via row_number ORDER BY h ≡ the heap's total order
+    // (monotone score rounding + exact-integer tiebreak); list
+    // arithmetic integer throughout, two floored divisions per pair
+    "q195_source_sketch" ->
+      s"""WITH sh AS (SELECT DISTINCT source,
+                CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT source,
+                        unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]
+                        ELSE [] END)) AS sg
+                 FROM (SELECT source,
+                              string_split_regex(trim(text), '\\s+') AS t
+                       FROM documents))),
+         rk AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM sh),
+         sk AS (SELECT source, list(h ORDER BY h) AS sketch
+                FROM rk WHERE rn <= $srcSketchK GROUP BY source),
+         sz AS (SELECT source, count(*) AS z FROM sh GROUP BY source),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                       a.sketch AS sa, b.sketch AS sb
+                FROM sk a, sk b WHERE a.source < b.source),
+         ix AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS nab
+                FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT pr.src_a, pr.src_b,
+                floor(len([x for x in
+                           list_sort(list_distinct(pr.sa || pr.sb))[1:$srcSketchK]
+                           if list_contains(pr.sa, x)
+                              AND list_contains(pr.sb, x)])
+                      * CAST(1000 AS DOUBLE) / $srcSketchK) / 1000 AS j_est,
+                floor(CAST(coalesce(ix.nab, 0) AS DOUBLE) * 1000
+                      / (za.z + zb.z - coalesce(ix.nab, 0))) / 1000 AS j_exact
+         FROM pr JOIN sz za ON za.source = pr.src_a
+                 JOIN sz zb ON zb.source = pr.src_b
+                 LEFT JOIN ix ON ix.src_a = pr.src_a AND ix.src_b = pr.src_b
+         ORDER BY pr.src_a, pr.src_b""",
     // fully integer: vocabulary counts, substr pair explode, sum, top-k
     "q147_bpe_pairs" ->
       s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))

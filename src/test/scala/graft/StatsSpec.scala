@@ -46,6 +46,25 @@ class StatsSpec extends SparkTestBase {
     assert(got.map(r => (r._2, r._3)).distinct.length == 3)
   }
 
+  test("q195: full source-pair grid; the sketch estimator tracks the " +
+       "exact Jaccard it rides beside") {
+    val rows = SparkEntry.queries("q195_source_sketch")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val nSrc = Tables.documents(spark, sfDir)
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "every source pair scored")
+    rows.foreach { case (a, b, est, exact) =>
+      assert(a < b)
+      assert(est >= 0 && est <= 1 && exact >= 0 && exact <= 1)
+    }
+    // the k=128 bottom-k estimator is a real estimate, not noise: on the
+    // deterministic corpus its error against ground truth is small
+    val errs = rows.map(r => math.abs(r._3 - r._4))
+    assert(errs.sum / errs.length < 0.03,
+      s"mean estimator error ${errs.sum / errs.length} too large")
+    assert(errs.max < 0.1, s"max estimator error ${errs.max} too large")
+  }
+
   test("q137: weighted sample is rerun-stable, ranked 1..k per source") {
     val a = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
     val b = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
