@@ -743,7 +743,49 @@ object Stats extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** SKETCH MERGE ≡ REBUILD — the property that makes bottom-k sketches
+    * operationally useful: a new batch's sketch merges into the stored
+    * one WITHOUT rescanning the corpus (bottom-k of the union = bottom-k
+    * of the two bottom-ks — any global bottom-k element is bottom-k
+    * within its own half). The corpus splits into two halves by doc_id,
+    * each half builds its own per-source sketch, the halves merge by
+    * pure list arithmetic, and the merged sketches drive the SAME pair
+    * estimator as q195 — while the ORACLE recomputes the estimate from
+    * the FULL corpus in one pass, so a hash match PROVES merge ≡
+    * rebuild (the q157 append-equals-rebuild certification applied to
+    * the sketch tier; this is how a daily-ingest pipeline keeps
+    * dataset-overlap dashboards current without weekly full scans). */
+  private def q196SketchMerge(s: SparkSession, d: String): DataFrame = {
+    val shHalf = Tables.documents(s, d)
+      .select(col("source"), (col("doc_id") >= 250).as("half"),
+              explode(NativeExprs.word_shingles(col("text"))).as("sg"))
+      .select(col("source"), col("half"),
+              expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
+                .as("h"))
+      .distinct()
+    val perHalf = shHalf.groupBy("source", "half")
+      .agg(TopKAgg.top_k_by_score((-col("h")).cast("double"), col("h"),
+                                  srcSketchK).as("top"))
+      .select(col("source"), expr("transform(top, e -> e.id)").as("sketch"))
+    val merged = perHalf.groupBy("source")
+      .agg(collect_list(col("sketch")).as("sks"))
+      .select(col("source"),
+        expr(s"slice(array_sort(array_distinct(flatten(sks))), 1, $srcSketchK)")
+          .as("sketch"))
+    merged.select(col("source").as("src_a"), col("sketch").as("sa"))
+      .crossJoin(merged.select(col("source").as("src_b"), col("sketch").as("sb")))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr(s"""floor(size(filter(slice(array_sort(array_distinct(concat(sa, sb))),
+                                         1, $srcSketchK),
+                               x -> array_contains(sa, x) AND array_contains(sb, x)))
+                       * cast(1000 as double) / $srcSketchK) / 1000""")
+          .as("j_est"))
+      .orderBy("src_a", "src_b")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_sketch_merge" -> q196SketchMerge _,
     "q195_source_sketch" -> q195SourceSketch _,
     "q186_bpe_merges" -> q186BpeMerges _,
     "q151_winnowing" -> q151Winnowing _,
@@ -924,6 +966,34 @@ object Stats extends QueryPack {
                  JOIN sz zb ON zb.source = pr.src_b
                  LEFT JOIN ix ON ix.src_a = pr.src_a AND ix.src_b = pr.src_b
          ORDER BY pr.src_a, pr.src_b""",
+    // q196: the oracle rebuilds the sketch from the FULL corpus in one
+    // pass — a hash match proves the two-half merge ≡ rebuild
+    "q196_sketch_merge" ->
+      s"""WITH sh AS (SELECT DISTINCT source,
+                CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT source,
+                        unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]
+                        ELSE [] END)) AS sg
+                 FROM (SELECT source,
+                              string_split_regex(trim(text), '\\s+') AS t
+                       FROM documents))),
+         rk AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM sh),
+         sk AS (SELECT source, list(h ORDER BY h) AS sketch
+                FROM rk WHERE rn <= $srcSketchK GROUP BY source),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                       a.sketch AS sa, b.sketch AS sb
+                FROM sk a, sk b WHERE a.source < b.source)
+         SELECT src_a, src_b,
+                floor(len([x for x in
+                           list_sort(list_distinct(sa || sb))[1:$srcSketchK]
+                           if list_contains(sa, x)
+                              AND list_contains(sb, x)])
+                      * CAST(1000 AS DOUBLE) / $srcSketchK) / 1000 AS j_est
+         FROM pr ORDER BY src_a, src_b""",
     // fully integer: vocabulary counts, substr pair explode, sum, top-k
     "q147_bpe_pairs" ->
       s"""WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))

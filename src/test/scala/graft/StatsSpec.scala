@@ -65,6 +65,16 @@ class StatsSpec extends SparkTestBase {
     assert(errs.max < 0.1, s"max estimator error ${errs.max} too large")
   }
 
+  test("q196: two-half sketch merge estimates exactly what the " +
+       "full-corpus sketch estimates") {
+    val merged = SparkEntry.queries("q196_sketch_merge")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val full = SparkEntry.queries("q195_source_sketch")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(merged.nonEmpty && merged.toSeq == full.toSeq,
+      "bottom-k merge must be estimate-identical to the one-pass rebuild")
+  }
+
   test("q137: weighted sample is rerun-stable, ranked 1..k per source") {
     val a = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
     val b = SparkEntry.queries("q137_weighted_sample")(spark, sfDir).collect()
