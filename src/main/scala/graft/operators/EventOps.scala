@@ -472,7 +472,42 @@ object EventOps extends QueryPack {
       .orderBy("cohort_day", "offset_d")
   }
 
+  /** PER-GROUP OLS TREND — the least-squares slope of event value over
+    * time, per event type: the metric-drift detector behind "are
+    * purchase amounts creeping up / error rates trending down" alarms.
+    * One aggregation per group collects the exact power sums (n, Σt,
+    * Σv, Σtv, Σt²) over integer CENTS (q167's convention) and integer
+    * seconds rebased to the corpus start (a lazy broadcast min keeps
+    * Σtv ≈ 10¹⁵ comfortably inside exact-long range); the slope
+    * (nΣtv − ΣtΣv)/(nΣt² − (Σt)²) then combines those exact integers
+    * in ONE fixed-shape double expression — the final products round,
+    * but identically on both engines, the q163 derivation discipline.
+    * Partial aggregation carries five longs per group per task — the
+    * textbook distributed-regression shape. */
+  private def q197ValueTrend(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .crossJoin(broadcast(
+        Tables.events(s, d)
+          .agg(min(expr("unix_micros(ts) div 1000000")).as("t0"))))
+      .select(col("event_type"),
+              (expr("unix_micros(ts) div 1000000") - col("t0")).as("t"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("v").as("sv"),
+           sum(col("t") * col("v")).as("stv"),
+           sum(col("t") * col("t")).as("stt"))
+      .select(col("event_type"), col("n"),
+        expr("""CASE WHEN cast(n as double) * stt
+                         - cast(st as double) * st = 0
+                     THEN CAST(NULL AS BIGINT)
+                     ELSE cast(floor(
+                       (cast(n as double) * stv - cast(st as double) * sv)
+                       / (cast(n as double) * stt - cast(st as double) * st)
+                       * 1e9) as bigint) END""").as("slope_n9"))
+      .orderBy("event_type")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
     "q192_conversion_time" -> q192ConversionTime _,
@@ -492,6 +527,31 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q197: exact integer power sums (cents × rebased seconds), then
+    // the slope combined in the same fixed-shape double expression
+    "q197_value_trend" ->
+      """WITH t0 AS (SELECT min(epoch_us(ts::TIMESTAMP) // 1000000) AS t0
+                     FROM events),
+         b AS (SELECT event_type,
+                      CAST(epoch_us(ts::TIMESTAMP) // 1000000 - t0.t0
+                        AS BIGINT) AS t,
+                      CAST(floor("value" * 100 + 0.5) AS BIGINT) AS v
+               FROM events, t0),
+         a AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(t) AS BIGINT) AS st,
+                      CAST(sum(v) AS BIGINT) AS sv,
+                      CAST(sum(t * v) AS BIGINT) AS stv,
+                      CAST(sum(t * t) AS BIGINT) AS stt
+               FROM b GROUP BY 1)
+         SELECT event_type, n,
+                CASE WHEN CAST(n AS DOUBLE) * stt
+                          - CAST(st AS DOUBLE) * st = 0
+                     THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(floor(
+                       (CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+                       / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                       * 1e9) AS BIGINT) END AS slope_n9
+         FROM a ORDER BY event_type""",
     // q193: integer day buckets + distinct-user counts; one floored
     // explicit-double share per cell
     "q193_retention" ->

@@ -107,6 +107,32 @@ class FunnelSpec extends SparkTestBase {
       "cohort sizes must sum to the distinct user count")
   }
 
+  test("q197 value trend matches a brute-force OLS recompute") {
+    val got = EventOps.queries("q197_value_trend")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) div 1000000 AS sec", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val t0 = ev.map(_._2).min
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (ty, rows) =>
+      val n = rows.length.toLong
+      val t = rows.map(_._2 - t0)
+      val v = rows.map(_._3)
+      val (st, sv) = (t.sum, v.sum)
+      val stv = t.zip(v).map { case (a, b) => a * b }.sum
+      val stt = t.map(x => x * x).sum
+      val den = n.toDouble * stt - st.toDouble * st
+      val slope = if (den == 0) None
+        else Some(math.floor((n.toDouble * stv - st.toDouble * sv) / den * 1e9)
+          .toLong)
+      (ty, n, slope)
+    }
+    assert(got.toSeq == want, "operator != brute-force OLS")
+    assert(got.forall(_._3.isDefined), "every type spans multiple timestamps")
+  }
+
   test("q192 conversion time: anchored to the funnel's converted count, " +
        "ordered percentiles") {
     val r = EventOps.queries("q192_conversion_time")(spark, sfDir).collect()
