@@ -506,7 +506,31 @@ object EventOps extends QueryPack {
                        * 1e9) as bigint) END""").as("slope_n9"))
       .orderBy("event_type")
 
+  /** LOG-BINNED VALUE HISTOGRAM — the long-tail distribution report per
+    * event type: counts and mass in power-of-two value bins (bin b
+    * holds cents in [2^(b−1), 2^b)). The binning is EXACT integer
+    * arithmetic with no `log2` in sight — the bin index is the length
+    * of the integer's binary string, identical in both engines, where
+    * floor(log2(x)) would ride each libm's last ulp. One partial-agg
+    * groupBy; shares are floored explicit-double ratios of a broadcast
+    * per-type total. */
+  private def q198ValueHistogram(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.events(s, d)
+      .select(col("event_type"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+      .groupBy(col("event_type"),
+               expr("length(bin(cents))").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_total"))
+    val totals = binned.groupBy("event_type").agg(sum("n").as("tot"))
+    binned.join(broadcast(totals), "event_type")
+      .withColumn("share", expr("floor(cast(n as double) * 1000 / tot) / 1000"))
+      .select("event_type", "bin", "n", "cents_total", "share")
+      .orderBy("event_type", "bin")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_value_histogram" -> q198ValueHistogram _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -527,6 +551,23 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q198: bin = binary-string length (exact), no log2; integer counts
+    // and sums, one floored share per row
+    "q198_value_histogram" ->
+      """WITH b AS (SELECT event_type,
+                  CAST(len(bin(CAST(floor("value" * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS bin,
+                  CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+               FROM events
+               WHERE CAST(floor("value" * 100 + 0.5) AS BIGINT) >= 1),
+         g AS (SELECT event_type, bin, count(*) AS n,
+                      CAST(sum(cents) AS BIGINT) AS cents_total
+               FROM b GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+               FROM g GROUP BY 1)
+         SELECT g.event_type, g.bin, g.n, g.cents_total,
+                floor(CAST(g.n AS DOUBLE) * 1000 / t.tot) / 1000 AS share
+         FROM g JOIN t USING (event_type) ORDER BY g.event_type, g.bin""",
     // q197: exact integer power sums (cents × rebased seconds), then
     // the slope combined in the same fixed-shape double expression
     "q197_value_trend" ->

@@ -133,6 +133,29 @@ class FunnelSpec extends SparkTestBase {
     assert(got.forall(_._3.isDefined), "every type spans multiple timestamps")
   }
 
+  test("q198 histogram: bin envelopes hold and counts partition each type") {
+    val rows = EventOps.queries("q198_value_histogram")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ty, bin, n, total, share) =>
+      val lo = 1L << (bin - 1).toInt
+      val hi = (1L << bin.toInt) - 1
+      assert(total >= n * lo && total <= n * hi,
+        s"$ty bin $bin: mass $total outside [$lo,$hi]×$n")
+      assert(share >= 0 && share <= 1)
+    }
+    val perType = rows.groupBy(_._1)
+    val expected = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as bigint) c")
+      .collect().filter(_.getLong(1) >= 1)
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.size.toLong }
+    perType.foreach { case (ty, bins) =>
+      assert(bins.map(_._3).sum == expected(ty),
+        s"$ty: histogram mass != positive-cents event count")
+    }
+  }
+
   test("q192 conversion time: anchored to the funnel's converted count, " +
        "ordered percentiles") {
     val r = EventOps.queries("q192_conversion_time")(spark, sfDir).collect()
