@@ -529,7 +529,44 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "bin")
   }
 
+  /** RFM SEGMENTATION — the classic behavioral user segmentation:
+    * recency (last activity), frequency (event count) and monetary
+    * (total cents) per user, each cut into terciles against corpus-wide
+    * exact-percentile thresholds, yielding a 3-digit segment code (333
+    * = the best customers, 111 = churned low-value). All three features
+    * are exact integers; the tercile thresholds are interpolated
+    * percentiles over integers (IEEE-exact, the q74/q19 precedent)
+    * broadcast as ONE row, so assignment is a map-side comparison
+    * against identical doubles. One user-grain aggregate, one broadcast
+    * threshold row, one segment-grain rollup — three shuffles total and
+    * none of them carry more than user-grain rows. */
+  private def q199RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(expr("unix_micros(ts)")).as("rec"),
+           count(lit(1)).as("freq"),
+           sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("mon"))
+    val thr = users.agg(
+      expr("percentile(rec, 0.333)").as("r1"),
+      expr("percentile(rec, 0.667)").as("r2"),
+      expr("percentile(freq, 0.333)").as("f1"),
+      expr("percentile(freq, 0.667)").as("f2"),
+      expr("percentile(mon, 0.333)").as("m1"),
+      expr("percentile(mon, 0.667)").as("m2"))
+    users.crossJoin(broadcast(thr))
+      .select(expr(
+        """(CASE WHEN rec < r1 THEN 1 WHEN rec < r2 THEN 2 ELSE 3 END) * 100
+           + (CASE WHEN freq < f1 THEN 1 WHEN freq < f2 THEN 2 ELSE 3 END) * 10
+           + (CASE WHEN mon < m1 THEN 1 WHEN mon < m2 THEN 2 ELSE 3 END)""")
+        .cast("long").as("segment"),
+        col("mon"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum("mon").as("cents_total"))
+      .orderBy("segment")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_rfm_segments" -> q199RfmSegments _,
     "q198_value_histogram" -> q198ValueHistogram _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
@@ -551,6 +588,32 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q199: exact-integer RFM features, interpolated-percentile tercile
+    // cuts (quantile_cont ≡ Spark percentile on integers), integer
+    // segment rollup
+    "q199_rfm_segments" ->
+      """WITH u AS (SELECT user_id,
+                  max(epoch_us(ts::TIMESTAMP)) AS rec,
+                  count(*) AS freq,
+                  CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mon
+               FROM events GROUP BY 1),
+         t AS (SELECT quantile_cont(rec, 0.333) AS r1,
+                      quantile_cont(rec, 0.667) AS r2,
+                      quantile_cont(freq, 0.333) AS f1,
+                      quantile_cont(freq, 0.667) AS f2,
+                      quantile_cont(mon, 0.333) AS m1,
+                      quantile_cont(mon, 0.667) AS m2
+               FROM u)
+         SELECT CAST((CASE WHEN rec < r1 THEN 1 WHEN rec < r2 THEN 2
+                           ELSE 3 END) * 100
+                   + (CASE WHEN freq < f1 THEN 1 WHEN freq < f2 THEN 2
+                           ELSE 3 END) * 10
+                   + (CASE WHEN mon < m1 THEN 1 WHEN mon < m2 THEN 2
+                           ELSE 3 END) AS BIGINT) AS segment,
+                count(*) AS n_users,
+                CAST(sum(mon) AS BIGINT) AS cents_total
+         FROM u, t GROUP BY 1 ORDER BY segment""",
     // q198: bin = binary-string length (exact), no log2; integer counts
     // and sums, one floored share per row
     "q198_value_histogram" ->

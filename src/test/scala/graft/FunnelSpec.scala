@@ -156,6 +156,26 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("q199 RFM: valid segment codes, users partitioned, terciles balanced") {
+    val rows = EventOps.queries("q199_rfm_segments")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n, total) =>
+      val (r, f, m) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(Seq(r, f, m).forall(d => d >= 1 && d <= 3), s"bad code $seg")
+      assert(n >= 1 && total >= 0)
+    }
+    val totalUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == totalUsers, "segments must partition users")
+    // tercile cuts are real: each recency band holds roughly a third
+    val byR = rows.groupBy(_._1 / 100).map { case (k, v) => k -> v.map(_._2).sum }
+    (1L to 3L).foreach { r =>
+      val share = byR.getOrElse(r, 0L).toDouble / totalUsers
+      assert(share > 0.2 && share < 0.47, s"recency band $r share $share")
+    }
+  }
+
   test("q192 conversion time: anchored to the funnel's converted count, " +
        "ordered percentiles") {
     val r = EventOps.queries("q192_conversion_time")(spark, sfDir).collect()
