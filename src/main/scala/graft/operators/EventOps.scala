@@ -565,7 +565,36 @@ object EventOps extends QueryPack {
       .orderBy("segment")
   }
 
+  /** ENRICHMENT COVERAGE AUDIT — the dimension-join health check every
+    * ETL enrichment step needs: what fraction of arriving facts found
+    * their dimension row? Audited against a deliberately PARTIAL
+    * dimension snapshot (customers of nations < 12 — the late-dim-load
+    * / incremental-snapshot failure mode this audit exists to catch),
+    * reported per event type with matched counts and the matched value
+    * mass, so a coverage drop is attributable to a fact segment. Plan:
+    * broadcast-able dim side, one left join, integer counts and cents,
+    * one floored coverage ratio per row. */
+  private def q200EnrichCoverage(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 12)
+      .select(col("c_custkey"), lit(1L).as("hit"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(coalesce(col("hit"), lit(0L))).as("matched"),
+           sum(when(col("hit").isNotNull, col("cents")).otherwise(0L))
+             .as("matched_cents"))
+      .withColumn("coverage",
+        expr("floor(cast(matched as double) * 1000 / n) / 1000"))
+      .select("event_type", "n", "matched", "matched_cents", "coverage")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_enrich_coverage" -> q200EnrichCoverage _,
     "q199_rfm_segments" -> q199RfmSegments _,
     "q198_value_histogram" -> q198ValueHistogram _,
     "q197_value_trend"  -> q197ValueTrend _,
@@ -588,6 +617,22 @@ object EventOps extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q200: left-join coverage against the partial dim snapshot; integer
+    // counts/cents, one floored ratio per row
+    "q200_enrich_coverage" ->
+      """WITH dim AS (SELECT c_custkey FROM customer WHERE c_nationkey < 12),
+         j AS (SELECT e.event_type,
+                      CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+                        AS hit,
+                      CAST(floor(e."value" * 100 + 0.5) AS BIGINT) AS cents
+               FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(hit) AS BIGINT) AS matched,
+                CAST(sum(CASE WHEN hit = 1 THEN cents ELSE 0 END) AS BIGINT)
+                  AS matched_cents,
+                floor(CAST(sum(hit) AS DOUBLE) * 1000 / count(*)) / 1000
+                  AS coverage
+         FROM j GROUP BY 1 ORDER BY event_type""",
     // q199: exact-integer RFM features, interpolated-percentile tercile
     // cuts (quantile_cont ≡ Spark percentile on integers), integer
     // segment rollup

@@ -176,6 +176,21 @@ class FunnelSpec extends SparkTestBase {
     }
   }
 
+  test("q200 enrichment coverage: partial dim yields partial coverage, " +
+       "counts reconcile") {
+    val rows = EventOps.queries("q200_enrich_coverage")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ty, n, m, mc, cov) =>
+      assert(m <= n && mc >= 0)
+      // the planted partial snapshot makes coverage REAL: neither full
+      // nor empty for any type
+      assert(cov > 0.0 && cov < 1.0, s"$ty: degenerate coverage $cov")
+    }
+    assert(rows.map(_._2).sum == Tables.events(spark, sfDir).count())
+  }
+
   test("q192 conversion time: anchored to the funnel's converted count, " +
        "ordered percentiles") {
     val r = EventOps.queries("q192_conversion_time")(spark, sfDir).collect()
