@@ -566,7 +566,38 @@ object TextAnalysis extends QueryPack {
       containmentDfCut(s, d)),
     "q183_inc_containment" -> ((s: SparkSession, d: String) =>
       incrementalContainment(s, d)),
+    "q201_vocab_coverage" -> q201VocabCoverage _,
   )
+
+  /** Vocabulary size for q201 — the top-V closed vocabulary. */
+  private val vocabV = 24
+
+  /** VOCABULARY COVERAGE / OOV AUDIT — how well a closed top-V
+    * vocabulary covers each source's token stream: the tokenizer-fit
+    * metric run before committing to a vocab (a source with high OOV
+    * mass will fragment into byte-level pieces and waste sequence
+    * budget). The vocabulary is the corpus's top-[[vocabV]] tokens by
+    * occurrence with a deterministic (count DESC, token ASC) cut,
+    * carried as a broadcast set; per source the report counts total
+    * tokens, OOV occurrences and the floored OOV share. Integer counts
+    * throughout; the vocabulary is constant-size so the probe is a
+    * broadcast join — at any corpus scale only token-grain count rows
+    * shuffle. */
+  private def q201VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(expr(toksExpr)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(vocabV)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_share",
+        expr("floor(cast(n_oov as double) * 1000 / n_tokens) / 1000"))
+      .orderBy("source")
+  }
 
   override val oracles: Map[String, String] = Map(
     // q161: the unnest+GROUP BY form — value-identical to the map-side
@@ -808,6 +839,22 @@ object TextAnalysis extends QueryPack {
          FROM pairs
          WHERE CAST(common AS DOUBLE) / asz >= 0.9
          ORDER BY a_id, b_id""",
+    // q201: deterministic (count DESC, token ASC) top-V vocabulary cut,
+    // integer OOV counts, one floored share per source
+    "q201_vocab_coverage" ->
+      """WITH tk AS (SELECT source,
+                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+               FROM documents),
+         vc AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk GROUP BY 1)
+                ORDER BY n DESC, tok LIMIT 24),
+         j AS (SELECT tk.source,
+                      CASE WHEN vc.tok IS NOT NULL THEN 0 ELSE 1 END AS oov
+               FROM tk LEFT JOIN vc ON tk.tok = vc.tok)
+         SELECT source, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                floor(CAST(sum(oov) AS DOUBLE) * 1000 / count(*)) / 1000
+                  AS oov_share
+         FROM j GROUP BY 1 ORDER BY source""",
     // q183: q174's SQL restricted to cross pairs — fresh (>= 250)
     // contained in corpus (< 250)
     "q183_inc_containment" ->

@@ -84,6 +84,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(inc == full, "incremental form != full form restricted to cross pairs")
   }
 
+  test("q201 vocab coverage: one row per source, OOV mass is real and bounded") {
+    val rows = TextAnalysis.queries("q201_vocab_coverage")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3)))
+    val nSrc = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSrc)
+    rows.foreach { case (src, n, oov, share) =>
+      assert(n > 0 && oov >= 0 && oov < n, s"$src: degenerate OOV $oov/$n")
+      assert(share >= 0.0 && share < 1.0)
+    }
+    // the top-V cut leaves genuine OOV mass somewhere (the corpus vocab
+    // exceeds V), but the head covers most of the stream everywhere
+    assert(rows.exists(_._3 > 0))
+    assert(rows.forall(_._4 < 0.5), "top-V must cover the majority")
+  }
+
   test("q30 token counts are positive and ws_tokens <= re_tokens + punct slack") {
     val rows = TextAnalysis.queries("q30_tokens")(spark, sfDir).collect()
     assert(rows.forall(_.getLong(1) > 0))
