@@ -138,13 +138,20 @@ object Bench {
     // the ones that carry the perf signal; sub-threshold queries are in
     // the sidecar and contribute to `value`).
     println(fullLine)
-    val slow = results.filter(_._2 >= 0.5).sortBy(-_._2)
-    val slowQs = slow.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // The final line must fit ENTIRELY inside the driver's output-tail
+    // window (~2000 chars, and the window can start mid-line): round 8's
+    // compact line still carried a slowest-queries map and the captured
+    // tail began mid-"failed" — parsed: null again. So the LAST line is
+    // minimal — total, counts, stream rate, failure names (bounded: first
+    // 15 + n_failed, a 195-name failure list would blow the window too).
+    // Per-query numbers live in the full line above and the sidecar.
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failedCompact = failedNames.take(15).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // "truncated":true marks this line as the compact tail-window form so
     // a line-scanning parser cannot conflate it with (or double-count)
     // the full record above
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","truncated":true,"n_queries":${results.size},"reps":$reps,"stream_rows_per_sec":${f3(sRate)},"failed":$failed,"queries_note":"slowest only; full per-query map in the preceding line and the sidecar","queries":$slowQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","truncated":true,"n_queries":${results.size},"reps":$reps,"warmup_sec":${f3(warmupSec)},"stream_rows_per_sec":${f3(sRate)},"n_failed":${failedNames.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
     // a non-empty failed list is a red run, and the exit code must say so:
     // round 6 exited 0 over 13 crashed queries and five commits shipped on

@@ -641,7 +641,8 @@ object Dedup extends QueryPack {
              .otherwise(0L)).as("eff_tokens"))
       .withColumn("dup_ratio", expr(
         """IF(total_tokens = 0, cast(0 as double),
-             floor((total_tokens - eff_tokens) * 1000.0 / total_tokens) / 1000)"""))
+             floor(cast(total_tokens - eff_tokens as double) * 1000
+                   / total_tokens) / 1000)"""))
       .orderBy("source")
   }
 

@@ -317,15 +317,15 @@ object EventOps extends QueryPack {
              named_struct('stage_idx', CAST(1 AS BIGINT), 'stage', 'view',
                'users', CAST(n1 AS BIGINT),
                'conv', IF(n0 = 0, CAST(0 AS DOUBLE),
-                          floor(n1 * 1000.0 / n0) / 1000)),
+                          floor(cast(n1 as double) * 1000 / n0) / 1000)),
              named_struct('stage_idx', CAST(2 AS BIGINT), 'stage', 'signup',
                'users', CAST(n2 AS BIGINT),
                'conv', IF(n1 = 0, CAST(0 AS DOUBLE),
-                          floor(n2 * 1000.0 / n1) / 1000)),
+                          floor(cast(n2 as double) * 1000 / n1) / 1000)),
              named_struct('stage_idx', CAST(3 AS BIGINT), 'stage', 'purchase',
                'users', CAST(n3 AS BIGINT),
                'conv', IF(n2 = 0, CAST(0 AS DOUBLE),
-                          floor(n3 * 1000.0 / n2) / 1000)))""")).as("r"))
+                          floor(cast(n3 as double) * 1000 / n2) / 1000)))""")).as("r"))
       .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
               col("r.users").as("users"), col("r.conv").as("conv"))
       .orderBy("stage_idx")
@@ -379,7 +379,16 @@ object EventOps extends QueryPack {
   private def q191RateAnomaly(s: SparkSession, d: String): DataFrame =
     scoreHourly(hourlyCounts(s, d), hourlyStats(s, d))
 
-  /** Per-(event_type, epoch-hour) arrival counts of the batch table. */
+  /** Per-(event_type, epoch-hour) arrival counts of the batch table.
+    *
+    * POSITIVE-EPOCH ASSUMPTION (applies to every `unix_micros(ts) div N`
+    * bucket in this file — here, q193's day buckets, q197's seconds):
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    * the two diverge for PRE-1970 timestamps (−1 µs lands in bucket 0
+    * here, bucket −1 there). Event/ingest timestamps are wall-clock
+    * capture times and cannot precede the epoch, so truncate ≡ floor on
+    * this domain; a corpus with negative epochs would need the floor
+    * form (`floor(unix_micros(ts) / 3.6e9)`) on both sides instead. */
   private def hourlyCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),

@@ -630,10 +630,15 @@ object Stats extends QueryPack {
     * table (the artifact a tokenizer ships). Representation: each
     * vocabulary entry is a space-delimited SYMBOL STRING (' c a t '),
     * so applying a merge is plain string `replace` of ' a b ' with
-    * ' ab ' — nested to depth 4, which reaches the left-to-right greedy
-    * fixpoint (canonical BPE application) for runs of the merged pair
-    * up to 16 long; `replace` is left-to-right non-overlapping in both
-    * engines, so the semantics are identical by construction. Election
+    * ' ab ' — nested to depth 4: a deterministic replace-based
+    * approximation of greedy BPE application, identical on both engines
+    * (`replace` is left-to-right non-overlapping in each). For runs of
+    * the merged SYMBOL the two can differ — an odd run of ≥5 merged
+    * symbols replaces as 'aa a aa' where strict greedy BPE scans to
+    * 'aa aa a' — so later rounds' pair counts are the replace
+    * semantics' counts, not necessarily textbook BPE's; cross-engine
+    * parity is unaffected because the oracle applies the identical
+    * replace chain. Election
     * is one lazy broadcast `min(struct(-n, w1, w2))` row (n DESC, then
     * lexicographic — fully deterministic); each round's recount is the
     * q147/q180 bigram shape over the Zipf-bounded vocabulary, so the
@@ -679,9 +684,14 @@ object Stats extends QueryPack {
     val t2 = top(pairCounts(v1))
     val v2 = applyMerge(v1, t2)
     val t3 = top(pairCounts(v2))
+    // filter the all-NULL election row: min(struct(...)) over an EMPTY
+    // pair relation yields one null row, while the oracle's ORDER BY ...
+    // LIMIT 1 yields zero — on a degenerate corpus (all single-character
+    // tokens by some round) both engines must emit zero rows for that step
     def row(step: Int, t: DataFrame): DataFrame =
-      t.select(lit(step.toLong).as("step"), col("mw1").as("sym1"),
-               col("mw2").as("sym2"), col("mn").as("n_occurrences"))
+      t.filter(col("mw1").isNotNull)
+        .select(lit(step.toLong).as("step"), col("mw1").as("sym1"),
+                col("mw2").as("sym2"), col("mn").as("n_occurrences"))
     row(1, t1).unionByName(row(2, t2)).unionByName(row(3, t3))
       .orderBy("step")
   }
