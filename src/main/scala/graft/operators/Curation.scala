@@ -320,8 +320,7 @@ object Curation extends QueryPack {
     * read-back is the gate's verification scan. */
   private def q188ReleaseExport(s: SparkSession, d: String): DataFrame = {
     val out = releaseMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val root = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_release").toString)
+      val root = graft.WorkDirs.artifactDir(s, "release", d)
       pipelineFlags(s, d).filter(col("s3"))
         .select(col("doc_id"), col("source"), col("ntok"))
         .withColumn("split", expr(

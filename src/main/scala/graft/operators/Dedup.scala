@@ -281,8 +281,7 @@ object Dedup extends QueryPack {
     * end-to-end cross-engine, not just ScalaTest-equal. */
   private def q108NearDupIndexed(s: SparkSession, d: String): DataFrame = {
     val path = lshIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_lsh_index").toString)
+      val dir = graft.WorkDirs.artifactDir(s, "lsh_index", d)
       lshIndex(Tables.documents(s, d).filter(col("doc_id") < 250), dir)
       dir
     })

@@ -243,8 +243,7 @@ object EventOps extends QueryPack {
     * partition); the read-back is the gate's own verification scan. */
   private def q173MultiTopicIngest(s: SparkSession, d: String): DataFrame = {
     val out = multiTopicMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val root = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_multitopic").toString)
+      val root = graft.WorkDirs.artifactDir(s, "multitopic", d)
       q173Topics.foreach { t =>
         Ingest.withBucketColumns(
             Tables.events(s, d).filter(col("event_type") === t))

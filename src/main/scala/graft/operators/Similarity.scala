@@ -881,8 +881,7 @@ object Similarity extends QueryPack {
   /** The q156 persisted index, built once per (session, dataset). */
   private def rerankIndexFor(s: SparkSession, e: DataFrame, d: String): String =
     rerankIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString)
+      val dir = graft.WorkDirs.artifactDir(s, "ivfpq_index", d)
       ivfPqIndex(e, ivfK, dir) // residual default — the FAISS semantic
       dir
     })
@@ -932,8 +931,7 @@ object Similarity extends QueryPack {
     * the standing corpus is never rescanned. */
   private[graft] def appendIndexFor(s: SparkSession, e: DataFrame, d: String): String =
     appendIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString)
+      val dir = graft.WorkDirs.artifactDir(s, "ivfpq_append", d)
       ivfPqIndex(e.filter(col("vec_id") < appendSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") >= appendSplit))
       dir
@@ -1112,8 +1110,7 @@ object Similarity extends QueryPack {
   private def q172IndexRetrain(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val path = retrainIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = graft.TempDirs.register(
-        java.nio.file.Files.createTempDirectory("graft_ivfpq_rt").toString)
+      val dir = graft.WorkDirs.artifactDir(s, "ivfpq_retrain", d)
       ivfPqIndex(e.filter(col("vec_id") >= retrainStaleSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") < retrainStaleSplit))
       val retrained = ivfPqRetrain(s, dir, e, ivfK, retrainShare)
