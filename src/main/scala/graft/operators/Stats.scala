@@ -715,16 +715,42 @@ object Stats extends QueryPack {
     * ORDER BY h LIMIT k; everything after is integer list arithmetic.
     * Plan: one distinct (source, h) relation feeds the per-source heap
     * (≤ k rows per map partition into the shuffle), the pair grid is
-    * S² rows of sketches, and the exact side is one h-keyed self-join
-    * of the same relation. */
-  private def q195SourceSketch(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    * S² rows of sketches, and the exact side is [[srcOverlapExact]] —
+    * CERTIFICATION-ONLY (see its doc): the 100 TB production plan
+    * ships the sketches alone. Not shared with q116: that operator's
+    * overlap universe is 8-token window hashes (the exact-substring
+    * span diagnostic), this one's is 3-word shingles (the resemblance
+    * estimator's own universe) — one relation cannot serve both
+    * without changing an operator's semantics. */
+  /** The distinct (source, 60-bit shingle hash) relation both sides of
+    * q195 derive from — the per-source shingle universe. */
+  private def srcShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("source"),
               explode(NativeExprs.word_shingles(col("text"))).as("sg"))
       .select(col("source"),
               expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
                 .as("h"))
       .distinct()
+
+  /** CERTIFICATION-ONLY exact pairwise overlap (src_a, src_b, nab): the
+    * full h-keyed self-join of the shingle relation, Σ df² over the
+    * shared-hash vocabulary. This exists so the q195 gate can certify
+    * the bottom-k ESTIMATOR against its ground truth at test scale — a
+    * production run at 100 TB ships the S×k sketches alone (one
+    * bounded-heap pass riding the corpus scan) and never executes this
+    * join. Kept separate from q116's overlap matrix deliberately: q116
+    * counts shared 8-token WINDOW hashes (span-level diagnostic), this
+    * counts shared 3-word SHINGLES (the resemblance universe) — same
+    * shape, different vocabulary, not a shareable relation. */
+  private def srcOverlapExact(sh: DataFrame): DataFrame =
+    sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("nab"))
+
+  private def q195SourceSketch(s: SparkSession, d: String): DataFrame = {
+    val sh = srcShingles(s, d)
     val sk = sh.groupBy("source")
       .agg(TopKAgg.top_k_by_score((-col("h")).cast("double"), col("h"),
                                   srcSketchK).as("top"),
@@ -736,11 +762,7 @@ object Stats extends QueryPack {
       .crossJoin(sk.select(col("source").as("src_b"), col("sketch").as("sb"),
                            col("sz").as("zb")))
       .filter(col("src_a") < col("src_b"))
-    val inter = sh.select(col("source").as("src_a"), col("h"))
-      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("nab"))
-    pairs.join(inter, Seq("src_a", "src_b"), "left")
+    pairs.join(srcOverlapExact(sh), Seq("src_a", "src_b"), "left")
       .na.fill(0L, Seq("nab"))
       .select(col("src_a"), col("src_b"),
         expr(s"""floor(size(filter(slice(array_sort(array_distinct(concat(sa, sb))),
