@@ -647,8 +647,10 @@ object Stats extends QueryPack {
     * job at construction. At corpus scale this is exactly how BPE
     * training distributes — the corpus contributes only token counts
     * once, and every iteration is vocabulary-sized. */
-  private def q186BpeMerges(s: SparkSession, d: String): DataFrame = {
-    val vocab0 = Tables.documents(s, d)
+  /** The corpus vocabulary as space-delimited symbol strings (' c a t ')
+    * with occurrence counts — round 0 of BPE training. */
+  private def bpeVocab0(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(expr(TextExprs.toks)).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .select(expr(
@@ -657,33 +659,47 @@ object Stats extends QueryPack {
            ' ')""").as("s"),
         col("cnt"))
 
-    def pairCounts(vocab: DataFrame): DataFrame =
-      vocab.select(col("cnt"), expr("split(trim(s), ' ')").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("cnt"), explode(expr(
-          """transform(sequence(1, size(w) - 1),
-               i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"""))
-          .as("g"))
-        .select(col("cnt"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-        .groupBy("w1", "w2").agg(sum("cnt").as("n"))
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("cnt"), expr("split(trim(s), ' ')").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"""))
+        .as("g"))
+      .select(col("cnt"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(sum("cnt").as("n"))
 
-    def top(pc: DataFrame): DataFrame =
-      pc.agg(min(struct((-col("n")).as("negn"), col("w1"), col("w2"))).as("m"))
-        .select(col("m.w1").as("mw1"), col("m.w2").as("mw2"),
-                (-col("m.negn")).as("mn"))
+  private def bpeTop(pc: DataFrame): DataFrame =
+    pc.agg(min(struct((-col("n")).as("negn"), col("w1"), col("w2"))).as("m"))
+      .select(col("m.w1").as("mw1"), col("m.w2").as("mw2"),
+              (-col("m.negn")).as("mn"))
 
-    def applyMerge(vocab: DataFrame, t: DataFrame): DataFrame = {
-      val pat = "concat(' ', mw1, ' ', mw2, ' ')"
-      val rep = "concat(' ', mw1, mw2, ' ')"
-      val r4 = (1 to 4).foldLeft("s")((acc, _) => s"replace($acc, $pat, $rep)")
-      vocab.crossJoin(broadcast(t)).select(expr(r4).as("s"), col("cnt"))
-    }
+  /** The 4-deep non-overlapping replace chain applying one merge whose
+    * halves are the SQL expressions `a`/`b`, over symbol string `src`. */
+  private def bpeReplaceChain(src: String, a: String, b: String): String =
+    (1 to 4).foldLeft(src)((acc, _) =>
+      s"replace($acc, concat(' ', $a, ' ', $b, ' '), concat(' ', $a, $b, ' '))")
 
-    val t1 = top(pairCounts(vocab0))
-    val v1 = applyMerge(vocab0, t1)
-    val t2 = top(pairCounts(v1))
-    val v2 = applyMerge(v1, t2)
-    val t3 = top(pairCounts(v2))
+  private def bpeApplyMerge(vocab: DataFrame, t: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(t))
+      .select(expr(bpeReplaceChain("s", "mw1", "mw2")).as("s"), col("cnt"))
+
+  /** The learned 3-round merge chain — three lazy one-row elections
+    * (shared by q186, which REPORTS them, and q202, which APPLIES them
+    * to the corpus). */
+  private def bpeMergeChain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val vocab0 = bpeVocab0(s, d)
+    val t1 = bpeTop(bpePairCounts(vocab0))
+    val v1 = bpeApplyMerge(vocab0, t1)
+    val t2 = bpeTop(bpePairCounts(v1))
+    val v2 = bpeApplyMerge(v1, t2)
+    val t3 = bpeTop(bpePairCounts(v2))
+    (t1, t2, t3)
+  }
+
+  private def q186BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val (t1, t2, t3) = bpeMergeChain(s, d)
     // filter the all-NULL election row: min(struct(...)) over an EMPTY
     // pair relation yields one null row, while the oracle's ORDER BY ...
     // LIMIT 1 yields zero — on a degenerate corpus (all single-character
@@ -694,6 +710,47 @@ object Stats extends QueryPack {
                 col("mw2").as("sym2"), col("mn").as("n_occurrences"))
     row(1, t1).unionByName(row(2, t2)).unionByName(row(3, t3))
       .orderBy("step")
+  }
+
+  /** q202: TOKENIZER APPLY — closes q186's train → apply loop: the
+    * learned 3-merge table ENCODES the corpus, reporting per document
+    * the whitespace token count, the BPE token count after the merges,
+    * and fertility (BPE tokens per whitespace token, the standard
+    * tokenizer-quality metric — higher means the vocabulary splits this
+    * document's words into more pieces). Application is MAP-SIDE: the
+    * three one-row elections broadcast onto the corpus scan, and each
+    * document pays one projection — per token, char-split to a symbol
+    * string, the same 4-deep replace chain per merge (q186's apply
+    * semantics verbatim, so train and apply agree by construction), and
+    * a symbol count — summed by a HOF `aggregate`; the corpus never
+    * shuffles. At 100 TB this is exactly how tokenizer encoding
+    * distributes: the merge table is vocabulary-sized and broadcast,
+    * the corpus is embarrassingly parallel map work. Oracle: the q186
+    * CTE chain producing the same three merges, then the same
+    * replace-chain symbol count per document in SQL. */
+  private def q202BpeApply(s: SparkSession, d: String): DataFrame = {
+    val (t1, t2, t3) = bpeMergeChain(s, d)
+    val merges = t1.select(col("mw1").as("a1"), col("mw2").as("b1"))
+      .crossJoin(t2.select(col("mw1").as("a2"), col("mw2").as("b2")))
+      .crossJoin(t3.select(col("mw1").as("a3"), col("mw2").as("b3")))
+    val sym =
+      """concat(' ', array_join(
+           transform(sequence(1, length(t)), i -> substring(t, i, 1)), ' '),
+         ' ')"""
+    val applied = bpeReplaceChain(
+      bpeReplaceChain(bpeReplaceChain(sym, "a1", "b1"), "a2", "b2"),
+      "a3", "b3")
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(TextExprs.toks).as("w"))
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"), size(col("w")).cast("long").as("ws_tokens"),
+        expr(s"""aggregate(w, cast(0 as bigint),
+                   (acc, t) -> acc + size(split(trim($applied), ' ')))""")
+          .as("bpe_tokens"))
+      .withColumn("fertility", expr(
+        """IF(ws_tokens = 0, cast(0 as double),
+             floor(cast(bpe_tokens as double) * 1000 / ws_tokens) / 1000)"""))
+      .orderBy("doc_id")
   }
 
   /** Sketch size for q195 — the k of the bottom-k MinHash. */
@@ -820,6 +877,7 @@ object Stats extends QueryPack {
     "q196_sketch_merge" -> q196SketchMerge _,
     "q195_source_sketch" -> q195SourceSketch _,
     "q186_bpe_merges" -> q186BpeMerges _,
+    "q202_bpe_apply" -> q202BpeApply _,
     "q151_winnowing" -> q151Winnowing _,
     "q147_bpe_pairs" -> q147BpePairs _,
     "q145_skew_report" -> q145SkewReport _,
@@ -833,12 +891,22 @@ object Stats extends QueryPack {
     "q143_neardup_degree" -> q143NeardupDegree _,
   )
 
-  /** q186's oracle — the 3-round chain generated mechanically: each
-    * round is the q180-shape bigram recount over the symbol strings, a
-    * (n DESC, w1, w2) LIMIT-1 election, and the same 4-deep `replace`
-    * application; `replace` is left-to-right non-overlapping in DuckDB
-    * exactly as in the JVM, so the rounds agree by construction. */
-  private def bpeMergesOracleSql: String = {
+  /** The DuckDB 4-deep replace chain applying merge CTE `t` (columns
+    * w1/w2) over the symbol-string expression `src`. */
+  private def bpeOracleReplaceChain(src: String, t: String): String = {
+    val pat = s"' ' || $t.w1 || ' ' || $t.w2 || ' '"
+    val rep = s"' ' || $t.w1 || $t.w2 || ' '"
+    (1 to 4).foldLeft(src)((acc, _) => s"replace($acc, $pat, $rep)")
+  }
+
+  /** The 3-round training CTE chain (v0..t3), generated mechanically:
+    * each round is the q180-shape bigram recount over the symbol
+    * strings, a (n DESC, w1, w2) LIMIT-1 election, and the same 4-deep
+    * `replace` application; `replace` is left-to-right non-overlapping
+    * in DuckDB exactly as in the JVM, so the rounds agree by
+    * construction. Shared by the q186 (report merges) and q202 (apply
+    * merges) oracles. */
+  private def bpeChainCtes: String = {
     def pc(v: String, name: String) =
       s"""$name AS (SELECT split_part(gram, ' ', 1) AS w1,
                 split_part(gram, ' ', 2) AS w2,
@@ -852,14 +920,9 @@ object Stats extends QueryPack {
          GROUP BY 1, 2)"""
     def tp(p: String, name: String) =
       s"$name AS (SELECT w1, w2, n FROM $p ORDER BY n DESC, w1, w2 LIMIT 1)"
-    def ap(v: String, t: String, name: String) = {
-      val pat = s"' ' || $t.w1 || ' ' || $t.w2 || ' '"
-      val rep = s"' ' || $t.w1 || $t.w2 || ' '"
-      val r4 = (1 to 4).foldLeft(s"$v.s")((acc, _) =>
-        s"replace($acc, $pat, $rep)")
-      s"$name AS (SELECT $r4 AS s, cnt FROM $v, $t)"
-    }
-    s"""WITH v0 AS (
+    def ap(v: String, t: String, name: String) =
+      s"$name AS (SELECT ${bpeOracleReplaceChain(s"$v.s", t)} AS s, cnt FROM $v, $t)"
+    s"""v0 AS (
            SELECT ' ' || array_to_string([t[i] for i in range(1, len(t) + 1)], ' ')
                   || ' ' AS s, cnt
            FROM (SELECT t, count(*) AS cnt
@@ -873,12 +936,45 @@ object Stats extends QueryPack {
          ${tp("pc2", "t2")},
          ${ap("v1", "t2", "v2")},
          ${pc("v2", "pc3")},
-         ${tp("pc3", "t3")}
+         ${tp("pc3", "t3")}"""
+  }
+
+  private def bpeMergesOracleSql: String =
+    s"""WITH $bpeChainCtes
          SELECT CAST(1 AS BIGINT) AS step, w1 AS sym1, w2 AS sym2,
                 n AS n_occurrences FROM t1
          UNION ALL SELECT 2, w1, w2, n FROM t2
          UNION ALL SELECT 3, w1, w2, n FROM t3
          ORDER BY step"""
+
+  /** q202's oracle: the same training CTEs, then the same replace-chain
+    * symbol count per document — per-token char-split, three merges
+    * applied, symbols counted and summed per doc. */
+  private def bpeApplyOracleSql: String = {
+    val s0 =
+      "' ' || array_to_string([t[i] for i in range(1, len(t) + 1)], ' ') || ' '"
+    val applied = bpeOracleReplaceChain(
+      bpeOracleReplaceChain(bpeOracleReplaceChain(s"($s0)", "t1"), "t2"), "t3")
+    s"""WITH $bpeChainCtes,
+         tok AS (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\\s+')) AS t
+                 FROM documents),
+         agg AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS bpe
+                 FROM (SELECT doc_id,
+                              len(string_split(trim($applied), ' ')) AS ns
+                       FROM tok, t1, t2, t3)
+                 GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+                CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+                  AS ws_tokens,
+                coalesce(agg.bpe, 0) AS bpe_tokens,
+                CASE WHEN len(string_split_regex(trim(d.text), '\\s+')) = 0
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(coalesce(agg.bpe, 0) AS DOUBLE) * 1000
+                                / len(string_split_regex(trim(d.text), '\\s+')))
+                          / 1000 END AS fertility
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id"""
   }
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -960,6 +1056,7 @@ object Stats extends QueryPack {
           GROUP BY 1, 2 HAVING count(*) >= $winMinShared
           ORDER BY a_id, b_id""",
     "q186_bpe_merges" -> bpeMergesOracleSql,
+    "q202_bpe_apply" -> bpeApplyOracleSql,
     // q195: bottom-k via row_number ORDER BY h ≡ the heap's total order
     // (monotone score rounding + exact-integer tiebreak); list
     // arithmetic integer throughout, two floored divisions per pair

@@ -46,6 +46,39 @@ class StatsSpec extends SparkTestBase {
     assert(got.map(r => (r._2, r._3)).distinct.length == 3)
   }
 
+  test("q202: map-side BPE apply equals a per-doc JVM replace-chain replay") {
+    // ground truth from a THIRD implementation of the replace semantics
+    // (java.lang.String.replace is left-to-right non-overlapping, same as
+    // Spark's and DuckDB's replace): encode every token of every document
+    // with the learned merges and count symbols
+    val merges = SparkEntry.queries("q186_bpe_merges")(spark, sfDir).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    assert(merges.length == 3)
+    def enc(t: String): Long = {
+      var s = t.toCharArray.map(_.toString).mkString(" ", " ", " ")
+      merges.foreach { case (a, b) =>
+        (1 to 4).foreach { _ => s = s.replace(s" $a $b ", s" $a$b ") } }
+      s.trim.split(" ").length.toLong
+    }
+    val got = SparkEntry.queries("q202_bpe_apply")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.length == docs.length)
+    docs.zip(got).foreach { case ((id, text), (gid, ws, bpe, fert)) =>
+      assert(id == gid)
+      val toks = text.trim.split("\\s+")
+      assert(ws == toks.length.toLong, s"doc $id ws_tokens")
+      val want = toks.map(enc).sum
+      assert(bpe == want, s"doc $id: bpe_tokens $bpe != $want")
+      assert(fert == math.floor(bpe.toDouble * 1000 / ws) / 1000)
+    }
+    // the merges actually fired somewhere: encoding is shorter than pure
+    // char-splitting for at least one document
+    val chars = docs.map(_._2.trim.split("\\s+").map(_.length.toLong).sum)
+    assert(got.map(_._3).zip(chars).exists { case (bpe, ch) => bpe < ch })
+  }
+
   test("q195: full source-pair grid; the sketch estimator tracks the " +
        "exact Jaccard it rides beside") {
     val rows = SparkEntry.queries("q195_source_sketch")(spark, sfDir).collect()
