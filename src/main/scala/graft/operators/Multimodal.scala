@@ -338,7 +338,65 @@ object Multimodal extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** Shared-space dimensionality for q203 — the media tower embeds into
+    * the text table's own 64-dim space (the CLIP contract). */
+  private val xmodalDim = 64
+  /** Bottom-tail fraction flagged by q203. */
+  private val xmodalTail = 0.05
+
+  /** q203: CROSS-MODAL PAIR AUDIT — the CLIP-style mismatched-caption
+    * filter every image-text pipeline runs before training: each media
+    * asset's embedding (the stub codec standing in for the media tower,
+    * emitting into the SAME [[xmodalDim]]-dim space as the text-side
+    * `embeddings` table — the shared-space contract that makes
+    * cross-modal cosine meaningful) is paired with its caption's text
+    * embedding by id, scored by exact cosine, and the bottom
+    * [[xmodalTail]] tail against the corpus's own percentile threshold
+    * is flagged — the pairs whose caption most disagrees with the media,
+    * the ones a curation run drops or re-captions. Cosines are floored
+    * to 1e-6 BEFORE the percentile so the threshold and the comparison
+    * run on values both engines agree on bit-for-bit (the established
+    * cosine parity granularity); the threshold is a broadcast one-row
+    * aggregate (q74's quantile-gate pattern). Plan shape: the pairing is
+    * one id-keyed equi-join (co-partitioned at scale, both sides large),
+    * the cosine a map, the threshold one scalar agg broadcast back, the
+    * flag a map filter — media payloads never shuffle (only the
+    * extracted [[xmodalDim]]-float vectors move), and nothing is
+    * driver-side. */
+  /** The q203 core over arbitrary sides — `media` is (asset_id,
+    * features), `text` is (vec_id, embedding); returns the flagged
+    * bottom-`tail` pairs as (pair_id, cos, thr). Factored so the spec
+    * can plant a fixture with KNOWN mismatches (identical vectors for
+    * true pairs, disjoint-support vectors for planted bad captions). */
+  private[graft] def crossModalAudit(media: DataFrame, text: DataFrame,
+                                     tail: Double): DataFrame = {
+    import graft.functions.NativeExprs
+    val pairs = media
+      .join(text, media("asset_id") === text("vec_id"))
+      .select(media("asset_id").as("pair_id"),
+        (floor(NativeExprs.cosine_sim(media("features"), text("embedding"))
+                 * 1000000) / 1000000).as("cos"))
+    val thr = pairs.agg(expr(s"percentile(cos, $tail)").as("thr"))
+    pairs.crossJoin(broadcast(thr))
+      .filter(col("cos") <= col("thr"))
+      .select(col("pair_id"), col("cos"), col("thr"))
+  }
+
+  private def q203CrossModalAudit(s: SparkSession, d: String): DataFrame = {
+    val media = extractVectors(assets(s, d), new StubMediaCodec(xmodalDim))(s)
+      .toDF().select(col("asset_id"), col("features"))
+    val text = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    crossModalAudit(media, text, xmodalTail)
+      .select(col("pair_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+                   (pmod(col("pair_id"), lit(3)) + 1).cast("int"))
+          .as("media_type"),
+        col("cos"), col("thr"))
+      .orderBy("pair_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_crossmodal_audit" -> q203CrossModalAudit _,
     "q187_video_align" -> q187VideoAlign _,
     "q165_video_neardup" -> q165VideoNeardup _,
     "q149_media_similar" -> q149MediaSimilar _,
@@ -350,6 +408,28 @@ object Multimodal extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q203: the q149 md5 reconstruction at the shared 64-dim width,
+    // paired to the text embeddings by id; cosines floored to 1e-6
+    // before the quantile so threshold and filter run on values both
+    // engines agree on exactly
+    "q203_crossmodal_audit" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id,
+                 ['image','audio','video'][(doc_id % 3 + 1)::INT] AS mt,
+                 text FROM documents),
+          fv AS (SELECT asset_id, mt,
+                   [CAST(CAST(('0x' || substr(md5(text || ':' || mt || ':'
+                        || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+                      AS DOUBLE) / 1024.0
+                    for j in range(0, $xmodalDim)] AS v
+                 FROM f),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings),
+          p AS (SELECT asset_id AS pair_id, mt AS media_type,
+                       floor(list_cosine_similarity(fv.v, e.tv) * 1000000)
+                         / 1000000 AS cos
+                FROM fv JOIN e ON fv.asset_id = e.vec_id),
+          thr AS (SELECT quantile_cont(cos, $xmodalTail) AS thr FROM p)
+          SELECT pair_id, media_type, cos, thr
+          FROM p, thr WHERE cos <= thr ORDER BY pair_id""",
     // embeddings reconstructed from md5 per (asset, j) — exact dyadic
     // lattice values, so cosine matches the codec bit-for-bit
     "q149_media_similar" ->

@@ -109,4 +109,37 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(r => (r._1, r._2)).toSet == q165)
   }
+
+  test("q203: the audit flags exactly the planted mismatched captions") {
+    import spark.implicits._
+    // fixture: 40 pairs; true pairs carry IDENTICAL media/text vectors
+    // (cos = 1), the two planted bad captions carry disjoint-support
+    // vectors (cos = 0) — with tail = 0.05 the audit must flag exactly
+    // the planted ids, and the threshold must sit strictly below 1
+    val planted = Set(7L, 23L)
+    def vec(id: Long, side: String): Array[Float] = {
+      val v = new Array[Float](8)
+      if (planted(id) && side == "text") v(7) = 1f     // support {7}
+      else { v((id % 4).toInt) = 1f; v(4) = 0.5f }     // support {id%4, 4}
+      v
+    }
+    val media = (0L until 40L).map(i => (i, vec(i, "media")))
+      .toDF("asset_id", "features")
+    val text = (0L until 40L).map(i => (i, vec(i, "text")))
+      .toDF("vec_id", "embedding")
+    val got = Multimodal.crossModalAudit(media, text, 0.05)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == planted,
+      s"flagged ${got.map(_._1).toSet}, planted $planted")
+    got.foreach { case (_, cos, thr) =>
+      assert(cos == 0.0)
+      assert(thr < 1.0 && thr >= 0.0)
+    }
+    // order-insensitivity of the pairing: shuffling one side's row order
+    // changes nothing (the join is by id, not by position)
+    val gotShuffled = Multimodal.crossModalAudit(
+      media.orderBy(rand(42)), text.orderBy(rand(43)), 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotShuffled == planted)
+  }
 }
