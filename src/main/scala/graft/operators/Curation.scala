@@ -172,12 +172,12 @@ object Curation extends QueryPack {
       .join(firstCopy, "dig")
       .join(quality, "doc_id")
       .join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("ntok"),
+      .select(col("doc_id"), col("source"), col("dig"), col("ntok"),
               (col("doc_id") === col("first_id")).as("s1"),
               (col("keep") === 1).as("kq"),
               coalesce(col("fl"), lit(0)).as("fl"))
-      .select(col("doc_id"), col("source"), col("ntok"), col("s1"), col("kq"),
-              col("fl"),
+      .select(col("doc_id"), col("source"), col("dig"), col("ntok"),
+              col("s1"), col("kq"), col("fl"),
               (col("s1") && col("kq")).as("s2"),
               (col("s1") && col("kq") && col("fl") === 0 &&
                 col("doc_id") >= 20).as("s3"))
@@ -318,6 +318,45 @@ object Curation extends QueryPack {
     * (session, dataset), the production shape; scale: the write is one
     * partitioned append executed by the survivors' own partitions, the
     * read-back is the gate's verification scan. */
+  /** The opt-out registry: CONTENT DIGESTS of opted-out documents (the
+    * shape takedown / do-not-train lists actually ship in — hashes, not
+    * text, leave the requester). Deterministic membership so the oracle
+    * can state it: every 37th document (mod-class 3) registered. */
+  private[graft] def optOutRegistry(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(37)) === 3)
+      .select(md5(col("text")).as("oo_dig"))
+      .distinct()
+
+  /** q204: OPT-OUT / LICENSE FILTER — the governance step a release
+    * pipeline runs between the q130 funnel and the q188 export: the
+    * funnel's survivors are anti-joined against the broadcast opt-out
+    * digest registry ([[optOutRegistry]]) at CONTENT level — matching by
+    * digest, not id, so exact duplicates of an opted-out document are
+    * removed too, the semantics takedown compliance actually requires —
+    * and the per-source removal report (docs and tokens removed vs
+    * released) extends q130's funnel with the compliance stage. Plan
+    * shape: one [[pipelineFlags]] pass (s3 survivors), one broadcast
+    * hash join against the registry (at 100 TB an opt-out registry is
+    * millions of 16-byte digests — still broadcastable; beyond that the
+    * same plan runs as a digest-keyed shuffle join), one source-grain
+    * aggregate. All integer. Oracle: NOT EXISTS against the registry. */
+  private def q204OptOutFilter(s: SparkSession, d: String): DataFrame = {
+    val surv = pipelineFlags(s, d).filter(col("s3"))
+    val marked = surv.join(
+      broadcast(optOutRegistry(s, d).withColumn("oo", lit(1))),
+      col("dig") === col("oo_dig"), "left")
+    marked.groupBy("source").agg(
+        count(lit(1)).as("survivors"),
+        sum(when(col("oo") === 1, 1L).otherwise(0L)).as("removed_docs"),
+        sum(when(col("oo") === 1, col("ntok")).otherwise(0L))
+          .as("removed_tokens"),
+        sum(when(col("oo").isNull, 1L).otherwise(0L)).as("released_docs"),
+        sum(when(col("oo").isNull, col("ntok")).otherwise(0L))
+          .as("released_tokens"))
+      .orderBy("source")
+  }
+
   private def q188ReleaseExport(s: SparkSession, d: String): DataFrame = {
     val out = releaseMemo.getOrElseUpdate((System.identityHashCode(s), d), {
       val root = graft.WorkDirs.artifactDir(s, "release", d)
@@ -349,6 +388,7 @@ object Curation extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_release_export" -> q188ReleaseExport _,
+    "q204_optout_filter" -> q204OptOutFilter _,
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
@@ -417,6 +457,61 @@ object Curation extends QueryPack {
          GROUP BY corpus.n, doc_id
          HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
          ORDER BY n, doc_id""",
+    // q204: the q130 survivor CTEs + a digest registry; removal stated
+    // as NOT EXISTS (content-level, so a duplicate of an opted-out doc
+    // is removed too — though by stage s3 only digest-first copies
+    // survive, the match is still by content, not id)
+    "q204_optout_filter" ->
+      """WITH base AS (SELECT doc_id, source, md5(text) AS dig,
+                              len(string_split_regex(trim(text), '\s+')) AS ntok
+                       FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         surv AS (SELECT b.doc_id, b.source, b.dig, b.ntok
+                  FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                  LEFT JOIN flagged fg USING (doc_id)
+                  WHERE b.doc_id = fc.first_id AND q.keep = 1
+                    AND coalesce(fg.fl, 0) = 0 AND b.doc_id >= 20),
+         reg AS (SELECT DISTINCT md5(text) AS oo_dig FROM documents
+                 WHERE doc_id % 37 = 3),
+         mk AS (SELECT source, ntok,
+                       CASE WHEN NOT EXISTS (SELECT 1 FROM reg
+                                             WHERE reg.oo_dig = surv.dig)
+                            THEN 1 ELSE 0 END AS ok
+                FROM surv)
+         SELECT source, CAST(count(*) AS BIGINT) AS survivors,
+                CAST(sum(1 - ok) AS BIGINT) AS removed_docs,
+                CAST(sum((1 - ok) * ntok) AS BIGINT) AS removed_tokens,
+                CAST(sum(ok) AS BIGINT) AS released_docs,
+                CAST(sum(ok * ntok) AS BIGINT) AS released_tokens
+         FROM mk GROUP BY source ORDER BY source""",
     // q188: q130's flag CTEs (with source carried) + the q120 split
     // bucket + a content md5 — the full release recomputed from the raw
     // table against the written artifact's read-back

@@ -205,4 +205,34 @@ class CurationSpec extends SparkTestBase {
                            r.getLong(3), r.getString(4)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("q204 opt-out: removal is by CONTENT digest and the per-source " +
+       "counts reconcile against an independent replay") {
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent registry + survivor replay (pipelineFlags is the
+    // operator's own input relation; the digest matching is re-derived
+    // here through java.security.MessageDigest, not Spark's md5)
+    val reg = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 37 === 3).select("text").collect()
+      .map(r => md5hex(r.getString(0))).toSet
+    val surv = graft.operators.Curation.pipelineFlags(spark, sfDir)
+      .filter(col("s3")).select("source", "dig", "ntok").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = surv.groupBy(_._1).map { case (src, rows) =>
+      val (rem, rel) = rows.partition(r => reg(r._2))
+      (src, rows.length.toLong, rem.length.toLong, rem.map(_._3).sum,
+       rel.length.toLong, rel.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q204_optout_filter")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the stage does real work and accounting closes
+    assert(got.map(_._3).sum > 0, "no opt-out ever fired — dead registry")
+    got.foreach { case (src, sv, rd, _, ld, _) =>
+      assert(sv == rd + ld, s"$src: $sv != $rd + $ld") }
+  }
 }
