@@ -303,6 +303,32 @@ object Curation extends QueryPack {
   private def q75GlobalPack(s: SparkSession, d: String): DataFrame =
     globalPack(Tables.documents(s, d), budget = 2048L, nParts = 32)
 
+  /** q206: PADDING-WASTE SWEEP — the sequence-length sizing study run
+    * before committing to a max_len: for each candidate context length,
+    * what fraction of the padded token slots is waste when every
+    * document is chunked to ceil(ntok/L) sequences and the last one
+    * padded (the no-packing baseline q46/q75's packing exists to beat —
+    * this query QUANTIFIES what packing saves at each L, which is how
+    * the budget constant gets chosen). All integer until one floored
+    * double ratio per L. Plan: one token-count projection of the corpus
+    * (no text leaves the scan), a 3-way in-row explode over the
+    * candidate lengths, one 3-group aggregate. */
+  private def q206PaddingWaste(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(expr(s"size($toksExpr)").cast("long").as("ntok"))
+      .select(col("ntok"),
+              explode(expr("array(128L, 512L, 2048L)")).as("max_len"))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("ntok").as("total_tokens"),
+           sum(expr("((ntok + max_len - 1) div max_len) * max_len"))
+             .as("padded_slots"))
+      .withColumn("waste_ratio", expr(
+        """IF(padded_slots = 0, cast(0 as double),
+             floor(cast(padded_slots - total_tokens as double) * 1000
+                   / padded_slots) / 1000)"""))
+      .orderBy("max_len")
+
   private val releaseMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
@@ -389,6 +415,7 @@ object Curation extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_release_export" -> q188ReleaseExport _,
     "q204_optout_filter" -> q204OptOutFilter _,
+    "q206_padding_waste" -> q206PaddingWaste _,
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
@@ -457,6 +484,25 @@ object Curation extends QueryPack {
          GROUP BY corpus.n, doc_id
          HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2
          ORDER BY n, doc_id""",
+    // q206: DuckDB // floors ≡ Spark div (positive operands); one
+    // floored explicit-double ratio per candidate length
+    "q206_padding_waste" ->
+      """WITH t AS (SELECT len(string_split_regex(trim(text), '\s+')) AS ntok
+                    FROM documents),
+         x AS (SELECT ntok, unnest([128, 512, 2048]) AS max_len FROM t)
+         SELECT CAST(max_len AS BIGINT) AS max_len,
+                count(*) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                CAST(sum((ntok + max_len - 1) // max_len * max_len) AS BIGINT)
+                  AS padded_slots,
+                CASE WHEN sum((ntok + max_len - 1) // max_len * max_len) = 0
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(sum((ntok + max_len - 1) // max_len
+                                         * max_len)
+                                     - sum(ntok) AS DOUBLE) * 1000
+                                / sum((ntok + max_len - 1) // max_len
+                                      * max_len)) / 1000 END AS waste_ratio
+         FROM x GROUP BY max_len ORDER BY max_len""",
     // q204: the q130 survivor CTEs + a digest registry; removal stated
     // as NOT EXISTS (content-level, so a duplicate of an opted-out doc
     // is removed too — though by stage s3 only digest-first copies

@@ -394,7 +394,43 @@ object Curation2 extends QueryPack {
       .orderBy("source", "cum_tokens")
   }
 
+  /** q207: NEAR-DUP QUALITY DISAGREEMENT — quality-score propagation
+    * over the near-dup graph: near-duplicate documents should score
+    * near-identically under any content-based quality model, so a doc
+    * whose score diverges from its near-dup neighborhood's mean marks
+    * either a noisy score or a mutated copy (spam injection into a
+    * copied page is exactly this signature) — the TEXT-side twin of
+    * q185's embedding label-noise audit. Edges are q42's
+    * exact-verified MinHash pair set; scores are q93's model. Parity
+    * hardening: each doc's floored score re-integerizes exactly
+    * (round(score·1e6) recovers the floor integer — the roundtrip
+    * error is ≪ 0.5), neighbor sums are exact integers in any
+    * partition order, and the mean is one single-rounded division,
+    * floored — summing raw doubles would be partition-order-dependent.
+    * Plan: the pair pipeline's id-only shuffles + one score join on
+    * the (2·|pairs|)-row edge list + one doc_id-grain aggregate. */
+  private def q207QualityDisagree(s: SparkSession, d: String): DataFrame = {
+    val isc = qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"),
+              expr("cast(round(score * 1000000) as bigint)").as("isc"))
+    val pr = Dedup.minhashLshPairsCore(s, d).select("a_id", "b_id")
+    val edges = pr.select(col("a_id").as("doc_id"), col("b_id").as("nbr"))
+      .unionByName(pr.select(col("b_id").as("doc_id"), col("a_id").as("nbr")))
+    edges
+      .join(isc.select(col("doc_id").as("nbr"), col("isc").as("nisc")), "nbr")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_neighbors"), sum("nisc").as("nsum"))
+      .join(isc, "doc_id")
+      .select(col("doc_id"), col("n_neighbors"),
+        (col("isc").cast("double") / 1000000).as("score"),
+        expr("floor(cast(nsum as double) / n_neighbors) / 1000000")
+          .as("nbr_avg"))
+      .withColumn("gap", expr("floor(abs(score - nbr_avg) * 1000) / 1000"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_quality_disagree" -> q207QualityDisagree _,
     "q134_token_budget"      -> q134TokenBudget _,
     "q91_boilerplate"        -> q91Boilerplate _,
     "q92_stratified_sample"  -> q92StratifiedSample _,
@@ -408,6 +444,54 @@ object Curation2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q207: q35's exact pair SQL (recall 1 at the 0.8 verify threshold,
+    // q42's argument) + q93's score integerized; neighbor means are
+    // exact-integer sums closed with one single-rounded division
+    "q207_quality_disagree" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pr AS (SELECT a_id, b_id FROM pairs
+                WHERE common / (asz + bsz - common) >= 0.8),
+         ed AS (SELECT a_id AS doc_id, b_id AS nbr FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         ft AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents),
+         fx AS (SELECT doc_id, len(w) AS n,
+                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                       list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                         AS sl
+                FROM ft),
+         sc AS (SELECT doc_id,
+                       CAST(floor((0.1 + 0.015 * n
+                                   + 3.0 * (ns / CAST(n AS DOUBLE))
+                                   - 0.25 * (sl / CAST(n AS DOUBLE)))
+                                  * 1000000) AS BIGINT) AS isc
+                FROM fx),
+         ag AS (SELECT ed.doc_id, count(*) AS n_neighbors,
+                       CAST(sum(nsc.isc) AS BIGINT) AS nsum
+                FROM ed JOIN sc nsc ON ed.nbr = nsc.doc_id
+                GROUP BY ed.doc_id)
+         SELECT ag.doc_id AS doc_id, n_neighbors,
+                CAST(sc.isc AS DOUBLE) / 1000000 AS score,
+                floor(CAST(nsum AS DOUBLE) / n_neighbors) / 1000000
+                  AS nbr_avg,
+                floor(abs(CAST(sc.isc AS DOUBLE) / 1000000
+                          - floor(CAST(nsum AS DOUBLE) / n_neighbors)
+                            / 1000000) * 1000) / 1000 AS gap
+         FROM ag JOIN sc ON ag.doc_id = sc.doc_id
+         ORDER BY ag.doc_id""",
     // integer cumulative window in identical (h, doc_id) order
     "q134_token_budget" ->
       """WITH b AS (SELECT source, doc_id,

@@ -645,6 +645,50 @@ object Dedup extends QueryPack {
       .orderBy("source")
   }
 
+  /** Token budget the q205 mixture plan allocates. */
+  private val mixBudget = 1000000L
+
+  /** q205: TEMPERATURE MIXTURE PLAN — the operator q181's accounting
+    * feeds: turn per-source DEDUPED token masses into sampling weights
+    * w_i = t_i^α with α = 0.5 (temperature sampling, the standard
+    * multilingual/multisource recipe — α = 1 reproduces natural
+    * proportions, α = 0 uniform; 0.5 up-weights small sources without
+    * drowning large ones), normalize to shares, and allocate a
+    * [[mixBudget]]-token training budget — with per-source epochs
+    * (allocated / available), the number that tells a run how many
+    * times it will repeat each source's data. Arithmetic is
+    * parity-hardened: the weight is INTEGERIZED (floor(sqrt(t)·1000),
+    * sqrt is IEEE-correctly-rounded on both engines) so the
+    * normalizing sum is an exact integer — summing raw doubles would
+    * depend on partition order; every division is a single-rounded
+    * double op over exact integers, then floored. Plan shape: the
+    * source-grain relation is S rows; everything after the q181
+    * aggregate is broadcast arithmetic. */
+  private def q205MixturePlan(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
+    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
+    val eff = toks.join(assign, "doc_id")
+      .groupBy("source")
+      .agg(sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
+        .otherwise(0L)).as("eff_tokens"))
+    val w = eff.withColumn("weight",
+      expr("cast(floor(sqrt(cast(eff_tokens as double)) * 1000) as bigint)"))
+    val tot = w.agg(sum("weight").as("wtot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("eff_tokens"), col("weight"),
+        expr("floor(cast(weight as double) * 1000000 / wtot) / 1000000")
+          .as("share"),
+        expr(s"cast(floor(cast(weight as double) * $mixBudget / wtot) as bigint)")
+          .as("planned_tokens"))
+      .withColumn("epochs", expr(
+        """IF(eff_tokens = 0, cast(0 as double),
+             floor(cast(planned_tokens as double) * 1000 / eff_tokens)
+               / 1000)"""))
+      .orderBy("source")
+  }
+
   /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
     * the histogram of duplicate-family sizes (how many clusters of each
     * size, how many docs they hold, how many would be dropped keeping
@@ -882,6 +926,7 @@ object Dedup extends QueryPack {
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q181_effective_tokens" -> q181EffectiveTokens _,
+    "q205_mixture_plan" -> q205MixturePlan _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q164_priority_survivor" -> q164PrioritySurvivor _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -1183,6 +1228,37 @@ object Dedup extends QueryPack {
                                 * 1000.0 / sum(n_tok)) / 1000 END AS dup_ratio
          FROM t JOIN cl ON t.doc_id = cl.doc_id
          GROUP BY source ORDER BY source""",
+    // q205: the q181 effective-token CTE chain + the integerized
+    // temperature arithmetic — sqrt is IEEE-correctly-rounded in both
+    // engines, the weight sum is exact integer, each division single-
+    // rounded then floored
+    "q205_mixture_plan" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tok
+               FROM documents),
+         eff AS (SELECT source,
+                        CAST(sum(CASE WHEN t.doc_id = cl.cluster_id
+                                      THEN n_tok ELSE 0 END) AS BIGINT)
+                          AS eff_tokens
+                 FROM t JOIN cl ON t.doc_id = cl.doc_id
+                 GROUP BY source),
+         w AS (SELECT source, eff_tokens,
+                      CAST(floor(sqrt(CAST(eff_tokens AS DOUBLE)) * 1000)
+                        AS BIGINT) AS weight
+               FROM eff),
+         tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w),
+         p AS (SELECT source, eff_tokens, weight,
+                      floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
+                        / 1000000 AS share,
+                      CAST(floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
+                        AS BIGINT) AS planned_tokens
+               FROM w, tot)
+         SELECT source, eff_tokens, weight, share, planned_tokens,
+                CASE WHEN eff_tokens = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(planned_tokens AS DOUBLE) * 1000
+                                / eff_tokens) / 1000 END AS epochs
+         FROM p ORDER BY source""",
     // q76: NOT EXISTS ≡ Spark left_anti (incl. null semantics).
     "q76_incremental_dedup" ->
       """WITH e AS (SELECT md5(text) AS sig FROM documents WHERE doc_id < 250),

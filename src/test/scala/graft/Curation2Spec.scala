@@ -210,4 +210,26 @@ class Curation2Spec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(sharded.sameElements(plain))
   }
+
+  test("q207: disagreement gaps replay from the q42 pair set + q93 scores") {
+    val pairs = SparkEntry.queries("q42_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val isc = SparkEntry.queries("q93_quality_model")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(2) * 1000000)).toMap
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val want = edges.groupBy(_._1).map { case (id, es) =>
+      val nsum = es.map(e => isc(e._2)).sum
+      val nbrAvg = math.floor(nsum.toDouble / es.length) / 1000000
+      val score = isc(id).toDouble / 1000000
+      (id, es.length.toLong, score, nbrAvg,
+       math.floor(math.abs(score - nbrAvg) * 1000) / 1000)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q207_quality_disagree")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq}… want ${want.take(3)}…")
+    // near-dups mostly agree: the typical gap is small, and the audit
+    // covers exactly the docs that have at least one neighbor
+    assert(got.nonEmpty && got.map(_._1).toSet == edges.map(_._1).toSet)
+  }
 }

@@ -134,6 +134,58 @@ class MiningSpec extends SparkTestBase {
     assert(rows.exists(r => r._4 < r._2))
   }
 
+  test("q205: the temperature plan replays from q181's effective tokens " +
+       "and up-weights small sources") {
+    val eff = SparkEntry.queries("q181_effective_tokens")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val weights = eff.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble) * 1000).toLong }
+    val wtot = weights.values.sum
+    val want = eff.keys.toSeq.sorted.map { src =>
+      val w = weights(src)
+      val planned = math.floor(w.toDouble * 1000000 / wtot).toLong
+      val epochs = if (eff(src) == 0) 0.0
+        else math.floor(planned.toDouble * 1000 / eff(src)) / 1000
+      (src, eff(src), w, math.floor(w.toDouble * 1000000 / wtot) / 1000000,
+       planned, epochs)
+    }
+    val got = SparkEntry.queries("q205_mixture_plan")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+                 r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq}… want ${want.take(3)}…")
+    // temperature < 1 property: every below-average source gets MORE than
+    // its natural token share, every above-average source LESS
+    val ttot = eff.values.sum.toDouble
+    got.foreach { case (src, t, _, share, _, _) =>
+      val natural = t / ttot
+      if (t < ttot / eff.size) assert(share > natural, s"$src not boosted")
+      if (t > ttot / eff.size) assert(share < natural, s"$src not damped")
+    }
+    // the plan spends (almost all of) the budget: flooring loses < 1
+    // token per source
+    val spent = got.map(_._5).sum
+    assert(spent <= 1000000L && spent > 1000000L - got.length)
+  }
+
+  test("q206: padding waste replays per length and decreases with " +
+       "packing-friendlier (smaller) max_len") {
+    val ntoks = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr(
+        "size(split(trim(text), '\\\\s+'))")).collect().map(_.getInt(0).toLong)
+    val want = Seq(128L, 512L, 2048L).map { l =>
+      val padded = ntoks.map(t => (t + l - 1) / l * l).sum
+      (l, ntoks.length.toLong, ntoks.sum, padded,
+       math.floor((padded - ntoks.sum).toDouble * 1000 / padded) / 1000)
+    }
+    val got = SparkEntry.queries("q206_padding_waste")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(got.toSeq == want)
+    // waste grows with max_len on a corpus of short docs — the signal
+    // the sweep exists to expose
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("q126: no shuffle carries an embedding vector") {
     val df = SparkEntry.queries("q126_margin_mine")(spark, sfDir)
     df.collect()
