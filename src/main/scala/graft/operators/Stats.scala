@@ -756,6 +756,93 @@ object Stats extends QueryPack {
   /** Sketch size for q195 — the k of the bottom-k MinHash. */
   private val srcSketchK = 128
 
+  /** HLL bucket count for q208/q209 (p = 6). */
+  private val hllM = 64
+  /** alpha_m for m = 64 (Flajolet et al.'s bias constant). */
+  private val hllAlpha = 0.709
+
+  /** Deterministic HLL registers from the distinct (source, 60-bit h)
+    * relation: bucket = h mod m, rho = leading-zero count of the
+    * remaining 54 bits + 1 via the q198 binary-string-length kernel
+    * (no log2, no libm). */
+  private[graft] def hllRegisters(sh: DataFrame): DataFrame =
+    sh.select(col("source"), expr(s"h % $hllM").as("b"),
+        expr(s"""CASE WHEN h div $hllM = 0 THEN 55
+                 ELSE 55 - length(bin(h div $hllM)) END""").as("rho"))
+      .groupBy("source", "b").agg(max("rho").as("m"))
+
+  /** Close HLL registers into the raw estimate. Parity-hardened: each
+    * register's harmonic term is INTEGERIZED as 2^(55 − M_b) (exact
+    * BIGINT, so the per-source sum is exact in any partition order —
+    * summing the dyadic doubles directly would need 56 mantissa bits
+    * and become order-dependent); empty buckets contribute 2^55 each;
+    * the estimate is alpha·m²·2^55 / that exact integer — double
+    * conversions and the one division are single-rounded identically in
+    * both engines. Raw formula only (no small-range linear counting —
+    * it needs libm log, and the operating regime here is n ≫ 2.5 m
+    * where the raw estimator is the correct branch anyway). */
+  private[graft] def hllEstimate(reg: DataFrame): DataFrame =
+    reg.groupBy("source")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+             .as("si"),
+           count(lit(1)).as("nb"))
+      .select(col("source"),
+        expr(s"""cast(floor($hllAlpha * ${hllM * hllM}
+                     * cast(shiftleft(cast(1 as bigint), 55) as double)
+                     / cast(si + shiftleft(cast($hllM as bigint) - nb, 55)
+                            as double)) as bigint)""").as("hll_est"))
+
+  /** q208: DETERMINISTIC HLL DISTINCT SKETCH — per-source distinct-
+    * shingle cardinality from 64 max-registers instead of the full
+    * distinct set: the gateable version of what q28's built-in
+    * approx_count_distinct can only bound with a tolerance boolean
+    * (engine-private HLL internals differ; THIS sketch is deterministic
+    * arithmetic both engines compute identically, so the gate proves
+    * the estimator itself, value-exactly). The exact distinct count
+    * rides along per source with the floored error ratio — estimator
+    * certified against ground truth at test scale, the q195 pattern on
+    * the cardinality axis. Plan: the register build folds into the
+    * distinct-shingle scan (64 rows per source leave it); the exact
+    * side is certification-only at 100 TB. */
+  private def q208HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val sh = srcShingles(s, d)
+    val est = hllEstimate(hllRegisters(sh))
+    val exact = sh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, "source")
+      .withColumn("err_ratio", expr(
+        """IF(exact_distinct = 0, cast(0 as double),
+             floor(cast(abs(hll_est - exact_distinct) as double) * 1000
+                   / exact_distinct) / 1000)"""))
+      .orderBy("source")
+  }
+
+  /** q209: HLL MERGE ≡ REBUILD — the property that makes the q208
+    * sketch operationally useful: registers from independent corpus
+    * shards merge by per-bucket MAX without rescanning (max is the
+    * union's max). The corpus splits into two halves by doc_id, each
+    * half builds its own registers, the halves merge by max, and the
+    * merged registers drive the SAME estimator — while the ORACLE
+    * recomputes the estimate from the full corpus in one pass, so a
+    * hash match PROVES merge ≡ rebuild (q196's certification on the
+    * cardinality axis; how a daily-ingest pipeline keeps per-source
+    * cardinality dashboards current without weekly full scans). */
+  private def q209HllMerge(s: SparkSession, d: String): DataFrame = {
+    val shHalf = Tables.documents(s, d)
+      .select(col("source"), (col("doc_id") >= 250).as("half"),
+              explode(NativeExprs.word_shingles(col("text"))).as("sg"))
+      .select(col("source"), col("half"),
+              expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
+                .as("h"))
+      .distinct()
+    val perHalf = shHalf
+      .select(col("source"), col("half"), expr(s"h % $hllM").as("b"),
+        expr(s"""CASE WHEN h div $hllM = 0 THEN 55
+                 ELSE 55 - length(bin(h div $hllM)) END""").as("rho"))
+      .groupBy("source", "half", "b").agg(max("rho").as("m"))
+    val merged = perHalf.groupBy("source", "b").agg(max("m").as("m"))
+    hllEstimate(merged).orderBy("source")
+  }
+
   /** SOURCE-LEVEL SKETCH SIMILARITY — dataset-to-dataset resemblance at
     * sketch cost: each source's distinct-shingle set collapses to its
     * bottom-[[srcSketchK]] MinHash (smallest 60-bit md5 hashes, the
@@ -876,6 +963,8 @@ object Stats extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_sketch_merge" -> q196SketchMerge _,
     "q195_source_sketch" -> q195SourceSketch _,
+    "q208_hll_distinct" -> q208HllDistinct _,
+    "q209_hll_merge" -> q209HllMerge _,
     "q186_bpe_merges" -> q186BpeMerges _,
     "q202_bpe_apply" -> q202BpeApply _,
     "q151_winnowing" -> q151Winnowing _,
@@ -946,6 +1035,37 @@ object Stats extends QueryPack {
          UNION ALL SELECT 2, w1, w2, n FROM t2
          UNION ALL SELECT 3, w1, w2, n FROM t3
          ORDER BY step"""
+
+  /** The distinct (source, 60-bit shingle hash) oracle CTE (q195's `sh`
+    * relation), shared by the HLL pair. */
+  private def hllShCte: String =
+    """sh AS (SELECT DISTINCT source,
+                CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT source,
+                        unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+                          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]
+                        ELSE [] END)) AS sg
+                 FROM (SELECT source,
+                              string_split_regex(trim(text), '\s+') AS t
+                       FROM documents)))"""
+
+  /** HLL register CTE over `sh` — bucket h % m, rho via len(bin()). */
+  private def hllRegCte: String =
+    s"""reg AS (SELECT source, h % $hllM AS b,
+                       max(CASE WHEN h // $hllM = 0 THEN 55
+                                ELSE 55 - len(bin(h // $hllM)) END) AS m
+                FROM sh GROUP BY 1, 2)"""
+
+  /** HLL raw-estimate CTE over `reg` — the integerized harmonic sum. */
+  private def hllEstCte: String =
+    s"""est AS (SELECT source,
+                       CAST(floor($hllAlpha * ${hllM * hllM}
+                            * CAST(1::BIGINT << 55 AS DOUBLE)
+                            / CAST(sum(1::BIGINT << (55 - m))
+                                   + (($hllM - count(*))::BIGINT << 55)
+                                   AS DOUBLE)) AS BIGINT) AS hll_est
+                FROM reg GROUP BY source)"""
 
   /** q202's oracle: the same training CTEs, then the same replace-chain
     * symbol count per document — per-token char-split, three merges
@@ -1060,6 +1180,29 @@ object Stats extends QueryPack {
     // q195: bottom-k via row_number ORDER BY h ≡ the heap's total order
     // (monotone score rounding + exact-integer tiebreak); list
     // arithmetic integer throughout, two floored divisions per pair
+    // q208/q209: the deterministic HLL — rho via len(bin()) (the q198
+    // kernel), harmonic sum integerized as Σ 2^(55−M_b) (exact BIGINT,
+    // order-free), one single-rounded division; the q209 oracle is the
+    // FULL-corpus rebuild, so a hash pass proves merge ≡ rebuild
+    "q208_hll_distinct" ->
+      s"""WITH $hllShCte,
+         $hllRegCte,
+         $hllEstCte,
+         ex AS (SELECT source, count(*) AS exact_distinct FROM sh
+                GROUP BY source)
+         SELECT ex.source AS source, CAST(exact_distinct AS BIGINT)
+                  AS exact_distinct, hll_est,
+                CASE WHEN exact_distinct = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(abs(hll_est - exact_distinct) AS DOUBLE)
+                                * 1000 / exact_distinct) / 1000 END
+                  AS err_ratio
+         FROM ex JOIN est ON ex.source = est.source
+         ORDER BY ex.source""",
+    "q209_hll_merge" ->
+      s"""WITH $hllShCte,
+         $hllRegCte,
+         $hllEstCte
+         SELECT source, hll_est FROM est ORDER BY source""",
     "q195_source_sketch" ->
       s"""WITH sh AS (SELECT DISTINCT source,
                 CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h

@@ -46,6 +46,50 @@ class StatsSpec extends SparkTestBase {
     assert(got.map(r => (r._2, r._3)).distinct.length == 3)
   }
 
+  test("q208/q209: HLL registers replay in the JVM; merged halves equal " +
+       "the full rebuild exactly") {
+    def md5Top60(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16)
+    // independent register construction from the raw corpus
+    val regs = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val exact = scala.collection.mutable.Map.empty[String, Set[Long]]
+      .withDefaultValue(Set.empty)
+    Tables.documents(spark, sfDir).select("source", "text").collect()
+      .foreach { r =>
+        val (src, t) = (r.getString(0), r.getString(1).trim.split("\\s+"))
+        t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+          .foreach { sg: String =>
+            val h = md5Top60(sg)
+            exact(src) = exact(src) + h
+            val (b, rem) = (h % 64, h / 64)
+            val rho = if (rem == 0) 55L
+                      else 55L - java.lang.Long.toBinaryString(rem).length
+            val k = (src, b)
+            if (regs.getOrElse(k, 0L) < rho) regs(k) = rho
+          }
+      }
+    def est(src: String): Long = {
+      val m = regs.collect { case ((s, _), v) if s == src => v }.toSeq
+      val si = m.map(v => 1L << (55 - v)).sum + ((64L - m.length) << 55)
+      math.floor(0.709 * 4096 * (1L << 55).toDouble / si.toDouble).toLong
+    }
+    val got = SparkEntry.queries("q208_hll_distinct")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.foreach { case (src, ex, e, err) =>
+      assert(ex.toInt == exact(src).size, s"$src exact")
+      assert(e == est(src), s"$src: est $e != JVM replay ${est(src)}")
+      // raw-HLL sanity at this n/m: within a loose 2x of truth
+      assert(err < 1.0, s"$src err $err")
+    }
+    // merge ≡ rebuild: the merged-halves estimator equals the full one
+    val merged = SparkEntry.queries("q209_hll_merge")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (src, _, e, _) =>
+      assert(merged(src) == e, s"$src: merged ${merged(src)} != full $e") }
+  }
+
   test("q202: map-side BPE apply equals a per-doc JVM replace-chain replay") {
     // ground truth from a THIRD implementation of the replace semantics
     // (java.lang.String.replace is left-to-right non-overlapping, same as
