@@ -48,6 +48,9 @@ class PlanSpec extends SparkTestBase {
       "q73_dedup_clusters", "q80_embedding_clusters",
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q164_priority_survivor", "q181_effective_tokens",
+      // q205 composes the memoized cluster assignment (the CC loop);
+      // q207 composes the q42 pair pipeline (verifyJoin size guard)
+      "q205_mixture_plan", "q207_quality_disagree",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep", "q125_pca_sweep",
       "q128_cluster_balanced", "q136_pca_binary", "q138_cluster_purity",
