@@ -144,13 +144,27 @@ object Curation extends QueryPack {
     * throughout except the single retained-fraction division per output
     * row. At 100 TB: shuffles carry (digest|doc_id, ntok, 3 booleans);
     * the 4-row result joins its own raw row broadcast. */
-  /** Per-doc pipeline-stage flags shared by q130 (funnel) and q132
-    * (per-source scorecard): (doc_id, source, ntok, s1 = first copy of
-    * its digest, kq = quality keep, fl = contamination flag, s2/s3 =
-    * cumulative survival). One digest group-min join, the q93 score
-    * core, and q48's broadcast contamination shape — flags only, no
-    * text past the first projection. */
-  private[graft] def pipelineFlags(s: SparkSession, d: String): DataFrame = {
+  private val flagsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String),
+      org.apache.spark.sql.DataFrame]
+
+  /** Per-doc pipeline-stage flags shared by q130 (funnel), q132
+    * (per-source scorecard), q188 (release export) and q204 (opt-out):
+    * (doc_id, source, dig, ntok, s1 = first copy of its digest, kq =
+    * quality keep, fl = contamination flag, s2/s3 = cumulative
+    * survival). One digest group-min join, the q93 score core, and
+    * q48's broadcast contamination shape — flags only, no text past the
+    * first projection. Memoized per (session, dataset) behind a LAZY
+    * localCheckpoint (the q73 pattern): four declared queries and the
+    * release write all consume this relation, and it is deterministic,
+    * so each session computes it once and serves the cached blocks —
+    * exactly how a production pipeline materializes its flag table
+    * before fanning out reports. */
+  private[graft] def pipelineFlags(s: SparkSession, d: String): DataFrame =
+    flagsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      pipelineFlagsCompute(s, d).localCheckpoint(eager = false))
+
+  private def pipelineFlagsCompute(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val base = docs.select(col("doc_id"), col("source"),
       md5(col("text")).as("dig"),

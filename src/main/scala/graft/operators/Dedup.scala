@@ -136,13 +136,34 @@ object Dedup extends QueryPack {
     minhashLshPairsCore(s, d, maxBucket, broadcastCandLimit)
       .orderBy("a_id", "b_id")
 
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   /** [[minhashLshPairs]] WITHOUT the output sort — the form the CC
     * consumers build edges from (an edge list has no order; inheriting
     * the declared query's global sort made every edge materialization
-    * pay a range-partition + sort for nothing). */
+    * pay a range-partition + sort for nothing).
+    *
+    * The DEFAULT-parameter pair relation is memoized per (session,
+    * dataset) behind a lazy localCheckpoint: seven declared queries
+    * (q42/q73-family/q114/q122/q131/q143/q207) consume the identical
+    * deterministic pair table, and a production dedup pipeline
+    * materializes it exactly once before fanning out its reports —
+    * recomputing the posting join per report is the anti-pattern.
+    * Non-default parameters (the capped/sweep variants) bypass the
+    * memo. */
   private[graft] def minhashLshPairsCore(s: SparkSession, d: String,
                                          maxBucket: Long = -1L,
-                                         broadcastCandLimit: Long = 4000000L): DataFrame = {
+                                         broadcastCandLimit: Long = 4000000L): DataFrame =
+    if (maxBucket == -1L && broadcastCandLimit == 4000000L)
+      pairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+        minhashLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
+          .localCheckpoint(eager = false))
+    else minhashLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
+
+  private def minhashLshPairsCompute(s: SparkSession, d: String,
+                                     maxBucket: Long,
+                                     broadcastCandLimit: Long): DataFrame = {
     val sh = shingled(s, d)
     val banded = capBucketsLazy(
       sh.select(col("doc_id"),

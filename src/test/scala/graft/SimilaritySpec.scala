@@ -377,8 +377,11 @@ class SimilaritySpec extends SparkTestBase {
     val serving1 = Similarity.resolveIndex(spark, appended)
     assert(serving1 != appended && serving1.startsWith(s"$appended/_v"),
       s"serving dir must be a _v<N> under the index path, got $serving1")
+    // WorkDirs returns Hadoop-qualified paths (file:/… locally; hdfs://
+    // on a cluster) — strip the local scheme for java.io inspection
     def filesPerCell(dir: String): Seq[Int] =
-      new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid="))
+      new java.io.File(dir.stripPrefix("file:")).listFiles()
+        .filter(_.getName.startsWith("centroid="))
         .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
     assert(filesPerCell(appended).exists(_ > 1), "append should fragment")
     assert(filesPerCell(serving1).forall(_ == 1), "compaction must coalesce")
