@@ -429,7 +429,38 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q210: QUALITY-CURRICULUM BINS — the input a curriculum schedule is
+    * built from (train low→high quality, or anneal the mix toward the
+    * top bin): the corpus partitioned into score QUARTILES by its own
+    * percentile thresholds, reporting per bin the document count, token
+    * mass, and mean score. The thresholds are ONE broadcast aggregate
+    * row (q74's pattern, array form); bin assignment is three map-side
+    * compares summed as integers; the per-bin mean is an exact-integer
+    * sum of the re-integerized scores closed with one single-rounded
+    * division (a raw double avg would be partition-order-dependent).
+    * One corpus scan, one S-row… rather 4-row aggregate: nothing
+    * driver-side, nothing text past the score projection. */
+  private def q210CurriculumBins(s: SparkSession, d: String): DataFrame = {
+    val sc = qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+              expr("cast(round(score * 1000000) as bigint)").as("isc"))
+    val thr = sc.agg(expr("percentile(score, array(0.25, 0.5, 0.75))").as("t"))
+    sc.crossJoin(broadcast(thr))
+      .select(col("n_tokens"), col("isc"),
+        (lit(1) + (col("score") > expr("t[0]")).cast("int")
+                + (col("score") > expr("t[1]")).cast("int")
+                + (col("score") > expr("t[2]")).cast("int")).cast("long")
+          .as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+           sum("isc").as("sisc"))
+      .select(col("bin"), col("n_docs"), col("bin_tokens"),
+        expr("floor(cast(sisc as double) / n_docs) / 1000000").as("avg_score"))
+      .orderBy("bin")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_curriculum_bins" -> q210CurriculumBins _,
     "q207_quality_disagree" -> q207QualityDisagree _,
     "q134_token_budget"      -> q134TokenBudget _,
     "q91_boilerplate"        -> q91Boilerplate _,
@@ -444,6 +475,38 @@ object Curation2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q210: quantile_cont list form ≡ Spark percentile array (the q74
+    // IEEE-lerp precedent); bins from the same floored scores, means
+    // from exact integer sums (DuckDB lists are 1-indexed)
+    "q210_curriculum_bins" ->
+      """WITH ft AS (SELECT doc_id,
+                            string_split_regex(trim(text), '\s+') AS w,
+                            len(string_split_regex(trim(text), '\s+')) AS n
+                  FROM documents),
+         fx AS (SELECT doc_id, n,
+                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                       list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                         AS sl
+                FROM ft),
+         sc AS (SELECT doc_id, n,
+                       floor((0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                              - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000)
+                         / 1000000 AS score,
+                       CAST(floor((0.1 + 0.015 * n
+                                   + 3.0 * (ns / CAST(n AS DOUBLE))
+                                   - 0.25 * (sl / CAST(n AS DOUBLE)))
+                                  * 1000000) AS BIGINT) AS isc
+                FROM fx),
+         th AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS t FROM sc),
+         b AS (SELECT n, isc,
+                      1 + (score > t[1])::INT + (score > t[2])::INT
+                        + (score > t[3])::INT AS bin
+               FROM sc, th)
+         SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS bin_tokens,
+                floor(CAST(sum(isc) AS DOUBLE) / count(*)) / 1000000
+                  AS avg_score
+         FROM b GROUP BY bin ORDER BY bin""",
     // q207: q35's exact pair SQL (recall 1 at the 0.8 verify threshold,
     // q42's argument) + q93's score integerized; neighbor means are
     // exact-integer sums closed with one single-rounded division

@@ -46,14 +46,15 @@ object StreamGate extends QueryPack {
     * from 32 of them — sizing partitions to the pass is exactly what an
     * operator would do (the streaming ops themselves are
     * partition-count-agnostic; production sizes this to throughput). */
-  private def runToBatch(s: SparkSession, out: DataFrame): DataFrame = {
+  private def runToBatch(s: SparkSession, out: DataFrame,
+                         outputMode: String = "append"): DataFrame = {
     val name = s"graft_stream_gate_${sinkId.incrementAndGet()}"
     val pKey = "spark.sql.shuffle.partitions"
     val prevP = s.conf.get(pKey)
     s.conf.set(pKey, "8")
     try {
       val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append")
+        .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -383,6 +384,30 @@ object StreamGate extends QueryPack {
       .orderBy("event_type", "event_id")
   }
 
+  /** q211: STREAMING HLL REGISTER MAINTENANCE — the q208 cardinality
+    * sketch kept current BY THE STREAM: per-source max-registers as a
+    * streaming aggregation (complete mode — the register table is the
+    * state, 64 rows per source), closed into the same estimator and
+    * served against the FULL-CORPUS rebuild oracle (q209's), so a pass
+    * certifies incremental register maintenance ≡ batch rebuild. The
+    * structural point this gate pins: HLL registers are MAX-aggregates,
+    * so the stream side needs NO dedup state at all — duplicate
+    * shingles cannot change a max — where the bottom-k sketch (q195)
+    * would need per-source distinct tracking. That duplicate-blindness
+    * is exactly why HLL is the sketch streams run. */
+  private def q211HllStream(s: SparkSession, d: String): DataFrame = {
+    val sh = docStream(s, d)
+      .select(col("source"),
+              explode(graft.functions.NativeExprs.word_shingles(col("text")))
+                .as("sg"))
+      .select(col("source"),
+              expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
+                .as("h"))
+    val reg = Stats.hllRegisters(sh)
+    Stats.hllEstimate(runToBatch(s, reg, outputMode = "complete"))
+      .orderBy("source")
+  }
+
   /** Streaming EXACT DEDUP WITHIN WATERMARK —
     * [[StreamOps.dedupWithinWatermark]] (`dropDuplicatesWithinWatermark`)
     * under the oracle gate: first-seen row per (user_id, event_type)
@@ -434,6 +459,7 @@ object StreamGate extends QueryPack {
     "q168_window_topk_stream" -> q168WindowTopkStream _,
     "q169_quota_stream" -> q169QuotaStream _,
     "q170_dedup_stream" -> q170DedupStream _,
+    "q211_hll_stream" -> q211HllStream _,
     "q162_repetition_stream" -> q162RepetitionStream _,
     "q150_entropy_stream" -> q150EntropyStream _,
     "q104_incdedup_stream" -> q104IncDedupStream _,
@@ -487,6 +513,9 @@ object StreamGate extends QueryPack {
                 CAST(rnk AS BIGINT) AS rnk, event_id, "value"
          FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""",
     // admission = first 5 per (key, epoch-ms hour window) in
+    // q211: the batch FULL-CORPUS HLL rebuild (q209's SQL verbatim) —
+    // a pass certifies streaming register maintenance ≡ batch rebuild
+    "q211_hll_stream" -> Stats.oracles("q209_hll_merge"),
     // (epoch-ms, id) order — the processor's in-batch admission order
     "q169_quota_stream" ->
       """WITH r AS (SELECT event_type, event_id,

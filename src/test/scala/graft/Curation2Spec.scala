@@ -211,6 +211,33 @@ class Curation2Spec extends SparkTestBase {
     assert(sharded.sameElements(plain))
   }
 
+  test("q210: curriculum bins replay from the q93 scores and cover the " +
+       "corpus exactly once") {
+    val sc = SparkEntry.queries("q93_quality_model")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2),
+                 math.round(r.getDouble(2) * 1000000)))
+    val sorted = sc.map(_._2).sorted
+    def q(p: Double): Double = {
+      val rank = (sorted.length - 1) * p
+      val lo = sorted(rank.toInt)
+      lo + (sorted(math.ceil(rank).toInt) - lo) * (rank - rank.toInt)
+    }
+    val ts = Seq(q(0.25), q(0.5), q(0.75))
+    val want = sc.groupBy { case (_, s, _) => 1L + ts.count(s > _) }
+      .map { case (bin, rows) =>
+        (bin, rows.length.toLong, rows.map(_._1).sum,
+         math.floor(rows.map(_._3).sum.toDouble / rows.length) / 1000000)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q210_curriculum_bins")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3)))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(got.map(_._2).sum == sc.length.toLong, "bins must partition")
+    assert(got.map(_._1).toSeq == (1L to 4L), "all four quartile bins")
+    // the curriculum signal: mean score strictly increases with bin
+    assert(got.map(_._4).sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("q207: disagreement gaps replay from the q42 pair set + q93 scores") {
     val pairs = SparkEntry.queries("q42_minhash_lsh")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

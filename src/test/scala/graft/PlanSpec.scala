@@ -51,6 +51,10 @@ class PlanSpec extends SparkTestBase {
       // q205 composes the memoized cluster assignment (the CC loop);
       // q207 composes the q42 pair pipeline (verifyJoin size guard)
       "q205_mixture_plan", "q207_quality_disagree",
+      // the pipelineFlags memo lazily checkpoints on first touch, and
+      // toRdd physical planning under AQE runs leading query stages —
+      // whichever flags consumer builds first pays the one-off
+      "q130_pipeline_funnel", "q132_source_scorecard", "q204_optout_filter",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep", "q125_pca_sweep",
       "q128_cluster_balanced", "q136_pca_binary", "q138_cluster_purity",
@@ -66,7 +70,7 @@ class PlanSpec extends SparkTestBase {
       "q118_window_stream", "q150_entropy_stream", "q162_repetition_stream",
       "q167_sessionize_stream", "q168_window_topk_stream",
       "q169_quota_stream", "q170_dedup_stream", "q177_funnel_stream",
-      "q182_outlier_stream", "q194_anomaly_stream",
+      "q182_outlier_stream", "q194_anomaly_stream", "q211_hll_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
       // per-topic partitioned write + read-back (write-once per

@@ -88,6 +88,12 @@ class StatsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     got.foreach { case (src, _, e, _) =>
       assert(merged(src) == e, s"$src: merged ${merged(src)} != full $e") }
+    // and the STREAMING register maintenance lands on the identical
+    // estimates — incremental max-aggregation ≡ batch rebuild
+    val streamed = SparkEntry.queries("q211_hll_stream")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (src, _, e, _) =>
+      assert(streamed(src) == e, s"$src: streamed ${streamed(src)} != $e") }
   }
 
   test("q202: map-side BPE apply equals a per-doc JVM replace-chain replay") {
