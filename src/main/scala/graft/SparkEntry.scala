@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Mining,
     operators.Stats,
     operators.Skew,
+    operators.Behavior,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -218,7 +218,103 @@ object Mining extends QueryPack {
       .limit(50)
   }
 
+  /** PageRank damping as an exact rational: d = prDampNum/100. */
+  private val prDampNum = 85
+  private val prScale = 1000000L
+  private val prIters = 3
+
+  /** q216: NEAR-DUP GRAPH CENTRALITY — PageRank over the q42
+    * near-duplicate pair graph, three power iterations. Degree (q143)
+    * ranks hubs by direct neighbors only; centrality propagates through
+    * the graph, so the template document whose copies are themselves
+    * widely copied outranks an equal-degree node with leaf neighbors —
+    * the ranking used to pick which boilerplate FAMILY to kill first
+    * and which canonical doc anchors a dedup cluster. Parity
+    * hardening: ranks are integers at scale 1e6 end-to-end — each
+    * node's outgoing contribution is the INTEGER quotient r div deg
+    * (floor on positives, = DuckDB `//`), per-node sums are exact
+    * BIGINTs in any partition order, and the damping update
+    * 0.15·S + 0.85·Σ is the integer form 150000 + (85·Σ) div 100 — so
+    * three iterations are bit-identical cross-engine with no float
+    * anywhere. Shape: the memoized pair relation (built once per
+    * session, shared with q73/q101/q131/q143/q207) explodes to a
+    * directed edge list; each iteration is one edge join + one
+    * dst-grain aggregate on (Long, Long) rows, unrolled into ONE lazy
+    * plan (the q186 no-driver-loop discipline — Spark's iterative-join
+    * growth is bounded at 3 unrolls). At 100 TB this is exactly
+    * GraphX's Pregel data layout re-expressed relationally: ids only,
+    * payloads never move, and the edge relation would be
+    * pre-partitioned by src so every iteration reuses one
+    * co-partitioning (the q89 connected-components substrate). */
+  private def q216Pagerank(s: SparkSession, d: String): DataFrame = {
+    val pr = Dedup.minhashLshPairsCore(s, d).select("a_id", "b_id")
+    val edges = pr.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pr.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("src").as("doc_id"), col("deg"),
+                       lit(prScale).as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = r.join(edges, r("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+        .groupBy("doc_id").agg(sum("c").as("m"))
+      r = deg.select(col("src").as("doc_id"), col("deg"))
+        .join(contrib, Seq("doc_id"))
+        .select(col("doc_id"), col("deg"),
+          expr(s"${prScale * 15 / 100} + ($prDampNum * m) div 100").as("r"))
+    }
+    r.select(col("doc_id"), col("deg"), col("r").as("rank_scaled"),
+             expr(s"cast(r as double) / $prScale").as("pagerank"))
+      .orderBy(col("rank_scaled").desc, col("doc_id"))
+  }
+
+  /** q217: SOURCE CENTROID AFFINITY — the SEMANTIC source-similarity
+    * matrix beside q195's lexical one: per-source embedding centroids,
+    * all pairs scored by cosine. Two sources whose centroids nearly
+    * coincide are topical duplicates a mixing plan (q205) should not
+    * double-weight even when their surface vocabulary overlap (q116/
+    * q195) is low — paraphrase mirrors, translations, scraped-and-
+    * rewritten content. Scale-invariance does the parity work: cosine
+    * of centroids equals cosine of per-source SUM vectors, so no
+    * division by n ever happens — components integerize once
+    * (floor(x·1e6), the q163 quantization), per-source per-dim sums
+    * are exact BIGINTs in any partition order, and dot/norm are
+    * integer products summed exactly; the one float step is the final
+    * dot/(√·√) with IEEE-correctly-rounded sqrt on both engines.
+    * Shape: one doc_id-keyed join attaches sources to vectors, one
+    * grouped aggregate collapses the corpus to S·d sum rows, and the
+    * pair work (S²·d products) never touches corpus-sized data — the
+    * declared posexplode would fuse into a single grouped
+    * VecStatsAgg-style pass at 100 TB (q163's operator), with the
+    * S·d relation broadcast everywhere after. */
+  private def q217SourceCentroids(s: SparkSession, d: String): DataFrame = {
+    val sv = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+        expr("""transform(embedding,
+                  x -> cast(floor(cast(x as double) * 1000000) as bigint))""")
+          .as("iv")), Seq("doc_id"))
+    val sums = sv.select(col("source"), posexplode(col("iv")).as(Seq("dim", "x")))
+      .groupBy("source", "dim").agg(sum("x").as("sx"))
+    val norms = sums.groupBy("source")
+      .agg(sum(col("sx") * col("sx")).as("nrm2"), count(lit(1)).as("nd"))
+    val dots = sums.as("a").join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.sx") * col("b.sx")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("src_a"),
+                                   col("nrm2").as("na2"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("source").as("src_b"),
+                                   col("nrm2").as("nb2"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("""floor(cast(dot as double)
+                      / (sqrt(cast(na2 as double)) * sqrt(cast(nb2 as double)))
+                      * 1000000) / 1000000""").as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_source_centroids" -> q217SourceCentroids _,
+    "q216_pagerank" -> q216Pagerank _,
     "q126_margin_mine" -> q126MarginMine _,
     "q127_weighted_jaccard" -> q127WeightedJaccard _,
     "q131_crosslang_audit" -> q131CrossLangAudit _,
@@ -226,6 +322,77 @@ object Mining extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q217: same integer quantization (q163's), co-unnest dim zip,
+    // exact BIGINT sums/products; the only float is dot/(sqrt·sqrt)
+    // with identical parenthesization
+    "q217_source_centroids" ->
+      """WITH sv AS (SELECT d.source,
+                            [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                             for x in e.embedding] AS iv
+                     FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         dims AS (SELECT source, unnest(range(1, len(iv) + 1)) AS dim,
+                         unnest(iv) AS x FROM sv),
+         sums AS (SELECT source, dim, CAST(sum(x) AS BIGINT) AS sx
+                  FROM dims GROUP BY 1, 2),
+         nrm AS (SELECT source, CAST(sum(sx * sx) AS BIGINT) AS nrm2
+                 FROM sums GROUP BY 1),
+         dots AS (SELECT a.source AS src_a, b.source AS src_b,
+                         CAST(sum(a.sx * b.sx) AS BIGINT) AS dot
+                  FROM sums a JOIN sums b
+                    ON a.dim = b.dim AND a.source < b.source
+                  GROUP BY 1, 2)
+         SELECT src_a, src_b,
+                floor(CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(na.nrm2 AS DOUBLE))
+                         * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+                      * 1000000) / 1000000 AS cosine
+         FROM dots JOIN nrm na ON na.source = src_a
+                   JOIN nrm nb ON nb.source = src_b
+         ORDER BY src_a, src_b""",
+    // q216: the q42/q35 exact pair SQL (LSH recall 1 at the 0.8 verify
+    // threshold — q42's argument) + three chained integer PageRank
+    // iterations; `//` floors on positives exactly like Spark's `div`
+    "q216_pagerank" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  b.sz AS bsz, count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pr AS (SELECT a_id, b_id FROM pairs
+                WHERE common / (asz + bsz - common) >= 0.8),
+         ed AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+         r0 AS (SELECT src AS doc_id, deg, 1000000::BIGINT AS r FROM dg),
+         c1 AS (SELECT ed.dst AS doc_id, sum(r0.r // r0.deg) AS m
+                FROM ed JOIN r0 ON r0.doc_id = ed.src GROUP BY 1),
+         r1 AS (SELECT dg.src AS doc_id, dg.deg,
+                       150000 + (85 * c1.m) // 100 AS r
+                FROM dg JOIN c1 ON c1.doc_id = dg.src),
+         c2 AS (SELECT ed.dst AS doc_id, sum(r1.r // r1.deg) AS m
+                FROM ed JOIN r1 ON r1.doc_id = ed.src GROUP BY 1),
+         r2 AS (SELECT dg.src AS doc_id, dg.deg,
+                       150000 + (85 * c2.m) // 100 AS r
+                FROM dg JOIN c2 ON c2.doc_id = dg.src),
+         c3 AS (SELECT ed.dst AS doc_id, sum(r2.r // r2.deg) AS m
+                FROM ed JOIN r2 ON r2.doc_id = ed.src GROUP BY 1),
+         r3 AS (SELECT dg.src AS doc_id, dg.deg,
+                       150000 + (85 * c3.m) // 100 AS r
+                FROM dg JOIN c3 ON c3.doc_id = dg.src)
+         SELECT doc_id, CAST(deg AS BIGINT) AS deg,
+                CAST(r AS BIGINT) AS rank_scaled,
+                CAST(r AS DOUBLE) / 1000000 AS pagerank
+         FROM r3 ORDER BY rank_scaled DESC, doc_id""",
     // the identical computation: A×B cosines, rank-ordered top-k left
     // fold for both densities (list_reduce seeds with the first element;
     // Spark's 0.0 seed is IEEE-identical since 0.0 + x == x), one

@@ -960,7 +960,60 @@ object Stats extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** q215: TWO-SAMPLE KS DISTANCE BETWEEN SOURCE LENGTH DISTRIBUTIONS —
+    * the distribution-level drift test run when deciding whether two
+    * acquisition sources (or two crawl snapshots) can share one
+    * length-sensitive processing config (packing length q206, chunk
+    * width q90, length-normalized quality cuts q32): the
+    * Kolmogorov–Smirnov statistic D = max_v |F_a(v) − F_b(v)| over
+    * per-source document-length ECDFs, for every source pair. The
+    * token-level complement of q141 (which ranks individual tokens by
+    * rate shift; this compares whole marginal distributions in one
+    * number with a distribution-free null). Parity hardening: ECDF
+    * differences are compared as the INTEGER cross-product
+    * |cum_a·n_b − cum_b·n_a| (the q141 trick), so the max is exact in
+    * any partition order and the reported D is one single-rounded
+    * floored division. Shape: the corpus collapses to per-(source,
+    * length) counts in one partial-folding aggregate — the only
+    * corpus-sized pass; everything after lives on the |V|·S evaluation
+    * grid (V = distinct length values, S = sources), which is
+    * value-domain-sized, not corpus-sized. The grid completes each
+    * source's step function at every global value via a
+    * values×sources cross join + one cumulative window per source,
+    * and the pair join runs on the value key with per-value fan-out
+    * S². At 100 TB the identical plan runs over BINNED lengths
+    * (width-b histogram ECDF, DKW-bounded error b·density), which
+    * caps |V| regardless of domain. */
+  private def q215LengthKs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("v"))
+    val counts = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val values = docs.select("v").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val ecdf = values.crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), col("n"),
+              coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+    ecdf.as("a").join(ecdf.as("b"),
+        col("a.v") === col("b.v") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+               col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")))
+             .as("d_int"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("d_int"),
+        expr("""floor(cast(d_int as double)
+                      / (cast(n_a as double) * n_b) * 1000000) / 1000000""")
+          .as("ks"))
+      .orderBy("src_a", "src_b")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_length_ks" -> q215LengthKs _,
     "q196_sketch_merge" -> q196SketchMerge _,
     "q195_source_sketch" -> q195SourceSketch _,
     "q208_hll_distinct" -> q208HllDistinct _,
@@ -1106,6 +1159,25 @@ object Stats extends QueryPack {
   // `def`, not `val`: the q138 fallback branch reads the codebook cache,
   // which is empty at object init (the Similarity.oracles contract)
   override def oracles: Map[String, String] = Map(
+    // q215: identical grid (global distinct values × sources), window
+    // cumsum per source, integer cross-product max, one floored division
+    "q215_length_ks" ->
+      """WITH dl AS (SELECT source, n_chars AS v FROM documents),
+         cnt AS (SELECT source, v, count(*) AS c FROM dl GROUP BY 1, 2),
+         tot AS (SELECT source, count(*) AS n FROM dl GROUP BY 1),
+         vals AS (SELECT DISTINCT v FROM dl),
+         ecdf AS (SELECT tot.source, vals.v, tot.n,
+                         CAST(sum(coalesce(cnt.c, 0)) OVER (
+                           PARTITION BY tot.source ORDER BY vals.v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM vals CROSS JOIN tot
+                  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.v = vals.v)
+         SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+                CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS d_int,
+                floor(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
+                      / (CAST(a.n AS DOUBLE) * b.n) * 1000000) / 1000000 AS ks
+         FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
+         GROUP BY 1, 2, 3, 4 ORDER BY src_a, src_b""",
     // dir-agnostic fallback, usable only when exactly one codebook was
     // trained this process; oraclesFor(dir) is the precise path
     "q138_cluster_purity" -> (if (cpCodebooks.size == 1)

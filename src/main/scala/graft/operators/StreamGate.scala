@@ -451,7 +451,81 @@ object StreamGate extends QueryPack {
       sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n3")))
   }
 
+  /** q218: STREAMING TIME-DECAYED COUNTS — q214's trending mass kept
+    * current by the stream. The structural point (the q211 argument at
+    * the COUNTED rather than distinct tier): the decayed sum is a
+    * plain SUM of exact power-of-two integer weights, so the streaming
+    * aggregation needs no ordering, no dedup and no float care — any
+    * arrival order replays the batch BIGINT sum bit-exactly, and the
+    * state is one (count, sum) pair per event type (complete mode,
+    * T rows). The reference date is resolved from the static batch
+    * loader at gate build (in production it is a config/broadcast
+    * constant — a stream cannot know its own future max); the share
+    * and the 2^-clamp mantissa-shift division are the downstream
+    * batch rollup over the T-row sink, the q118 split. Serves batch
+    * q214's oracle verbatim. */
+  private def q218DecayStream(s: SparkSession, d: String): DataFrame = {
+    val maxd = Tables.events(s, d).agg(max(to_date(col("ts")))).head().getDate(0)
+    val cd = Behavior.clampDays
+    val agg = eventStream(s, d).filter(col("event_id") >= 0)
+      .select(col("event_type"), to_date(col("ts")).as("dt"))
+      .select(col("event_type"),
+        expr(s"""CASE WHEN datediff(date'$maxd', dt) <= $cd
+                 THEN shiftleft(cast(1 as bigint),
+                                $cd - datediff(date'$maxd', dt))
+                 ELSE cast(0 as bigint) END""").as("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("w").as("decayed_scaled"))
+    val sink = runToBatch(s, agg, outputMode = "complete")
+    val tot = sink.agg(sum("decayed_scaled").as("tw"))
+    sink.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"), col("decayed_scaled"),
+        expr(s"""floor(cast(decayed_scaled as double)
+                       / ${1L << cd} * 1000000) / 1000000""").as("decayed"),
+        expr("""floor(cast(decayed_scaled as double)
+                      / cast(tw as double) * 1000000) / 1000000""").as("share"))
+      .orderBy("event_type")
+  }
+
+  /** q219: STREAM-STREAM INTERVAL JOIN — in-flight purchase
+    * attribution: every purchase joined to the clicks that preceded it
+    * by at most two hours for the same user, while BOTH sides are
+    * still streams. The one streaming-join class the gate set lacked —
+    * every other gated stream is stream-static or a stateful
+    * aggregation; this drives Spark's watermarked symmetric hash join:
+    * each side buffers rows in keyed state, matches emit as the
+    * opposite side arrives, and state is GC'd once the watermark
+    * passes ts + the range bound — so state is bounded by (arrival
+    * rate × 3 h), not the stream's history, which is what makes the
+    * operator viable on an unbounded feed. Inner-join emission is a
+    * set, so the bounded pass equals the batch interval join row-for-
+    * row and the oracle is the plain batch SQL. At 100 TB both sides
+    * hash-partition on user_id — the key the events landing zone is
+    * already bucketed by (q20), so the state shuffle co-locates with
+    * ingest. Gap reported in exact integer microseconds. */
+  private def q219AttributionStream(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d).filter(col("event_id") >= 0)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+    runToBatch(s, joined.select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        expr("unix_micros(p_ts) - unix_micros(c_ts)").as("gap_us")))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_decay_stream" -> q218DecayStream _,
+    "q219_attribution_stream" -> q219AttributionStream _,
     "q177_funnel_stream" -> q177FunnelStream _,
     "q182_outlier_stream" -> q182OutlierStream _,
     "q194_anomaly_stream" -> q194AnomalyStream _,
@@ -471,6 +545,20 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // batch-equivalence: exact power-of-two integer weights make the
+    // streaming sum replay batch q214's BIGINT sums in any arrival
+    // order — its oracle covers the streamed output verbatim
+    "q218_decay_stream" -> Behavior.oracles("q214_decayed_counts"),
+    // the batch interval join: inner-join emission is a set, so the
+    // bounded streaming pass must equal it row-for-row
+    "q219_attribution_stream" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+         ORDER BY c.user_id, click_id, purchase_id""",
     // batch-equivalence: finalized streaming attribution must serve the
     // batch funnel's oracle verbatim (same funnelRows formatter)
     "q177_funnel_stream" -> EventOps.oracles("q176_funnel"),

@@ -203,4 +203,55 @@ class MiningSpec extends SparkTestBase {
         s"shuffle carries vector column(s): ${vecCols.map(_.name).mkString(", ")}")
     }
   }
+
+  test("q216 pagerank: matches an integer power-iteration replay") {
+    val got = SparkEntry.queries("q216_pagerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pairs = operators.Dedup.minhashLshPairsCore(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = deg.keys.map(n => n -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val m = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = deg.keys.map(n => n -> (150000L + 85L * m(n) / 100L)).toMap
+    }
+    val want = r.toSeq.map { case (n, rv) =>
+      (n, deg(n), rv, rv.toDouble / 1000000) }
+      .sortBy(t => (-t._3, t._1))
+    assert(got.toSeq == want)
+    // damping floor: no rank below the teleport mass
+    assert(got.forall(_._3 >= 150000L))
+  }
+
+  test("q217 source centroids: matches an exact integer-sum replay") {
+    val got = SparkEntry.queries("q217_source_centroids")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val srcOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val sums = scala.collection.mutable.Map
+      .empty[String, Array[Long]].withDefault(_ => Array.fill(64)(0L))
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "embedding").collect().foreach { r =>
+        srcOf.get(r.getLong(0)).foreach { src =>
+          val v = r.getSeq[Float](1)
+          val acc = sums.getOrElseUpdate(src, Array.fill(v.size)(0L))
+          v.zipWithIndex.foreach { case (x, i) =>
+            acc(i) += math.floor(x.toDouble * 1000000).toLong }
+        }
+      }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      math.floor(dot.toDouble / (na * nb) * 1000000) / 1000000
+    }
+    val ss = sums.keys.toSeq.sorted
+    val want = for (a <- ss; b <- ss if a < b) yield (a, b, cos(sums(a), sums(b)))
+    assert(got.toSeq == want.sortBy(t => (t._1, t._2)))
+    assert(got.forall(t => t._3 >= -1.0 && t._3 <= 1.0))
+  }
 }

@@ -49,8 +49,8 @@ class PlanSpec extends SparkTestBase {
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q164_priority_survivor", "q181_effective_tokens",
       // q205 composes the memoized cluster assignment (the CC loop);
-      // q207 composes the q42 pair pipeline (verifyJoin size guard)
-      "q205_mixture_plan", "q207_quality_disagree",
+      // q207/q216 compose the q42 pair pipeline (verifyJoin size guard)
+      "q205_mixture_plan", "q207_quality_disagree", "q216_pagerank",
       // the pipelineFlags memo lazily checkpoints on first touch, and
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
@@ -71,6 +71,7 @@ class PlanSpec extends SparkTestBase {
       "q167_sessionize_stream", "q168_window_topk_stream",
       "q169_quota_stream", "q170_dedup_stream", "q177_funnel_stream",
       "q182_outlier_stream", "q194_anomaly_stream", "q211_hll_stream",
+      "q218_decay_stream", "q219_attribution_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
       // per-topic partitioned write + read-back (write-once per

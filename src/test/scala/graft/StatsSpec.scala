@@ -508,4 +508,30 @@ class StatsSpec extends SparkTestBase {
     assert(drifts.zip(drifts.tail).forall { case (a, b) => a >= b },
       "report not drift-ordered")
   }
+
+  test("q215 length KS: matches an exact ECDF cross-product replay") {
+    val got = SparkEntry.queries("q215_length_ks")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5)))
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val values = docs.map(_._2).distinct.sorted
+    def cum(src: String): Map[Long, Long] = {
+      val lens = bySrc(src)
+      values.map(v => v -> lens.count(_ <= v).toLong).toMap
+    }
+    val ss = bySrc.keys.toSeq.sorted
+    val want = for (a <- ss; b <- ss if a < b) yield {
+      val (ca, cb) = (cum(a), cum(b))
+      val (na, nb) = (bySrc(a).length.toLong, bySrc(b).length.toLong)
+      val d = values.map(v => math.abs(ca(v) * nb - cb(v) * na)).max
+      (a, b, na, nb, d,
+       math.floor(d.toDouble / (na.toDouble * nb) * 1000000) / 1000000)
+    }
+    assert(got.toSeq == want.sortBy(t => (t._1, t._2)))
+    // KS is a probability-scale distance
+    assert(got.forall(t => t._6 >= 0.0 && t._6 <= 1.0))
+  }
 }

@@ -688,4 +688,32 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(0).getAs[Long]("n_events") == 2)
     assert(rows(0).getAs[Double]("total_value") == 3.0)
   }
+
+  test("q218 stream decay equals batch q214 row-for-row") {
+    val stream = SparkEntry.queries("q218_decay_stream")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q214_decayed_counts")(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("q219 stream-stream interval join matches a timeline replay") {
+    val got = SparkEntry.queries("q219_attribution_stream")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts)", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getString(3)))
+    val twoH = 2L * 3600 * 1000000
+    val want = (for {
+      c <- ev if c._4 == "click"
+      p <- ev if p._4 == "purchase" && p._1 == c._1 &&
+                 p._3 > c._3 && p._3 <= c._3 + twoH
+    } yield (c._1, c._2, p._2, p._3 - c._3))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == want.toSeq)
+    // every attribution inside the (0, 2h] window
+    assert(got.forall(t => t._4 > 0 && t._4 <= twoH))
+  }
 }
