@@ -710,6 +710,103 @@ object Dedup extends QueryPack {
       .orderBy("source")
   }
 
+  /** q220: MIXTURE SAMPLE — the REALIZATION of q205's plan: the actual
+    * per-document admission list a training run reads. q205 says how
+    * many tokens each source contributes; this picks WHICH deduped
+    * documents fill that allocation — canonical docs (the q73 family
+    * survivors) admitted per source in the deterministic Knuth-hash
+    * order of q92/q134 until the source's allocation is spent. The
+    * budget is derived IN-PLAN as half the total deduped token mass
+    * (floor(Σeff/2) — scale-free, so the constraint binds at every sf:
+    * boosted small sources keep everything, damped large sources
+    * truncate, exactly temperature sampling's behavior realized at the
+    * doc grain). Shapes carried over intact: the q205 weight/share
+    * arithmetic (integerized sqrt weights, exact BIGINT sums, one
+    * single-rounded division per value), the q134 per-source cumulative
+    * window — the one range shuffle inherent to exact sequential
+    * admission — and the S-row plan broadcast onto it. Rerun-stable by
+    * construction: same corpus, same hash, same admission list. */
+  private def q220MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
+    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
+    val canon = toks.join(assign, "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val eff = canon.groupBy("source").agg(sum("n_tok").as("eff_tokens"))
+    val w = eff.withColumn("weight",
+      expr("cast(floor(sqrt(cast(eff_tokens as double)) * 1000) as bigint)"))
+    val tot = w.agg(sum("weight").as("wtot"), sum("eff_tokens").as("efftot"))
+    val plan = w.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("""cast(floor(cast(weight as double) * (efftot div 2) / wtot)
+                as bigint)""").as("planned_tokens"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    canon
+      .withColumn("h", expr("(doc_id * 2654435761) % 1048576"))
+      .withColumn("cum_tokens", sum("n_tok").over(win))
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("cum_tokens") <= col("planned_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tokens"),
+              col("planned_tokens"))
+      .orderBy("source", "cum_tokens")
+  }
+
+  /** Negatives per anchor for q221. */
+  private val negK = 3
+
+  /** Candidate buckets for q221 — each anchor probes ONE bucket, so
+    * candidate fan-out is |corpus|/negBuckets per anchor regardless of
+    * corpus size (the parameter a 100 TB run scales with the corpus to
+    * hold bucket size constant). */
+  private val negBuckets = 16
+
+  /** q221: CONTRASTIVE NEGATIVE SAMPLING — the deterministic
+    * random-negatives step of contrastive/embedding training data prep
+    * (in-batch negatives' offline twin): for each anchor document, k
+    * pseudo-random negatives that are NOT near-duplicates of the
+    * anchor — sampling uniformly and filtering dups is the standard
+    * recipe, since a near-dup "negative" is a false negative that
+    * poisons the loss. Pseudo-randomness is the repo's deterministic
+    * Knuth-hash idiom (q92/q120/q137): candidates rank by an integer
+    * hash of the (anchor, candidate) pair, so the sample is
+    * rerun-stable and oracle-checkable. The near-dup exclusion is
+    * FAMILY-grain (q73 cluster ids — transitive closure, stronger than
+    * the raw pair set: a copy-of-a-copy is excluded even when q42
+    * never compared the two directly). Scale shape: each anchor probes
+    * exactly ONE hash bucket of candidates ([[negBuckets]]), so the
+    * join fans out |corpus|/B per anchor — constant per anchor when B
+    * scales with the corpus — and carries (id, cluster, hash) rows
+    * only; selection is the bounded-heap TopKAgg (no window sort);
+    * the family anti-condition rides the join predicate. */
+  private def q221NegativeSample(s: SparkSession, d: String): DataFrame = {
+    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
+    val anchors = assign
+      .select(col("doc_id").as("anchor_id"), col("cluster_id").as("cl_a"),
+              expr(s"(doc_id * 40503) % $negBuckets").as("pb"))
+    val cands = assign
+      .select(col("doc_id").as("cand_id"), col("cluster_id").as("cl_c"),
+              expr(s"((doc_id % 2147483647) * 2654435761) % $negBuckets")
+                .as("cb"))
+    anchors.join(cands,
+        col("pb") === col("cb") && col("cl_a") =!= col("cl_c"))
+      .select(col("anchor_id"), col("cand_id"),
+        expr("""((anchor_id * 1048573 + cand_id) % 2147483647)
+                * 2654435761 % 2147483647""").as("r"))
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopKAgg.top_k_by_score(
+        (-col("r")).cast("double"), col("cand_id"), negK).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("anchor_id"), (col("i") + 1).cast("long").as("rnk"),
+              col("e.id").as("neg_id"),
+              (-col("e.score")).cast("bigint").as("r"))
+      .orderBy("anchor_id", "rnk")
+  }
+
   /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
     * the histogram of duplicate-family sizes (how many clusters of each
     * size, how many docs they hold, how many would be dropped keeping
@@ -948,6 +1045,8 @@ object Dedup extends QueryPack {
     "q73_dedup_clusters" -> q73DedupClusters _,
     "q181_effective_tokens" -> q181EffectiveTokens _,
     "q205_mixture_plan" -> q205MixturePlan _,
+    "q220_mixture_sample" -> q220MixtureSample _,
+    "q221_negative_sample" -> q221NegativeSample _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q164_priority_survivor" -> q164PrioritySurvivor _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -1280,6 +1379,59 @@ object Dedup extends QueryPack {
                      ELSE floor(CAST(planned_tokens AS DOUBLE) * 1000
                                 / eff_tokens) / 1000 END AS epochs
          FROM p ORDER BY source""",
+    // q220: q205's CTE chain restricted to canonical docs, the in-plan
+    // floor(Σeff/2) budget, and q134's cumulative admission window in
+    // identical (h, doc_id) order — integer end-to-end
+    "q220_mixture_sample" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tok
+               FROM documents),
+         canon AS (SELECT t.doc_id, t.source, t.n_tok
+                   FROM t JOIN cl ON t.doc_id = cl.doc_id
+                   WHERE t.doc_id = cl.cluster_id),
+         eff AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS eff_tokens
+                 FROM canon GROUP BY source),
+         w AS (SELECT source, eff_tokens,
+                      CAST(floor(sqrt(CAST(eff_tokens AS DOUBLE)) * 1000)
+                        AS BIGINT) AS weight
+               FROM eff),
+         tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot,
+                        CAST(sum(eff_tokens) AS BIGINT) AS efftot FROM w),
+         plan AS (SELECT source,
+                         CAST(floor(CAST(weight AS DOUBLE) * (efftot // 2)
+                                    / wtot) AS BIGINT) AS planned_tokens
+                  FROM w, tot),
+         adm AS (SELECT source, doc_id, n_tok,
+                        CAST(sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY (doc_id * 2654435761) % 1048576, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                 FROM canon)
+         SELECT adm.source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                cum_tokens, planned_tokens
+         FROM adm JOIN plan ON plan.source = adm.source
+         WHERE cum_tokens <= planned_tokens
+         ORDER BY adm.source, cum_tokens""",
+    // q221: same integer pair hash, same bucket probe, row_number in
+    // (r, cand_id) order ≡ the bounded heap's (score DESC, id ASC)
+    "q221_negative_sample" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         a AS (SELECT doc_id AS anchor_id, cluster_id AS cl_a,
+                      (doc_id * 40503) % $negBuckets AS pb FROM cl),
+         c AS (SELECT doc_id AS cand_id, cluster_id AS cl_c,
+                      ((doc_id % 2147483647) * 2654435761) % $negBuckets
+                        AS cb FROM cl),
+         j AS (SELECT anchor_id, cand_id,
+                      ((anchor_id * 1048573 + cand_id) % 2147483647)
+                        * 2654435761 % 2147483647 AS r
+               FROM a JOIN c ON pb = cb AND cl_a <> cl_c),
+         rk AS (SELECT anchor_id, cand_id, r,
+                       row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY r, cand_id) AS rnk
+                FROM j)
+         SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, cand_id AS neg_id,
+                CAST(r AS BIGINT) AS r
+         FROM rk WHERE rnk <= $negK ORDER BY anchor_id, rnk""",
     // q76: NOT EXISTS ≡ Spark left_anti (incl. null semantics).
     "q76_incremental_dedup" ->
       """WITH e AS (SELECT md5(text) AS sig FROM documents WHERE doc_id < 250),

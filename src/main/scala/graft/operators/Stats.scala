@@ -1012,7 +1012,46 @@ object Stats extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** q222: VOCABULARY GROWTH CURVE — Heaps'-law saturation: distinct
+    * vocabulary and type/token ratio at each decile prefix of the
+    * corpus in doc_id (arrival) order. The curve answers the
+    * acquisition question q141/q215 frame between snapshots — is more
+    * of THIS source still adding types, or has its vocabulary
+    * saturated (a flattening curve means new data is recombination,
+    * not novelty — the diminishing-returns signal corpus planning
+    * reads). One token explode feeds a per-token min(doc_id)
+    * FIRST-OCCURRENCE aggregate (partial-folding; the same relation
+    * as q113's novelty but token-grain); after that everything is
+    * vocabulary-sized: the 10-row cut relation (from a lazy one-row
+    * count broadcast) joins the first-occurrence table and the
+    * per-doc token counts, both bounded fan-out ×10. Integer counts
+    * everywhere, one floored division per output row. */
+  private def q222VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val firstDoc = docs
+      .select(col("doc_id"), explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("t").agg(min("doc_id").as("fd"))
+    val perDoc = docs.select(col("doc_id"),
+      expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
+    val cuts = perDoc.agg(count(lit(1)).as("nd"))
+      .select(explode(expr("sequence(1, 10)")).as("k"), col("nd"))
+      .select(col("k").cast("long").as("decile"),
+              expr("cast((nd * k) div 10 as bigint)").as("n_docs"))
+    val vocab = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("fd") < col("n_docs"))
+      .groupBy("decile", "n_docs").agg(count(lit(1)).as("vocab"))
+    val toksum = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") < col("n_docs"))
+      .groupBy("decile", "n_docs").agg(sum("n_tok").as("cum_tokens"))
+    vocab.join(toksum, Seq("decile", "n_docs"))
+      .select(col("decile"), col("n_docs"), col("cum_tokens"), col("vocab"),
+        expr("""floor(cast(vocab as double) / cum_tokens * 1000000)
+                / 1000000""").as("ttr"))
+      .orderBy("decile")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_vocab_growth" -> q222VocabGrowth _,
     "q215_length_ks" -> q215LengthKs _,
     "q196_sketch_merge" -> q196SketchMerge _,
     "q195_source_sketch" -> q195SourceSketch _,
@@ -1159,6 +1198,29 @@ object Stats extends QueryPack {
   // `def`, not `val`: the q138 fallback branch reads the codebook cache,
   // which is empty at object init (the Similarity.oracles contract)
   override def oracles: Map[String, String] = Map(
+    // q222: same first-occurrence aggregate, same integer decile cuts,
+    // one floored type/token division
+    "q222_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+                            unnest(string_split_regex(trim(text), '\s+')) AS t
+                     FROM documents),
+         fd AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY 1),
+         pd AS (SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS n_tok
+                FROM documents),
+         n AS (SELECT count(*) AS nd FROM pd),
+         cuts AS (SELECT CAST(k AS BIGINT) AS decile,
+                         CAST((nd * k) // 10 AS BIGINT) AS n_docs
+                  FROM n, (SELECT unnest(range(1, 11)) AS k) u),
+         v AS (SELECT decile, n_docs, count(*) AS vocab
+               FROM fd, cuts WHERE fd.fd < cuts.n_docs GROUP BY 1, 2),
+         s AS (SELECT decile, n_docs, CAST(sum(n_tok) AS BIGINT) AS cum_tokens
+               FROM pd, cuts WHERE pd.doc_id < cuts.n_docs GROUP BY 1, 2)
+         SELECT v.decile, v.n_docs, cum_tokens, vocab,
+                floor(CAST(vocab AS DOUBLE) / cum_tokens * 1000000) / 1000000
+                  AS ttr
+         FROM v JOIN s ON s.decile = v.decile AND s.n_docs = v.n_docs
+         ORDER BY v.decile""",
     // q215: identical grid (global distinct values × sources), window
     // cumsum per source, integer cross-product max, one floored division
     "q215_length_ks" ->

@@ -254,4 +254,61 @@ class MiningSpec extends SparkTestBase {
     assert(got.toSeq == want.sortBy(t => (t._1, t._2)))
     assert(got.forall(t => t._3 >= -1.0 && t._3 <= 1.0))
   }
+
+  test("q220 mixture sample: replays admission from gated q73 + q205 arithmetic") {
+    val got = SparkEntry.queries("q220_mixture_sample")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    val assign = SparkEntry.queries("q73_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source",
+        s"cast(size(${graft.functions.TextExprs.toks}) as long)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val canon = toks.filter(t => assign(t._1) == t._1)
+    val eff = canon.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val weight = eff.view.mapValues(t =>
+      math.floor(math.sqrt(t.toDouble) * 1000).toLong).toMap
+    val wtot = weight.values.sum
+    val efftot = eff.values.sum
+    val planned = weight.view.mapValues(w =>
+      math.floor(w.toDouble * (efftot / 2) / wtot).toLong).toMap
+    val want = canon.groupBy(_._2).toSeq.flatMap { case (srcName, ds) =>
+      var cum = 0L
+      ds.sortBy(t => ((t._1 * 2654435761L) % 1048576, t._1)).flatMap { t =>
+        cum += t._3
+        if (cum <= planned(srcName)) Some((srcName, t._1, t._3, cum,
+                                          planned(srcName)))
+        else None
+      }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want)
+    // the budget binds somewhere and admits something everywhere
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.forall(r => r._4 <= r._5)) }
+  }
+
+  test("q221 negatives: deterministic, bucket-bounded, never in the anchor family") {
+    val got = SparkEntry.queries("q221_negative_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    val assign = SparkEntry.queries("q73_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ids = assign.keys.toSeq.sorted
+    val want = ids.flatMap { a =>
+      val pb = (a * 40503) % 16
+      val cands = ids.filter(c => ((c % 2147483647L) * 2654435761L) % 16 == pb &&
+                                  assign(c) != assign(a))
+        .map(c => (c, ((a * 1048573 + c) % 2147483647L)
+                      * 2654435761L % 2147483647L))
+        .sortBy(t => (t._2, t._1)).take(3)
+      cands.zipWithIndex.map { case ((c, r), i) => (a, (i + 1).toLong, c, r) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    // exclusion: no emitted negative shares the anchor's dedup family
+    assert(got.forall(t => assign(t._3) != assign(t._1)))
+  }
 }

@@ -534,4 +534,28 @@ class StatsSpec extends SparkTestBase {
     // KS is a probability-scale distance
     assert(got.forall(t => t._6 >= 0.0 && t._6 <= 1.0))
   }
+
+  test("q222 vocab growth: replays first-occurrence deciles; curve monotone") {
+    val got = SparkEntry.queries("q222_vocab_growth")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", graft.functions.TextExprs.toks).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nd = docs.length.toLong
+    val firstDoc = docs.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = (1L to 10L).map { k =>
+      val cut = nd * k / 10
+      val vocab = firstDoc.values.count(_ < cut).toLong
+      val cum = docs.filter(_._1 < cut).map(_._2.size.toLong).sum
+      (k, cut, cum, vocab,
+       math.floor(vocab.toDouble / cum * 1000000) / 1000000)
+    }
+    assert(got.toSeq == want)
+    // growth curve: vocabulary and token mass never shrink with more data
+    assert(got.map(_._4).zip(got.map(_._4).tail).forall { case (a, b) => a <= b })
+    assert(got.map(_._3).zip(got.map(_._3).tail).forall { case (a, b) => a < b })
+    assert(got.last._4 == firstDoc.size.toLong)
+  }
 }
