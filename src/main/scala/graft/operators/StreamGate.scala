@@ -523,7 +523,30 @@ object StreamGate extends QueryPack {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** q223: STREAMING PATH MINING — [[graft.streaming.StreamOps
+    * .eventPathsStream]] (per-user event-time timeline assembly
+    * finalized by timer — ordering under out-of-order arrival is the
+    * part a stream must earn; see the operator doc) under the oracle
+    * gate: the emitted per-user trigram facts aggregate through the
+    * same top-20 count batch q213 runs (the q118 in-stream/
+    * in-warehouse split), and the sentinel's +35-day jump fires every
+    * timer, so the bounded pass finalizes every user and serves batch
+    * q213's oracle verbatim. */
+  private def q223PathsStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ev = eventStream(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[graft.streaming.StreamOps.PathEvent]
+    val out = graft.streaming.StreamOps.eventPathsStream(
+      ev, horizonMs = 30L * 24 * 3600 * 1000, watermarkDelay = "1 minute")
+    runToBatch(s, out.toDF()).filter(col("user_id") >= 0)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3")).limit(20)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_paths_stream" -> q223PathsStream _,
     "q218_decay_stream" -> q218DecayStream _,
     "q219_attribution_stream" -> q219AttributionStream _,
     "q177_funnel_stream" -> q177FunnelStream _,
@@ -545,6 +568,9 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // batch-equivalence: finalized timeline assembly must reproduce the
+    // batch (ts, event_id)-ordered trigram counts verbatim
+    "q223_paths_stream" -> Behavior.oracles("q213_event_paths"),
     // batch-equivalence: exact power-of-two integer weights make the
     // streaming sum replay batch q214's BIGINT sums in any arrival
     // order — its oracle covers the streamed output verbatim

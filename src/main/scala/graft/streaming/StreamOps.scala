@@ -582,6 +582,62 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class PathEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, event_type: String)
+  final case class PathBuf(events: List[(Long, Long, String)], lastUs: Long)
+  final case class PathTrigram(user_id: Long, t1: String, t2: String,
+                               t3: String)
+
+  /** Streaming TIMELINE ASSEMBLY — the event-time twin of the q213 path
+    * miner's sequence step: per user, the ordered event-type trigrams of
+    * the timeline, emitted once the watermark passes the user's last
+    * activity + `horizonMs`. Ordering is the problem a stream must
+    * solve that batch gets free from its sort: trigrams depend on the
+    * (ts, event_id) TOTAL ORDER of the timeline, and out-of-order
+    * arrival can insert an event BETWEEN two already-seen neighbors,
+    * changing every trigram that spanned the gap — so, exactly like the
+    * funnel's min-chain, the assembly is not incrementally foldable and
+    * the correct design buffers the user's in-horizon events and
+    * assembles once, at event-time finalization. State per user = the
+    * horizon's events (GC'd by the timer); the downstream trigram COUNT
+    * is deliberately left to the warehouse side (the q118 split) — the
+    * emitted rows are the per-user sequence facts. */
+  def eventPathsStream(ds: Dataset[PathEvent], horizonMs: Long,
+                       watermarkDelay: String)
+                      (implicit spark: SparkSession): Dataset[PathTrigram] = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    def update(uid: Long, events: Iterator[PathEvent],
+               state: GroupState[PathBuf]): Iterator[PathTrigram] = {
+      if (state.hasTimedOut) {
+        val buf = state.get.events
+        state.remove()
+        val seq = buf.sortBy(e => (e._1, e._2)).map(_._3)
+        if (seq.lengthCompare(3) < 0) Iterator.empty
+        else seq.sliding(3).map(s => PathTrigram(uid, s(0), s(1), s(2)))
+      } else {
+        val prev = state.getOption.getOrElse(PathBuf(Nil, Long.MinValue))
+        var evs = prev.events
+        var last = prev.lastUs
+        events.foreach { e =>
+          val us = micros(e.ts)
+          evs = (us, e.event_id, e.event_type) :: evs
+          last = math.max(last, us)
+        }
+        state.update(PathBuf(evs, last))
+        state.setTimeoutTimestamp(last / 1000 + horizonMs)
+        Iterator.empty
+      }
+    }
+
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   final case class QuotaDoc(key: String, doc_id: Long, ts: java.sql.Timestamp)
 
   /** Per-(key, window) admission counter for [[quotaPerKeyStream]]

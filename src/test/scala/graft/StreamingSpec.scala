@@ -716,4 +716,44 @@ class StreamingSpec extends SparkTestBase {
     // every attribution inside the (0, 2h] window
     assert(got.forall(t => t._4 > 0 && t._4 <= twoH))
   }
+
+  test("q223 streaming paths: a late middle event reorders the trigrams") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.PathEvent]
+    val q = StreamOps.eventPathsStream(mem.toDS(),
+        horizonMs = 60000L, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("append").start()
+    def ev(u: Long, t: String, id: Long, ty: String) =
+      StreamOps.PathEvent(u, Timestamp.valueOf(t), id, ty)
+    // batch 1 arrives a > c > d (by ts); the in-between b comes later
+    mem.addData(Seq(ev(1L, "2024-01-01 00:01:00", 1L, "a"),
+                    ev(1L, "2024-01-01 00:03:00", 3L, "c"),
+                    ev(1L, "2024-01-01 00:04:00", 4L, "d")))
+    q.processAllAvailable()
+    // late-but-in-watermark middle event: every trigram spanning the
+    // gap changes — a fold frozen from batch 1 would emit (a,c,d)
+    mem.addData(Seq(ev(1L, "2024-01-01 00:02:00", 2L, "b")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(99L, "2024-01-01 02:00:00", 90L, "z")))
+    q.processAllAvailable()
+    mem.addData(Seq(ev(99L, "2024-01-01 03:00:00", 91L, "z")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("paths_out").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(("a", "b", "c"), ("b", "c", "d")),
+      s"late insertion must rebuild the trigram chain, got $got")
+  }
+
+  test("q223 gate equals batch q213 row-for-row") {
+    val stream = SparkEntry.queries("q223_paths_stream")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q213_event_paths")(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch)
+  }
 }
