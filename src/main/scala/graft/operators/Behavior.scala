@@ -133,13 +133,61 @@ object Behavior extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q226: USER GROWTH CURVE — daily active users, first-seen new
+    * users, and the cumulative user count: the acquisition dashboard
+    * every event warehouse serves, and the DENOMINATOR feed q193's
+    * retention matrix normalizes by. Two corpus passes collapse to the
+    * day grain immediately: a distinct (day, user) projection for
+    * actives and a per-user min(day) first-seen aggregate for news —
+    * both partial-folding, both shuffling (date, id) pairs only. The
+    * cumulative sum is an unpartitioned window ON THE DAY-GRAIN
+    * RELATION — D rows for a D-day corpus regardless of event volume,
+    * so the single-partition window is bounded by the calendar, not
+    * the data (the q215 value-domain argument). Dates emit as
+    * formatted strings (the strftime parity rule); counts are exact
+    * integers. */
+  private def q226UserGrowth(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("user_id"))
+    val daily = ev.distinct().groupBy("dt")
+      .agg(count(lit(1)).as("active_users"))
+    val newu = ev.groupBy("user_id").agg(min("dt").as("dt"))
+      .groupBy("dt").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(newu, Seq("dt"), "left")
+      .select(col("dt"), col("active_users"),
+              coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+              col("active_users"), col("new_users"), col("cum_users"))
+      .orderBy("dt")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_user_growth"    -> q226UserGrowth _,
     "q212_assoc_rules"    -> q212AssocRules _,
     "q213_event_paths"    -> q213EventPaths _,
     "q214_decayed_counts" -> q214DecayedCounts _,
   )
 
   override val oracles: Map[String, String] = Map(
+    // q226: same day-grain collapse; the cumulative window runs on the
+    // calendar-sized relation; dates compared as formatted strings
+    "q226_user_growth" ->
+      """WITH ev AS (SELECT ts::DATE AS dt, user_id FROM events),
+         daily AS (SELECT dt, count(*) AS active_users
+                   FROM (SELECT DISTINCT dt, user_id FROM ev) GROUP BY 1),
+         fs AS (SELECT user_id, min(dt) AS dt FROM ev GROUP BY 1),
+         newu AS (SELECT dt, count(*) AS new_users FROM fs GROUP BY 1),
+         j AS (SELECT daily.dt, active_users,
+                      coalesce(new_users, 0) AS new_users
+               FROM daily LEFT JOIN newu ON newu.dt = daily.dt)
+         SELECT strftime(dt, '%Y-%m-%d') AS dt, active_users,
+                CAST(new_users AS BIGINT) AS new_users,
+                CAST(sum(new_users) OVER (ORDER BY dt
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM j ORDER BY dt""",
     // q212: integer counts; support/confidence one floored division each,
     // lift the fixed-parenthesization integer-derived ratio (no log)
     "q212_assoc_rules" ->

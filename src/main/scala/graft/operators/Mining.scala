@@ -312,7 +312,46 @@ object Mining extends QueryPack {
       .orderBy("src_a", "src_b")
   }
 
+  /** Neighborhood size for the q224 hubness audit. */
+  private val hubK = 5
+
+  /** q224: KNN-GRAPH HUBNESS AUDIT — the in-degree distribution of the
+    * directed k-nearest-neighbor graph: how many other vectors count
+    * each vector among their top-k. High-dimensional embedding spaces
+    * concentrate — a few HUBS appear in everyone's neighbor list while
+    * antihubs appear in nobody's (Radovanović et al.'s hubness
+    * pathology) — and every kNN consumer in this repo (q96's
+    * classifier votes, q103's SemDeDup, q126's mining) degrades
+    * exactly when hubness is high, so this audit is the health check
+    * run BEFORE trusting any of them; q126's margin denominator is the
+    * per-pair correction, this is the corpus-level diagnosis. Output
+    * is the full per-vector in-degree table (antihubs included via a
+    * left join, in-degree 0), hub-first. Shape: the A×B cosine
+    * relation (broadcast nested-loop at test scale, the q86 IVF-PQ
+    * probed candidate set at 100 TB — identical downstream), bounded-
+    * heap top-k per vector, one id-grain count; shuffles carry
+    * (id, id) rows only, Σ in-degree = k·N by construction
+    * (MiningSpec pins it). */
+  private def q224HubAudit(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val knn = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+      .crossJoin(broadcast(
+        e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("c", NativeExprs.cosine_sim(col("av"), col("bv")))
+      .groupBy("a_id")
+      .agg(TopKAgg.top_k_by_score(col("c"), col("b_id"), hubK).as("top"))
+      .select(col("a_id"), explode(expr("top.id")).as("n_id"))
+    val indeg = knn.groupBy(col("n_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    e.select("vec_id").join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+              coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .orderBy(col("in_degree").desc, col("vec_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_hub_audit" -> q224HubAudit _,
     "q217_source_centroids" -> q217SourceCentroids _,
     "q216_pagerank" -> q216Pagerank _,
     "q126_margin_mine" -> q126MarginMine _,
@@ -322,6 +361,22 @@ object Mining extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q224: q96's kNN machinery (list_cosine_similarity in the same
+    // argument order as the native expression; row_number in (c DESC,
+    // id) ≡ the bounded heap's total order), left join keeps antihubs
+    "q224_hub_audit" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       list_cosine_similarity(a.v, b.v) AS c
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+          r AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                         ORDER BY c DESC, b_id) AS rnk
+                FROM p),
+          d AS (SELECT b_id, count(*) AS ind FROM r WHERE rnk <= $hubK
+                GROUP BY 1)
+          SELECT e.vec_id, CAST(coalesce(d.ind, 0) AS BIGINT) AS in_degree
+          FROM e LEFT JOIN d ON d.b_id = e.vec_id
+          ORDER BY in_degree DESC, e.vec_id""",
     // q217: same integer quantization (q163's), co-unnest dim zip,
     // exact BIGINT sums/products; the only float is dot/(sqrt·sqrt)
     // with identical parenthesization

@@ -1050,7 +1050,39 @@ object Stats extends QueryPack {
       .orderBy("decile")
   }
 
+  /** q225: SOURCE LEXICAL DIVERSITY — Simpson concentration and
+    * inverse-Simpson effective vocabulary per source: the probability
+    * two tokens drawn from the source coincide (Σc² / N²) and its
+    * reciprocal, the "effective number of distinct tokens" — the
+    * source-grain diversity index beside q142's per-document entropy
+    * (and, like q198/q208, chosen over Shannon-at-source precisely
+    * because it needs NO log: Σc² is an exact BIGINT in any partition
+    * order and both outputs are one floored division of exact
+    * integers). The procurement read: two sources with equal token
+    * mass but 10× different effective vocabulary contribute very
+    * different diversity per token to a mixture (q205/q220), and a
+    * crashing eff_vocab across a crawl's snapshots flags template
+    * flooding. One (source, token) count aggregate — partial-folding,
+    * count rows only — then an S-row rollup. */
+  private def q225SourceDiversity(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(s, d)
+      .select(col("source"), explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("distinct_tokens"),
+           sum(col("c") * col("c")).as("sumsq"))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        col("sumsq"),
+        expr("""floor(cast(sumsq as double)
+                      / (cast(n_tokens as double) * n_tokens) * 1000000)
+                / 1000000""").as("simpson"),
+        expr("""floor(cast(n_tokens as double) * n_tokens / sumsq * 1000)
+                / 1000""").as("eff_vocab"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_source_diversity" -> q225SourceDiversity _,
     "q222_vocab_growth" -> q222VocabGrowth _,
     "q215_length_ks" -> q215LengthKs _,
     "q196_sketch_merge" -> q196SketchMerge _,
@@ -1198,6 +1230,24 @@ object Stats extends QueryPack {
   // `def`, not `val`: the q138 fallback branch reads the codebook cache,
   // which is empty at object init (the Similarity.oracles contract)
   override def oracles: Map[String, String] = Map(
+    // q225: exact BIGINT Σc² in any order; both indices one floored
+    // division of exact integers, identical parenthesization
+    "q225_source_diversity" ->
+      """WITH tk AS (SELECT source,
+                            unnest(string_split_regex(trim(text), '\s+')) AS t
+                     FROM documents),
+         tc AS (SELECT source, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                        count(*) AS distinct_tokens,
+                        CAST(sum(c * c) AS BIGINT) AS sumsq
+                 FROM tc GROUP BY 1)
+         SELECT source, n_tokens, distinct_tokens, sumsq,
+                floor(CAST(sumsq AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * n_tokens) * 1000000)
+                  / 1000000 AS simpson,
+                floor(CAST(n_tokens AS DOUBLE) * n_tokens / sumsq * 1000)
+                  / 1000 AS eff_vocab
+         FROM agg ORDER BY source""",
     // q222: same first-occurrence aggregate, same integer decile cuts,
     // one floored type/token division
     "q222_vocab_growth" ->

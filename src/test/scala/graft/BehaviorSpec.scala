@@ -72,4 +72,27 @@ class BehaviorSpec extends SparkTestBase {
     val s = got.map(_._5).sum
     assert(s <= 1.0 + 1e-9 && s > 0.99, s"share sum $s")
   }
+
+  test("q226 user growth: matches a per-day replay; cumulative closes at |users|") {
+    val got = Behavior.queries("q226_user_growth")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val day = 86400000000L
+    val dayUser = events.map(e => (e._2 / day, e._3))
+    def fmt(d: Long): String =
+      java.time.LocalDate.ofEpochDay(d).toString
+    val active = dayUser.distinct.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val firstDay = dayUser.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val newByDay = firstDay.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    var cum = 0L
+    val want = active.keys.toSeq.sorted.map { d =>
+      cum += newByDay.getOrElse(d, 0L)
+      (fmt(d), active(d), newByDay.getOrElse(d, 0L), cum)
+    }
+    assert(got.toSeq == want)
+    assert(got.last._4 == firstDay.size.toLong)
+    // actives always at least the day's new arrivals
+    assert(got.forall(t => t._2 >= t._3))
+  }
 }

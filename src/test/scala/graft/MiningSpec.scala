@@ -311,4 +311,32 @@ class MiningSpec extends SparkTestBase {
     // exclusion: no emitted negative shares the anchor's dedup family
     assert(got.forall(t => assign(t._3) != assign(t._1)))
   }
+
+  test("q224 hub audit: matches a brute-force kNN replay; mass = k*N") {
+    val got = SparkEntry.queries("q224_hub_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val indeg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    vecs.foreach { case (a, av) =>
+      vecs.filter(_._1 != a)
+        .map { case (b, bv) => (b, cos(av, bv)) }
+        .sortBy(t => (-t._2, t._1)).take(5)
+        .foreach { case (b, _) => indeg(b) += 1 }
+    }
+    val want = vecs.map(v => (v._1, indeg(v._1)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._2).sum == 5L * vecs.length)
+    // hubness exists on this corpus: some vector is over-represented
+    assert(got.head._2 > 5L)
+  }
 }

@@ -558,4 +558,27 @@ class StatsSpec extends SparkTestBase {
     assert(got.map(_._3).zip(got.map(_._3).tail).forall { case (a, b) => a < b })
     assert(got.last._4 == firstDoc.size.toLong)
   }
+
+  test("q225 source diversity: exact integer replay; indices consistent") {
+    val got = SparkEntry.queries("q225_source_diversity")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("source", graft.functions.TextExprs.toks).collect()
+      .flatMap(r => r.getSeq[String](1).map(t => (r.getString(0), t)))
+    val want = toks.groupBy(_._1).toSeq.map { case (src, ts) =>
+      val counts = ts.groupBy(_._2).view.mapValues(_.size.toLong).values.toSeq
+      val n = counts.sum; val d = counts.size.toLong
+      val ss = counts.map(c => c * c).sum
+      (src, n, d, ss,
+       math.floor(ss.toDouble / (n.toDouble * n) * 1000000) / 1000000,
+       math.floor(n.toDouble * n / ss * 1000) / 1000)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // Simpson in (0, 1]; effective vocab never exceeds the distinct count
+    got.foreach { case (src, _, d, _, si, ev) =>
+      assert(si > 0.0 && si <= 1.0, s"$src simpson $si")
+      assert(ev <= d.toDouble, s"$src eff_vocab $ev > distinct $d")
+    }
+  }
 }
