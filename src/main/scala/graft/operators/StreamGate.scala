@@ -545,7 +545,56 @@ object StreamGate extends QueryPack {
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3")).limit(20)
   }
 
+  /** q227: STREAM-STREAM LEFT OUTER INTERVAL JOIN — the UNATTRIBUTED
+    * side q219 cannot express: every click, paired with its
+    * within-2h purchases when they exist and emitted ONCE WITH NULLS
+    * when they don't. Mechanically a different operator than inner
+    * join: the null-side row cannot be emitted when the click arrives
+    * (a matching purchase may still come), so Spark emits it at STATE
+    * EVICTION — when the watermark proves no in-horizon purchase can
+    * arrive, the evicted click emits with nulls. The sentinel's
+    * +35-day jump drives the watermark past every click's horizon, so
+    * the bounded pass finalizes every click and equals the batch LEFT
+    * JOIN row-for-row (within one click the output is either matched
+    * rows or the single null row, never both — so the deterministic
+    * (user, click, purchase) order never compares NULL against
+    * non-NULL inside a key and the engines' opposite null-sort
+    * defaults cannot diverge). The conversion dashboard runs on
+    * exactly this: attributed vs unattributed click mass in one
+    * relation. */
+  private def q227AttributionOuter(s: SparkSession, d: String): DataFrame = {
+    // the SENTINEL must survive the pre-join filters here: null-side
+    // rows emit only at state EVICTION, and eviction needs the
+    // watermark to advance past the last real click's horizon — filter
+    // the sentinel before `withWatermark` (as the inner join q219
+    // safely does) and the tail clicks' unmatched rows never emit.
+    // Both sides keep it (type filter OR event_id < 0), the sink drops
+    // its key (< 0), the gate's standard sentinel contract.
+    val ev = eventStream(s, d)
+    val clicks = ev
+      .filter(col("event_type") === "click" || col("event_id") < 0)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev
+      .filter(col("event_type") === "purchase" || col("event_id") < 0)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+    runToBatch(s, joined.select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        expr("unix_micros(p_ts) - unix_micros(c_ts)").as("gap_us")))
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_attribution_outer" -> q227AttributionOuter _,
     "q223_paths_stream" -> q223PathsStream _,
     "q218_decay_stream" -> q218DecayStream _,
     "q219_attribution_stream" -> q219AttributionStream _,
@@ -568,6 +617,16 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // the batch left interval join: matched rows ∪ one null row per
+    // unmatched click — eviction-time emission must reproduce it
+    "q227_attribution_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+         ORDER BY c.user_id, click_id, purchase_id""",
     // batch-equivalence: finalized timeline assembly must reproduce the
     // batch (ts, event_id)-ordered trigram counts verbatim
     "q223_paths_stream" -> Behavior.oracles("q213_event_paths"),

@@ -756,4 +756,30 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSeq
     assert(stream == batch)
   }
+
+  test("q227 left-outer interval join: null rows exactly for unattributed clicks") {
+    val got = SparkEntry.queries("q227_attribution_outer")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val inner = SparkEntry.queries("q219_attribution_stream")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    // matched subset ≡ the inner join's rows
+    val matched = got.collect { case (u, c, Some(p), Some(g)) => (u, c, p, g) }
+    assert(matched.toSeq.sorted == inner.toSeq.sorted)
+    // null rows: exactly one per click absent from the inner join's
+    // click set, and every click appears
+    val innerClicks = inner.map(_._2).toSet
+    val nullRows = got.collect { case (_, c, None, None) => c }
+    assert(nullRows.toSet.intersect(innerClicks).isEmpty)
+    assert(nullRows.distinct.length == nullRows.length)
+    val allClicks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(nullRows.toSet ++ innerClicks == allClicks)
+    // no half-null rows
+    assert(!got.exists(t => t._3.isDefined != t._4.isDefined))
+  }
 }
