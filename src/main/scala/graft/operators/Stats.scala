@@ -984,9 +984,23 @@ object Stats extends QueryPack {
     * S². At 100 TB the identical plan runs over BINNED lengths
     * (width-b histogram ECDF, DKW-bounded error b·density), which
     * caps |V| regardless of domain. */
-  private def q215LengthKs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("source"), col("n_chars").as("v"))
+  private def q215LengthKs(s: SparkSession, d: String): DataFrame =
+    lengthKsCore(Tables.documents(s, d), binWidth = 1L)
+
+  /** The q215 core over any (source, n_chars) relation, parameterized
+    * by the SCALE KNOB: `binWidth` buckets lengths before the ECDF, so
+    * the evaluation grid is |domain|/binWidth values regardless of how
+    * many distinct lengths the corpus has. Binning only SHRINKS the
+    * statistic — the binned ECDFs agree with the exact ones at every
+    * bin boundary, so the binned max runs over a subset of the exact
+    * max's evaluation points: D_binned ≤ D_exact always, with the gap
+    * bounded by the largest per-bin mass (the DKW-style argument);
+    * ScaleSpec asserts both the subset bound and that binWidth = 1
+    * reproduces the declared query exactly. */
+  private[graft] def lengthKsCore(docsIn: DataFrame,
+                                  binWidth: Long): DataFrame = {
+    val docs = docsIn
+      .select(col("source"), expr(s"n_chars div $binWidth").as("v"))
     val counts = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
     val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
     val values = docs.select("v").distinct()

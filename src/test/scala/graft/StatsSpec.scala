@@ -581,4 +581,25 @@ class StatsSpec extends SparkTestBase {
       assert(ev <= d.toDouble, s"$src eff_vocab $ev > distinct $d")
     }
   }
+
+  test("q215 scale path: binned KS never exceeds exact; width 1 is the declared form") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    def ks(bin: Long): Map[(String, String), Double] =
+      graft.operators.Stats.lengthKsCore(docs, bin).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val exact = ks(1L)
+    val declared = SparkEntry.queries("q215_length_ks")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    assert(exact == declared, "binWidth=1 must be the declared query")
+    // the binned ECDF evaluates the same step functions at a subset of
+    // points, so its max can only shrink
+    Seq(8L, 64L).foreach { w =>
+      val binned = ks(w)
+      assert(binned.keySet == exact.keySet)
+      binned.foreach { case (k, v) =>
+        assert(v <= exact(k) + 1e-9, s"bin $w pair $k: $v > ${exact(k)}") }
+    }
+  }
 }
