@@ -1095,7 +1095,54 @@ object Stats extends QueryPack {
       .orderBy("source")
   }
 
+  /** Support floor and per-source k for q228. */
+  private val dtMinCount = 5
+  private val dtK = 5
+
+  /** q228: DISTINCTIVE TERMS PER SOURCE — each source's top-k
+    * characteristic vocabulary by rate lift (term rate in the source
+    * vs the corpus, the q180 ratio form: integer-derived doubles, no
+    * log — TF-IDF's signal without libm in the gate). The qualitative
+    * companion to q225's diversity scalar and q141's cross-snapshot
+    * drift: "what IS this source about", read before weighting it in
+    * a q205 mixture and after any crawl refresh (a source whose
+    * distinctive terms turn navigational went template-flooded).
+    * Per-group top-k with STRING payloads through the long-id
+    * bounded heap: terms rank under their 60-bit md5-prefix id (the
+    * q81/q120 hash idiom — ties on floored lift break by term id on
+    * both engines) and the winning ids join back to the scored
+    * relation to recover the term and its count — two joins of
+    * count rows, vocabulary-sized; the corpus contributes one
+    * (source, term) count pass. */
+  private def q228DistinctTerms(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("source"), explode(expr(TextExprs.toks)).as("t"))
+    val st = tk.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val tt = tk.groupBy("t").agg(count(lit(1)).as("c_t"))
+    val ns = tk.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = tk.agg(count(lit(1)).as("n_tot"))
+    val scored = st.join(tt, Seq("t"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c_st") >= dtMinCount)
+      .select(col("source"), col("t"), col("c_st"),
+        expr("""floor(cast(c_st as double) * n_tot
+                      / (cast(c_t as double) * n_s) * 1000) / 1000""")
+          .as("lift"),
+        expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").as("tid"))
+    val top = scored.groupBy("source")
+      .agg(TopKAgg.top_k_by_score(col("lift"), col("tid"), dtK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rnk"),
+              col("e.id").as("tid"))
+    top.join(scored, Seq("source", "tid"))
+      .select(col("source"), col("rnk"), col("t").as("term"), col("c_st"),
+              col("lift"))
+      .orderBy("source", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_distinct_terms" -> q228DistinctTerms _,
     "q225_source_diversity" -> q225SourceDiversity _,
     "q222_vocab_growth" -> q222VocabGrowth _,
     "q215_length_ks" -> q215LengthKs _,
@@ -1244,6 +1291,32 @@ object Stats extends QueryPack {
   // `def`, not `val`: the q138 fallback branch reads the codebook cache,
   // which is empty at object init (the Similarity.oracles contract)
   override def oracles: Map[String, String] = Map(
+    // q228: same integer counts, same ratio lift, row_number in
+    // (lift DESC, tid) ≡ the bounded heap's total order; md5-prefix id
+    // via the '0x' parse (q120's oracle idiom)
+    "q228_distinct_terms" ->
+      s"""WITH tk AS (SELECT source,
+                             unnest(string_split_regex(trim(text), '\\s+')) AS t
+                      FROM documents),
+          st AS (SELECT source, t, count(*) AS c_st FROM tk GROUP BY 1, 2),
+          tt AS (SELECT t, count(*) AS c_t FROM tk GROUP BY 1),
+          ns AS (SELECT source, count(*) AS n_s FROM tk GROUP BY 1),
+          tot AS (SELECT count(*) AS n_tot FROM tk),
+          scored AS (SELECT st.source, st.t, st.c_st,
+                            floor(CAST(st.c_st AS DOUBLE) * n_tot
+                                  / (CAST(tt.c_t AS DOUBLE) * ns.n_s) * 1000)
+                              / 1000 AS lift,
+                            CAST(('0x' || substr(md5(st.t), 1, 15)) AS BIGINT)
+                              AS tid
+                     FROM st JOIN tt USING (t)
+                             JOIN ns ON ns.source = st.source, tot
+                     WHERE st.c_st >= $dtMinCount),
+          rk AS (SELECT source, t, c_st, lift,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY lift DESC, tid) AS rnk
+                 FROM scored)
+          SELECT source, CAST(rnk AS BIGINT) AS rnk, t AS term, c_st, lift
+          FROM rk WHERE rnk <= $dtK ORDER BY source, rnk""",
     // q225: exact BIGINT Σc² in any order; both indices one floored
     // division of exact integers, identical parenthesization
     "q225_source_diversity" ->

@@ -602,4 +602,34 @@ class StatsSpec extends SparkTestBase {
         assert(v <= exact(k) + 1e-9, s"bin $w pair $k: $v > ${exact(k)}") }
     }
   }
+
+  test("q228 distinctive terms: matches a lift-ranked replay per source") {
+    val got = SparkEntry.queries("q228_distinct_terms")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+                           r.getLong(3), r.getDouble(4)))
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("source", graft.functions.TextExprs.toks).collect()
+      .flatMap(r => r.getSeq[String](1).map(t => (r.getString(0), t)))
+    def md5Top60(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16)
+    val st = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tt = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nTot = toks.length.toLong
+    val want = ns.keys.toSeq.sorted.flatMap { src =>
+      val cands = st.collect { case ((s, t), c) if s == src && c >= 5 =>
+        val lift = math.floor(
+          c.toDouble * nTot / (tt(t).toDouble * ns(src)) * 1000) / 1000
+        (t, c, lift, md5Top60(t))
+      }.toSeq.sortBy(x => (-x._3, x._4)).take(5)
+      cands.zipWithIndex.map { case ((t, c, l, _), i) =>
+        (src, (i + 1).toLong, t, c, l) }
+    }
+    assert(got.toSeq == want)
+    // every source reports, and a genuinely over-represented term exists
+    assert(got.map(_._1).distinct.length == ns.size)
+    assert(got.exists(_._5 > 1.0))
+  }
 }
