@@ -164,7 +164,41 @@ object Behavior extends QueryPack {
       .orderBy("dt")
   }
 
+  /** Trailing window, in days, for q230 (a 7-day WAU). */
+  private[operators] val rollWindowDays = 7
+
+  /** q230: ROLLING ACTIVE USERS — daily actives beside the trailing
+    * 7-day distinct-actives (DAU/WAU), the stickiness pair every
+    * engagement dashboard reads against q226's growth curve. Sliding
+    * distinct counts are the classically awkward aggregate (a user
+    * active twice in the window must count once, so per-day counts
+    * cannot sum); the scale-correct relational form used here: the
+    * corpus collapses to distinct (day, user) pairs ONCE, each pair
+    * explodes to the ≤ W trailing report days it covers, and one
+    * (day, user) distinct + day-grain count closes it — work is
+    * |active pairs|·W with day-grain output, no per-day re-scan of
+    * the corpus, and every shuffle carries (date, id) pairs. Report
+    * days are restricted to the corpus calendar (the cover-day
+    * explode would otherwise invent post-corpus days). Exact
+    * integers throughout; dates emit as formatted strings. */
+  private def q230RollingActive(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
+    val daily = du.groupBy("dt").agg(count(lit(1)).as("dau"))
+    val cover = du
+      .select(explode(expr(
+        s"sequence(dt, date_add(dt, ${rollWindowDays - 1}))")).as("rd"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("rd").as("dt")).agg(count(lit(1)).as("wau"))
+    daily.join(cover, Seq("dt"))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"), col("dau"),
+              col("wau"))
+      .orderBy("dt")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_rolling_active" -> q230RollingActive _,
     "q226_user_growth"    -> q226UserGrowth _,
     "q212_assoc_rules"    -> q212AssocRules _,
     "q213_event_paths"    -> q213EventPaths _,
@@ -172,6 +206,17 @@ object Behavior extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q230: same (day, user) collapse + covering-day explode; the
+    // inner join restricts report days to the corpus calendar
+    "q230_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS dt, user_id FROM events),
+         daily AS (SELECT dt, count(*) AS dau FROM du GROUP BY 1),
+         cover AS (SELECT DISTINCT dt + CAST(k AS INTEGER) AS rd, user_id
+                   FROM du, (SELECT unnest(range(0, 7)) AS k) u),
+         wau AS (SELECT rd AS dt, count(*) AS wau FROM cover GROUP BY 1)
+         SELECT strftime(daily.dt, '%Y-%m-%d') AS dt, dau, wau
+         FROM daily JOIN wau ON wau.dt = daily.dt
+         ORDER BY dt""",
     // q226: same day-grain collapse; the cumulative window runs on the
     // calendar-sized relation; dates compared as formatted strings
     "q226_user_growth" ->

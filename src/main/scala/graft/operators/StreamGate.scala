@@ -593,7 +593,45 @@ object StreamGate extends QueryPack {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** q229: STREAMING USER-GROWTH REGISTERS — q226's acquisition curve
+    * kept current by the stream, completing the register trilogy the
+    * gate set now states explicitly: q211 maintains MAX registers
+    * (HLL), q218 a weighted SUM, and this one MIN registers — each
+    * user's first-seen day is a MIN-aggregate, so like the max it is
+    * DUPLICATE-BLIND and arrival-order-free (a re-delivered or
+    * out-of-order event can never lower a true minimum it doesn't
+    * precede), which is the structural reason acquisition metrics
+    * stream exactly without dedup state. Two bounded complete-mode
+    * aggregations run the streams (per-user min(day); the distinct
+    * (day, user) active set), state = one date per user + one row per
+    * active pair; the day-grain rollup (counts, cumulative) is the
+    * warehouse side, and batch q226's oracle gates the composition
+    * verbatim. */
+  private def q229GrowthStream(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d).filter(col("event_id") >= 0)
+      .select(to_date(col("ts")).as("dt"), col("user_id"))
+    val firstSeen = runToBatch(s,
+      ev.groupBy("user_id").agg(min("dt").as("dt")),
+      outputMode = "complete")
+    val actives = runToBatch(s,
+      ev.groupBy("dt", "user_id").agg(count(lit(1)).as("n")),
+      outputMode = "complete")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("dt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    actives.groupBy("dt").agg(count(lit(1)).as("active_users"))
+      .join(firstSeen.groupBy("dt").agg(count(lit(1)).as("new_users")),
+            Seq("dt"), "left")
+      .select(col("dt"), col("active_users"),
+              coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+              col("active_users"), col("new_users"), col("cum_users"))
+      .orderBy("dt")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_growth_stream" -> q229GrowthStream _,
     "q227_attribution_outer" -> q227AttributionOuter _,
     "q223_paths_stream" -> q223PathsStream _,
     "q218_decay_stream" -> q218DecayStream _,
@@ -617,6 +655,10 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // batch-equivalence: min-register maintenance (first-seen) and the
+    // distinct active set are duplicate-blind, so the streamed rollup
+    // serves batch q226's oracle verbatim
+    "q229_growth_stream" -> Behavior.oracles("q226_user_growth"),
     // the batch left interval join: matched rows ∪ one null row per
     // unmatched click — eviction-time emission must reproduce it
     "q227_attribution_outer" ->

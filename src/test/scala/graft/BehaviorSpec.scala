@@ -95,4 +95,23 @@ class BehaviorSpec extends SparkTestBase {
     // actives always at least the day's new arrivals
     assert(got.forall(t => t._2 >= t._3))
   }
+
+  test("q230 rolling actives: WAU replay; window dominates the day") {
+    val got = Behavior.queries("q230_rolling_active")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val day = 86400000000L
+    val dayUser = events.map(e => (e._2 / day, e._3)).distinct
+    def fmt(d: Long): String = java.time.LocalDate.ofEpochDay(d).toString
+    val days = dayUser.map(_._1).distinct.sorted
+    val want = days.map { d =>
+      val dau = dayUser.count(_._1 == d).toLong
+      val wau = dayUser.collect {
+        case (dd, u) if dd >= d - 6 && dd <= d => u }.distinct.length.toLong
+      (fmt(d), dau, wau)
+    }
+    assert(got.toSeq == want.toSeq)
+    // a trailing-7 distinct count dominates its own day and is capped by
+    // the 7-day sum of daily actives
+    assert(got.forall(t => t._3 >= t._2))
+  }
 }

@@ -782,4 +782,12 @@ class StreamingSpec extends SparkTestBase {
     // no half-null rows
     assert(!got.exists(t => t._3.isDefined != t._4.isDefined))
   }
+
+  test("q229 streaming growth registers equal batch q226 row-for-row") {
+    val stream = SparkEntry.queries("q229_growth_stream")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q226_user_growth")(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch)
+  }
 }
