@@ -350,7 +350,47 @@ object Mining extends QueryPack {
       .orderBy(col("in_degree").desc, col("vec_id"))
   }
 
+  /** q231: KNN LABEL PURITY — per label, the mean fraction of each
+    * member's k nearest neighbors that share its label: the standard
+    * embedding-quality probe (leave-one-out kNN agreement) run on the
+    * WHOLE labeled set, where q96 predicts for a held-out split and
+    * q138 scores the IVF partition rather than the metric itself. Low
+    * purity for one label while others stay high localizes the damage
+    * — that label's region of the space is entangled, so retrieval
+    * (q98), SemDeDup (q103) and classification there are suspect.
+    * Same A×B + bounded-heap machinery as q224; agreement is an
+    * integer 0..k per vector summed exactly per label, closed by one
+    * floored division over k·n. */
+  private def q231KnnPurity(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val agree = e.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+                         col("label").as("la"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("bv"), col("label").as("lb"))))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("c", NativeExprs.cosine_sim(col("av"), col("bv")))
+      .groupBy(col("a_id"), col("la"))
+      .agg(TopKAgg.top_k_by_score(col("c"),
+        // pack the neighbor's label into the heap id's low bits so the
+        // agreement count needs no second join: id = b_id * 16 + lb
+        // (labels are 0..9; ranking ties on the packed id preserve the
+        // b_id order since the label is a deterministic function of it)
+        col("b_id") * 16 + col("lb"), hubK).as("top"))
+      .select(col("la").as("label"),
+        expr(s"""size(filter(transform(top, x -> cast(x.id as bigint) % 16),
+                             l -> l = la))""").cast("long").as("match_k"))
+    agree.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("match_k").as("agree"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("agree"),
+        expr(s"""floor(cast(agree as double) / (n_vecs * $hubK) * 1000000)
+                 / 1000000""").as("purity"))
+      .orderBy("label")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_knn_purity" -> q231KnnPurity _,
     "q224_hub_audit" -> q224HubAudit _,
     "q217_source_centroids" -> q217SourceCentroids _,
     "q216_pagerank" -> q216Pagerank _,
@@ -361,6 +401,25 @@ object Mining extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q231: same kNN relation; the packed heap id (b_id·16 + label)
+    // replicated in the rank's tie-break; integer agreement sums
+    "q231_knn_purity" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                     FROM embeddings),
+          p AS (SELECT a.vec_id AS a_id, a.label AS la, b.label AS lb,
+                       b.vec_id AS b_id, list_cosine_similarity(a.v, b.v) AS c
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+          r AS (SELECT a_id, la, lb, row_number() OVER (PARTITION BY a_id
+                         ORDER BY c DESC, b_id * 16 + lb) AS rnk
+                FROM p),
+          ag AS (SELECT a_id, la,
+                        sum(CASE WHEN lb = la THEN 1 ELSE 0 END) AS m
+                 FROM r WHERE rnk <= $hubK GROUP BY 1, 2)
+          SELECT CAST(la AS BIGINT) AS label, count(*) AS n_vecs,
+                 CAST(sum(m) AS BIGINT) AS agree,
+                 floor(CAST(sum(m) AS DOUBLE) / (count(*) * $hubK) * 1000000)
+                   / 1000000 AS purity
+          FROM ag GROUP BY 1 ORDER BY label""",
     // q224: q96's kNN machinery (list_cosine_similarity in the same
     // argument order as the native expression; row_number in (c DESC,
     // id) ≡ the bounded heap's total order), left join keeps antihubs

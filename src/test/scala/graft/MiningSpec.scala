@@ -339,4 +339,34 @@ class MiningSpec extends SparkTestBase {
     // hubness exists on this corpus: some vector is over-represented
     assert(got.head._2 > 5L)
   }
+
+  test("q231 knn purity: matches a leave-one-out agreement replay") {
+    val got = SparkEntry.queries("q231_knn_purity")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>)", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val agree = vecs.map { case (a, av, la) =>
+      val m = vecs.filter(_._1 != a)
+        .map { case (b, bv, lb) => ((b, lb), cos(av, bv)) }
+        .sortBy { case ((b, lb), c) => (-c, b * 16 + lb) }.take(5)
+        .count { case ((_, lb), _) => lb == la }
+      (la.toLong, m.toLong)
+    }
+    val want = agree.groupBy(_._1).toSeq.map { case (l, ms) =>
+      val n = ms.length.toLong; val s = ms.map(_._2).sum
+      (l, n, s, math.floor(s.toDouble / (n * 5) * 1000000) / 1000000)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // labels partition the set; purity is a fraction of k
+    assert(got.map(_._2).sum == vecs.length.toLong)
+    assert(got.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
+  }
 }
