@@ -395,7 +395,63 @@ object Multimodal extends QueryPack {
       .orderBy("pair_id")
   }
 
+  /** q232: CROSS-MODAL RETRIEVAL EVAL — text→media recall@k, the
+    * standard CLIP-style benchmark closing the multimodal eval story
+    * beside q203's pair audit: each caption embedding queries the
+    * media-embedding corpus, and the eval asks at what rank the
+    * caption's own paired asset comes back (R@1/5/10 over all
+    * queries). With the stub codec standing in for the media tower
+    * the measured number is chance-level BY CONSTRUCTION (the lattice
+    * vectors carry no signal about the text embeddings) — the gate
+    * certifies the EVAL MACHINERY exactly (ranking, tie discipline,
+    * hit accounting), and a real tower slots in through the same
+    * core unchanged, which is precisely how an eval harness should be
+    * testable without a model. Parity: cosines floor to 1e-6 BEFORE
+    * ranking (the q203 granularity), ties break on asset_id through
+    * the bounded heap; hits are exact integers, each recall one
+    * floored division. Shape: queries × broadcast media vectors →
+    * per-query top-10 heap → ONE summary row; payloads never move,
+    * and at corpus scale the crossJoin swaps for the q86 probed
+    * candidate set exactly as in q149. */
+  private def q232CrossmodalRecall(s: SparkSession, d: String): DataFrame = {
+    val media = extractVectors(assets(s, d), new StubMediaCodec(xmodalDim))(s)
+      .toDF().select(col("asset_id"), col("features"))
+    val text = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    crossModalRecall(media, text)
+  }
+
+  /** The q232 core over arbitrary sides — factored so the spec can
+    * plant a fixture where retrieval is PERFECT by construction (text
+    * side = the media vectors themselves → R@1 = 1) and one where a
+    * planted decoy outranks the true pair. */
+  private[graft] def crossModalRecall(media: DataFrame,
+                                      text: DataFrame): DataFrame = {
+    import graft.functions.{NativeExprs, TopKAgg}
+    val pos = text.crossJoin(broadcast(media))
+      .withColumn("c",
+        floor(NativeExprs.cosine_sim(col("features"), col("embedding"))
+                * 1000000) / 1000000)
+      .groupBy("vec_id")
+      .agg(TopKAgg.top_k_by_score(col("c"), col("asset_id"), 10).as("top"))
+      .select(col("vec_id"),
+              expr("array_position(transform(top, x -> x.id), vec_id)")
+                .as("pos"))
+    pos.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("pos") === 1, 1L).otherwise(0L)).as("hits_1"),
+      sum(when(col("pos").between(1, 5), 1L).otherwise(0L)).as("hits_5"),
+      sum(when(col("pos") >= 1, 1L).otherwise(0L)).as("hits_10"))
+      .select(col("n_queries"), col("hits_1"), col("hits_5"), col("hits_10"),
+        expr("floor(cast(hits_1 as double) / n_queries * 1000000) / 1000000")
+          .as("r_at_1"),
+        expr("floor(cast(hits_5 as double) / n_queries * 1000000) / 1000000")
+          .as("r_at_5"),
+        expr("floor(cast(hits_10 as double) / n_queries * 1000000) / 1000000")
+          .as("r_at_10"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_crossmodal_recall" -> q232CrossmodalRecall _,
     "q203_crossmodal_audit" -> q203CrossModalAudit _,
     "q187_video_align" -> q187VideoAlign _,
     "q165_video_neardup" -> q165VideoNeardup _,
@@ -408,6 +464,45 @@ object Multimodal extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q232: the q149/q203 lattice reconstruction; row_number in
+    // (floored cos DESC, asset_id) ≡ the heap's order; min-rank hit,
+    // integer sums, one floored division per recall
+    "q232_crossmodal_recall" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id,
+                 ['image','audio','video'][(doc_id % 3 + 1)::INT] AS mt,
+                 text FROM documents),
+          fv AS (SELECT asset_id,
+                   [CAST(CAST(('0x' || substr(md5(text || ':' || mt || ':'
+                        || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+                      AS DOUBLE) / 1024.0
+                    for j in range(0, $xmodalDim)] AS v
+                 FROM f),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings),
+          p AS (SELECT e.vec_id, fv.asset_id,
+                       floor(list_cosine_similarity(fv.v, e.tv) * 1000000)
+                         / 1000000 AS c
+                FROM e, fv),
+          r AS (SELECT vec_id, asset_id, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY c DESC, asset_id) AS rnk
+                FROM p),
+          h AS (SELECT vec_id, min(CASE WHEN asset_id = vec_id THEN rnk END)
+                         AS pos
+                FROM r WHERE rnk <= 10 GROUP BY 1)
+          SELECT count(*) AS n_queries,
+                 CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits_1,
+                 CAST(sum(CASE WHEN pos BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hits_5,
+                 CAST(sum(CASE WHEN pos >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits_10,
+                 floor(CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 1000000) / 1000000 AS r_at_1,
+                 floor(CAST(sum(CASE WHEN pos BETWEEN 1 AND 5 THEN 1 ELSE 0
+                       END) AS DOUBLE) / count(*) * 1000000) / 1000000
+                   AS r_at_5,
+                 floor(CAST(sum(CASE WHEN pos >= 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 1000000) / 1000000 AS r_at_10
+          FROM h""",
     // q203: the q149 md5 reconstruction at the shared 64-dim width,
     // paired to the text embeddings by id; cosines floored to 1e-6
     // before the quantile so threshold and filter run on values both

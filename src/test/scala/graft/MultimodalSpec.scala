@@ -142,4 +142,39 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(gotShuffled == planted)
   }
+
+  test("q232 recall core: perfect retrieval on identical sides; decoy demotes R@1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(j => if (j == i % 8) 1.0f else 0.0f)) }
+    val media = vecs.toDF("asset_id", "features")
+    val text = vecs.toDF("vec_id", "embedding")
+    val perfect = graft.operators.Multimodal.crossModalRecall(media, text)
+      .collect()(0)
+    assert(perfect.getLong(0) == 8L)
+    assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(6) == 1.0)
+    // decoy: media asset 7's vector replaced with asset 0's → for query
+    // 0 two identical media vectors tie at cos 1 and id order ranks the
+    // true pair first, but query 7 can no longer retrieve its own asset
+    val decoyMedia = vecs.map { case (i, v) =>
+      (i, if (i == 7L) vecs(0)._2 else v) }.toDF("asset_id", "features")
+    val decoyed = graft.operators.Multimodal.crossModalRecall(decoyMedia, text)
+      .collect()(0)
+    assert(decoyed.getLong(1) == 7L, s"R@1 hits ${decoyed.getLong(1)}")
+    // query 7's true asset now scores cos 0 against its one-hot text —
+    // still inside top-10 of an 8-item corpus, so R@10 stays 1
+    assert(decoyed.getDouble(6) == 1.0)
+  }
+
+  test("q232 declared: chance-level recall with the stub codec, exact accounting") {
+    val r = SparkEntry.queries("q232_crossmodal_recall")(spark, sfDir)
+      .collect()(0)
+    val n = r.getLong(0)
+    assert(n > 0)
+    // hits nest: R@1 <= R@5 <= R@10, and the stub codec carries no
+    // signal, so recall stays far from 1
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    assert(r.getDouble(6) < 0.5)
+  }
 }
