@@ -1141,7 +1141,76 @@ object Stats extends QueryPack {
       .orderBy("source", "rnk")
   }
 
+  /** Context window radius for q233 (±2, the word2vec default grain). */
+  private val sgWindow = 2
+
+  /** q233: SKIP-GRAM CO-OCCURRENCE COUNTS — the (center, context)
+    * count table word-embedding training (word2vec SGNS, GloVe's
+    * X_ij) is built from: every directed token pair within a ±2
+    * window, counted corpus-wide, top-50 by count. The WINDOW grain
+    * distinguishes it from q180's strict-adjacency collocations — a
+    * context two tokens away still counts here, which is what makes
+    * the table an embedding-training input rather than a phrase
+    * detector. Plan shape is the part that matters at 100 TB: the
+    * pair fan-out is MAP-SIDE (one nested `transform` over each
+    * document's token array — no positional self-join, no (doc, pos)
+    * shuffle; the naive join form shuffles the whole token stream
+    * with positions), counts partial-fold, and the output is
+    * TakeOrderedAndProject; the oracle computes the same multiset
+    * through DuckDB's positional self-join, so the gate also proves
+    * the map-side fan-out ≡ the relational definition. */
+  private def q233SkipgramCounts(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(expr(TextExprs.toks).as("w"))
+    toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(w)), i ->
+              transform(sequence(greatest(1, i - $sgWindow),
+                                 least(size(w), i + $sgWindow)), j ->
+                IF(i = j, null,
+                   struct(element_at(w, i) AS t,
+                          element_at(w, j) AS ctx)))))""")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.t").as("t"), col("p.ctx").as("ctx"))
+      .groupBy("t", "ctx").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"), col("ctx"))
+      .limit(50)
+  }
+
+  /** q234: NEGATIVE-SAMPLING NOISE DISTRIBUTION — the unigram^(3/4)
+    * table word2vec-style training draws negatives from (the 0.75
+    * exponent that up-weights rare words relative to natural
+    * frequency is the published constant): per token, count,
+    * integerized weight and noise probability beside the natural
+    * frequency, top-50 by count. The q233 pair: together they are
+    * the complete data-prep input of an SGNS trainer. Parity: c^0.75
+    * evaluates as sqrt(c·sqrt(c)) — two IEEE-correctly-rounded sqrts
+    * and one exact product (c·sqrt(c) < 2^53 at any real count), so
+    * the floored weight is bit-identical cross-engine with no pow();
+    * the weight total is an exact BIGINT and each probability one
+    * single-rounded floored division. One vocabulary-grain count
+    * pass; the corpus never shuffles tokens twice. */
+  private def q234NoiseDistribution(s: SparkSession, d: String): DataFrame = {
+    val uc = Tables.documents(s, d)
+      .select(explode(expr(TextExprs.toks)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .withColumn("w",
+        expr("""cast(floor(sqrt(cast(c as double) * sqrt(cast(c as double)))
+                           * 1000) as bigint)"""))
+    val tot = uc.agg(sum("w").as("wtot"), sum("c").as("ctot"))
+    uc.crossJoin(broadcast(tot))
+      .select(col("t"), col("c"), col("w"),
+        expr("floor(cast(w as double) / wtot * 1000000000) / 1000000000")
+          .as("noise_p"),
+        expr("floor(cast(c as double) / ctot * 1000000000) / 1000000000")
+          .as("natural_p"))
+      .orderBy(col("c").desc, col("t"))
+      .limit(50)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_skipgram_counts" -> q233SkipgramCounts _,
+    "q234_noise_distribution" -> q234NoiseDistribution _,
     "q228_distinct_terms" -> q228DistinctTerms _,
     "q225_source_diversity" -> q225SourceDiversity _,
     "q222_vocab_growth" -> q222VocabGrowth _,
@@ -1291,6 +1360,40 @@ object Stats extends QueryPack {
   // `def`, not `val`: the q138 fallback branch reads the codebook cache,
   // which is empty at object init (the Similarity.oracles contract)
   override def oracles: Map[String, String] = Map(
+    // q233: the positional self-join form — same multiset as the
+    // map-side fan-out, so the gate proves the equivalence
+    "q233_skipgram_counts" ->
+      s"""WITH d AS (SELECT doc_id,
+                            string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+          tk AS (SELECT doc_id, unnest(w) AS t,
+                        generate_subscripts(w, 1) AS i
+                 FROM d),
+          p AS (SELECT a.t AS t, b.t AS ctx
+                FROM tk a JOIN tk b
+                  ON a.doc_id = b.doc_id AND a.i <> b.i
+                 AND abs(a.i - b.i) <= $sgWindow)
+          SELECT t, ctx, count(*) AS n
+          FROM p GROUP BY 1, 2
+          ORDER BY n DESC, t, ctx LIMIT 50""",
+    // q234: c^0.75 as sqrt(c·sqrt(c)) — two correctly-rounded sqrts,
+    // exact product; integer weight sums; floored divisions
+    "q234_noise_distribution" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+                     FROM documents),
+         uc AS (SELECT t, count(*) AS c,
+                       CAST(floor(sqrt(CAST(count(*) AS DOUBLE)
+                                       * sqrt(CAST(count(*) AS DOUBLE)))
+                                  * 1000) AS BIGINT) AS w
+                FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot,
+                        CAST(sum(c) AS BIGINT) AS ctot FROM uc)
+         SELECT t, c, w,
+                floor(CAST(w AS DOUBLE) / wtot * 1000000000) / 1000000000
+                  AS noise_p,
+                floor(CAST(c AS DOUBLE) / ctot * 1000000000) / 1000000000
+                  AS natural_p
+         FROM uc, tot ORDER BY c DESC, t LIMIT 50""",
     // q228: same integer counts, same ratio lift, row_number in
     // (lift DESC, tid) ≡ the bounded heap's total order; md5-prefix id
     // via the '0x' parse (q120's oracle idiom)

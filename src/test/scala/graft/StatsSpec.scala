@@ -632,4 +632,52 @@ class StatsSpec extends SparkTestBase {
     assert(got.map(_._1).distinct.length == ns.size)
     assert(got.exists(_._5 > 1.0))
   }
+
+  test("q233 skipgram counts: matches a windowed-pair replay; wider than adjacency") {
+    val got = SparkEntry.queries("q233_skipgram_counts")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val texts = Tables.documents(spark, sfDir)
+      .selectExpr(graft.functions.TextExprs.toks).collect()
+      .map(_.getSeq[String](0))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    texts.foreach { w =>
+      for (i <- w.indices; j <- math.max(0, i - 2) to
+             math.min(w.size - 1, i + 2) if i != j)
+        counts((w(i), w(j))) += 1
+    }
+    val want = counts.toSeq.map { case ((t, c), n) => (t, c, n) }
+      .sortBy(x => (-x._3, x._1, x._2)).take(50)
+    assert(got.toSeq == want)
+    // the window genuinely reaches past adjacency: some pair at
+    // distance 2 exists that no adjacent bigram produces
+    val adj = scala.collection.mutable.Set.empty[(String, String)]
+    texts.foreach(w => w.sliding(2).foreach {
+      case Seq(a, b) => adj += ((a, b)); adj += ((b, a)); case _ => () })
+    assert(counts.keys.exists(k => !adj.contains(k)))
+  }
+
+  test("q234 noise distribution: ^0.75 replay; rare-token boost property") {
+    val got = SparkEntry.queries("q234_noise_distribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3), r.getDouble(4)))
+    val counts = Tables.documents(spark, sfDir)
+      .selectExpr(graft.functions.TextExprs.toks).collect()
+      .flatMap(_.getSeq[String](0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(c: Long): Long =
+      math.floor(math.sqrt(c.toDouble * math.sqrt(c.toDouble)) * 1000).toLong
+    val wtot = counts.values.map(w).sum
+    val ctot = counts.values.sum
+    val want = counts.toSeq.map { case (t, c) =>
+      (t, c, w(c),
+       math.floor(w(c).toDouble / wtot * 1e9) / 1e9,
+       math.floor(c.toDouble / ctot * 1e9) / 1e9)
+    }.sortBy(x => (-x._2, x._1)).take(50)
+    assert(got.toSeq == want)
+    // the 0.75 exponent flattens: the most common token's noise share
+    // sits below its natural share, the rarest reported one above
+    assert(got.head._4 < got.head._5)
+    assert(got.last._4 > got.last._5)
+  }
 }
