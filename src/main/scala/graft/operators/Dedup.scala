@@ -807,6 +807,30 @@ object Dedup extends QueryPack {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** q235: CONTRASTIVE TRIPLETS — the assembled (anchor, positive,
+    * negative) training table a contrastive embedding run actually
+    * reads, closing the prep loop the pieces built: positives are
+    * q42's exact-verified near-dup pairs (both directions — each
+    * member anchors against its partner), negatives are q221's rank-1
+    * family-excluded pseudo-random draw for that anchor. The
+    * composition IS the operator: the pair relation and the cluster
+    * assignment are both session-memoized, so the triple assembly
+    * adds two id-keyed joins of id-only rows — nothing new touches
+    * text or vectors. Every row is (long, long, long); rerun-stable
+    * end-to-end because both inputs are. */
+  private def q235Triplets(s: SparkSession, d: String): DataFrame = {
+    val pr = minhashLshPairsCore(s, d).select("a_id", "b_id")
+    val pos = pr.select(col("a_id").as("anchor_id"),
+                        col("b_id").as("positive_id"))
+      .unionByName(pr.select(col("b_id").as("anchor_id"),
+                             col("a_id").as("positive_id")))
+    val neg1 = q221NegativeSample(s, d).filter(col("rnk") === 1)
+      .select(col("anchor_id"), col("neg_id").as("negative_id"))
+    pos.join(neg1, Seq("anchor_id"))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"))
+      .orderBy("anchor_id", "positive_id")
+  }
+
   /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
     * the histogram of duplicate-family sizes (how many clusters of each
     * size, how many docs they hold, how many would be dropped keeping
@@ -1047,6 +1071,7 @@ object Dedup extends QueryPack {
     "q205_mixture_plan" -> q205MixturePlan _,
     "q220_mixture_sample" -> q220MixtureSample _,
     "q221_negative_sample" -> q221NegativeSample _,
+    "q235_triplets" -> q235Triplets _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q164_priority_survivor" -> q164PrioritySurvivor _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -1379,6 +1404,47 @@ object Dedup extends QueryPack {
                      ELSE floor(CAST(planned_tokens AS DOUBLE) * 1000
                                 / eff_tokens) / 1000 END AS epochs
          FROM p ORDER BY source""",
+    // q235: the exact pair CTE (positives, both directions) + q221's
+    // rank-1 negative under the cluster closure — the composed table
+    "q235_triplets" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         sh2 AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                 FROM documents)),
+         ex2 AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                 FROM sh2),
+         pairs2 AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  b.sz AS bsz, count(*) AS common
+           FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pr2 AS (SELECT a_id, b_id FROM pairs2
+                 WHERE common / (asz + bsz - common) >= 0.8),
+         pos AS (SELECT a_id AS anchor_id, b_id AS positive_id FROM pr2
+                 UNION ALL SELECT b_id, a_id FROM pr2),
+         an AS (SELECT doc_id AS anchor_id, cluster_id AS cl_a,
+                       (doc_id * 40503) % $negBuckets AS pb FROM cl),
+         cn AS (SELECT doc_id AS cand_id, cluster_id AS cl_c,
+                       ((doc_id % 2147483647) * 2654435761) % $negBuckets
+                         AS cb FROM cl),
+         j AS (SELECT anchor_id, cand_id,
+                      ((anchor_id * 1048573 + cand_id) % 2147483647)
+                        * 2654435761 % 2147483647 AS r
+               FROM an JOIN cn ON pb = cb AND cl_a <> cl_c),
+         rk AS (SELECT anchor_id, cand_id,
+                       row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY r, cand_id) AS rnk
+                FROM j),
+         ng AS (SELECT anchor_id, cand_id AS negative_id FROM rk
+                WHERE rnk = 1)
+         SELECT pos.anchor_id, positive_id, negative_id
+         FROM pos JOIN ng ON ng.anchor_id = pos.anchor_id
+         ORDER BY pos.anchor_id, positive_id""",
     // q220: q205's CTE chain restricted to canonical docs, the in-plan
     // floor(Σeff/2) budget, and q134's cumulative admission window in
     // identical (h, doc_id) order — integer end-to-end

@@ -369,4 +369,22 @@ class MiningSpec extends SparkTestBase {
     assert(got.map(_._2).sum == vecs.length.toLong)
     assert(got.forall(t => t._4 >= 0.0 && t._4 <= 1.0))
   }
+
+  test("q235 triplets: composed exactly from gated q42 pairs and q221 rank-1") {
+    val got = SparkEntry.queries("q235_triplets")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = SparkEntry.queries("q42_minhash_lsh")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val neg1 = SparkEntry.queries("q221_negative_sample")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rnk") === 1)
+      .select("anchor_id", "neg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .flatMap { case (an, p) => neg1.get(an).map(n => (an, p, n)) }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+    // triplet sanity: anchor, positive, negative all distinct per row
+    assert(got.forall(t => t._1 != t._3 && t._2 != t._3 && t._1 != t._2))
+  }
 }

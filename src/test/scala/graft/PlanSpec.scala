@@ -51,7 +51,7 @@ class PlanSpec extends SparkTestBase {
       // q205 composes the memoized cluster assignment (the CC loop);
       // q207/q216 compose the q42 pair pipeline (verifyJoin size guard)
       "q205_mixture_plan", "q207_quality_disagree", "q216_pagerank",
-      "q220_mixture_sample", "q221_negative_sample",
+      "q220_mixture_sample", "q221_negative_sample", "q235_triplets",
       // the pipelineFlags memo lazily checkpoints on first touch, and
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
