@@ -66,6 +66,58 @@ object Curation3 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q236: HELD-OUT LM EVAL — q119's add-one bigram LM trained on the
+    * q120 TRAIN split only and scoring the TEST split: the eval-
+    * hygiene form of the statistical filter (a self-trained score,
+    * q119's, can never reveal overfitting; the held-out score is the
+    * one an LM-quality threshold should be calibrated on, and the
+    * train/test separation is exactly what q120/q122/q124 exist to
+    * make trustworthy). New over q119: OOV handling — a test bigram
+    * unseen in training falls back to add-one mass over the trained
+    * vocabulary via LEFT joins + coalesce (c2 → 0, c1 → 0), and the
+    * per-doc unseen-bigram count rides beside the score (a doc that
+    * is mostly OOV is scored by smoothing, not by the model, and the
+    * reader should know). Same Zipf-bounded model tables, same
+    * position-sorted left fold for the cross-engine float sum, same
+    * plan shape — two extra split filters at the scan. */
+  private def q236LmHeldout(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      expr("""cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)
+              as bigint) % 100""")
+    val docs = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
+    val train = docs.filter(bucket < 80)
+    val test = docs.filter(bucket >= 90)
+    def bigrams(t: DataFrame): DataFrame = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(w) - 1), i ->
+               struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"""))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+              col("g.a").as("a"), col("g.b").as("b"))
+    val bc = bigrams(train).groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val uc = train.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vv = uc.agg(count(lit(1)).as("v"))
+    val terms = bigrams(test)
+      .join(bc, Seq("a", "b"), "left")
+      .join(uc, col("a") === col("tok"), "left")
+      .crossJoin(broadcast(vv))
+      .withColumn("term", expr(
+        "ln((coalesce(c2, 0) + 1e0) / (coalesce(c1, 0) + cast(v as double)))"))
+      .withColumn("oov", when(col("c2").isNull, 1L).otherwise(0L))
+    terms.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("ts"),
+           sum("oov").as("oov_bigrams"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_bigrams"),
+        col("oov_bigrams"),
+        (floor(expr(
+          """-aggregate(transform(ts, x -> x.term), cast(0 as double),
+                        (acc, x) -> acc + x) / size(ts)""") * 1e6) / 1e6)
+          .as("nll"))
+      .orderBy("doc_id")
+  }
+
   private def q120SplitAssign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
@@ -215,6 +267,7 @@ object Curation3 extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_lm_score" -> q119LmScore _,
+    "q236_lm_heldout" -> q236LmHeldout _,
     "q120_split_assign" -> q120SplitAssign _,
     "q122_split_leakage" -> q122SplitLeakage _,
     "q124_split_by_cluster" -> q124SplitByCluster _,
@@ -236,6 +289,37 @@ object Curation3 extends QueryPack {
     "q128_cluster_balanced" -> (if (cbsCodebooks.size == 1)
         cbsOracleSql(cbsCodebooks.values.iterator.next())
       else "SELECT 1 AS q128_not_built_unambiguously_this_process"),
+    // q236: q119's model CTEs filtered to the train bucket, test-side
+    // LEFT joins with coalesce smoothing, same position-sorted fold
+    "q236_lm_heldout" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 100 AS bucket
+                    FROM documents),
+         tr AS (SELECT doc_id, w FROM t WHERE bucket < 80),
+         te AS (SELECT doc_id, w FROM t WHERE bucket >= 90),
+         bc AS (SELECT w[i] AS a, w[i+1] AS b, count(*) AS c2
+                FROM (SELECT w, unnest(range(1, len(w))) AS i
+                      FROM tr WHERE len(w) >= 2) GROUP BY 1, 2),
+         uc AS (SELECT tok, count(*) AS c1
+                FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY tok),
+         vv AS (SELECT count(*) AS v FROM uc),
+         bg AS (SELECT doc_id, i AS pos, w[i] AS a, w[i+1] AS b
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM te WHERE len(w) >= 2)),
+         terms AS (SELECT bg.doc_id, bg.pos,
+                          ln((coalesce(c2, 0) + 1e0)
+                             / (coalesce(c1, 0) + CAST(v AS DOUBLE))) AS term,
+                          CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS oov
+                   FROM bg LEFT JOIN bc USING (a, b)
+                   LEFT JOIN uc ON uc.tok = bg.a, vv),
+         folded AS (SELECT doc_id, list(term ORDER BY pos) AS ts,
+                           CAST(sum(oov) AS BIGINT) AS oov_bigrams
+                    FROM terms GROUP BY doc_id)
+         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_bigrams, oov_bigrams,
+                floor((-(list_reduce(ts, (acc, x) -> acc + x)) / len(ts))
+                      * 1000000) / 1000000 AS nll
+         FROM folded ORDER BY doc_id""",
     "q119_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                     FROM documents),

@@ -77,4 +77,39 @@ class Curation3Spec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
       .toSeq == rows.toSeq)
   }
+
+  test("q236 held-out LM: matches a train-split JVM replay with OOV smoothing") {
+    val got = SparkEntry.queries("q236_lm_heldout")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16) % 100
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", graft.functions.TextExprs.toks).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val train = docs.filter(d => bucket(d._1) < 80)
+    val test = docs.filter(d => bucket(d._1) >= 90)
+    val c2 = train.flatMap(_._2.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = train.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = c1.size.toDouble
+    val want = test.filter(_._2.size >= 2).map { case (id, w) =>
+      val terms = w.sliding(2).filter(_.size == 2).map { p =>
+        val bc = c2.getOrElse((p(0), p(1)), 0L)
+        val uc = c1.getOrElse(p(0), 0L)
+        (math.log((bc + 1.0) / (uc + v)), bc == 0L)
+      }.toSeq
+      var acc = 0.0
+      terms.foreach(t => acc += t._1)
+      (id, terms.size.toLong, terms.count(_._2).toLong,
+       math.floor(-acc / terms.size * 1e6) / 1e6)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // OOV accounting is live on a real split, and never exceeds the total
+    assert(got.exists(_._3 > 0))
+    assert(got.forall(t => t._3 <= t._2))
+  }
 }
