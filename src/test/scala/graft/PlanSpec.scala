@@ -444,4 +444,26 @@ class PlanSpec extends SparkTestBase {
       s"expected __salt among the equi-join keys; joins: " +
         s"${joins.map(j => j.leftKeys.mkString(","))}")
   }
+
+  test("round-9b plan shapes: map-side fan-outs and windowless day grains") {
+    // q233: the skip-gram pair fan-out must be the nested map-side
+    // transform — a positional self-join would put a join in the plan
+    val sg = executed(SparkEntry.queries("q233_skipgram_counts")(spark, sfDir))
+    assert(!sg.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "q233 must not join; the pair fan-out is map-side")
+    // q213: trigrams come from lead(), never from a collected timeline
+    val paths = SparkEntry.queries("q213_event_paths")(spark, sfDir)
+    assert(!paths.queryExecution.executedPlan.toString.contains("collect_list"),
+      "q213 must not buffer timelines via collect_list")
+    // q230: the rolling distinct is join+aggregate only — no window op
+    val roll = executed(SparkEntry.queries("q230_rolling_active")(spark, sfDir))
+    assert(!roll.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "q230 must not window; the cover-day explode replaces it")
+    // q214: decay weights are shifts, not pow()
+    assert(!SparkEntry.queries("q214_decayed_counts")(spark, sfDir)
+      .queryExecution.executedPlan.toString.toLowerCase.contains("pow"),
+      "q214 weights must be shiftleft, not POW")
+  }
 }
