@@ -84,6 +84,57 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q238: FAMILY-TRANSITIVE CONTAMINATION — q48's benchmark-overlap
+    * flag propagated through the q73 near-dup families: a document
+    * whose FAMILY MEMBER overlaps the benchmark is contaminated too
+    * (a lightly-edited copy of a contaminated page can duck the
+    * direct shingle threshold while carrying the same leaked content
+    * — the same transitive argument that turned q122's split audit
+    * into q124's cluster-keyed fix). Output is every corpus doc in a
+    * family with ≥ 1 direct hit, with its own direct flag and the
+    * family's direct count — the direct = 0 rows are exactly what the
+    * per-doc check missed. Plan: q48's broadcast-benchmark join
+    * produces the direct flags once, the memoized cluster assignment
+    * joins them by doc, and two id-grain aggregates close it; the
+    * propagation adds no text or shingle movement at all. */
+  private def q238FamilyContamination(s: SparkSession, d: String): DataFrame = {
+    def shingled: DataFrame = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 20)
+      .select(explode(col("sh")).as("s")).distinct()
+    val direct = shingled.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), size(col("sh")).as("nsh"),
+              explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id", "nsh").agg(count(lit(1)).as("n_hit"))
+      .filter(floor(col("n_hit") / col("nsh") * 1000) / 1000 >= 0.2)
+      .select(col("doc_id"), lit(1L).as("direct"))
+    val assign = Dedup.clusterAssignmentOf(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .filter(col("doc_id") >= 20)
+    familyContaminationCore(assign, direct)
+  }
+
+  /** The q238 propagation over arbitrary (doc, family) assignments and
+    * direct flags — factored so the spec can PLANT the transitive case
+    * (a clean near-dup in a contaminated family), which the test
+    * corpus happens not to produce. */
+  private[graft] def familyContaminationCore(assign: DataFrame,
+                                             direct: DataFrame): DataFrame = {
+    val fam = assign
+      .join(direct, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+              coalesce(col("direct"), lit(0L)).as("direct"))
+    val famAgg = fam.groupBy("cluster_id")
+      .agg(sum("direct").as("n_direct"), max("direct").as("hit"))
+    fam.join(famAgg, Seq("cluster_id"))
+      .filter(col("hit") === 1L)
+      .select(col("doc_id"), col("cluster_id"), col("direct"),
+              col("n_direct"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram sizes swept by q129 — plan literals. n = 3 doubles as the
     * q48-consistency row (same contract, same threshold). */
   private val contamNs = Seq(2, 3, 4)
@@ -433,6 +484,7 @@ object Curation extends QueryPack {
     "q46_pack_sequences" -> q46PackSequences _,
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
+    "q238_family_contamination" -> q238FamilyContamination _,
     "q129_contamination_sweep" -> q129ContaminationSweep _,
     "q130_pipeline_funnel" -> q130PipelineFunnel _,
     "q132_source_scorecard" -> q132SourceScorecard _,
@@ -442,6 +494,38 @@ object Curation extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q238: the q73 family closure + q48's direct flags at the same
+    // threshold, propagated by one family-grain aggregate
+    "q238_family_contamination" ->
+      s"""WITH cl AS (${Dedup.q73ClustersOracleSql}),
+         sh3 AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                 FROM documents)),
+         bench3 AS (SELECT DISTINCT unnest(shingles) AS s FROM sh3
+                    WHERE doc_id < 20),
+         corpus3 AS (SELECT doc_id, len(shingles) AS nsh,
+                            unnest(shingles) AS s
+                     FROM sh3 WHERE doc_id >= 20),
+         dir AS (SELECT doc_id FROM corpus3 JOIN bench3 USING (s)
+                 GROUP BY doc_id
+                 HAVING floor(count(*) / any_value(nsh) * 1000) / 1000 >= 0.2),
+         f AS (SELECT cl.doc_id, cl.cluster_id,
+                      CASE WHEN dir.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS direct
+               FROM cl LEFT JOIN dir ON dir.doc_id = cl.doc_id
+               WHERE cl.doc_id >= 20),
+         fm AS (SELECT cluster_id, CAST(sum(direct) AS BIGINT) AS n_direct,
+                       max(direct) AS hit
+                FROM f GROUP BY 1)
+         SELECT f.doc_id, f.cluster_id, CAST(f.direct AS BIGINT) AS direct,
+                n_direct
+         FROM f JOIN fm USING (cluster_id) WHERE hit = 1
+         ORDER BY f.doc_id""",
     "q46_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang,
            len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),

@@ -459,7 +459,73 @@ object Curation2 extends QueryPack {
       .orderBy("bin")
   }
 
+  /** q237: CROSS-SOURCE SCORE NORMALIZATION — each document's quality
+    * score mapped to its WITHIN-SOURCE quantile, (rank−1)/(n−1): the
+    * calibration fix for a content-based scorer whose raw scale
+    * drifts across sources (one source's 0.8 is another's median —
+    * any global threshold then over-prunes the strict source; quantile
+    * normalization is the standard cure, and q210's curriculum bins or
+    * q74's gate can run on the normalized column unchanged). Rank is a
+    * full-relation TRANSFORM, not a top-k, so the window is the honest
+    * plan: one source-keyed shuffle ranks each partition in (score,
+    * doc_id) total order; per-source counts ride a broadcast S-row
+    * aggregate; the quantile is one floored division of exact
+    * integers. */
+  private def q237ScoreNormalize(s: SparkSession, d: String): DataFrame = {
+    val sc = qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"), col("score"),
+              expr("cast(round(score * 1000000) as bigint)").as("isc"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("isc"), col("doc_id"))
+    val counts = sc.groupBy("source").agg(count(lit(1)).as("n"))
+    sc.withColumn("src_rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"), col("src_rank"),
+        expr("""CASE WHEN n > 1
+                THEN floor(cast(src_rank - 1 as double) / (n - 1) * 1000000)
+                     / 1000000 ELSE cast(0 as double) END""").as("pct"))
+      .orderBy("doc_id")
+  }
+
+  /** q239: LENGTH-BIAS AUDIT — the exact Pearson correlation between
+    * document length and quality score, per source AND pooled (the
+    * '__ALL' row): q93's linear model has an explicit length term, so
+    * some correlation is designed in — what this audit catches is the
+    * Simpson's-paradox failure mode where the pooled correlation and a
+    * source's own correlation DISAGREE (a length-confounded source mix
+    * makes any global length-sensitive threshold systematically unfair
+    * to short-doc sources). Arithmetic is q69's integral-correlation
+    * technique lifted to the curation tier: x = token count, y = the
+    * re-integerized score, all five moment sums exact BIGINTs in any
+    * partition order, correlation one fixed-shape float expression
+    * over them, floored. One grouped pass + one global pass of the
+    * same 6-column relation. */
+  private def q239LengthBias(s: SparkSession, d: String): DataFrame = {
+    val t = qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens").as("x"),
+              expr("cast(round(score * 1000000) as bigint)").as("y"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(count(lit(1)).as("n_docs"), sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("y") * col("y")).as("syy"))
+    val corr = expr(
+      """floor(cast(n_docs * sxy - sx * sy as double)
+               / (sqrt(cast(n_docs * sxx - sx * sx as double))
+                  * sqrt(cast(n_docs * syy - sy * sy as double)))
+               * 1000000) / 1000000""")
+    moments(t.groupBy("source"))
+      .unionByName(moments(t.withColumn("source", lit("__ALL"))
+                             .groupBy("source")))
+      .select(col("source"), col("n_docs"), corr.as("corr_len_score"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_score_normalize" -> q237ScoreNormalize _,
+    "q239_length_bias" -> q239LengthBias _,
     "q210_curriculum_bins" -> q210CurriculumBins _,
     "q207_quality_disagree" -> q207QualityDisagree _,
     "q134_token_budget"      -> q134TokenBudget _,
@@ -475,6 +541,71 @@ object Curation2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q237: q93's score CTE + per-source rank in (isc, doc_id) order,
+    // one floored quantile division
+    "q237_score_normalize" ->
+      """WITH ft AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\s+') AS w,
+                            len(string_split_regex(trim(text), '\s+')) AS n
+                  FROM documents),
+         fx AS (SELECT doc_id, source, n,
+                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                       list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                         AS sl
+                FROM ft),
+         sc AS (SELECT doc_id, source,
+                       floor((0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                              - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000)
+                         / 1000000 AS score,
+                       CAST(floor((0.1 + 0.015 * n
+                                   + 3.0 * (ns / CAST(n AS DOUBLE))
+                                   - 0.25 * (sl / CAST(n AS DOUBLE)))
+                                  * 1000000) AS BIGINT) AS isc
+                FROM fx),
+         r AS (SELECT doc_id, source, score,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY isc, doc_id) AS src_rank
+               FROM sc),
+         cn AS (SELECT source, count(*) AS n FROM sc GROUP BY 1)
+         SELECT doc_id, r.source, score, CAST(src_rank AS BIGINT) AS src_rank,
+                CASE WHEN n > 1
+                  THEN floor(CAST(src_rank - 1 AS DOUBLE) / (n - 1) * 1000000)
+                       / 1000000 ELSE CAST(0 AS DOUBLE) END AS pct
+         FROM r JOIN cn ON cn.source = r.source
+         ORDER BY doc_id""",
+    // q239: q69's integral-correlation sums over (length, score);
+    // per-source rows + the pooled '__ALL' row, identical float shape
+    "q239_length_bias" ->
+      """WITH ft AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\s+') AS w,
+                            len(string_split_regex(trim(text), '\s+')) AS n
+                  FROM documents),
+         fx AS (SELECT doc_id, source, n,
+                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                       list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                         AS sl
+                FROM ft),
+         t AS (SELECT source, CAST(n AS BIGINT) AS x,
+                      CAST(floor((0.1 + 0.015 * n
+                                  + 3.0 * (ns / CAST(n AS DOUBLE))
+                                  - 0.25 * (sl / CAST(n AS DOUBLE)))
+                                 * 1000000) AS BIGINT) AS y
+               FROM fx),
+         u AS (SELECT source, x, y FROM t
+               UNION ALL SELECT '__ALL', x, y FROM t),
+         a AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM u GROUP BY 1)
+         SELECT source, n_docs,
+                floor(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n_docs * syy - sy * sy AS DOUBLE)))
+                      * 1000000) / 1000000 AS corr_len_score
+         FROM a ORDER BY source""",
     // q210: quantile_cont list form ≡ Spark percentile array (the q74
     // IEEE-lerp precedent); bins from the same floored scores, means
     // from exact integer sums (DuckDB lists are 1-indexed)

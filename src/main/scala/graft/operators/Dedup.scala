@@ -609,7 +609,7 @@ object Dedup extends QueryPack {
 
   /** q73's oracle — the exact-Jaccard pair set closed with the recursive
     * CTE; hoisted so q181's accounting oracle composes it verbatim. */
-  private val q73ClustersOracleSql: String =
+  private[operators] val q73ClustersOracleSql: String =
     """WITH RECURSIVE sh AS (
            SELECT doc_id,
              list_distinct(CASE WHEN len(t) >= 3 THEN

@@ -235,4 +235,46 @@ class CurationSpec extends SparkTestBase {
     got.foreach { case (src, sv, rd, _, ld, _) =>
       assert(sv == rd + ld, s"$src: $sv != $rd + $ld") }
   }
+
+  test("q237/q239: normalization is a within-source permutation; bias audit bounded") {
+    val norm = SparkEntry.queries("q237_score_normalize")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getDouble(4)))
+    // ranks are a 1..n permutation per source and pct spans [0, 1]
+    norm.groupBy(_._1).foreach { case (_, rows) =>
+      val rks = rows.map(_._2).sorted
+      assert(rks.toSeq == (1L to rks.length).toSeq)
+      assert(rows.map(_._3).min == 0.0)
+      assert(rows.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+    }
+    val bias = SparkEntry.queries("q239_length_bias")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(bias.exists(_._1 == "__ALL"))
+    assert(bias.forall(t => t._3 >= -1.0 && t._3 <= 1.0))
+    // the pooled row aggregates every per-source population
+    assert(bias.filter(_._1 != "__ALL").map(_._2).sum ==
+           bias.find(_._1 == "__ALL").get._2)
+  }
+
+  test("q238 planted: a clean near-dup inside a contaminated family is flagged") {
+    import spark.implicits._
+    val assign = Seq((10L, 10L), (11L, 10L), (12L, 12L), (13L, 13L))
+      .toDF("doc_id", "cluster_id")
+    val direct = Seq((10L, 1L), (13L, 1L)).toDF("doc_id", "direct")
+    val got = graft.operators.Curation
+      .familyContaminationCore(assign, direct).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 11 carries no direct flag but shares family 10 → transitively
+    // flagged; the clean singleton 12 stays out; 13 flags itself
+    assert(got.toSeq == Seq((10L, 10L, 1L, 1L), (11L, 10L, 0L, 1L),
+                            (13L, 13L, 1L, 1L)))
+  }
+
+  test("q238 declared: superset of q48 directs; counts consistent") {
+    val got = SparkEntry.queries("q238_family_contamination")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val direct = SparkEntry.queries("q48_contamination")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.collect { case (id, 1L) => id }.toSet == direct)
+    assert(got.map(_._1).toSet.size == got.length)
+  }
 }
