@@ -523,7 +523,56 @@ object Curation2 extends QueryPack {
       .orderBy("source")
   }
 
+  /** q241: QUALITY-SIGNAL ENSEMBLE — the three independent quality
+    * signals this repo gates (q93 linear model, q119 bigram-LM NLL,
+    * q142 token entropy) fused into one robust score by WITHIN-SOURCE
+    * percentile fusion: each signal maps to its q237 quantile
+    * (oriented so higher = better: score ascending, NLL descending,
+    * entropy ascending), and the fused score is the exact-integer sum
+    * of the three quantiles — the rank-fusion practice (ensembling
+    * weak filters beats any one; percentiles make the scales
+    * commensurable) with the q237 calibration argument built in.
+    * Deliberately SOURCE-partitioned rank, not global: a global exact
+    * rank is a single-partition sort at corpus scale, while
+    * source-keyed windows shuffle once on the key the corpus is
+    * already organized by (at 100 TB a global variant would use
+    * approximate quantiles). All three signals re-integerize exactly
+    * from their floored 1e-6 outputs; ties break on doc_id; the fused
+    * sum is exact. */
+  private def q241QualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    val j = qualityScoreCore(docs)
+      .select(col("doc_id"), expr("cast(round(score * 1000000) as bigint)").as("v93"))
+      .join(Curation3.lmScoreCore(docs)
+        .select(col("doc_id"), expr("cast(round(nll * 1000000) as bigint)").as("v119")),
+        Seq("doc_id"))
+      .join(Stats.tokenEntropyCore(docs)
+        .select(col("doc_id"), expr("cast(round(entropy * 1000000) as bigint)").as("v142")),
+        Seq("doc_id"))
+      .join(src, Seq("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    def pct(rankCol: String): org.apache.spark.sql.Column =
+      expr(s"""CASE WHEN n > 1
+               THEN cast(floor(cast($rankCol - 1 as double)
+                               / (n - 1) * 1000000) as bigint)
+               ELSE cast(0 as bigint) END""")
+    val counts = j.groupBy("source").agg(count(lit(1)).as("n"))
+    j.withColumn("r93", row_number().over(
+        Window.partitionBy("source").orderBy(col("v93"), col("doc_id"))))
+      .withColumn("r119", row_number().over(
+        Window.partitionBy("source").orderBy(col("v119").desc, col("doc_id"))))
+      .withColumn("r142", row_number().over(
+        Window.partitionBy("source").orderBy(col("v142"), col("doc_id"))))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), pct("r93").as("p93"),
+              pct("r119").as("p119"), pct("r142").as("p142"))
+      .withColumn("fused", col("p93") + col("p119") + col("p142"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_quality_ensemble" -> q241QualityEnsemble _,
     "q237_score_normalize" -> q237ScoreNormalize _,
     "q239_length_bias" -> q239LengthBias _,
     "q210_curriculum_bins" -> q210CurriculumBins _,
@@ -541,6 +590,77 @@ object Curation2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q241: the three signal CTEs (q93 / q119 / q142 verbatim chains),
+    // three per-source row_numbers in the heap-identical tie orders,
+    // exact-integer quantiles and fused sum
+    "q241_quality_ensemble" ->
+      """WITH ft AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\s+') AS w,
+                            len(string_split_regex(trim(text), '\s+')) AS n
+                  FROM documents),
+         fx AS (SELECT doc_id, source, n,
+                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                       list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                         AS sl
+                FROM ft),
+         s93 AS (SELECT doc_id, source,
+                        CAST(floor((0.1 + 0.015 * n
+                                    + 3.0 * (ns / CAST(n AS DOUBLE))
+                                    - 0.25 * (sl / CAST(n AS DOUBLE)))
+                                   * 1000000) AS BIGINT) AS v93
+                 FROM fx),
+         bg AS (SELECT doc_id, i AS pos, w[i] AS a, w[i+1] AS b
+                FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                      FROM ft WHERE len(w) >= 2)),
+         bc AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         uc AS (SELECT tok, count(*) AS c1
+                FROM (SELECT unnest(w) AS tok FROM ft) GROUP BY tok),
+         vv AS (SELECT count(*) AS v FROM uc),
+         lmterms AS (SELECT bg.doc_id, bg.pos,
+                            ln((c2 + 1e0) / (c1 + CAST(v AS DOUBLE))) AS term
+                     FROM bg JOIN bc USING (a, b)
+                     JOIN uc ON uc.tok = bg.a, vv),
+         s119 AS (SELECT doc_id,
+                         CAST(floor((-(list_reduce(list(term ORDER BY pos),
+                                                   (acc, x) -> acc + x))
+                                     / count(*)) * 1000000) AS BIGINT) AS v119
+                  FROM lmterms GROUP BY doc_id),
+         etc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT doc_id, unnest(w) AS t FROM ft) GROUP BY 1, 2),
+         s142 AS (SELECT doc_id,
+                         CAST(floor((ln(CAST(sum(cnt) AS DOUBLE))
+                                     - list_reduce(list(CAST(cnt AS DOUBLE)
+                                         * ln(CAST(cnt AS DOUBLE)) ORDER BY t),
+                                         (acc, x) -> acc + x)
+                                       / CAST(sum(cnt) AS DOUBLE)) * 1000000)
+                           AS BIGINT) AS v142
+                  FROM etc GROUP BY doc_id),
+         j AS (SELECT s93.doc_id, s93.source, v93, v119, v142
+               FROM s93 JOIN s119 ON s119.doc_id = s93.doc_id
+                        JOIN s142 ON s142.doc_id = s93.doc_id),
+         r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY v93, doc_id) AS r93,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY v119 DESC, doc_id) AS r119,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY v142, doc_id) AS r142
+               FROM j),
+         cn AS (SELECT source, count(*) AS n FROM j GROUP BY 1),
+         p AS (SELECT doc_id, r.source,
+                      CASE WHEN n > 1 THEN CAST(floor(
+                        CAST(r93 - 1 AS DOUBLE) / (n - 1) * 1000000) AS BIGINT)
+                        ELSE 0 END AS p93,
+                      CASE WHEN n > 1 THEN CAST(floor(
+                        CAST(r119 - 1 AS DOUBLE) / (n - 1) * 1000000) AS BIGINT)
+                        ELSE 0 END AS p119,
+                      CASE WHEN n > 1 THEN CAST(floor(
+                        CAST(r142 - 1 AS DOUBLE) / (n - 1) * 1000000) AS BIGINT)
+                        ELSE 0 END AS p142
+               FROM r JOIN cn ON cn.source = r.source)
+         SELECT doc_id, source, p93, p119, p142,
+                CAST(p93 + p119 + p142 AS BIGINT) AS fused
+         FROM p ORDER BY doc_id""",
     // q237: q93's score CTE + per-source rank in (isc, doc_id) order,
     // one floored quantile division
     "q237_score_normalize" ->

@@ -38,8 +38,14 @@ object Curation3 extends QueryPack {
 
   private val toks = graft.functions.TextExprs.toks
 
-  private def q119LmScore(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
+  private def q119LmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreCore(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** The q119 chain over any (doc_id, text) relation, pre-sort —
+    * injectable for the q241 ensemble (which re-partitions by source
+    * anyway and must not inherit a wasted global sort). */
+  private[graft] def lmScoreCore(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), expr(toks).as("w"))
     val bg = t.filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         posexplode(expr(
@@ -63,7 +69,6 @@ object Curation3 extends QueryPack {
           """-aggregate(transform(ts, x -> x.term), cast(0 as double),
                         (acc, x) -> acc + x) / size(ts)""") * 1e6) / 1e6)
           .as("nll"))
-      .orderBy("doc_id")
   }
 
   /** q236: HELD-OUT LM EVAL — q119's add-one bigram LM trained on the

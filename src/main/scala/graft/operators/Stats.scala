@@ -998,12 +998,17 @@ object Stats extends QueryPack {
     * ScaleSpec asserts both the subset bound and that binWidth = 1
     * reproduces the declared query exactly. */
   private[graft] def lengthKsCore(docsIn: DataFrame,
-                                  binWidth: Long): DataFrame = {
-    val docs = docsIn
+                                  binWidth: Long): DataFrame =
+    lengthKsFromCounts(docsIn
       .select(col("source"), expr(s"n_chars div $binWidth").as("v"))
-    val counts = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
-    val totals = docs.groupBy("source").agg(count(lit(1)).as("n"))
-    val values = docs.select("v").distinct()
+      .groupBy("source", "v").agg(count(lit(1)).as("c")))
+
+  /** The KS tail over a pre-aggregated (source, v, c) count relation —
+    * the registers q240 maintains in-stream; everything here is
+    * value-domain-sized. */
+  private[graft] def lengthKsFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
+    val values = counts.select("v").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

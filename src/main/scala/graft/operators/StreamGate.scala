@@ -630,7 +630,34 @@ object StreamGate extends QueryPack {
       .orderBy("dt")
   }
 
+  /** q240: STREAMING DISTRIBUTION REGISTERS — q215's KS drift dashboard
+    * kept current by the stream: the per-(source, length) COUNTERS are
+    * plain sum registers (one complete-mode aggregation, |V|·S rows of
+    * state — value-domain-sized, the q215 argument), and the whole
+    * grid/ECDF/pair tail runs on the sink relation, which never grows
+    * with the stream. The register trilogy (q211 max / q218 weighted
+    * sum / q229 min) plus this one covers every aggregate class the
+    * sketch tier uses; counting is the only one that is duplicate-
+    * SENSITIVE, which is fine here because the drift statistic is
+    * defined over the delivered corpus. Serves batch q215's oracle
+    * verbatim. */
+  private def q240KsStream(s: SparkSession, d: String): DataFrame = {
+    // snapshot the register table before the KS tail: the tail
+    // self-joins the relation three ways (values × totals × counts),
+    // and the memory-sink VIEW resolves all three to one set of
+    // attribute ids ([INTERNAL_ERROR] conflicting references) — the
+    // checkpoint is also the honest dashboard semantics (read a
+    // consistent snapshot of live registers)
+    val counts = runToBatch(s, docStream(s, d)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("c")),
+      outputMode = "complete")
+      .localCheckpoint()
+    Stats.lengthKsFromCounts(counts)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_ks_stream" -> q240KsStream _,
     "q229_growth_stream" -> q229GrowthStream _,
     "q227_attribution_outer" -> q227AttributionOuter _,
     "q223_paths_stream" -> q223PathsStream _,
@@ -655,6 +682,9 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // batch-equivalence: per-(source, value) sum registers replay the
+    // batch counts exactly; the KS tail is deterministic arithmetic
+    "q240_ks_stream" -> Stats.oracles("q215_length_ks"),
     // batch-equivalence: min-register maintenance (first-seen) and the
     // distinct active set are duplicate-blind, so the streamed rollup
     // serves batch q226's oracle verbatim

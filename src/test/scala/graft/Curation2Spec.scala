@@ -259,4 +259,40 @@ class Curation2Spec extends SparkTestBase {
     // covers exactly the docs that have at least one neighbor
     assert(got.nonEmpty && got.map(_._1).toSet == edges.map(_._1).toSet)
   }
+
+  test("q241 ensemble: percentile fusion replays from the three gated signals") {
+    val got = SparkEntry.queries("q241_quality_ensemble")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5)))
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val v93 = SparkEntry.queries("q93_quality_model")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(2) * 1000000))).toMap
+    val v119 = SparkEntry.queries("q119_lm_score")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(2) * 1000000))).toMap
+    val v142 = SparkEntry.queries("q142_token_entropy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(3) * 1000000))).toMap
+    val ids = v93.keySet & v119.keySet & v142.keySet
+    def pcts(v: Map[Long, Long], desc: Boolean): Map[Long, Long] =
+      ids.groupBy(src).values.flatMap { grp =>
+        val sorted = grp.toSeq.sortBy(id =>
+          (if (desc) -v(id) else v(id), id))
+        val n = sorted.length
+        sorted.zipWithIndex.map { case (id, i) =>
+          id -> (if (n > 1)
+            math.floor(i.toDouble / (n - 1) * 1000000).toLong else 0L) }
+      }.toMap
+    val (p93, p119, p142) =
+      (pcts(v93, desc = false), pcts(v119, desc = true),
+       pcts(v142, desc = false))
+    val want = ids.toSeq.sorted.map(id => (id, src(id), p93(id), p119(id),
+      p142(id), p93(id) + p119(id) + p142(id)))
+    assert(got.toSeq == want)
+    // fusion disagrees with any single signal somewhere (ensembling is
+    // not a rename of one input)
+    assert(got.exists(t => t._6 != 3 * t._3))
+  }
 }

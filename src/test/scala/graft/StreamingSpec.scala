@@ -790,4 +790,12 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSeq
     assert(stream == batch)
   }
+
+  test("q240 streaming KS registers equal batch q215 row-for-row") {
+    val stream = SparkEntry.queries("q240_ks_stream")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q215_length_ks")(spark, sfDir)
+      .collect().toSeq
+    assert(stream == batch)
+  }
 }
