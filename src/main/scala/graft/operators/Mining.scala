@@ -295,7 +295,7 @@ object Mining extends QueryPack {
     val sums = sv.select(col("source"), posexplode(col("iv")).as(Seq("dim", "x")))
       .groupBy("source", "dim").agg(sum("x").as("sx"))
     val norms = sums.groupBy("source")
-      .agg(sum(col("sx") * col("sx")).as("nrm2"), count(lit(1)).as("nd"))
+      .agg(sum(col("sx") * col("sx")).as("nrm2"))
     val dots = sums.as("a").join(sums.as("b"),
         col("a.dim") === col("b.dim") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
