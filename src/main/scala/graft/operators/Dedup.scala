@@ -189,6 +189,89 @@ object Dedup extends QueryPack {
   private def q42MinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(s, d)
 
+  /** The (1 − t⁴)¹⁶ banding S-curve as a FIXED expression tree shared
+    * verbatim by the Spark plan and the DuckDB oracle — repeated
+    * squaring written out so both engines evaluate the identical
+    * multiplication tree (pow() is not correctly-rounded-guaranteed;
+    * an explicit tree is). */
+  private def sCurveSql(t: String): String = {
+    val y = s"(1 - $t * $t * $t * $t)"
+    val y2 = s"($y * $y)"
+    val y4 = s"($y2 * $y2)"
+    val y8 = s"($y4 * $y4)"
+    s"floor((1 - ($y8 * $y8)) * 1000000) / 1000000"
+  }
+
+  /** q242: LSH RECALL SWEEP — the banding detector's empirical recall
+    * against ground truth across similarity thresholds, beside the
+    * theoretical S-curve 1 − (1 − t⁴)¹⁶ for the 16-band × 4-row
+    * scheme: the eval that justifies q42's "recall 1 at 0.8" claim
+    * quantitatively and shows exactly where the detector decays
+    * (at t = 0.5 theory predicts ~64% candidate recall — near-dups
+    * below the knee are invisible BY DESIGN, which is what the
+    * banding parameters trade). Runs on the md5 minhash family (the
+    * estimator's verification twin, q79's precedent — the production
+    * XXH64 kernel is not SQL-replicable, this family is, so DuckDB
+    * rebuilds the signatures, the banding, the candidate set and the
+    * counts value-exactly). The exact side is the q35 inverted-index
+    * baseline (declared-exact status, df-cut composable as there);
+    * detection = candidate ∧ verified, so precision is 1 by
+    * construction and recall is the one number swept. Thresholds are
+    * Scala doubles end-to-end (a bare SQL decimal would parse as
+    * DECIMAL — the ADVICE trap), floored exact-count divisions. */
+  private def q242LshRecall(s: SparkSession, d: String): DataFrame =
+    lshRecallCore(shingled(s, d))
+
+  /** The q242 sweep over any (doc_id, sh) shingle relation — factored
+    * so the spec can PLANT mid-similarity pairs (j ≈ 0.5, where the
+    * S-curve predicts ~36% misses) that the bimodal test corpus does
+    * not contain: on the real tables every exact pair sits at j ≥ 0.8
+    * and empirical recall is 1 across the sweep, exactly as theory
+    * predicts at the knee. */
+  private[graft] def lshRecallCore(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val exact = ex.select(col("s"), col("doc_id").as("a_id"))
+      .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("asz")),
+            Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("bsz")),
+            Seq("b_id"))
+      .withColumn("jf", floor(col("common")
+        / (col("asz") + col("bsz") - col("common")) * 1000) / 1000)
+      .filter(col("jf") >= 0.5)
+      .select("a_id", "b_id", "jf")
+    val bd = sh
+      .select(col("doc_id"), NativeExprs.md5_minhashes(col("sh"), nHashes)
+        .as("mh"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> slice(mh, b * 4 + 1, 4))"))
+        .as(Seq("band", "k")))
+    val cand = bd.select(col("band"), col("k"), col("doc_id").as("a_id"))
+      .join(bd.select(col("band"), col("k"), col("doc_id").as("b_id")),
+            Seq("band", "k"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val det = exact.join(cand, Seq("a_id", "b_id"))
+    val thr = s.range(1)
+      .select(explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
+        .as("t"))
+    val ne = exact.crossJoin(broadcast(thr)).filter(col("jf") >= col("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_exact"))
+    val nd = det.crossJoin(broadcast(thr)).filter(col("jf") >= col("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_detected"))
+    ne.join(nd, Seq("t"), "left")
+      .select(col("t").as("threshold"), col("n_exact"),
+              coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+      .withColumn("recall", expr(
+        "floor(cast(n_detected as double) / n_exact * 1000000) / 1000000"))
+      .withColumn("theory", expr(sCurveSql("threshold")))
+      .orderBy("threshold")
+  }
+
   /** Incremental NEAR-dup — the LSH twin of q76's exact incremental
     * dedup: which docs of a NEW batch (doc_id >= 250) are near-
     * duplicates (Jaccard >= 0.8) of the EXISTING corpus (doc_id < 250),
@@ -1072,6 +1155,7 @@ object Dedup extends QueryPack {
     "q220_mixture_sample" -> q220MixtureSample _,
     "q221_negative_sample" -> q221NegativeSample _,
     "q235_triplets" -> q235Triplets _,
+    "q242_lsh_recall" -> q242LshRecall _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q164_priority_survivor" -> q164PrioritySurvivor _,
     "q76_incremental_dedup" -> q76IncrementalDedup _,
@@ -1255,6 +1339,61 @@ object Dedup extends QueryPack {
     // q79: the identical md5-family signature + estimator replicated in
     // DuckDB; est = k/32 is dyadic (exact both engines), jaccard uses the
     // q35 floor convention.
+    // q242: q79's signature-rebuild CTEs at 64 components, the banding
+    // as list slices joined on (band, key-list), the q35 exact side at
+    // 0.5, threshold doubles (never bare decimals), and the SAME
+    // repeated-squaring S-curve expression tree
+    "q242_lsh_recall" -> {
+      s"""WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+                        AS tk
+                      FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3 THEN
+               [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                for i in range(1, len(tk) - 1)]
+             ELSE [] END) AS shingles
+           FROM t0),
+         s2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                FROM s2),
+         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                       b.sz AS bsz, count(*) AS common
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+         exact AS (SELECT a_id, b_id,
+                          floor(common / (asz + bsz - common) * 1000) / 1000
+                            AS jf
+                   FROM pr
+                   WHERE floor(common / (asz + bsz - common) * 1000) / 1000
+                         >= 0.5),
+         sig AS (SELECT doc_id,
+             [list_min([CAST(('0x' || substr(md5(s || ':' ||
+                              CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                        for s in shingles])
+              for i in range(0, $nHashes)] AS sg
+           FROM s2),
+         bd AS (SELECT doc_id, b, sg[b * 4 + 1 : b * 4 + 4] AS k
+                FROM sig, (SELECT unnest(range(0, $nBands)) AS b)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bd a JOIN bd b
+                    ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id),
+         det AS (SELECT exact.a_id, exact.b_id, jf
+                 FROM exact JOIN cand USING (a_id, b_id)),
+         thr AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                                CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                                CAST(0.9 AS DOUBLE)]) AS t),
+         ne AS (SELECT t, count(*) AS n_exact FROM exact, thr
+                WHERE jf >= t GROUP BY t),
+         nd AS (SELECT t, count(*) AS n_detected FROM det, thr
+                WHERE jf >= t GROUP BY t)
+         SELECT ne.t AS threshold, n_exact,
+                CAST(coalesce(n_detected, 0) AS BIGINT) AS n_detected,
+                floor(CAST(coalesce(n_detected, 0) AS DOUBLE) / n_exact
+                      * 1000000) / 1000000 AS recall,
+                ${sCurveSql("ne.t")} AS theory
+         FROM ne LEFT JOIN nd ON nd.t = ne.t
+         ORDER BY threshold"""
+    },
     "q79_minhash_est" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
                     FROM documents),

@@ -534,4 +534,36 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sim == sim2)
   }
+
+  test("q242 recall sweep: bimodal corpus saturates; planted mid-similarity pairs decay") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q242_lsh_recall")(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, ne, nd, rec, th) =>
+      assert(nd <= ne)
+      assert(rec >= 0.0 && rec <= 1.0 && th >= 0.0 && th <= 1.0)
+    }
+    // exact-count monotone in threshold; theory strictly rises with t
+    assert(rows.map(_._2).zip(rows.map(_._2).tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_._5).zip(rows.map(_._5).tail).forall { case (a, b) => a < b })
+    // planted decay region: 40 doc pairs sharing ~half their shingles
+    // (j = 9/19 ≈ 0.47… build 10/30: j = 10/30 no — construct j ≈ 0.52:
+    // 21 shared of 40 distinct → 21/(31+30-21)); md5 banding must miss
+    // SOME and catch some — theory says ~64% detected at j ≈ 0.5
+    import spark.implicits._
+    val planted = (0 until 40).flatMap { p =>
+      val shared = (0 until 21).map(i => s"s${p}_$i")
+      val aOnly = (0 until 10).map(i => s"a${p}_$i")
+      val bOnly = (0 until 9).map(i => s"b${p}_$i")
+      Seq((p * 2L, shared ++ aOnly), (p * 2L + 1L, shared ++ bOnly))
+    }.toDF("doc_id", "sh")
+    val sw = graft.operators.Dedup.lshRecallCore(planted).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    val at05 = sw.find(_._1 == 0.5).get
+    assert(at05._2 == 40L, s"expected 40 exact pairs, got ${at05._2}")
+    assert(at05._3 < 40L, "banding should miss some j~0.5 pairs")
+    assert(at05._3 > 0L, "banding should catch some j~0.5 pairs")
+  }
 }
