@@ -84,6 +84,43 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q243: TAKEDOWN CLOSURE — the opt-out registry (q204's content
+    * digests) propagated through the q73 near-dup families: honoring a
+    * takedown on the EXACT content alone leaves its lightly-edited
+    * near-duplicates in the corpus, which is not what a
+    * do-not-train/right-to-be-forgotten request means — the closure
+    * removes the whole family (the q238 propagation applied to
+    * governance, at the source-grain report a compliance review
+    * reads: direct vs transitive removals and the token mass leaving
+    * each source). Digest matching catches exact copies (q204's
+    * point); the family closure catches the near-copies; together
+    * they are the defensible takedown semantics. One broadcast
+    * registry join + the memoized assignment + two id-grain
+    * aggregates; all integer. */
+  private def q243TakedownClosure(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      expr(s"size(${graft.functions.TextExprs.toks})").cast("long").as("ntok"),
+      md5(col("text")).as("dig"))
+    val direct = docs.join(broadcast(optOutRegistry(s, d)),
+        col("dig") === col("oo_dig"), "left")
+      .select(col("doc_id"), col("source"), col("ntok"),
+              when(col("oo_dig").isNotNull, 1L).otherwise(0L).as("direct"))
+    val fam = direct.join(
+      Dedup.clusterAssignmentOf(s, d).select("doc_id", "cluster_id"),
+      Seq("doc_id"))
+    val famHit = fam.groupBy("cluster_id").agg(max("direct").as("hit"))
+    fam.join(famHit, Seq("cluster_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("direct").as("direct_removed"),
+        sum("hit").as("closure_removed"),
+        sum(when(col("hit") === 1L && col("direct") === 0L, 1L)
+          .otherwise(0L)).as("transitive_removed"),
+        sum(when(col("hit") === 1L, col("ntok")).otherwise(0L))
+          .as("removed_tokens"))
+      .orderBy("source")
+  }
+
   /** q238: FAMILY-TRANSITIVE CONTAMINATION — q48's benchmark-overlap
     * flag propagated through the q73 near-dup families: a document
     * whose FAMILY MEMBER overlaps the benchmark is contaminated too
@@ -485,6 +522,7 @@ object Curation extends QueryPack {
     "q47_pii_scrub"      -> q47PiiScrub _,
     "q48_contamination"  -> q48Contamination _,
     "q238_family_contamination" -> q238FamilyContamination _,
+    "q243_takedown_closure" -> q243TakedownClosure _,
     "q129_contamination_sweep" -> q129ContaminationSweep _,
     "q130_pipeline_funnel" -> q130PipelineFunnel _,
     "q132_source_scorecard" -> q132SourceScorecard _,
@@ -494,6 +532,32 @@ object Curation extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q243: the q73 closure + q204's digest registry; integer counts
+    // and token masses per source
+    "q243_takedown_closure" ->
+      s"""WITH cl AS (${Dedup.q73ClustersOracleSql}),
+         base AS (SELECT doc_id, source,
+                         len(string_split_regex(trim(text), '\\s+')) AS ntok,
+                         md5(text) AS dig
+                  FROM documents),
+         reg AS (SELECT DISTINCT md5(text) AS oo_dig FROM documents
+                 WHERE doc_id % 37 = 3),
+         dd AS (SELECT base.doc_id, source, ntok,
+                       CASE WHEN reg.oo_dig IS NOT NULL THEN 1 ELSE 0 END
+                         AS direct
+                FROM base LEFT JOIN reg ON reg.oo_dig = base.dig),
+         f AS (SELECT dd.doc_id, source, ntok, direct, cl.cluster_id
+               FROM dd JOIN cl ON cl.doc_id = dd.doc_id),
+         fh AS (SELECT cluster_id, max(direct) AS hit FROM f GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(direct) AS BIGINT) AS direct_removed,
+                CAST(sum(hit) AS BIGINT) AS closure_removed,
+                CAST(sum(CASE WHEN hit = 1 AND direct = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS transitive_removed,
+                CAST(sum(CASE WHEN hit = 1 THEN ntok ELSE 0 END) AS BIGINT)
+                  AS removed_tokens
+         FROM f JOIN fh USING (cluster_id)
+         GROUP BY source ORDER BY source""",
     // q238: the q73 family closure + q48's direct flags at the same
     // threshold, propagated by one family-grain aggregate
     "q238_family_contamination" ->

@@ -277,4 +277,34 @@ class CurationSpec extends SparkTestBase {
     assert(got.collect { case (id, 1L) => id }.toSet == direct)
     assert(got.map(_._1).toSet.size == got.length)
   }
+
+  test("q243 takedown closure: replays from gated q73 + the digest registry") {
+    val got = SparkEntry.queries("q243_takedown_closure")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4), r.getLong(5)))
+    val assign = SparkEntry.queries("q73_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source",
+        s"cast(size(${graft.functions.TextExprs.toks}) as long)",
+        "md5(text)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val reg = docs.collect { case (id, _, _, dig) if id % 37 == 3 => dig }
+      .toSet
+    val direct = docs.map(d => d._1 -> (if (reg(d._4)) 1L else 0L)).toMap
+    val famHit = docs.groupBy(d => assign(d._1)).view
+      .mapValues(_.map(d => direct(d._1)).max).toMap
+    val want = docs.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val hits = ds.map(d => famHit(assign(d._1)))
+      (src, ds.length.toLong, ds.map(d => direct(d._1)).sum, hits.sum,
+       ds.count(d => famHit(assign(d._1)) == 1L && direct(d._1) == 0L).toLong,
+       ds.collect { case d if famHit(assign(d._1)) == 1L => d._3 }.sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the closure can only grow the direct set, and it does somewhere
+    assert(got.forall(t => t._4 >= t._3))
+    assert(got.map(_._5).sum > 0,
+      "corpus should exercise the transitive path")
+  }
 }

@@ -52,7 +52,7 @@ class PlanSpec extends SparkTestBase {
       // q207/q216 compose the q42 pair pipeline (verifyJoin size guard)
       "q205_mixture_plan", "q207_quality_disagree", "q216_pagerank",
       "q220_mixture_sample", "q221_negative_sample", "q235_triplets",
-      "q238_family_contamination",
+      "q238_family_contamination", "q243_takedown_closure",
       // the pipelineFlags memo lazily checkpoints on first touch, and
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
