@@ -216,6 +216,74 @@ object TextAnalysis extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** EXACT Jaccard self-join via PREFIX FILTERING (the AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the true scale
+    * path for q35's exact near-dup join. q35's inverted index posts EVERY
+    * shingle, so candidate work is Σ df² over the whole vocabulary (the
+    * df-cut only bounds it to Σ min(df, cap)², trading recall); prefix
+    * filtering posts only each doc's first p = sz − ⌈τ·sz⌉ + 1 shingles
+    * under a global rarest-first (df ASC, shingle ASC) order and is STILL
+    * lossless. Completeness: a pair with J ≥ τ has |A∩B| ≥ τ·max(|A|,|B|)
+    * ≥ o = ⌈τ·|A|⌉; if the intersection avoided A's p-prefix entirely it
+    * would fit inside A's last o−1 shingles — contradiction — and
+    * symmetrically for B, so every qualifying pair collides on a shingle
+    * lying in BOTH prefixes. At τ = 0.8 only ~20% of postings survive,
+    * concentrated in the RAREST shingles (smallest df), so the self-join
+    * volume collapses quadratically; candidates then pass the symmetric
+    * length filter (τ·max(|A|,|B|) ≤ min — else J < τ even at full
+    * overlap) and are verified EXACTLY by intersecting the two full
+    * shingle arrays — doc-grain rows, candidate-set sized, no second
+    * pass over the index.
+    *
+    * τ is carried as the RATIONAL tnum/tden and the minimum overlap is
+    * computed in INTEGER arithmetic, o = (sz·tnum + tden − 1) div tden:
+    * the float form ⌈sz·0.8⌉ can evaluate to ⌈4.0000000000000002⌉ = 5
+    * (0.8 is not a binary double), silently shrinking the prefix below
+    * the completeness bound — float jitter becoming missed pairs. The
+    * final threshold test reuses q35's double form verbatim so the two
+    * declared plans (and the shared oracle) stay bit-compatible.
+    *
+    * Output ≡ q35 exactly (ScaleSpec asserts set equality), so the
+    * declared oracle is the same exact-Jaccard SQL: the gate itself
+    * certifies the optimization value-neutral.
+    */
+  private[graft] def prefixJaccardJoin(s: SparkSession, d: String,
+                                       tnum: Int = 4, tden: Int = 5): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+                       explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // Prefix postings: rank shingles rarest-first WITHIN each doc (the
+    // window is doc-grain, never a global sort) and keep rank ≤ sz−o+1.
+    val pref = ex.join(dfTab, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz * $tnum + $tden - 1) div $tden") + lit(1))
+      .select(col("s"), col("doc_id"), col("sz"))
+    val cand = pref.select(col("s"), col("doc_id").as("a_id"), col("sz").as("asz"))
+      .join(pref.select(col("s"), col("doc_id").as("b_id"), col("sz").as("bsz")),
+            Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr(s"least(asz, bsz) * $tden >= greatest(asz, bsz) * $tnum"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+              size(col("a_sh")).cast("long").as("asz"),
+              size(col("b_sh")).cast("long").as("bsz"),
+              size(array_intersect(col("a_sh"), col("b_sh")))
+                .cast("long").as("common"))
+      .withColumn("jac_raw", col("common") / (col("asz") + col("bsz") - col("common")))
+      .filter(col("jac_raw") >= 0.8)
+      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** ASYMMETRIC CONTAINMENT near-dup — C(A→B) = |A∩B| / |A| over
     * distinct word-3-gram shingles (Broder's containment, the companion
     * measure to q35's resemblance). Jaccard misses the subset case by
@@ -567,6 +635,8 @@ object TextAnalysis extends QueryPack {
     "q183_inc_containment" -> ((s: SparkSession, d: String) =>
       incrementalContainment(s, d)),
     "q201_vocab_coverage" -> q201VocabCoverage _,
+    "q244_prefix_join" -> ((s: SparkSession, d: String) =>
+      prefixJaccardJoin(s, d)),
   )
 
   /** Vocabulary size for q201 — the top-V closed vocabulary. */
@@ -799,6 +869,29 @@ object TextAnalysis extends QueryPack {
                 len(shingles) AS n_shingles
          FROM sh ORDER BY doc_id""",
     "q35_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT a_id, b_id,
+                floor(common / (asz + bsz - common) * 1000) / 1000 AS jaccard
+         FROM pairs
+         WHERE common / (asz + bsz - common) >= 0.8
+         ORDER BY a_id, b_id""",
+    // q244: the prefix-filtered join is certified VALUE-NEUTRAL against
+    // the same exact-Jaccard relation as q35 — the oracle recomputes the
+    // full inverted-index join; the Spark plan reaches the identical
+    // pair set through ~20% of the postings
+    "q244_prefix_join" ->
       """WITH sh AS (
            SELECT doc_id,
              list_distinct(CASE WHEN len(t) >= 3 THEN

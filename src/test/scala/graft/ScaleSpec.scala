@@ -88,6 +88,35 @@ class ScaleSpec extends SparkTestBase {
     assert(kept < total, "testdata has shingles above the cut, so work shrinks")
   }
 
+  test("prefix-filtered Jaccard join: lossless vs exact q35, prefix postings shrink") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(TextAnalysis.q35NgramJaccard(spark, sfDir))
+    val pref = rows(TextAnalysis.queries("q244_prefix_join")(spark, sfDir))
+    assert(pref == exact,
+      "prefix filtering must be lossless at the rational threshold — " +
+        "identical (pair, score) set to the full inverted-index join")
+    // the prefix actually prunes: posting volume falls to the (1-tau) tail
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val total = ex.count()
+    val prefixPostings = ex
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("s"))))
+      .filter(col("rn") <= col("sz") - expr("(sz * 4 + 4) div 5") + lit(1))
+      .count()
+    assert(prefixPostings < total / 2,
+      s"prefix postings $prefixPostings should be well under half of $total")
+    // integer overlap bound: the float form can round 0.8*sz up past the
+    // true ceiling and silently break completeness — pin the arithmetic
+    val o5 = spark.sql("SELECT (5 * 4 + 4) div 5 AS o").collect().head.getLong(0)
+    assert(o5 == 4L, "ceil(0.8*5) must be 4 in exact integer arithmetic")
+  }
+
   test("containment df-cut: subset below the cap, value-neutral at corpus size") {
     import graft.operators.TextAnalysis
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
