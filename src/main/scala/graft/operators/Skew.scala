@@ -60,8 +60,80 @@ object Skew extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Morton interleave of two 8-bit quantized dims, emitted as portable
+    * integer arithmetic (no shift operators — Spark spells integer
+    * division `div`, DuckDB `//`, so the token is a parameter and the
+    * SAME formula text gates both engines). Bit i of qx lands at 2i, of
+    * qy at 2i+1. */
+  private def mortonExpr(qx: String, qy: String, divTok: String): String =
+    (0 until 8).map { i =>
+      s"(($qx $divTok ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($qy $divTok ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-ORDER LAYOUT AUDIT — the data-layout decision behind multi-column
+    * file skipping at 100 TB. A parquet lake prunes files by footer
+    * min/max ranges; a LINEAR layout (files cut along one sort column)
+    * gives perfect pruning on that column and none on any other, while a
+    * Z-ORDER layout (files cut along the Morton curve over BOTH columns)
+    * bounds every file to a 2-D tile so a 2-D query box touches only the
+    * tiles it overlaps. This operator materializes that tradeoff as a
+    * measurement: quantize (l_partkey, l_suppkey) to 8 bits each off
+    * broadcast min/max, assign every row a file under both layouts (64
+    * files each — top-6 Morton bits vs top-6 qx bits; pure map-side
+    * arithmetic, NO global sort: at scale the file id IS the write
+    * partition key), reconstruct each file's min/max footer stats, and
+    * report for a fixed 32×32 query box how many files a range scan must
+    * read and the row-level read amplification (rows inside hit files
+    * over rows actually matching). `rows_match` is layout-invariant by
+    * construction — the same gate row certifies both branches saw the
+    * same data. All arithmetic is integer until the single floored
+    * ratio, so the DuckDB oracle recomputes the audit bit-for-bit.
+    */
+  private def q245ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("x"),
+              col("l_suppkey").cast("long").as("y"))
+    val mm = li.agg(min("x").as("minx"), max("x").as("maxx"),
+                    min("y").as("miny"), max("y").as("maxy"))
+    val q = li.crossJoin(broadcast(mm))
+      .selectExpr("(x - minx) * 256 div (maxx - minx + 1) AS qx",
+                  "(y - miny) * 256 div (maxy - miny + 1) AS qy")
+    val z = q.selectExpr("qx", "qy", s"${mortonExpr("qx", "qy", "div")} AS zkey")
+    val f = z
+      .select(explode(expr(
+        """array(named_struct('layout', 'zorder', 'file_id', zkey div 1024),
+                 named_struct('layout', 'linear', 'file_id', qx div 4))""")).as("lf"),
+        col("qx"), col("qy"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+              col("qx"), col("qy"))
+    val perFile = f.groupBy("layout", "file_id")
+      .agg(min("qx").as("mnx"), max("qx").as("mxx"),
+           min("qy").as("mny"), max("qy").as("mxy"),
+           count(lit(1)).as("cnt"),
+           sum(expr("""CASE WHEN qx BETWEEN 64 AND 95 AND qy BETWEEN 64 AND 95
+                       THEN 1 ELSE 0 END""")).as("mrows"))
+    perFile.groupBy("layout")
+      .agg(count(lit(1)).as("files_total"),
+           sum(expr("""CASE WHEN mnx <= 95 AND mxx >= 64
+                            AND mny <= 95 AND mxy >= 64
+                       THEN 1 ELSE 0 END""")).as("files_hit"),
+           sum(expr("""CASE WHEN mnx <= 95 AND mxx >= 64
+                            AND mny <= 95 AND mxy >= 64
+                       THEN cnt ELSE 0 END""")).as("rows_in_hit"),
+           sum(col("mrows")).as("rows_match"))
+      .withColumn("read_amp",
+        expr("""CASE WHEN rows_match = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor(cast(rows_in_hit as double) * 1000 / rows_match) / 1000
+                END"""))
+      .select("layout", "files_total", "files_hit", "rows_in_hit",
+              "rows_match", "read_amp")
+      .orderBy("layout")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_salted_join" -> q171SaltedJoin _,
+    "q245_zorder_layout" -> q245ZorderLayout _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -71,5 +143,42 @@ object Skew extends QueryPack {
                 n_name, l_quantity
          FROM lineitem JOIN nation ON l_linenumber = n_nationkey
          ORDER BY l_orderkey, l_linenumber""",
+    // q245: the SAME integer quantize/interleave/bucket arithmetic with
+    // DuckDB's `//` integer division; sums cast to BIGINT (DuckDB sums
+    // integers into HUGEINT)
+    "q245_zorder_layout" ->
+      s"""WITH mm AS (SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+                             min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+                      FROM lineitem),
+         q AS (SELECT (l_partkey - minx) * 256 // (maxx - minx + 1) AS qx,
+                      (l_suppkey - miny) * 256 // (maxy - miny + 1) AS qy
+               FROM lineitem, mm),
+         z AS (SELECT qx, qy, ${mortonExpr("qx", "qy", "//")} AS zkey FROM q),
+         f AS (SELECT 'zorder' AS layout, zkey // 1024 AS file_id, qx, qy FROM z
+               UNION ALL
+               SELECT 'linear' AS layout, qx // 4 AS file_id, qx, qy FROM z),
+         pf AS (SELECT layout, file_id,
+                       min(qx) AS mnx, max(qx) AS mxx,
+                       min(qy) AS mny, max(qy) AS mxy,
+                       count(*) AS cnt,
+                       sum(CASE WHEN qx BETWEEN 64 AND 95
+                                 AND qy BETWEEN 64 AND 95
+                            THEN 1 ELSE 0 END) AS mrows
+                FROM f GROUP BY 1, 2)
+         SELECT layout, count(*) AS files_total,
+                CAST(sum(CASE WHEN mnx <= 95 AND mxx >= 64
+                               AND mny <= 95 AND mxy >= 64
+                          THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+                CAST(sum(CASE WHEN mnx <= 95 AND mxx >= 64
+                               AND mny <= 95 AND mxy >= 64
+                          THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_hit,
+                CAST(sum(mrows) AS BIGINT) AS rows_match,
+                CASE WHEN sum(mrows) = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(sum(CASE WHEN mnx <= 95 AND mxx >= 64
+                                               AND mny <= 95 AND mxy >= 64
+                                          THEN cnt ELSE 0 END) AS DOUBLE)
+                                * 1000 / sum(mrows)) / 1000
+                END AS read_amp
+         FROM pf GROUP BY 1 ORDER BY layout""",
   )
 }

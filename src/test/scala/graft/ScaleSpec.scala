@@ -117,6 +117,24 @@ class ScaleSpec extends SparkTestBase {
     assert(o5 == 4L, "ceil(0.8*5) must be 4 in exact integer arithmetic")
   }
 
+  test("z-order layout prunes the 2-D box strictly better than linear") {
+    val out = Skew.queries("q245_zorder_layout")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (linTotal, linHit, linRows, linMatch) = out("linear")
+    val (zTotal, zHit, zRows, zMatch) = out("zorder")
+    assert(linTotal > 1 && zTotal > 1, "both layouts must actually cut files")
+    // the same rows matched under both layouts — the audit saw one dataset
+    assert(linMatch == zMatch, "rows_match must be layout-invariant")
+    // the point of the exercise: the Morton tiling confines the 2-D box
+    assert(zHit < linHit,
+      s"zorder must hit fewer files than linear ($zHit vs $linHit)")
+    assert(zRows < linRows,
+      s"zorder must read fewer rows than linear ($zRows vs $linRows)")
+    // pruning is sound under both layouts: hit files cover every match
+    assert(zRows >= zMatch && linRows >= linMatch)
+  }
+
   test("containment df-cut: subset below the cap, value-neutral at corpus size") {
     import graft.operators.TextAnalysis
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
