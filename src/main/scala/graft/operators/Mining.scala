@@ -389,7 +389,68 @@ object Mining extends QueryPack {
       .orderBy("label")
   }
 
+  /** Degree-ordered triangle counting over an undirected (a_id < b_id)
+    * pair relation — returns per-node (doc_id, deg, tri, lcc). The core
+    * is the classic compact-forward scheme: orient every edge from the
+    * (deg, id)-smaller endpoint to the larger, enumerate wedges only
+    * among each node's OUT-neighbors (ordered again by (deg, id) so
+    * each triangle materializes exactly once), and close them against
+    * the oriented edge list. Orientation is what makes the shape hold
+    * at 100 TB: out-degree under the degree order is O(√m), so wedge
+    * volume is O(m^1.5) regardless of hub skew — a raw neighbor-pair
+    * explode would square the hottest template family's degree. Rows
+    * in flight are id/degree longs only; ranks compare as structs, no
+    * packed arithmetic to overflow. Triangle credit then explodes each
+    * (u,v,w) to its three corners; lcc = 2·tri / deg·(deg−1) floored
+    * at 1e-3 (integer numerator, one double division). */
+  private[graft] def triangleStats(pr: DataFrame): DataFrame = {
+    val ed = pr.select(col("a_id"), col("b_id"))
+      .unionByName(pr.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val deg = ed.groupBy("a_id").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("a_id", "doc_id")
+    val ori = ed
+      .join(deg.select(col("doc_id").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("doc_id").as("b_id"), col("deg").as("db")), "b_id")
+      .filter(expr("struct(da, a_id) < struct(db, b_id)"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("db").as("ddeg"))
+    val out = ori.select(col("src"), col("dst"), col("ddeg"))
+    val wedges = out.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(out.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")), "src")
+      .filter(expr("struct(dv, v) < struct(dw, w)"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tri = wedges
+      .join(ori.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select("u", "v", "w")
+    val triPerNode = tri
+      .select(explode(expr("array(u, v, w)")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("lcc", expr(
+        """CASE WHEN deg >= 2
+           THEN floor(cast(2000 * tri as double) / (deg * (deg - 1))) / 1000
+           ELSE CAST(0 AS DOUBLE) END"""))
+      .select("doc_id", "deg", "tri", "lcc")
+      .orderBy("doc_id")
+  }
+
+  /** q246: NEAR-DUP GRAPH TRIANGLES — triangle counts and local
+    * clustering coefficients over the memoized q42 pair graph (shared
+    * with q73/q143/q216). Degree (q143) and PageRank (q216) say how
+    * CONNECTED a document is; the clustering coefficient says how
+    * CLIQUE-LIKE its neighborhood is, which separates the two hub
+    * shapes a dedup pipeline treats differently: a template family is
+    * a near-clique (lcc → 1 — drop all but one canonical), while a
+    * boilerplate fragment stitched into otherwise-unrelated docs is a
+    * star (high degree, lcc → 0 — strip the fragment, keep the docs).
+    * The oracle closes the exact pair SQL with the naive three-way
+    * canonical-pair join (u<v<w), certifying the degree-ordered
+    * enumeration finds exactly the same triangles. */
+  private def q246Triangles(s: SparkSession, d: String): DataFrame =
+    triangleStats(Dedup.minhashLshPairsCore(s, d).select("a_id", "b_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_triangles" -> q246Triangles _,
     "q231_knn_purity" -> q231KnnPurity _,
     "q224_hub_audit" -> q224HubAudit _,
     "q217_source_centroids" -> q217SourceCentroids _,
@@ -463,6 +524,47 @@ object Mining extends QueryPack {
          FROM dots JOIN nrm na ON na.source = src_a
                    JOIN nrm nb ON nb.source = src_b
          ORDER BY src_a, src_b""",
+    // q246: exact pair SQL + the NAIVE canonical three-way join (a
+    // triangle u<v<w is exactly three pairs (u,v),(v,w),(u,w)) —
+    // certifying the degree-ordered enumeration finds the same set
+    "q246_triangles" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz,
+                  b.sz AS bsz, count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pr AS (SELECT a_id, b_id FROM pairs
+                WHERE common / (asz + bsz - common) >= 0.8),
+         ed AS (SELECT a_id, b_id FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+         dg AS (SELECT a_id AS doc_id, count(*) AS deg FROM ed GROUP BY 1),
+         tri AS (SELECT p1.a_id AS u, p1.b_id AS v, p2.b_id AS w
+                 FROM pr p1
+                 JOIN pr p2 ON p2.a_id = p1.b_id
+                 JOIN pr p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id),
+         tn AS (SELECT doc_id, count(*) AS tri FROM (
+                  SELECT u AS doc_id FROM tri
+                  UNION ALL SELECT v FROM tri
+                  UNION ALL SELECT w FROM tri)
+                GROUP BY 1)
+         SELECT dg.doc_id, CAST(dg.deg AS BIGINT) AS deg,
+                CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+                CASE WHEN dg.deg >= 2
+                     THEN floor(CAST(2000 * coalesce(tn.tri, 0) AS DOUBLE)
+                                / (dg.deg * (dg.deg - 1))) / 1000
+                     ELSE CAST(0 AS DOUBLE) END AS lcc
+         FROM dg LEFT JOIN tn ON tn.doc_id = dg.doc_id
+         ORDER BY dg.doc_id""",
     // q216: the q42/q35 exact pair SQL (LSH recall 1 at the 0.8 verify
     // threshold — q42's argument) + three chained integer PageRank
     // iterations; `//` floors on positives exactly like Spark's `div`

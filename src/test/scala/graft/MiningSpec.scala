@@ -387,4 +387,26 @@ class MiningSpec extends SparkTestBase {
     // triplet sanity: anchor, positive, negative all distinct per row
     assert(got.forall(t => t._1 != t._3 && t._2 != t._3 && t._1 != t._2))
   }
+
+  test("q246 triangle core: planted clique / star / path count exactly") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; star 10-(11,12,13); path 20-21-22
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val pr = (clique ++ star ++ path).toDF("a_id", "b_id")
+    val out = graft.operators.Mining.triangleStats(pr).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // clique: every node deg 3, in C(3,2)=3 triangles, lcc exactly 1
+    (1L to 4L).foreach { n => assert(out(n) == ((3L, 3L, 1.0)), s"node $n") }
+    // star center: high degree, zero closure — the strip-don't-drop shape
+    assert(out(10L) == ((3L, 0L, 0.0)))
+    star.foreach { case (_, leaf) => assert(out(leaf) == ((1L, 0L, 0.0))) }
+    // path: middle node has two open neighbors, lcc 0
+    assert(out(21L) == ((2L, 0L, 0.0)))
+    assert(out(20L) == ((1L, 0L, 0.0)) && out(22L) == ((1L, 0L, 0.0)))
+    // global triangle count: each clique triangle credits 3 corners
+    assert(out.values.map(_._2).sum == 4L * 3L)
+  }
 }
