@@ -537,6 +537,59 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "bin")
   }
 
+  /** MERGEABLE QUANTILE REGISTERS — approximate percentiles from the
+    * q198 log-bin registers, certified against the exact order
+    * statistic. The register relation is (event_type, bin) →
+    * (cnt, vmin, vmax): mergeable by (sum, min, max) in any partition
+    * or shard order, the HLL/KS register discipline — so at 100 TB the
+    * quantile dashboard is a constant-size relation combinable across
+    * days/sources/streams, where exact percentiles would re-sort the
+    * world. A quantile lands by walking the cumulative bin counts to
+    * the first bin covering rank k = ⌈p·n⌉ (integer ceiling — no float
+    * rank); the answer is that bin's OBSERVED [vmin, vmax] envelope
+    * (tighter than the 2^b bin bounds, and no power arithmetic). The
+    * certificate: the true k-th smallest value — computed by explicit
+    * row_number in BOTH engines, no engine quantile function with its
+    * own interpolation opinions — must fall inside the envelope, which
+    * holds by construction because binning is monotone in the value.
+    * The exact side is a certification rider (the q195 discipline): a
+    * production plan ships registers alone. */
+  private def q247QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d)
+      .select(col("event_type"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+    val r = v.groupBy(col("event_type"),
+                      expr("length(bin(cents))").cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), min("cents").as("vmin"),
+           max("cents").as("vmax"))
+    val t = r.groupBy("event_type").agg(sum("cnt").as("n"))
+    val ks = t.select(col("event_type"), col("n"),
+                      explode(expr("array(500L, 950L, 990L)")).as("p_mille"))
+      .withColumn("k", expr("(p_mille * n + 999) div 1000"))
+    val c = r.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")))
+    val est = ks
+      .join(c.select(col("event_type"), col("bin"), col("cum")), Seq("event_type"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("event_type", "p_mille", "n", "k")
+      .agg(min("bin").as("bin"))
+    val ex = v.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("cents")))
+      .select(col("event_type").as("et2"), col("cents").as("exact_v"),
+              col("rn"))
+    est
+      .join(c.select(col("event_type"), col("bin"),
+                     col("vmin").as("v_lo"), col("vmax").as("v_hi")),
+            Seq("event_type", "bin"))
+      .join(ex, col("et2") === col("event_type") && col("rn") === col("k"))
+      .select(col("event_type"), col("p_mille"), col("n"), col("k"),
+              col("bin"), col("v_lo"), col("v_hi"), col("exact_v"),
+              expr("""CAST(CASE WHEN exact_v BETWEEN v_lo AND v_hi
+                          THEN 1 ELSE 0 END AS BIGINT)""").as("in_bound"))
+      .orderBy("event_type", "p_mille")
+  }
+
   /** RFM SEGMENTATION — the classic behavioral user segmentation:
     * recency (last activity), frequency (event count) and monetary
     * (total cents) per user, each cut into terciles against corpus-wide
@@ -605,6 +658,7 @@ object EventOps extends QueryPack {
     "q200_enrich_coverage" -> q200EnrichCoverage _,
     "q199_rfm_segments" -> q199RfmSegments _,
     "q198_value_histogram" -> q198ValueHistogram _,
+    "q247_quantile_sketch" -> q247QuantileSketch _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -684,6 +738,47 @@ object EventOps extends QueryPack {
          SELECT g.event_type, g.bin, g.n, g.cents_total,
                 floor(CAST(g.n AS DOUBLE) * 1000 / t.tot) / 1000 AS share
          FROM g JOIN t USING (event_type) ORDER BY g.event_type, g.bin""",
+    // q247: the q198 registers walked to rank k = ceil(p*n) in integer
+    // arithmetic; the exact k-th value via explicit row_number (NOT an
+    // engine quantile function) — `//` floors like Spark's `div` on
+    // positives; in_bound certifies the envelope covers the truth
+    "q247_quantile_sketch" ->
+      """WITH v AS (SELECT event_type,
+                  CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+               FROM events
+               WHERE CAST(floor("value" * 100 + 0.5) AS BIGINT) >= 1),
+         r AS (SELECT event_type, CAST(len(bin(cents)) AS BIGINT) AS bin,
+                      count(*) AS cnt, min(cents) AS vmin, max(cents) AS vmax
+               FROM v GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+               FROM r GROUP BY 1),
+         ks AS (SELECT event_type, n,
+                       CAST(unnest([500, 950, 990]) AS BIGINT) AS p_mille
+                FROM t),
+         kk AS (SELECT event_type, n, p_mille,
+                       (p_mille * n + 999) // 1000 AS k
+                FROM ks),
+         c AS (SELECT event_type, bin, vmin, vmax,
+                      CAST(sum(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY bin) AS BIGINT) AS cum
+               FROM r),
+         est AS (SELECT kk.event_type, kk.p_mille, kk.n, kk.k,
+                        min(c.bin) AS bin
+                 FROM kk JOIN c ON c.event_type = kk.event_type
+                               AND c.cum >= kk.k
+                 GROUP BY 1, 2, 3, 4),
+         ex AS (SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn
+                FROM v)
+         SELECT est.event_type, est.p_mille, est.n, est.k, est.bin,
+                c.vmin AS v_lo, c.vmax AS v_hi, ex.cents AS exact_v,
+                CAST(CASE WHEN ex.cents BETWEEN c.vmin AND c.vmax
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_bound
+         FROM est
+         JOIN c ON c.event_type = est.event_type AND c.bin = est.bin
+         JOIN ex ON ex.event_type = est.event_type AND ex.rn = est.k
+         ORDER BY est.event_type, est.p_mille""",
     // q197: exact integer power sums (cents × rebased seconds), then
     // the slope combined in the same fixed-shape double expression
     "q197_value_trend" ->

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.EventOps
+import org.apache.spark.sql.functions._
 
 /** q176 event conversion funnel: the declared query against a driver-side
   * brute-force recompute of the strict-ordering min-semantics, plus the
@@ -201,5 +202,42 @@ class FunnelSpec extends SparkTestBase {
       .find(_.getString(1) == "purchase").get.getLong(2)
     assert(n == n3, s"converted count $n != funnel stage-3 $n3")
     assert(n > 0 && p25 > 0 && p25 <= p50 && p50 <= p90)
+  }
+
+  test("q247 quantile registers: certificate holds, merge equals rebuild") {
+    val rows = EventOps.queries("q247_quantile_sketch")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every declared row carries a green certificate: the exact k-th
+    // value sits inside the register envelope, and the envelope is sane
+    rows.foreach { r =>
+      val (lo, hi, exact, inB) =
+        (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(inB == 1L && lo <= exact && exact <= hi, r.toString)
+    }
+    // the registers themselves are MERGEABLE: building (cnt, vmin, vmax)
+    // per bin over two disjoint halves and combining by (sum, min, max)
+    // must reproduce the one-shot registers bit-for-bit
+    val v = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+      .withColumn("half", expr("cast(xxhash64(cents) % 2 = 0 as int)"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"),
+                 expr("length(bin(cents))").cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"), min("cents").as("vmin"),
+             max("cents").as("vmax"))
+    val oneShot = regs(v).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val merged = regs(v.filter(col("half") === 1))
+      .unionByName(regs(v.filter(col("half") === 0)))
+      .groupBy("event_type", "bin")
+      .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"),
+           max("vmax").as("vmax"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged == oneShot, "register merge must equal the one-shot build")
   }
 }
