@@ -554,14 +554,15 @@ object EventOps extends QueryPack {
     * holds by construction because binning is monotone in the value.
     * The exact side is a certification rider (the q195 discipline): a
     * production plan ships registers alone. */
-  private def q247QuantileSketch(s: SparkSession, d: String): DataFrame = {
-    val v = Tables.events(s, d)
-      .select(col("event_type"),
-              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-      .filter(col("cents") >= 1)
-    val r = v.groupBy(col("event_type"),
-                      expr("length(bin(cents))").cast("long").as("bin"))
-      .agg(count(lit(1)).as("cnt"), min("cents").as("vmin"),
+  /** The q247 tail over a value-grain count relation (event_type,
+    * cents, c) — shared with the streaming twin q248, whose complete-
+    * mode sum registers ARE that relation. The exact k-th value falls
+    * out of the same counts (min cents whose cumulative count reaches
+    * k), value-identical to an explicit row_number over raw rows. */
+  private[operators] def quantileFromCounts(counts: DataFrame): DataFrame = {
+    val r = counts.groupBy(col("event_type"),
+                           expr("length(bin(cents))").cast("long").as("bin"))
+      .agg(sum("c").as("cnt"), min("cents").as("vmin"),
            max("cents").as("vmax"))
     val t = r.groupBy("event_type").agg(sum("cnt").as("n"))
     val ks = t.select(col("event_type"), col("n"),
@@ -574,21 +575,34 @@ object EventOps extends QueryPack {
       .filter(col("cum") >= col("k"))
       .groupBy("event_type", "p_mille", "n", "k")
       .agg(min("bin").as("bin"))
-    val ex = v.withColumn("rn",
-        row_number().over(Window.partitionBy("event_type").orderBy("cents")))
-      .select(col("event_type").as("et2"), col("cents").as("exact_v"),
-              col("rn"))
+    val exCum = counts.withColumn("vcum",
+      sum("c").over(Window.partitionBy("event_type").orderBy("cents")))
+    val ex = ks
+      .select(col("event_type").as("et2"), col("p_mille").as("pm2"),
+              col("k").as("k2"))
+      .join(exCum.select(col("event_type").as("et2"), col("cents"),
+                         col("vcum")), Seq("et2"))
+      .filter(col("vcum") >= col("k2"))
+      .groupBy("et2", "pm2")
+      .agg(min("cents").as("exact_v"))
     est
       .join(c.select(col("event_type"), col("bin"),
                      col("vmin").as("v_lo"), col("vmax").as("v_hi")),
             Seq("event_type", "bin"))
-      .join(ex, col("et2") === col("event_type") && col("rn") === col("k"))
+      .join(ex, col("et2") === col("event_type") && col("pm2") === col("p_mille"))
       .select(col("event_type"), col("p_mille"), col("n"), col("k"),
               col("bin"), col("v_lo"), col("v_hi"), col("exact_v"),
               expr("""CAST(CASE WHEN exact_v BETWEEN v_lo AND v_hi
                           THEN 1 ELSE 0 END AS BIGINT)""").as("in_bound"))
       .orderBy("event_type", "p_mille")
   }
+
+  private def q247QuantileSketch(s: SparkSession, d: String): DataFrame =
+    quantileFromCounts(Tables.events(s, d)
+      .select(col("event_type"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c")))
 
   /** RFM SEGMENTATION — the classic behavioral user segmentation:
     * recency (last activity), frequency (event count) and monetary

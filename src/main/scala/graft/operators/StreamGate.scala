@@ -656,7 +656,30 @@ object StreamGate extends QueryPack {
     Stats.lengthKsFromCounts(counts)
   }
 
+  /** q248: STREAMING QUANTILE REGISTERS — q247's percentile dashboard
+    * kept current by the stream. The streamed state is per-(event_type,
+    * cents) COUNT registers (value-domain-sized, the q240 argument:
+    * state never grows with the stream, only with the value domain);
+    * the whole register/envelope/certificate tail — log-bin fold,
+    * cumulative walk to rank ⌈p·n⌉, exact k-th from the same counts —
+    * runs on the sink relation via the shared q247 core. Counting is
+    * duplicate-sensitive (the q240 caveat), which is the correct
+    * semantics for a percentile over the delivered corpus. Serves
+    * batch q247's oracle verbatim. */
+  private def q248QuantileStream(s: SparkSession, d: String): DataFrame = {
+    val counts = runToBatch(s, eventStream(s, d)
+      .filter(col("event_id") >= 0)
+      .select(col("event_type"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c")),
+      outputMode = "complete")
+      .localCheckpoint()
+    EventOps.quantileFromCounts(counts)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_quantile_stream" -> q248QuantileStream _,
     "q240_ks_stream" -> q240KsStream _,
     "q229_growth_stream" -> q229GrowthStream _,
     "q227_attribution_outer" -> q227AttributionOuter _,
@@ -685,6 +708,10 @@ object StreamGate extends QueryPack {
     // batch-equivalence: per-(source, value) sum registers replay the
     // batch counts exactly; the KS tail is deterministic arithmetic
     "q240_ks_stream" -> Stats.oracles("q215_length_ks"),
+    // batch-equivalence: value-grain count registers replay the batch
+    // counts; the quantile walk and certificate are deterministic
+    // integer arithmetic over the sink relation
+    "q248_quantile_stream" -> EventOps.oracles("q247_quantile_sketch"),
     // batch-equivalence: min-register maintenance (first-seen) and the
     // distinct active set are duplicate-blind, so the streamed rollup
     // serves batch q226's oracle verbatim
