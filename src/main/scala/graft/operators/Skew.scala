@@ -131,9 +131,51 @@ object Skew extends QueryPack {
       .orderBy("layout")
   }
 
+  /** JOIN-SIZE PREDICTION FROM DEGREE RELATIONS — the planning pass a
+    * 100 TB join runs BEFORE shuffling anything: |A ⋈ B| on a key is
+    * exactly Σ_k deg_A(k)·deg_B(k), computable from two key-grain count
+    * relations that are each a partial-agg away from the scans (and
+    * mergeable across days/shards, so a warehouse keeps them as
+    * statistics). The per-key contributions are simultaneously the skew
+    * report: the keys that dominate the predicted output are the ones
+    * to salt (q171) or broadcast around — decided from key-grain rows
+    * without paying the join. Subject here is the many-to-many
+    * clicks×purchases self-join per user (the q219 attribution shape
+    * before its interval predicate — the unconstrained size is the
+    * planner's upper bound). The declared plan carries the ACTUAL join
+    * count as a one-row certification rider (the q195 discipline: at
+    * scale you'd ship the prediction alone); size_check = 1 certifies
+    * prediction ≡ execution row-for-row. */
+  private def q249JoinCardinality(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"))
+    val degC = clicks.groupBy("user_id").agg(count(lit(1)).as("n_click"))
+    val degP = purchases.groupBy(col("u2").as("user_id"))
+      .agg(count(lit(1)).as("n_purchase"))
+    val deg = degC.join(degP, "user_id")
+      .withColumn("contrib", col("n_click") * col("n_purchase"))
+    val tot = deg.agg(sum("contrib").as("join_total"))
+    val actual = clicks.join(purchases, col("user_id") === col("u2"))
+      .agg(count(lit(1)).as("actual_join"))
+    deg.orderBy(col("contrib").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(actual))
+      .withColumn("share",
+        expr("floor(cast(contrib as double) * 1000 / join_total) / 1000"))
+      .withColumn("size_check",
+        expr("CAST(CASE WHEN join_total = actual_join THEN 1 ELSE 0 END AS BIGINT)"))
+      .select("user_id", "n_click", "n_purchase", "contrib", "share",
+              "join_total", "actual_join", "size_check")
+      .orderBy(col("contrib").desc, col("user_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_salted_join" -> q171SaltedJoin _,
     "q245_zorder_layout" -> q245ZorderLayout _,
+    "q249_join_cardinality" -> q249JoinCardinality _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -180,5 +222,29 @@ object Skew extends QueryPack {
                                 * 1000 / sum(mrows)) / 1000
                 END AS read_amp
          FROM pf GROUP BY 1 ORDER BY layout""",
+    // q249: Σ degA·degB per key vs the executed join's count(*) — the
+    // identity the prediction rests on, checked row-for-row
+    "q249_join_cardinality" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_click FROM events
+                    WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT user_id, count(*) AS n_purchase FROM events
+               WHERE event_type = 'purchase' GROUP BY 1),
+         deg AS (SELECT c.user_id, c.n_click, p.n_purchase,
+                        c.n_click * p.n_purchase AS contrib
+                 FROM c JOIN p USING (user_id)),
+         tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS join_total FROM deg),
+         act AS (SELECT count(*) AS actual_join
+                 FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+                 JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+                   ON a.user_id = b.user_id),
+         top AS (SELECT * FROM deg ORDER BY contrib DESC, user_id LIMIT 10)
+         SELECT top.user_id, top.n_click, top.n_purchase, top.contrib,
+                floor(CAST(top.contrib AS DOUBLE) * 1000 / tot.join_total)
+                  / 1000 AS share,
+                tot.join_total, act.actual_join,
+                CAST(CASE WHEN tot.join_total = act.actual_join
+                     THEN 1 ELSE 0 END AS BIGINT) AS size_check
+         FROM top, tot, act
+         ORDER BY top.contrib DESC, top.user_id""",
   )
 }
