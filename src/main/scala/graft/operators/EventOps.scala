@@ -597,6 +597,39 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "p_mille")
   }
 
+  /** K-ANONYMITY AUDIT — the re-identification risk report a release
+    * pipeline runs beside the PII scrub (q47) and the opt-out filter
+    * (q204): project each row to its quasi-identifier tuple — here
+    * (event_type, hour-of-day, value log-bin), the indirect attributes
+    * an adversary could link on — and count how much of the corpus
+    * lives in QI-groups smaller than k = 5. Those rows are the ones
+    * k-anonymity says to suppress or generalize before publication.
+    * Scale shape: one partial-agg groupBy at QI grain (the group
+    * relation is value-domain-sized, not corpus-sized), one group-grain
+    * rollup back to event_type; integer counts and one floored share.
+    * Hour-of-day and the value bin reuse the positive-epoch bucket
+    * (q191) and binary-string-length bin (q198) forms, so both engines
+    * compute the QI tuple with identical integer arithmetic. */
+  private def q250KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val qi = Tables.events(s, d)
+      .select(col("event_type"),
+              expr("unix_micros(ts) div 3600000000 % 24").as("hod"),
+              expr("""length(bin(greatest(cast(floor(value * 100 + 0.5)
+                      as bigint), 1)))""").cast("long").as("vbin"))
+    val g = qi.groupBy("event_type", "hod", "vbin")
+      .agg(count(lit(1)).as("n"))
+    g.groupBy("event_type")
+      .agg(sum("n").as("n_rows"),
+           count(lit(1)).as("n_groups"),
+           sum(expr("CASE WHEN n < 5 THEN 1 ELSE 0 END")).as("n_small_groups"),
+           sum(expr("CASE WHEN n < 5 THEN n ELSE 0 END")).as("n_risky_rows"))
+      .withColumn("risk_share",
+        expr("floor(cast(n_risky_rows as double) * 1000 / n_rows) / 1000"))
+      .select("event_type", "n_rows", "n_groups", "n_small_groups",
+              "n_risky_rows", "risk_share")
+      .orderBy("event_type")
+  }
+
   private def q247QuantileSketch(s: SparkSession, d: String): DataFrame =
     quantileFromCounts(Tables.events(s, d)
       .select(col("event_type"),
@@ -673,6 +706,7 @@ object EventOps extends QueryPack {
     "q199_rfm_segments" -> q199RfmSegments _,
     "q198_value_histogram" -> q198ValueHistogram _,
     "q247_quantile_sketch" -> q247QuantileSketch _,
+    "q250_k_anonymity" -> q250KAnonymity _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -752,6 +786,26 @@ object EventOps extends QueryPack {
          SELECT g.event_type, g.bin, g.n, g.cents_total,
                 floor(CAST(g.n AS DOUBLE) * 1000 / t.tot) / 1000 AS share
          FROM g JOIN t USING (event_type) ORDER BY g.event_type, g.bin""",
+    // q250: identical integer QI tuple (positive-epoch hour, len(bin)
+    // value bin clamped to >= 1); group then rollup, one floored share
+    "q250_k_anonymity" ->
+      """WITH qi AS (SELECT event_type,
+                  epoch_us(ts::TIMESTAMP) // 3600000000 % 24 AS hod,
+                  CAST(len(bin(greatest(CAST(floor("value" * 100 + 0.5)
+                       AS BIGINT), 1))) AS BIGINT) AS vbin
+               FROM events),
+         g AS (SELECT event_type, hod, vbin, count(*) AS n
+               FROM qi GROUP BY 1, 2, 3)
+         SELECT event_type,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                count(*) AS n_groups,
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_small_groups,
+                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                  AS n_risky_rows,
+                floor(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                      * 1000 / sum(n)) / 1000 AS risk_share
+         FROM g GROUP BY 1 ORDER BY event_type""",
     // q247: the q198 registers walked to rank k = ceil(p*n) in integer
     // arithmetic; the exact k-th value via explicit row_number (NOT an
     // engine quantile function) — `//` floors like Spark's `div` on
