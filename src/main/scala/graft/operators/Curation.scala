@@ -514,7 +514,78 @@ object Curation extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Version-to-version diff core over two release relations keyed by
+    * doc_id with (source, ntok, text_md5) — factored so the spec can
+    * plant added/changed/removed fixtures directly. Full outer join at
+    * id grain; CHANGED means both versions carry the id with different
+    * content digests (a re-crawl rewrote the page). */
+  private[graft] def releaseDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+                      col("ntok").as("ntok1"), col("text_md5").as("md51"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+                      col("ntok").as("ntok2"), col("text_md5").as("md52"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+              col("src1"), col("src2"),
+              when(col("src1").isNull, 1L).otherwise(0L).as("added"),
+              when(col("src2").isNull, 1L).otherwise(0L).as("removed"),
+              when(col("src1").isNotNull && col("src2").isNotNull &&
+                   col("md51") =!= col("md52"), 1L).otherwise(0L).as("changed"),
+              coalesce(col("ntok1"), lit(0L)).as("ntok1v"),
+              coalesce(col("ntok2"), lit(0L)).as("ntok2v"))
+      .groupBy("source")
+      .agg(sum(when(col("src1").isNotNull, 1L).otherwise(0L)).as("n_v1"),
+           sum(when(col("src2").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+           sum("added").as("added_docs"),
+           sum(when(col("added") === 1L, col("ntok2v")).otherwise(0L))
+             .as("added_tokens"),
+           sum("removed").as("removed_docs"),
+           sum(when(col("removed") === 1L, col("ntok1v")).otherwise(0L))
+             .as("removed_tokens"),
+           sum("changed").as("changed_docs"))
+      .orderBy("source")
+  }
+
+  /** q251: RELEASE DIFF — the changelog between two dataset versions,
+    * closing the export lifecycle q188 opened: v1 is the SHIPPED
+    * release read back from its on-disk artifact (the q188 export)
+    * restricted to the pre-crawl corpus (doc_id < 250, the q76/q183
+    * incremental convention), v2 is the next candidate — the full s3
+    * survivor set minus the q243 takedown closure. The per-source diff
+    * (added / removed / changed docs with token masses) is what a
+    * data-release note states and what downstream training jobs use to
+    * decide whether retraining is warranted. Live branches in the
+    * data: additions from the new crawl batch, removals from takedown
+    * compliance; the CHANGED branch (same id, new digest) is planted
+    * in the spec through the factored core. Scale shape: everything is
+    * id-grain — two full-outer-joined id/digest relations and one
+    * source rollup; document payloads never move. */
+  private def q251ReleaseDiff(s: SparkSession, d: String): DataFrame = {
+    val shipped = q188ReleaseExport(s, d)
+      .select("doc_id", "source", "ntok", "text_md5")
+    val v1 = shipped.filter(col("doc_id") < 250)
+    val surv = pipelineFlags(s, d).filter(col("s3"))
+      .join(Tables.documents(s, d)
+              .select(col("doc_id"), md5(col("text")).as("text_md5")),
+            "doc_id")
+      .select("doc_id", "source", "ntok", "text_md5")
+    val direct = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("dig"))
+      .join(broadcast(optOutRegistry(s, d)),
+            col("dig") === col("oo_dig"), "left")
+      .select(col("doc_id"),
+              when(col("oo_dig").isNotNull, 1L).otherwise(0L).as("direct"))
+      .join(Dedup.clusterAssignmentOf(s, d).select("doc_id", "cluster_id"),
+            Seq("doc_id"))
+    val famHit = direct.groupBy("cluster_id").agg(max("direct").as("hit"))
+    val takedown = direct.join(famHit, Seq("cluster_id"))
+      .filter(col("hit") === 1L).select("doc_id")
+    val v2 = surv.join(takedown, Seq("doc_id"), "left_anti")
+    releaseDiff(v1, v2)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_release_diff" -> q251ReleaseDiff _,
     "q188_release_export" -> q188ReleaseExport _,
     "q204_optout_filter" -> q204OptOutFilter _,
     "q206_padding_waste" -> q206PaddingWaste _,
@@ -532,6 +603,86 @@ object Curation extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q251: v1 = s3 survivors pre-crawl (doc_id < 250), v2 = s3
+    // survivors minus the q243 closure; full-outer diff at id grain,
+    // integer counts and token masses per source
+    "q251_release_diff" ->
+      s"""WITH cl AS (${Dedup.q73ClustersOracleSql}),
+         base AS (SELECT doc_id, source, md5(text) AS dig,
+                         md5(text) AS text_md5,
+                         len(string_split_regex(trim(text), '\\s+')) AS ntok
+                  FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         surv AS (SELECT b.doc_id, b.source, b.ntok, b.text_md5
+                  FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                  LEFT JOIN flagged fg USING (doc_id)
+                  WHERE b.doc_id = fc.first_id AND q.keep = 1
+                    AND coalesce(fg.fl, 0) = 0 AND b.doc_id >= 20),
+         reg AS (SELECT DISTINCT md5(text) AS oo_dig FROM documents
+                 WHERE doc_id % 37 = 3),
+         dd AS (SELECT base.doc_id,
+                       CASE WHEN reg.oo_dig IS NOT NULL THEN 1 ELSE 0 END
+                         AS direct
+                FROM base LEFT JOIN reg ON reg.oo_dig = base.dig),
+         fam AS (SELECT dd.doc_id, dd.direct, cl.cluster_id
+                 FROM dd JOIN cl ON cl.doc_id = dd.doc_id),
+         fh AS (SELECT cluster_id, max(direct) AS hit FROM fam GROUP BY 1),
+         takedown AS (SELECT fam.doc_id FROM fam JOIN fh USING (cluster_id)
+                      WHERE fh.hit = 1),
+         v1 AS (SELECT * FROM surv WHERE doc_id < 250),
+         v2 AS (SELECT * FROM surv
+                WHERE doc_id NOT IN (SELECT doc_id FROM takedown)),
+         dj AS (SELECT coalesce(v1.source, v2.source) AS source,
+                       v1.doc_id AS id1, v2.doc_id AS id2,
+                       v1.ntok AS ntok1, v2.ntok AS ntok2,
+                       v1.text_md5 AS md51, v2.text_md5 AS md52
+                FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT source,
+                CAST(sum(CASE WHEN id1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v1,
+                CAST(sum(CASE WHEN id2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v2,
+                CAST(sum(CASE WHEN id1 IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS added_docs,
+                CAST(sum(CASE WHEN id1 IS NULL THEN ntok2 ELSE 0 END)
+                  AS BIGINT) AS added_tokens,
+                CAST(sum(CASE WHEN id2 IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS removed_docs,
+                CAST(sum(CASE WHEN id2 IS NULL THEN ntok1 ELSE 0 END)
+                  AS BIGINT) AS removed_tokens,
+                CAST(sum(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL
+                               AND md51 <> md52 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS changed_docs
+         FROM dj GROUP BY 1 ORDER BY source""",
     // q243: the q73 closure + q204's digest registry; integer counts
     // and token masses per source
     "q243_takedown_closure" ->

@@ -307,4 +307,22 @@ class CurationSpec extends SparkTestBase {
     assert(got.map(_._5).sum > 0,
       "corpus should exercise the transitive path")
   }
+
+  test("q251 release-diff core: planted added/removed/changed classify exactly") {
+    import spark.implicits._
+    // v1: docs 1,2,3; v2: 2 (unchanged), 3 (rewritten), 4 (new)
+    val v1 = Seq((1L, "a", 10L, "h1"), (2L, "a", 20L, "h2"),
+                 (3L, "b", 30L, "h3"))
+      .toDF("doc_id", "source", "ntok", "text_md5")
+    val v2 = Seq((2L, "a", 20L, "h2"), (3L, "b", 31L, "h3x"),
+                 (4L, "b", 40L, "h4"))
+      .toDF("doc_id", "source", "ntok", "text_md5")
+    val out = graft.operators.Curation.releaseDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // source a: doc 1 removed (10 tokens), doc 2 carried unchanged
+    assert(out("a") == ((2L, 1L, 0L, 0L, 1L, 10L, 0L)))
+    // source b: doc 4 added (40 tokens), doc 3 changed, nothing removed
+    assert(out("b") == ((1L, 2L, 1L, 40L, 0L, 0L, 1L)))
+  }
 }
