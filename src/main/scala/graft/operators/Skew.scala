@@ -172,10 +172,73 @@ object Skew extends QueryPack {
       .orderBy(col("contrib").desc, col("user_id"))
   }
 
+  /** Bloom geometry for q252: m bits, 2 md5-derived hash positions per
+    * key (the q188 md5-prefix integerization, portable to DuckDB). */
+  private val bloomM = 65536L
+  private def bloomH(salt: String, key: String, divStyle: Boolean): String =
+    if (divStyle)
+      s"cast(conv(substr(md5(concat('$salt', cast($key as string))), 1, 15), 16, 10) as bigint) % $bloomM"
+    else
+      s"CAST(('0x' || substr(md5('$salt' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $bloomM"
+
+  /** SEMI-JOIN REDUCTION VIA A RELATIONAL BLOOM FILTER — the shuffle
+    * killer for selective joins at 100 TB: instead of shuffling the full
+    * fact table to discover that most rows have no dimension partner,
+    * broadcast a bit-set of the dimension's key hashes and drop
+    * non-members map-side, paying the shuffle only for survivors (plus a
+    * bounded false-positive tax). The filter is modeled RELATIONALLY —
+    * the occupied bit positions of a 2-hash, [[bloomM]]-bit bloom are a
+    * distinct-position table (≤ m rows, broadcast), membership is two
+    * position joins — so the DuckDB oracle reconstructs the exact same
+    * bit-set and the gate certifies the two structural properties that
+    * make bloom pruning SAFE and WORTHWHILE: n_missed = 0 (no false
+    * negatives — every true match passes, by construction of the
+    * positions; violating this would silently drop join rows) and the
+    * measured false-positive count / reduction share (the tax actually
+    * paid vs rows pruned). Dimension here is a deterministic 10% user
+    * cohort (the experiment-membership shape); the exact semi-join
+    * rides as the certification side (q195 discipline — production
+    * ships the bloom probe alone). */
+  private def q252BloomSemijoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val dim = ev.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(10)) === 3)
+    val positions = dim
+      .select(explode(expr(
+        s"""array(${bloomH("a-", "user_id", divStyle = true)},
+                  ${bloomH("b-", "user_id", divStyle = true)})""")).as("pos"))
+      .distinct()
+    val probe = ev
+      .withColumn("p1", expr(bloomH("a-", "user_id", divStyle = true)))
+      .withColumn("p2", expr(bloomH("b-", "user_id", divStyle = true)))
+      .join(broadcast(positions.withColumn("b1", lit(1))),
+            col("p1") === col("pos"), "left").drop("pos")
+      .join(broadcast(positions.withColumn("b2", lit(1))),
+            col("p2") === col("pos"), "left").drop("pos")
+      .withColumn("pass",
+        when(col("b1").isNotNull && col("b2").isNotNull, 1L).otherwise(0L))
+      .join(broadcast(dim.withColumn("mt", lit(1))), Seq("user_id"), "left")
+      .withColumn("match", when(col("mt").isNotNull, 1L).otherwise(0L))
+    probe.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+           sum("pass").as("n_pass"),
+           sum("match").as("n_match"),
+           sum(expr("CASE WHEN pass = 1 AND `match` = 0 THEN 1 ELSE 0 END"))
+             .as("n_fp"),
+           sum(expr("CASE WHEN pass = 0 AND `match` = 1 THEN 1 ELSE 0 END"))
+             .as("n_missed"))
+      .withColumn("reduction",
+        expr("floor(cast(n_rows - n_pass as double) * 1000 / n_rows) / 1000"))
+      .select("event_type", "n_rows", "n_pass", "n_match", "n_fp",
+              "n_missed", "reduction")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_salted_join" -> q171SaltedJoin _,
     "q245_zorder_layout" -> q245ZorderLayout _,
     "q249_join_cardinality" -> q249JoinCardinality _,
+    "q252_bloom_semijoin" -> q252BloomSemijoin _,
   )
 
   override val oracles: Map[String, String] = Map(
@@ -246,5 +309,40 @@ object Skew extends QueryPack {
                      THEN 1 ELSE 0 END AS BIGINT) AS size_check
          FROM top, tot, act
          ORDER BY top.contrib DESC, top.user_id""",
+    // q252: the same md5-position bit-set rebuilt relationally; pass =
+    // both positions occupied, match = exact membership; n_missed must
+    // be 0 (bloom soundness), n_fp/reduction are the measured tax/win
+    "q252_bloom_semijoin" ->
+      s"""WITH ev AS (SELECT event_type, user_id FROM events),
+         dim AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 10 = 3),
+         pos AS (SELECT DISTINCT pos FROM (
+                   SELECT ${bloomH("a-", "user_id", divStyle = false)} AS pos
+                   FROM dim
+                   UNION ALL
+                   SELECT ${bloomH("b-", "user_id", divStyle = false)} AS pos
+                   FROM dim)),
+         pr AS (SELECT ev.event_type, ev.user_id,
+                       ${bloomH("a-", "ev.user_id", divStyle = false)} AS p1,
+                       ${bloomH("b-", "ev.user_id", divStyle = false)} AS p2
+                FROM ev),
+         fl AS (SELECT pr.event_type,
+                       CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+                            THEN 1 ELSE 0 END AS pass,
+                       CASE WHEN dim.user_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS mt
+                FROM pr
+                LEFT JOIN pos b1 ON b1.pos = pr.p1
+                LEFT JOIN pos b2 ON b2.pos = pr.p2
+                LEFT JOIN dim ON dim.user_id = pr.user_id)
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(pass) AS BIGINT) AS n_pass,
+                CAST(sum(mt) AS BIGINT) AS n_match,
+                CAST(sum(CASE WHEN pass = 1 AND mt = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fp,
+                CAST(sum(CASE WHEN pass = 0 AND mt = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_missed,
+                floor(CAST(count(*) - sum(pass) AS DOUBLE) * 1000 / count(*))
+                  / 1000 AS reduction
+         FROM fl GROUP BY 1 ORDER BY event_type""",
   )
 }
