@@ -597,6 +597,59 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "p_mille")
   }
 
+  /** PEAK CONCURRENCY — the sweep-line interval-overlap aggregate the
+    * interval tier (q27 as-of, q63 range join, q144 SCD2, q219/q227
+    * interval joins) was still missing: how many sessions are open AT
+    * ONCE, the capacity-planning number behind provisioning and the
+    * one interval JOINS cannot express (overlap is an instant-grain
+    * property, not a pair property). Sessions are q24's 1-hour-gap
+    * intervals; each is CLIPPED to the days it touches, so the sweep
+    * partitions by day — the classic +1/−1 boundary-point trick with a
+    * day-keyed running sum instead of one global sort (at 100 TB the
+    * day partitions sweep independently; a finer grain would carry
+    * boundary counts the same way). Endpoint ties order (t, delta)
+    * with releases before claims; among equal (t, delta) rows the
+    * prefix MAX is tie-order invariant (each row moves the sum by the
+    * same delta), so the peak is deterministic cross-engine without a
+    * third tiebreak column. */
+  private def q253PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 3600L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val sess = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid",
+        sum("ns").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("st"), max("us").as("en"))
+    peakConcurrencyFromSessions(sess)
+  }
+
+  /** The q253 sweep over any (st, en) µs interval relation — factored
+    * so the spec can plant overlap fixtures with a known peak. */
+  private[graft] def peakConcurrencyFromSessions(sess: DataFrame): DataFrame = {
+    val D = 86400000000L
+    val seg = sess.select(col("st"), col("en"),
+      explode(expr(s"sequence(st div $D, en div $D)")).as("day_idx"))
+    val pts = seg.select(col("day_idx"), explode(expr(
+        s"""array(named_struct('t', greatest(st, day_idx * $D),
+                               'delta', 1),
+                  named_struct('t', least(en, (day_idx + 1) * $D - 1) + 1,
+                               'delta', -1))""")).as("p"))
+      .select(col("day_idx"), col("p.t").as("t"), col("p.delta").as("delta"))
+    val run = pts.withColumn("c",
+      sum("delta").over(Window.partitionBy("day_idx")
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    seg.groupBy("day_idx").agg(count(lit(1)).as("n_sessions"))
+      .join(run.groupBy("day_idx").agg(max("c").as("peak")), Seq("day_idx"))
+      .select("day_idx", "n_sessions", "peak")
+      .orderBy("day_idx")
+  }
+
   /** K-ANONYMITY AUDIT — the re-identification risk report a release
     * pipeline runs beside the PII scrub (q47) and the opt-out filter
     * (q204): project each row to its quasi-identifier tuple — here
@@ -707,6 +760,7 @@ object EventOps extends QueryPack {
     "q198_value_histogram" -> q198ValueHistogram _,
     "q247_quantile_sketch" -> q247QuantileSketch _,
     "q250_k_anonymity" -> q250KAnonymity _,
+    "q253_peak_concurrency" -> q253PeakConcurrency _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -786,6 +840,45 @@ object EventOps extends QueryPack {
          SELECT g.event_type, g.bin, g.n, g.cents_total,
                 floor(CAST(g.n AS DOUBLE) * 1000 / t.tot) / 1000 AS share
          FROM g JOIN t USING (event_type) ORDER BY g.event_type, g.bin""",
+    // q253: q24's session CTE, day-clipped segments, +1/-1 boundary
+    // points, day-partitioned running sum; ties order (t, delta) and
+    // the prefix max is tie-order invariant within equal (t, delta)
+    "q253_peak_concurrency" ->
+      """WITH o AS (SELECT user_id, ts, epoch_us(ts::TIMESTAMP) AS us,
+                  lag(epoch_us(ts::TIMESTAMP)) OVER
+                    (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+         n AS (SELECT user_id, us,
+                      CAST(sum(CASE WHEN prev IS NULL
+                                     OR us - prev > 3600000000
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+               FROM o),
+         sess AS (SELECT user_id, sid, min(us) AS st, max(us) AS en
+                  FROM n GROUP BY 1, 2),
+         seg AS (SELECT st, en,
+                        unnest(range(st // 86400000000,
+                                     en // 86400000000 + 1)) AS day_idx
+                 FROM sess),
+         pts AS (SELECT day_idx, greatest(st, day_idx * 86400000000) AS t,
+                        1 AS delta
+                 FROM seg
+                 UNION ALL
+                 SELECT day_idx,
+                        least(en, (day_idx + 1) * 86400000000 - 1) + 1 AS t,
+                        -1 AS delta
+                 FROM seg),
+         run AS (SELECT day_idx,
+                        sum(delta) OVER (PARTITION BY day_idx
+                                         ORDER BY t, delta
+                                         ROWS UNBOUNDED PRECEDING) AS c
+                 FROM pts),
+         ns AS (SELECT day_idx, count(*) AS n_sessions FROM seg GROUP BY 1),
+         pk AS (SELECT day_idx, CAST(max(c) AS BIGINT) AS peak
+                FROM run GROUP BY 1)
+         SELECT ns.day_idx, ns.n_sessions, pk.peak
+         FROM ns JOIN pk USING (day_idx) ORDER BY ns.day_idx""",
     // q250: identical integer QI tuple (positive-epoch hour, len(bin)
     // value bin clamped to >= 1); group then rollup, one floored share
     "q250_k_anonymity" ->

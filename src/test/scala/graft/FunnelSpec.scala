@@ -240,4 +240,25 @@ class FunnelSpec extends SparkTestBase {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(merged == oneShot, "register merge must equal the one-shot build")
   }
+
+  test("q253 sweep core: planted overlaps, midnight span, endpoint ties") {
+    import spark.implicits._
+    val D = 86400000000L
+    // day 0: three sessions — [10,100], [50,200], [150,300]: peak 2
+    // (1&2 overlap, 2&3 overlap, never all three); plus [100,120]
+    // starting exactly at session 1's end: inclusive ends mean 3 open
+    // at t=100 with (t, delta) ordering releasing at end+1
+    val d0 = Seq((10L, 100L), (50L, 200L), (150L, 300L), (100L, 120L))
+    // a session spanning midnight into day 1, plus a disjoint day-1 pair
+    val d1 = Seq((D - 50L, D + 50L), (D + 100L, D + 200L),
+                 (D + 300L, D + 400L))
+    val out = graft.operators.EventOps
+      .peakConcurrencyFromSessions((d0 ++ d1).toDF("st", "en"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // day 0: 5 segments touch it (4 native + the midnight-spanner's
+    // head); peak 3 at t=100 (sessions 1, 2 and the [100,120] claim)
+    assert(out(0L) == ((5L, 3L)), s"day0 ${out(0L)}")
+    // day 1: the spanner's tail + two disjoint sessions — peak 1
+    assert(out(1L) == ((3L, 1L)), s"day1 ${out(1L)}")
+  }
 }
