@@ -584,7 +584,60 @@ object Curation extends QueryPack {
     releaseDiff(v1, v2)
   }
 
+  /** q254: TRAINING-SHARD PLAN AUDIT — the data-loader decision between
+    * reading the corpus AS WRITTEN (partitioned by source: each reader
+    * sees one source's docs back-to-back — the SGD-hostile ordering
+    * that makes loss curves sawtooth) and HASH-SHARDING by doc id (the
+    * shuffled layout every training pipeline wants). Both layouts are
+    * map-side md5 assignments — no global sort; the hash IS the
+    * permutation — and each shard is audited against the global source
+    * mixture with an EXACT-INTEGER L1 distance: Σ_s |c_s·N − g_s·n|
+    * over the full shard×source grid (absent sources included — their
+    * missing mass is exactly the distance a join-only form would
+    * silently drop), divided once by N·n and floored. Near 0 = the
+    * shard is a miniature of the corpus; near 2 = source-pure. Scale
+    * shape: one (layout, shard, source) partial-agg grain, a broadcast
+    * global-mix relation, and a register-sized grid — the corpus never
+    * moves to be audited. */
+  private def q254ShardPlan(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8L
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val assigned = docs.select(col("source"), explode(expr(
+      s"""array(
+           named_struct('layout', 'hash', 'shard',
+             cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)
+                  as bigint) % $nShards),
+           named_struct('layout', 'by_source', 'shard',
+             cast(conv(substr(md5(source), 1, 15), 16, 10)
+                  as bigint) % $nShards))""")).as("a"))
+      .select(col("a.layout").as("layout"), col("a.shard").as("shard"),
+              col("source"))
+    val cnt = assigned.groupBy("layout", "shard", "source")
+      .agg(count(lit(1)).as("c"))
+    val glob = docs.groupBy("source").agg(count(lit(1)).as("g"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val perShard = cnt.groupBy("layout", "shard")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"))
+    perShard
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(total))
+      .join(broadcast(cnt.select(col("layout").as("l2"),
+                                 col("shard").as("s2"),
+                                 col("source").as("src2"), col("c"))),
+            col("l2") === col("layout") && col("s2") === col("shard") &&
+              col("src2") === col("source"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("term", expr("abs(c0 * n_total - g * n_docs)"))
+      .groupBy("layout", "shard", "n_docs", "n_sources", "n_total")
+      .agg(sum("term").as("l1_num"))
+      .withColumn("mix_l1",
+        expr("floor(cast(l1_num as double) * 1000 / (n_total * n_docs)) / 1000"))
+      .select("layout", "shard", "n_docs", "n_sources", "mix_l1")
+      .orderBy("layout", "shard")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_shard_plan" -> q254ShardPlan _,
     "q251_release_diff" -> q251ReleaseDiff _,
     "q188_release_export" -> q188ReleaseExport _,
     "q204_optout_filter" -> q204OptOutFilter _,
@@ -603,6 +656,41 @@ object Curation extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q254: both md5 shard assignments, the full shard x source grid
+    // with absent sources at c0 = 0, exact-integer L1 numerator
+    "q254_shard_plan" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+         a AS (SELECT source, 'hash' AS layout,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 8 AS shard
+               FROM docs
+               UNION ALL
+               SELECT source, 'by_source' AS layout,
+                      CAST(('0x' || substr(md5(source), 1, 15))
+                        AS BIGINT) % 8 AS shard
+               FROM docs),
+         cnt AS (SELECT layout, shard, source, count(*) AS c
+                 FROM a GROUP BY 1, 2, 3),
+         gsrc AS (SELECT source, count(*) AS g FROM docs GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM docs),
+         ps AS (SELECT layout, shard, CAST(sum(c) AS BIGINT) AS n_docs,
+                       count(*) AS n_sources
+                FROM cnt GROUP BY 1, 2),
+         grid AS (SELECT ps.layout, ps.shard, ps.n_docs, ps.n_sources,
+                         tot.n_total, gsrc.g,
+                         coalesce(cnt.c, 0) AS c0
+                  FROM ps CROSS JOIN gsrc CROSS JOIN tot
+                  LEFT JOIN cnt ON cnt.layout = ps.layout
+                               AND cnt.shard = ps.shard
+                               AND cnt.source = gsrc.source),
+         agg AS (SELECT layout, shard, n_docs, n_sources, n_total,
+                        CAST(sum(abs(c0 * n_total - g * n_docs)) AS BIGINT)
+                          AS l1_num
+                 FROM grid GROUP BY 1, 2, 3, 4, 5)
+         SELECT layout, shard, n_docs, n_sources,
+                floor(CAST(l1_num AS DOUBLE) * 1000 / (n_total * n_docs))
+                  / 1000 AS mix_l1
+         FROM agg ORDER BY layout, shard""",
     // q251: v1 = s3 survivors pre-crawl (doc_id < 250), v2 = s3
     // survivors minus the q243 closure; full-outer diff at id grain,
     // integer counts and token masses per source
