@@ -792,6 +792,38 @@ object Stats extends QueryPack {
                      / cast(si + shiftleft(cast($hllM as bigint) - nb, 55)
                             as double)) as bigint)""").as("hll_est"))
 
+  /** Linear-counting literal table: m·ln(m/V) for V = m − nb empty
+    * buckets, all 63 small-range values BAKED as integer literals at
+    * plan build (the q45 generated-literal pattern) and shared verbatim
+    * with the oracle string — the correction runs with no libm call in
+    * either engine, so it is exactly as parity-safe as the raw
+    * formula. q208's operating regime (n ≫ 2.5 m) never takes this
+    * branch; q255's low-NDV catalog columns live in it. */
+  private def lcCase(nbCol: String): String = {
+    val whens = (1 until hllM).map { nb =>
+      val v = hllM - nb
+      s"WHEN $nbCol = $nb THEN ${Math.round(hllM * Math.log(hllM.toDouble / v)).toInt}"
+    }.mkString(" ")
+    s"CASE $whens ELSE -1 END"
+  }
+
+  /** [[hllEstimate]] with the standard small-range branch: when buckets
+    * remain empty and the raw estimate is ≤ 2.5 m, linear counting
+    * (via [[lcCase]]'s baked table) replaces the raw formula. */
+  private def hllEstimateCorrected(reg: DataFrame): DataFrame =
+    reg.groupBy("source")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+             .as("si"),
+           count(lit(1)).as("nb"))
+      .select(col("source"), col("nb"),
+        expr(s"""cast(floor($hllAlpha * ${hllM * hllM}
+                     * cast(shiftleft(cast(1 as bigint), 55) as double)
+                     / cast(si + shiftleft(cast($hllM as bigint) - nb, 55)
+                            as double)) as bigint)""").as("raw"))
+      .select(col("source"),
+        expr(s"""cast(CASE WHEN nb < $hllM AND raw <= ${(2.5 * hllM).toInt}
+                 THEN ${lcCase("nb")} ELSE raw END as bigint)""").as("hll_est"))
+
   /** q208: DETERMINISTIC HLL DISTINCT SKETCH — per-source distinct-
     * shingle cardinality from 64 max-registers instead of the full
     * distinct set: the gateable version of what q28's built-in
@@ -868,6 +900,47 @@ object Stats extends QueryPack {
     * without changing an operator's semantics. */
   /** The distinct (source, 60-bit shingle hash) relation both sides of
     * q195 derive from — the per-source shingle universe. */
+  /** Columns q255 profiles — integer/char lineitem columns whose string
+    * casts are engine-identical (doubles/dates are excluded: their
+    * string renderings differ across engines). */
+  private val analyzeCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+
+  /** q255: ANALYZE-STYLE COLUMN STATISTICS — per-column distinct-value
+    * cardinality (NDV), the catalog statistic every cost-based planner
+    * reads before choosing join order, broadcast side and shuffle
+    * partition counts (q249 predicts one join's size from degree
+    * relations; NDV is the one-number summary the planner uses when it
+    * has no degrees). One pass fans each row out to (column, value)
+    * pairs map-side; the q208 deterministic HLL folds them into 64
+    * max-registers per column — so at 100 TB the ANALYZE sweep ships
+    * S·64 register rows, one scan for every column at once, and shards
+    * merge by max (q209) — with the exact NDV riding beside the
+    * estimate as the certification side, error ratio floored. */
+  private def q255AnalyzeStats(s: SparkSession, d: String): DataFrame = {
+    val structs = analyzeCols
+      .map(c => s"named_struct('source', '$c', 'v', cast($c as string))")
+      .mkString(", ")
+    val vals = Tables.lineitem(s, d)
+      .select(explode(expr(s"array($structs)")).as("p"))
+      .select(col("p.source").as("source"), col("p.v").as("v"))
+      .distinct()
+      .select(col("source"),
+              expr("cast(conv(substr(md5(v), 1, 15), 16, 10) as bigint)")
+                .as("h"))
+    val est = hllEstimateCorrected(hllRegisters(vals))
+    val exact = vals.groupBy("source").agg(count(lit(1)).as("exact_ndv"))
+    exact.join(est, "source")
+      .withColumn("err_ratio", expr(
+        """IF(exact_ndv = 0, cast(0 as double),
+             floor(cast(abs(hll_est - exact_ndv) as double) * 1000
+                   / exact_ndv) / 1000)"""))
+      .select(col("source").as("col_name"), col("exact_ndv"),
+              col("hll_est"), col("err_ratio"))
+      .orderBy("col_name")
+  }
+
   private def srcShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"),
@@ -1223,6 +1296,7 @@ object Stats extends QueryPack {
     "q196_sketch_merge" -> q196SketchMerge _,
     "q195_source_sketch" -> q195SourceSketch _,
     "q208_hll_distinct" -> q208HllDistinct _,
+    "q255_analyze_stats" -> q255AnalyzeStats _,
     "q209_hll_merge" -> q209HllMerge _,
     "q186_bpe_merges" -> q186BpeMerges _,
     "q202_bpe_apply" -> q202BpeApply _,
@@ -1325,6 +1399,20 @@ object Stats extends QueryPack {
                                    + (($hllM - count(*))::BIGINT << 55)
                                    AS DOUBLE)) AS BIGINT) AS hll_est
                 FROM reg GROUP BY source)"""
+
+  /** HLL estimate CTE with the baked linear-counting branch (q255). */
+  private def hllEstCorrCte: String =
+    s"""est AS (SELECT source,
+                 CAST(CASE WHEN nb < $hllM AND raw <= ${(2.5 * hllM).toInt}
+                      THEN ${lcCase("nb")} ELSE raw END AS BIGINT) AS hll_est
+          FROM (SELECT source,
+                       CAST(floor($hllAlpha * ${hllM * hllM}
+                            * CAST(1::BIGINT << 55 AS DOUBLE)
+                            / CAST(sum(1::BIGINT << (55 - m))
+                                   + (($hllM - count(*))::BIGINT << 55)
+                                   AS DOUBLE)) AS BIGINT) AS raw,
+                       count(*) AS nb
+                FROM reg GROUP BY source))"""
 
   /** q202's oracle: the same training CTEs, then the same replace-chain
     * symbol count per document — per-token char-split, three merges
@@ -1563,6 +1651,26 @@ object Stats extends QueryPack {
     // kernel), harmonic sum integerized as Σ 2^(55−M_b) (exact BIGINT,
     // order-free), one single-rounded division; the q209 oracle is the
     // FULL-corpus rebuild, so a hash pass proves merge ≡ rebuild
+    // q255: the same HLL CTEs over per-column (name, stringified
+    // value) pairs instead of shingles; exact NDV beside the estimate
+    "q255_analyze_stats" ->
+      s"""WITH sh AS (SELECT source,
+                CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+           FROM (${analyzeCols.map(c =>
+             s"SELECT DISTINCT '$c' AS source, CAST($c AS VARCHAR) AS v FROM lineitem")
+             .mkString("\n                 UNION ALL ")})),
+         $hllRegCte,
+         $hllEstCorrCte,
+         ex AS (SELECT source, count(*) AS exact_ndv FROM sh
+                GROUP BY source)
+         SELECT ex.source AS col_name,
+                CAST(exact_ndv AS BIGINT) AS exact_ndv, hll_est,
+                CASE WHEN exact_ndv = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(abs(hll_est - exact_ndv) AS DOUBLE)
+                                * 1000 / exact_ndv) / 1000 END
+                  AS err_ratio
+         FROM ex JOIN est ON ex.source = est.source
+         ORDER BY col_name""",
     "q208_hll_distinct" ->
       s"""WITH $hllShCte,
          $hllRegCte,
