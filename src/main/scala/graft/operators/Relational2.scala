@@ -252,7 +252,42 @@ object Relational2 extends QueryPack {
     checks.reduce(_.unionByName(_)).orderBy("check_id")
   }
 
+  /** q256: FUNCTIONAL-DEPENDENCY AUDIT — schema profiling beside
+    * q189's declared-constraint suite: instead of checking rules
+    * someone wrote down, DISCOVER whether lhs → rhs holds by comparing
+    * |distinct lhs| with |distinct (lhs, rhs)| — equal means every lhs
+    * value maps to one rhs value (the FD a normalizer, a join
+    * eliminator, or a CDC key-inference pass wants); the difference is
+    * the exact violation count (near-FDs with a handful of violations
+    * usually mean dirty rows, not a false dependency). Each candidate
+    * is two distinct-count aggregates unioned into one lazy plan (the
+    * q189 union-of-one-row-aggregates shape); DISTINCT keeps NULL rows
+    * in both engines so the counts agree by construction. */
+  private def q256FdAudit(s: SparkSession, d: String): DataFrame = {
+    def cand(tbl: String, t: DataFrame, lhs: String, rhs: String): DataFrame =
+      t.select(lhs).distinct().agg(count(lit(1)).as("n_lhs"))
+        .crossJoin(
+          t.select(lhs, rhs).distinct().agg(count(lit(1)).as("n_pairs")))
+        .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+                col("n_lhs"), col("n_pairs"))
+    val rows = Seq(
+      cand("nation", Tables.nation(s, d), "n_nationkey", "n_name"),
+      cand("nation", Tables.nation(s, d), "n_regionkey", "n_name"),
+      cand("orders", Tables.orders(s, d), "o_orderkey", "o_custkey"),
+      cand("orders", Tables.orders(s, d), "o_custkey", "o_orderstatus"),
+      cand("lineitem", Tables.lineitem(s, d), "l_orderkey", "l_suppkey"),
+      cand("lineitem", Tables.lineitem(s, d), "l_partkey", "l_suppkey"))
+    rows.reduce(_.unionByName(_))
+      .withColumn("violations", col("n_pairs") - col("n_lhs"))
+      .withColumn("fd_holds",
+        expr("CAST(CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS BIGINT)"))
+      .select("tbl", "lhs", "rhs", "n_lhs", "n_pairs", "violations",
+              "fd_holds")
+      .orderBy("tbl", "lhs", "rhs")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_fd_audit" -> q256FdAudit _,
     "q189_data_quality" -> q189DataQuality _,
     "q63_range_join"   -> q63RangeJoin _,
     "q83_gap_fill"     -> q83GapFill _,
@@ -267,6 +302,45 @@ object Relational2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q256: each candidate is two DISTINCT-subquery counts; DISTINCT
+    // keeps NULL rows in both engines
+    "q256_fd_audit" ->
+      """WITH c AS (
+           SELECT 'nation' AS tbl, 'n_nationkey' AS lhs, 'n_name' AS rhs,
+             (SELECT count(*) FROM (SELECT DISTINCT n_nationkey FROM nation))
+               AS n_lhs,
+             (SELECT count(*) FROM (SELECT DISTINCT n_nationkey, n_name
+                                    FROM nation)) AS n_pairs
+           UNION ALL
+           SELECT 'nation', 'n_regionkey', 'n_name',
+             (SELECT count(*) FROM (SELECT DISTINCT n_regionkey FROM nation)),
+             (SELECT count(*) FROM (SELECT DISTINCT n_regionkey, n_name
+                                    FROM nation))
+           UNION ALL
+           SELECT 'orders', 'o_orderkey', 'o_custkey',
+             (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders)),
+             (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+                                    FROM orders))
+           UNION ALL
+           SELECT 'orders', 'o_custkey', 'o_orderstatus',
+             (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders)),
+             (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderstatus
+                                    FROM orders))
+           UNION ALL
+           SELECT 'lineitem', 'l_orderkey', 'l_suppkey',
+             (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
+             (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                                    FROM lineitem))
+           UNION ALL
+           SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+             (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)),
+             (SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey
+                                    FROM lineitem)))
+         SELECT tbl, lhs, rhs, n_lhs, n_pairs,
+                n_pairs - n_lhs AS violations,
+                CAST(CASE WHEN n_pairs = n_lhs THEN 1 ELSE 0 END AS BIGINT)
+                  AS fd_holds
+         FROM c ORDER BY tbl, lhs, rhs""",
     // q189: every metric is an exact integer count; pass is the same
     // integer comparison both sides
     "q189_data_quality" ->
