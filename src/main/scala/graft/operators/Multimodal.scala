@@ -183,6 +183,58 @@ object Multimodal extends QueryPack {
                          col("frame_idx").cast("string"))).as("frame_sig"))
       .orderBy("asset_id", "frame_idx")
 
+  /** Shot segmentation core over (asset_id, frame_idx, v) frame
+    * features — factored so the spec can plant controlled cut/hold
+    * sequences. A boundary fires where the feature jumps by more than
+    * [[shotCutThreshold]] against the previous frame (the classic
+    * hard-cut detector over per-frame luminance/histogram scalars);
+    * shots = boundaries + 1. The lag window is asset-grain — at scale
+    * each video's frames sort locally, nothing global. */
+  private[graft] val shotCutThreshold = 64L
+  private[graft] def shotBoundaries(frames: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    frames
+      .withColumn("pv", lag("v", 1).over(w))
+      .withColumn("cut",
+        when(col("pv").isNotNull &&
+             abs(col("v") - col("pv")) > shotCutThreshold, 1L).otherwise(0L))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames_sampled"),
+           (sum("cut") + 1L).as("n_shots"),
+           max(when(col("pv").isNotNull, abs(col("v") - col("pv")))
+             .otherwise(0L)).as("max_cut"))
+      .withColumn("mean_shot_len", expr(
+        "floor(cast(n_frames_sampled as double) * 1000 / n_shots) / 1000"))
+      .select("asset_id", "n_frames_sampled", "n_shots", "max_cut",
+              "mean_shot_len")
+      .orderBy("asset_id")
+  }
+
+  /** q257: SHOT-BOUNDARY DETECTION — the video preprocessing step that
+    * runs before any frame-level dedup or sampling policy: segment each
+    * video into shots so downstream samplers draw one frame per SHOT
+    * instead of five frames of the same talking head (q52's uniform
+    * sampling upgraded by content). Frame features are the stub
+    * codec's md5-derived scalars (a fake luminance in [0, 256); a real
+    * deployment swaps the decoder per the [[StubMediaCodec]] note);
+    * the detector itself — lag-window deltas, threshold, per-video
+    * shot stats — is the real Spark-side machinery and is what the
+    * oracle recomputes. */
+  private def q257ShotBoundaries(s: SparkSession, d: String): DataFrame =
+    shotBoundaries(
+      assets(s, d)
+        .filter(col("media_type") === "video")
+        .select(col("asset_id"),
+                explode(expr(
+                  "sequence(0L, cast(least(n_frames, 5) - 1 AS LONG))"))
+                  .as("frame_idx"),
+                col("content"))
+        .select(col("asset_id"), col("frame_idx"),
+                expr("""cast(conv(substr(md5(concat(cast(content as string),
+                        ':', cast(frame_idx as string))), 1, 15), 16, 10)
+                        as bigint) % 256""").as("v")))
+
   /** Exact dedup of binary assets by content digest — the "same file
     * uploaded twice" case. A deterministic re-upload set (every 7th asset,
     * re-keyed) is unioned in, then one shuffle keyed by the 128-bit md5
@@ -453,6 +505,7 @@ object Multimodal extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_crossmodal_recall" -> q232CrossmodalRecall _,
     "q203_crossmodal_audit" -> q203CrossModalAudit _,
+    "q257_shot_boundaries" -> q257ShotBoundaries _,
     "q187_video_align" -> q187VideoAlign _,
     "q165_video_neardup" -> q165VideoNeardup _,
     "q149_media_similar" -> q149MediaSimilar _,
@@ -464,6 +517,33 @@ object Multimodal extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q257: q52's frame derivation + the same md5-scalar feature, lag
+    // deltas and shot stats in window SQL
+    "q257_shot_boundaries" ->
+      """WITH fr AS (SELECT doc_id AS asset_id, frame_idx,
+                  CAST(('0x' || substr(md5(text || ':' || frame_idx::VARCHAR),
+                                       1, 15)) AS BIGINT) % 256 AS v
+               FROM (SELECT doc_id, text, (doc_id % 4 + 2)::INT AS n_frames,
+                     ['image','audio','video'][(doc_id % 3 + 1)::INT]
+                       AS media_type
+                     FROM documents) a,
+               unnest(range(0, least(n_frames, 5))) AS t(frame_idx)
+               WHERE media_type = 'video'),
+         lg AS (SELECT asset_id, v,
+                       lag(v) OVER (PARTITION BY asset_id
+                                    ORDER BY frame_idx) AS pv
+                FROM fr),
+         ag AS (SELECT asset_id, count(*) AS n_frames_sampled,
+                       CAST(sum(CASE WHEN pv IS NOT NULL
+                                      AND abs(v - pv) > 64
+                                THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+                       CAST(max(CASE WHEN pv IS NOT NULL THEN abs(v - pv)
+                                ELSE 0 END) AS BIGINT) AS max_cut
+                FROM lg GROUP BY 1)
+         SELECT asset_id, n_frames_sampled, n_shots, max_cut,
+                floor(CAST(n_frames_sampled AS DOUBLE) * 1000 / n_shots)
+                  / 1000 AS mean_shot_len
+         FROM ag ORDER BY asset_id""",
     // q232: the q149/q203 lattice reconstruction; row_number in
     // (floored cos DESC, asset_id) ≡ the heap's order; min-rank hit,
     // integer sums, one floored division per recall

@@ -177,4 +177,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
     assert(r.getDouble(6) < 0.5)
   }
+
+  test("q257 shot core: planted cuts and holds segment exactly") {
+    import spark.implicits._
+    // video 1: hold(10,12), CUT to 200, hold(201), CUT to 50 -> 3 shots
+    // video 2: all within threshold -> 1 shot; video 3: single frame
+    val frames = Seq(
+      (1L, 0L, 10L), (1L, 1L, 12L), (1L, 2L, 200L), (1L, 3L, 201L),
+      (1L, 4L, 50L),
+      (2L, 0L, 100L), (2L, 1L, 160L), (2L, 2L, 100L),
+      (3L, 0L, 7L)).toDF("asset_id", "frame_idx", "v")
+    val out = Multimodal.shotBoundaries(frames).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((5L, 3L, 188L, 1.666)), s"video1 ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 60L, 3.0)), s"video2 ${out(2L)}")
+    assert(out(3L) == ((1L, 1L, 0L, 1.0)), s"video3 ${out(3L)}")
+  }
 }
