@@ -49,8 +49,10 @@ class PlanSpec extends SparkTestBase {
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q164_priority_survivor", "q181_effective_tokens",
       // q205 composes the memoized cluster assignment (the CC loop);
-      // q207/q216 compose the q42 pair pipeline (verifyJoin size guard)
+      // q207/q216/q246 compose the q42 pair pipeline (verifyJoin size
+      // guard + the memoized pair-core localCheckpoint)
       "q205_mixture_plan", "q207_quality_disagree", "q216_pagerank",
+      "q246_triangles",
       "q220_mixture_sample", "q221_negative_sample", "q235_triplets",
       "q238_family_contamination", "q243_takedown_closure",
       // the pipelineFlags memo lazily checkpoints on first touch, and
@@ -75,14 +77,17 @@ class PlanSpec extends SparkTestBase {
       "q182_outlier_stream", "q194_anomaly_stream", "q211_hll_stream",
       "q218_decay_stream", "q219_attribution_stream", "q223_paths_stream",
       "q227_attribution_outer", "q229_growth_stream", "q240_ks_stream",
+      "q248_quantile_stream",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
       // per-topic partitioned write + read-back (write-once per
       // session+dataset) — the multi-topic ingest parity gate
       "q173_multi_topic",
       // release-artifact write + read-back (write-once per
-      // session+dataset) — q173's pattern on the curated corpus
-      "q188_release_export",
+      // session+dataset) — q173's pattern on the curated corpus;
+      // q251 diffs against that same artifact, so it shares the
+      // first-build write when it runs before q188 in a fresh session
+      "q188_release_export", "q251_release_diff",
       // IVF-PQ persisted-index family: index build/append (write-once per
       // session+dataset), codebook training, and the probe-cell collect
       // (|Q|·nprobe ids) documented at ivfPqSearch
