@@ -650,6 +650,44 @@ object EventOps extends QueryPack {
       .orderBy("day_idx")
   }
 
+  /** MULTI-TOUCH ATTRIBUTION — q219/q227 find the click→purchase
+    * pairs; this SPLITS each conversion's credit across every click
+    * that touched it (linear attribution, the default multi-touch
+    * model), which single-touch last-click reporting silently
+    * misstates. Credit is integer mille with the floor remainder
+    * handed to the EARLIEST touches — rank i (by click time, id
+    * tiebreak) of k receives 1000 div k + (i < 1000 mod k ? 1 : 0) —
+    * so each converted purchase's credit sums to exactly 1000 and the
+    * whole report is partition-order-free integer arithmetic (a
+    * double 1/k per touch would sum in shuffle order). Day-grain
+    * rollup of credited clicks, touched purchases and credit mass;
+    * windows are purchase-grain (k is small by the 2-hour horizon). */
+  private def q258MultiTouch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"))
+    val touches = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+    val w = Window.partitionBy("purchase_id")
+    val wr = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    touches
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("i", row_number().over(wr) - 1)
+      .withColumn("credit",
+        expr("1000 div k + CASE WHEN i < 1000 % k THEN 1 ELSE 0 END"))
+      .groupBy(expr("unix_micros(c_ts) div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("credited_clicks"),
+           countDistinct(col("purchase_id")).as("purchases_touched"),
+           sum("credit").as("credit_mille"))
+      .orderBy("day_idx")
+  }
+
   /** K-ANONYMITY AUDIT — the re-identification risk report a release
     * pipeline runs beside the PII scrub (q47) and the opt-out filter
     * (q204): project each row to its quasi-identifier tuple — here
@@ -761,6 +799,7 @@ object EventOps extends QueryPack {
     "q247_quantile_sketch" -> q247QuantileSketch _,
     "q250_k_anonymity" -> q250KAnonymity _,
     "q253_peak_concurrency" -> q253PeakConcurrency _,
+    "q258_multi_touch" -> q258MultiTouch _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -840,6 +879,30 @@ object EventOps extends QueryPack {
          SELECT g.event_type, g.bin, g.n, g.cents_total,
                 floor(CAST(g.n AS DOUBLE) * 1000 / t.tot) / 1000 AS share
          FROM g JOIN t USING (event_type) ORDER BY g.event_type, g.bin""",
+    // q258: the q227 interval pairs + exact integer credit split:
+    // 1000 div k with the remainder to the earliest touches, so each
+    // purchase sums to exactly 1000; day rollup
+    "q258_multi_touch" ->
+      """WITH t AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                           c.ts AS c_ts
+               FROM (SELECT * FROM events WHERE event_type = 'click') c
+               JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                 ON c.user_id = p.user_id
+                AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR),
+         r AS (SELECT click_id, purchase_id, c_ts,
+                      count(*) OVER (PARTITION BY purchase_id) AS k,
+                      row_number() OVER (PARTITION BY purchase_id
+                                         ORDER BY c_ts, click_id) - 1 AS i
+               FROM t),
+         cr AS (SELECT click_id, purchase_id, c_ts,
+                       1000 // k + CASE WHEN i < 1000 % k THEN 1 ELSE 0 END
+                         AS credit
+                FROM r)
+         SELECT epoch_us(c_ts::TIMESTAMP) // 86400000000 AS day_idx,
+                count(*) AS credited_clicks,
+                count(DISTINCT purchase_id) AS purchases_touched,
+                CAST(sum(credit) AS BIGINT) AS credit_mille
+         FROM cr GROUP BY 1 ORDER BY day_idx""",
     // q253: q24's session CTE, day-clipped segments, +1/-1 boundary
     // points, day-partitioned running sum; ties order (t, delta) and
     // the prefix max is tie-order invariant within equal (t, delta)
