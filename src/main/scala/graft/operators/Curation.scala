@@ -636,7 +636,59 @@ object Curation extends QueryPack {
       .orderBy("layout", "shard")
   }
 
+  /** q259: DATASET CARD — the datasheet a release ships with (Gebru et
+    * al.'s "Datasheets for Datasets" in query form): one (metric,
+    * value) relation summarizing the corpus and the release derived
+    * from it — totals, source count, exact-dup and near-dup-family
+    * mass, quality/contamination/benchmark/opt-out removals, and the
+    * released docs/tokens after the takedown closure. Every number is
+    * an exact BIGINT from the SHARED memoized relations (pipelineFlags,
+    * the q73 cluster assignment, the q204 registry), so the card is
+    * consistent BY CONSTRUCTION with the gates it summarizes — the
+    * funnel (q130), scorecard (q132), takedown (q243) and diff (q251)
+    * all reconcile against it. Union of one-row aggregates, one lazy
+    * plan (the q189 shape); metric keys are number-prefixed so the
+    * card prints in reading order. */
+  private def q259DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val fl = pipelineFlags(s, d)
+    def m(name: String, v: DataFrame): DataFrame =
+      v.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+    val direct = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("dig"))
+      .join(broadcast(optOutRegistry(s, d)),
+            col("dig") === col("oo_dig"), "left")
+      .select(col("doc_id"),
+              when(col("oo_dig").isNotNull, 1L).otherwise(0L).as("direct"))
+      .join(Dedup.clusterAssignmentOf(s, d).select("doc_id", "cluster_id"),
+            Seq("doc_id"))
+    val famHit = direct.groupBy("cluster_id").agg(max("direct").as("hit"))
+    val takedown = direct.join(famHit, Seq("cluster_id"))
+      .filter(col("hit") === 1L).select("doc_id")
+    val released = fl.filter(col("s3")).join(takedown, Seq("doc_id"), "left_anti")
+    Seq(
+      m("01_docs_total", fl.agg(count(lit(1)).as("value"))),
+      m("02_tokens_total", fl.agg(sum("ntok").as("value"))),
+      m("03_sources", fl.agg(countDistinct(col("source")).as("value"))),
+      m("04_exact_dup_docs",
+        fl.agg((count(lit(1)) - countDistinct(col("dig"))).as("value"))),
+      m("05_neardup_extra_docs",
+        direct.agg((count(lit(1)) - countDistinct(col("cluster_id")))
+          .as("value"))),
+      m("06_quality_fail_docs",
+        fl.filter(!col("kq")).agg(count(lit(1)).as("value"))),
+      m("07_contaminated_docs",
+        fl.filter(col("fl") === 1).agg(count(lit(1)).as("value"))),
+      m("08_benchmark_docs",
+        fl.filter(col("doc_id") < 20).agg(count(lit(1)).as("value"))),
+      m("09_optout_docs", direct.agg(sum("direct").as("value"))),
+      m("10_released_docs", released.agg(count(lit(1)).as("value"))),
+      m("11_released_tokens", released.agg(sum("ntok").as("value"))))
+      .reduce(_.unionByName(_))
+      .orderBy("metric")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_dataset_card" -> q259DatasetCard _,
     "q254_shard_plan" -> q254ShardPlan _,
     "q251_release_diff" -> q251ReleaseDiff _,
     "q188_release_export" -> q188ReleaseExport _,
@@ -691,6 +743,87 @@ object Curation extends QueryPack {
                 floor(CAST(l1_num AS DOUBLE) * 1000 / (n_total * n_docs))
                   / 1000 AS mix_l1
          FROM agg ORDER BY layout, shard""",
+    // q259: the q251 CTE block closed with scalar-subquery metrics —
+    // every value an exact integer over the same relations the other
+    // gates use
+    "q259_dataset_card" ->
+      s"""WITH cl AS (${Dedup.q73ClustersOracleSql}),
+         base AS (SELECT doc_id, source, md5(text) AS dig,
+                         len(string_split_regex(trim(text), '\\s+')) AS ntok
+                  FROM documents),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep
+               FROM f),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         surv AS (SELECT b.doc_id, b.ntok
+                  FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                  LEFT JOIN flagged fg USING (doc_id)
+                  WHERE b.doc_id = fc.first_id AND q.keep = 1
+                    AND coalesce(fg.fl, 0) = 0 AND b.doc_id >= 20),
+         reg AS (SELECT DISTINCT md5(text) AS oo_dig FROM documents
+                 WHERE doc_id % 37 = 3),
+         dd AS (SELECT base.doc_id,
+                       CASE WHEN reg.oo_dig IS NOT NULL THEN 1 ELSE 0 END
+                         AS direct
+                FROM base LEFT JOIN reg ON reg.oo_dig = base.dig),
+         fam AS (SELECT dd.doc_id, dd.direct, cl.cluster_id
+                 FROM dd JOIN cl ON cl.doc_id = dd.doc_id),
+         fh AS (SELECT cluster_id, max(direct) AS hit FROM fam GROUP BY 1),
+         takedown AS (SELECT fam.doc_id FROM fam JOIN fh USING (cluster_id)
+                      WHERE fh.hit = 1),
+         rel AS (SELECT * FROM surv WHERE doc_id NOT IN
+                   (SELECT doc_id FROM takedown)),
+         card AS (
+           SELECT '01_docs_total' AS metric,
+                  (SELECT count(*) FROM base) AS value
+           UNION ALL SELECT '02_tokens_total',
+                  (SELECT CAST(sum(ntok) AS BIGINT) FROM base)
+           UNION ALL SELECT '03_sources',
+                  (SELECT count(DISTINCT source) FROM base)
+           UNION ALL SELECT '04_exact_dup_docs',
+                  (SELECT count(*) - count(DISTINCT dig) FROM base)
+           UNION ALL SELECT '05_neardup_extra_docs',
+                  (SELECT count(*) - count(DISTINCT cluster_id) FROM cl)
+           UNION ALL SELECT '06_quality_fail_docs',
+                  (SELECT count(*) FROM q WHERE keep = 0)
+           UNION ALL SELECT '07_contaminated_docs',
+                  (SELECT count(*) FROM flagged)
+           UNION ALL SELECT '08_benchmark_docs',
+                  (SELECT count(*) FROM base WHERE doc_id < 20)
+           UNION ALL SELECT '09_optout_docs',
+                  (SELECT CAST(sum(direct) AS BIGINT) FROM dd)
+           UNION ALL SELECT '10_released_docs',
+                  (SELECT count(*) FROM rel)
+           UNION ALL SELECT '11_released_tokens',
+                  (SELECT CAST(sum(ntok) AS BIGINT) FROM rel))
+         SELECT metric, CAST(value AS BIGINT) AS value FROM card
+         ORDER BY metric""",
     // q251: v1 = s3 survivors pre-crawl (doc_id < 250), v2 = s3
     // survivors minus the q243 closure; full-outer diff at id grain,
     // integer counts and token masses per source

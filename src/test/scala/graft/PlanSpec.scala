@@ -55,6 +55,7 @@ class PlanSpec extends SparkTestBase {
       "q246_triangles",
       "q220_mixture_sample", "q221_negative_sample", "q235_triplets",
       "q238_family_contamination", "q243_takedown_closure",
+      "q259_dataset_card",
       // the pipelineFlags memo lazily checkpoints on first touch, and
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
