@@ -264,14 +264,13 @@ object Curation2 extends QueryPack {
     * would re-enable the log (determinism across ENGINES is a test
     * concern, not a cluster concern).
     */
-  private def q97Bm25(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("spark", "join", "window")
-    val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
-    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sl"))
-    val tf = t.select(col("doc_id"), size(col("w")).as("len"),
-                      explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+  /** BM25 scoring tail over a (doc_id, len, term, tf) relation plus a
+    * one-row (n, sl) corpus-stats relation — shared by q97 (scoring
+    * straight off the scan) and q260 (scoring off the persisted,
+    * appended index read back from disk). The fixed-order three-term
+    * combine keeps the double sum bit-exact cross-engine (the q97
+    * lesson). */
+  private def bm25TopK(tf: DataFrame, stats: DataFrame): DataFrame = {
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val sc = tf.join(broadcast(dfT), "term").crossJoin(broadcast(stats))
       .withColumn("s", expr(
@@ -291,6 +290,61 @@ object Curation2 extends QueryPack {
               col("t.id").as("doc_id"),
               (floor(col("t.score") * 1e6) / 1e6).as("score"))
       .orderBy("rnk")
+  }
+
+  private def q97Bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
+    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sl"))
+    val tf = t.select(col("doc_id"), size(col("w")).as("len"),
+                      explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+    bm25TopK(tf, stats)
+  }
+
+  private val bm25IndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  /** q260: PERSISTED LEXICAL INDEX + APPEND ≡ REBUILD — the index-
+    * lifecycle story (q156/q157/q160/q172 on the ANN tier, q108 on the
+    * band tier) extended to BM25: the inverted index is two parquet
+    * relations under a WorkDirs artifact root — `postings`
+    * (doc_id, term, tf) over the FULL vocabulary and `doclens`
+    * (doc_id, len), the minimal state from which df, N and avgdl all
+    * re-derive — built once over the pre-crawl corpus (doc_id < 250)
+    * and APPENDED with the new batch's postings, never rebuilt.
+    * Query-time scoring reads the index back from disk, filters the
+    * query terms' postings, and runs the shared q97 scoring tail.
+    * Oracle = q97's full-corpus rebuild SQL verbatim, so a hash match
+    * certifies append ≡ rebuild for the lexical tier: df/N/avgdl are
+    * pure additive statistics, which is exactly WHY search engines can
+    * append segments without rescoring history. */
+  private def q260Bm25IndexAppend(s: SparkSession, d: String): DataFrame = {
+    val root = bm25IndexMemo.getOrElseUpdate(
+      (System.identityHashCode(s), d), {
+        val r = graft.WorkDirs.artifactDir(s, "bm25index", d)
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), expr(toks).as("w"))
+        def writeBatch(df: DataFrame, mode: String): Unit = {
+          df.select(col("doc_id"), explode(col("w")).as("term"))
+            .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+            .write.mode(mode).parquet(s"$r/postings")
+          df.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+            .write.mode(mode).parquet(s"$r/doclens")
+        }
+        writeBatch(t.filter(col("doc_id") < 250), "overwrite")
+        writeBatch(t.filter(col("doc_id") >= 250), "append")
+        r
+      })
+    val postings = s.read.parquet(s"$root/postings")
+    val doclens = s.read.parquet(s"$root/doclens")
+    val stats = doclens.agg(count(lit(1)).as("n"), sum("len").as("sl"))
+    val tf = postings
+      .filter(col("term").isin("spark", "join", "window"))
+      .join(doclens, "doc_id")
+      .select(col("doc_id"), col("len"), col("term"), col("tf"))
+    bm25TopK(tf, stats)
   }
 
   /** METADATA-FILTERED vector search (hybrid search's other half): top-5
@@ -585,9 +639,37 @@ object Curation2 extends QueryPack {
     "q95_dedup_bloom_sharded" -> q95DedupBloomSharded _,
     "q96_knn_classify"       -> q96KnnClassify _,
     "q97_bm25"               -> q97Bm25 _,
+    "q260_bm25_index_append" -> q260Bm25IndexAppend _,
     "q98_filtered_ann"       -> q98FilteredAnn _,
     "q99_filter_audit"       -> q99FilterAudit _,
   )
+
+  /** q97's oracle SQL — the full-corpus rebuild; shared verbatim by
+    * q260 as the append ≡ rebuild certificate. */
+  private val q97OracleSql: String =
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         stats AS (SELECT count(*) AS n, sum(len(w)) AS sl FROM t),
+         tf AS (SELECT doc_id, len, term, count(*) AS tf
+                FROM (SELECT doc_id, len(w) AS len, unnest(w) AS term FROM t)
+                WHERE term IN ('spark', 'join', 'window')
+                GROUP BY doc_id, len, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id, tf.term,
+                 ((CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
+                 * (tf * 2.2e0)
+                 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (len / (sl / CAST(n AS DOUBLE))))) AS s
+                FROM tf JOIN df USING (term), stats),
+         agg AS (SELECT doc_id,
+                   coalesce(max(CASE WHEN term = 'spark' THEN s END), 0e0)
+                   + coalesce(max(CASE WHEN term = 'join' THEN s END), 0e0)
+                   + coalesce(max(CASE WHEN term = 'window' THEN s END), 0e0) AS score
+                 FROM sc GROUP BY doc_id),
+         r AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+               FROM agg)
+         SELECT rnk, doc_id, floor(score * 1000000) / 1000000 AS score
+         FROM r WHERE rnk <= 10 ORDER BY rnk"""
 
   override val oracles: Map[String, String] = Map(
     // q241: the three signal CTEs (q93 / q119 / q142 verbatim chains),
@@ -903,30 +985,10 @@ object Curation2 extends QueryPack {
     // q97: every arithmetic op is IEEE double (e-notation literals defeat
     // DECIMAL inference) in the same order as the Spark plan; per-term
     // scores combine in a fixed left-to-right order.
-    "q97_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-                    FROM documents),
-         stats AS (SELECT count(*) AS n, sum(len(w)) AS sl FROM t),
-         tf AS (SELECT doc_id, len, term, count(*) AS tf
-                FROM (SELECT doc_id, len(w) AS len, unnest(w) AS term FROM t)
-                WHERE term IN ('spark', 'join', 'window')
-                GROUP BY doc_id, len, term),
-         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         sc AS (SELECT tf.doc_id, tf.term,
-                 ((CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
-                 * (tf * 2.2e0)
-                 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (len / (sl / CAST(n AS DOUBLE))))) AS s
-                FROM tf JOIN df USING (term), stats),
-         agg AS (SELECT doc_id,
-                   coalesce(max(CASE WHEN term = 'spark' THEN s END), 0e0)
-                   + coalesce(max(CASE WHEN term = 'join' THEN s END), 0e0)
-                   + coalesce(max(CASE WHEN term = 'window' THEN s END), 0e0) AS score
-                 FROM sc GROUP BY doc_id),
-         r AS (SELECT doc_id, score,
-                      row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-               FROM agg)
-         SELECT rnk, doc_id, floor(score * 1000000) / 1000000 AS score
-         FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    // q260: the full-corpus rebuild SQL verbatim (q97's) — a hash
+    // match certifies append == rebuild for the persisted index
+    "q260_bm25_index_append" -> q97OracleSql,
+    "q97_bm25" -> q97OracleSql,
     "q98_filtered_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -89,6 +89,9 @@ class PlanSpec extends SparkTestBase {
       // q251 diffs against that same artifact, so it shares the
       // first-build write when it runs before q188 in a fresh session
       "q188_release_export", "q251_release_diff",
+      // persisted BM25 index build+append (write-once per
+      // session+dataset) — the lexical index lifecycle artifact
+      "q260_bm25_index_append",
       // IVF-PQ persisted-index family: index build/append (write-once per
       // session+dataset), codebook training, and the probe-cell collect
       // (|Q|·nprobe ids) documented at ivfPqSearch
