@@ -690,6 +690,57 @@ object Dedup extends QueryPack {
     clusterAssignMemo.getOrElse((System.identityHashCode(s), d),
                                 dedupClusterAssignment(s, d))
 
+  /** q261: INCREMENTAL CLUSTER MAINTENANCE — the daily-ingest form of
+    * q73: a new crawl batch (doc_id ≥ 250, the q76/q183 convention)
+    * arrives with its new near-dup edges, and instead of re-clustering
+    * the corpus, only the components TOUCHED by a new edge recompute:
+    * the previous assignment (in production a materialized table; here
+    * rebuilt over the old corpus so the gate is self-contained) names
+    * the touched components, their full membership plus the new docs
+    * forms the subgraph, CC runs on THAT, and every untouched doc keeps
+    * its old label by a metadata read. At 100 TB this is the difference
+    * between a nightly full-graph CC and work proportional to the day's
+    * batch neighborhood — the overwhelming majority of components never
+    * see a new edge. Correct by label-closure: old components are
+    * either wholly untouched (min label unchanged) or wholly included
+    * in the subgraph (min recomputed over full membership), so the
+    * composed assignment equals a from-scratch clustering — which is
+    * exactly what the oracle certifies: q73's recursive-CTE closure
+    * over the WHOLE corpus, verbatim. */
+  private def q261IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val cut = 250L
+    val pairs = minhashLshPairsCore(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    val oldPairs = pairs.filter(col("a_id") < cut && col("b_id") < cut)
+    val newPairs = pairs.filter(col("a_id") >= cut || col("b_id") >= cut)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    def undirect(p: DataFrame): DataFrame =
+      p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val (aOld, _) = connectedComponents(docs.filter(col("doc_id") < cut),
+                                        undirect(oldPairs))
+    val aOldCk = aOld.localCheckpoint(eager = false)
+    val newEndpoints = newPairs.select(col("a_id").as("doc_id"))
+      .unionByName(newPairs.select(col("b_id").as("doc_id"))).distinct()
+    val touchedLabels = aOldCk.join(newEndpoints, "doc_id")
+      .select(col("cluster_id")).distinct()
+    val affectedOld = aOldCk.join(touchedLabels, Seq("cluster_id"))
+      .select(col("doc_id"))
+    val subNodes = affectedOld
+      .unionByName(docs.filter(col("doc_id") >= cut))
+    val subEdges = undirect(newPairs).unionByName(
+      undirect(oldPairs)
+        .join(affectedOld.withColumnRenamed("doc_id", "src"), Seq("src")))
+    val (aSub, _) = connectedComponents(subNodes, subEdges)
+    aOldCk.join(affectedOld, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(aSub.select(col("doc_id"), col("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"),
+              when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L)
+                .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q73's oracle — the exact-Jaccard pair set closed with the recursive
     * CTE; hoisted so q181's accounting oracle composes it verbatim. */
   private[operators] val q73ClustersOracleSql: String =
@@ -1150,6 +1201,7 @@ object Dedup extends QueryPack {
     "q89_entity_resolution" -> q89EntityResolution _,
     "q79_minhash_est"   -> q79MinhashEstimate _,
     "q73_dedup_clusters" -> q73DedupClusters _,
+    "q261_incremental_clusters" -> q261IncrementalClusters _,
     "q181_effective_tokens" -> q181EffectiveTokens _,
     "q205_mixture_plan" -> q205MixturePlan _,
     "q220_mixture_sample" -> q220MixtureSample _,
@@ -1492,6 +1544,9 @@ object Dedup extends QueryPack {
                 doc_id AS survivor_id, tier AS survivor_tier
          FROM r2 WHERE rn = 1 ORDER BY cluster_id""",
     "q73_dedup_clusters" -> q73ClustersOracleSql,
+    // q261: the FULL-corpus recursive closure verbatim — a hash match
+    // certifies the touched-components-only update == full recompute
+    "q261_incremental_clusters" -> q73ClustersOracleSql,
     // q181: the q73 closure composed with per-doc token counts — the
     // ratio arithmetic is explicit-double over exact integer sums
     "q181_effective_tokens" ->

@@ -46,6 +46,7 @@ class PlanSpec extends SparkTestBase {
     val allow = Set(
       "q41_ann_lsh", "q42_minhash_lsh", "q100_incremental_neardup",
       "q73_dedup_clusters", "q80_embedding_clusters",
+      "q261_incremental_clusters",
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q164_priority_survivor", "q181_effective_tokens",
       // q205 composes the memoized cluster assignment (the CC loop);

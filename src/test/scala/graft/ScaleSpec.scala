@@ -117,6 +117,26 @@ class ScaleSpec extends SparkTestBase {
     assert(o5 == 4L, "ceil(0.8*5) must be 4 in exact integer arithmetic")
   }
 
+  test("q261 incremental clusters: touched-only update equals full recompute") {
+    import graft.operators.Dedup
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = rows(SparkEntry.queries("q73_dedup_clusters")(spark, sfDir))
+    val inc = rows(SparkEntry.queries("q261_incremental_clusters")(spark, sfDir))
+    assert(inc == full,
+      "incremental maintenance must reproduce the from-scratch assignment")
+    // the incremental path genuinely skips work: some old component is
+    // untouched by the new batch's edges (else the subgraph is the graph)
+    val pairs = Dedup.minhashLshPairsCore(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val newDocs = pairs.filter(p => p._1 >= 250 || p._2 >= 250)
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val fullLabels = full.map(_._2)
+    val touchedLabels = full.filter(t => newDocs.contains(t._1)).map(_._2)
+    assert((fullLabels -- touchedLabels).nonEmpty,
+      "testdata must leave at least one component untouched by the batch")
+  }
+
   test("z-order layout prunes the 2-D box strictly better than linear") {
     val out = Skew.queries("q245_zorder_layout")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
