@@ -728,6 +728,27 @@ object EventOps extends QueryPack {
       .filter(col("cents") >= 1)
       .groupBy("event_type", "cents").agg(count(lit(1)).as("c")))
 
+  /** q262: QUANTILE ROLLUP — the property q247's registers exist FOR,
+    * declared as its own gate: global percentiles computed by MERGING
+    * the per-type register relations (relabel + one sum at value
+    * grain — never re-reading raw rows), served against the oracle's
+    * from-raw global recompute. This is the warehouse rollup motion —
+    * per-partition quantile registers combine upward to any coarser
+    * grain (type → all, day → month, shard → fleet) because the state
+    * is (sum, min, max)-mergeable; an exact-percentile pipeline would
+    * re-sort the corpus at every grain. */
+  private def q262QuantileRollup(s: SparkSession, d: String): DataFrame = {
+    val perType = Tables.events(s, d)
+      .select(col("event_type"),
+              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .filter(col("cents") >= 1)
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val merged = perType
+      .select(lit("all").as("event_type"), col("cents"), col("c"))
+      .groupBy("event_type", "cents").agg(sum("c").as("c"))
+    quantileFromCounts(merged)
+  }
+
   /** RFM SEGMENTATION — the classic behavioral user segmentation:
     * recency (last activity), frequency (event count) and monetary
     * (total cents) per user, each cut into terciles against corpus-wide
@@ -800,6 +821,7 @@ object EventOps extends QueryPack {
     "q250_k_anonymity" -> q250KAnonymity _,
     "q253_peak_concurrency" -> q253PeakConcurrency _,
     "q258_multi_touch" -> q258MultiTouch _,
+    "q262_quantile_rollup" -> q262QuantileRollup _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -962,6 +984,46 @@ object EventOps extends QueryPack {
                 floor(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
                       * 1000 / sum(n)) / 1000 AS risk_share
          FROM g GROUP BY 1 ORDER BY event_type""",
+    // q262: the q247 chain under a constant 'all' key — the oracle
+    // recomputes GLOBAL quantiles from raw, certifying register merge
+    // across types == from-raw rollup
+    "q262_quantile_rollup" ->
+      """WITH v AS (SELECT 'all' AS event_type,
+                  CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+               FROM events
+               WHERE CAST(floor("value" * 100 + 0.5) AS BIGINT) >= 1),
+         r AS (SELECT event_type, CAST(len(bin(cents)) AS BIGINT) AS bin,
+                      count(*) AS cnt, min(cents) AS vmin, max(cents) AS vmax
+               FROM v GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+               FROM r GROUP BY 1),
+         ks AS (SELECT event_type, n,
+                       CAST(unnest([500, 950, 990]) AS BIGINT) AS p_mille
+                FROM t),
+         kk AS (SELECT event_type, n, p_mille,
+                       (p_mille * n + 999) // 1000 AS k
+                FROM ks),
+         c AS (SELECT event_type, bin, vmin, vmax,
+                      CAST(sum(cnt) OVER (PARTITION BY event_type
+                                          ORDER BY bin) AS BIGINT) AS cum
+               FROM r),
+         est AS (SELECT kk.event_type, kk.p_mille, kk.n, kk.k,
+                        min(c.bin) AS bin
+                 FROM kk JOIN c ON c.event_type = kk.event_type
+                               AND c.cum >= kk.k
+                 GROUP BY 1, 2, 3, 4),
+         ex AS (SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn
+                FROM v)
+         SELECT est.event_type, est.p_mille, est.n, est.k, est.bin,
+                c.vmin AS v_lo, c.vmax AS v_hi, ex.cents AS exact_v,
+                CAST(CASE WHEN ex.cents BETWEEN c.vmin AND c.vmax
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_bound
+         FROM est
+         JOIN c ON c.event_type = est.event_type AND c.bin = est.bin
+         JOIN ex ON ex.event_type = est.event_type AND ex.rn = est.k
+         ORDER BY est.event_type, est.p_mille""",
     // q247: the q198 registers walked to rank k = ceil(p*n) in integer
     // arithmetic; the exact k-th value via explicit row_number (NOT an
     // engine quantile function) — `//` floors like Spark's `div` on

@@ -199,15 +199,29 @@ object Skew extends QueryPack {
     * cohort (the experiment-membership shape); the exact semi-join
     * rides as the certification side (q195 discipline — production
     * ships the bloom probe alone). */
+  /** The two bloom positions of `key` as an array expression — shared
+    * with the streaming maintenance twin (q263). */
+  private[operators] def bloomPositionsExpr(key: String): String =
+    s"""array(${bloomH("a-", key, divStyle = true)},
+              ${bloomH("b-", key, divStyle = true)})"""
+
   private def q252BloomSemijoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d).select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(10)) === 3)
+    val positions = dim
+      .select(explode(expr(bloomPositionsExpr("user_id"))).as("pos"))
+      .distinct()
+    bloomSemijoinAudit(s, d, positions)
+  }
+
+  /** The q252 probe/audit tail over an externally-built position set —
+    * the streamed filter (q263) plugs its register sink in here and
+    * serves the same oracle. */
+  private[operators] def bloomSemijoinAudit(s: SparkSession, d: String,
+                                            positions: DataFrame): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
     val dim = ev.select(col("user_id")).distinct()
       .filter(pmod(col("user_id"), lit(10)) === 3)
-    val positions = dim
-      .select(explode(expr(
-        s"""array(${bloomH("a-", "user_id", divStyle = true)},
-                  ${bloomH("b-", "user_id", divStyle = true)})""")).as("pos"))
-      .distinct()
     val probe = ev
       .withColumn("p1", expr(bloomH("a-", "user_id", divStyle = true)))
       .withColumn("p2", expr(bloomH("b-", "user_id", divStyle = true)))

@@ -678,7 +678,32 @@ object StreamGate extends QueryPack {
     EventOps.quantileFromCounts(counts)
   }
 
+  /** q263: STREAMING BLOOM-FILTER MAINTENANCE — the q252 semi-join
+    * bit-set kept current BY THE STREAM: the dimension cohort's
+    * occupied positions are a DISTINCT set, i.e. duplicate-blind
+    * "exists" registers (the q211-HLL argument in its simplest form —
+    * re-delivery cannot flip a bit that is already set), so one
+    * complete-mode distinct aggregation maintains the filter with
+    * ≤ m rows of state and NO dedup bookkeeping. The probe/audit tail
+    * (membership joins, FP tax, soundness certificate) runs on the
+    * sink relation via the shared q252 core and serves the batch
+    * oracle verbatim — a streamed filter that certifies identical to
+    * the batch-built one is exactly the property that lets a pipeline
+    * ship the filter continuously instead of rebuilding it nightly. */
+  private def q263BloomStream(s: SparkSession, d: String): DataFrame = {
+    val positions = runToBatch(s, eventStream(s, d)
+      .filter(col("event_id") >= 0)
+      .select(col("user_id")).where(pmod(col("user_id"), lit(10)) === 3)
+      .select(explode(expr(Skew.bloomPositionsExpr("user_id"))).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("n")),
+      outputMode = "complete")
+      .select("pos")
+      .localCheckpoint()
+    Skew.bloomSemijoinAudit(s, d, positions)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_bloom_stream" -> q263BloomStream _,
     "q248_quantile_stream" -> q248QuantileStream _,
     "q240_ks_stream" -> q240KsStream _,
     "q229_growth_stream" -> q229GrowthStream _,
@@ -712,6 +737,9 @@ object StreamGate extends QueryPack {
     // counts; the quantile walk and certificate are deterministic
     // integer arithmetic over the sink relation
     "q248_quantile_stream" -> EventOps.oracles("q247_quantile_sketch"),
+    // batch-equivalence: the position set is duplicate-blind (distinct
+    // registers), so the streamed filter serves the batch audit oracle
+    "q263_bloom_stream" -> Skew.oracles("q252_bloom_semijoin"),
     // batch-equivalence: min-register maintenance (first-seen) and the
     // distinct active set are duplicate-blind, so the streamed rollup
     // serves batch q226's oracle verbatim
