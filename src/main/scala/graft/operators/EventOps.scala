@@ -688,6 +688,47 @@ object EventOps extends QueryPack {
       .orderBy("day_idx")
   }
 
+  /** WATERMARK SIZING AUDIT — the out-of-orderness report run BEFORE
+    * choosing a watermark delay: with event_id as arrival order, a
+    * row's lateness is how far the already-seen event-time high-water
+    * mark has moved past its own timestamp (running max over arrival
+    * order, per event_type stream). The report gives per type the
+    * late-row counts at candidate delays (1 min / 10 min) and the
+    * maximum observed lateness — exactly the numbers that decide
+    * `withWatermark`'s horizon, where too short silently DROPS rows
+    * (the q227 sentinel lesson) and too long holds state. The running
+    * max partitions by the stream key (type); arrival order within a
+    * partition is a window sort at audit grain, run once per corpus
+    * generation, not per query. */
+  private def q264LatenessAudit(s: SparkSession, d: String): DataFrame =
+    latenessFromArrivals(Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("us")))
+
+  /** The q264 audit over any (event_type, event_id, us) arrival
+    * relation — factored so the spec can plant out-of-order arrivals
+    * (the test corpus is generated perfectly in order, so the late
+    * branches only fire on planted fixtures). */
+  private[graft] def latenessFromArrivals(arrivals: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    arrivals
+      .withColumn("hwm", max("us").over(w))
+      .withColumn("late_us", col("hwm") - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           max("late_us").as("max_late_us"),
+           sum(expr("CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END"))
+             .as("late_1m"),
+           sum(expr("CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END"))
+             .as("late_10m"))
+      .withColumn("late_1m_share",
+        expr("floor(cast(late_1m as double) * 1000 / n_events) / 1000"))
+      .select("event_type", "n_events", "max_late_us", "late_1m",
+              "late_10m", "late_1m_share")
+      .orderBy("event_type")
+  }
+
   /** K-ANONYMITY AUDIT — the re-identification risk report a release
     * pipeline runs beside the PII scrub (q47) and the opt-out filter
     * (q204): project each row to its quasi-identifier tuple — here
@@ -822,6 +863,7 @@ object EventOps extends QueryPack {
     "q253_peak_concurrency" -> q253PeakConcurrency _,
     "q258_multi_touch" -> q258MultiTouch _,
     "q262_quantile_rollup" -> q262QuantileRollup _,
+    "q264_lateness_audit" -> q264LatenessAudit _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -984,6 +1026,27 @@ object EventOps extends QueryPack {
                 floor(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
                       * 1000 / sum(n)) / 1000 AS risk_share
          FROM g GROUP BY 1 ORDER BY event_type""",
+    // q264: per-type running event-time high-water mark over arrival
+    // (event_id) order; late counts at the candidate delays
+    "q264_lateness_audit" ->
+      """WITH b AS (SELECT event_type, event_id,
+                  epoch_us(ts::TIMESTAMP) AS us
+               FROM events),
+         h AS (SELECT event_type, us,
+                      max(us) OVER (PARTITION BY event_type
+                                    ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS hwm
+               FROM b)
+         SELECT event_type, count(*) AS n_events,
+                CAST(max(hwm - us) AS BIGINT) AS max_late_us,
+                CAST(sum(CASE WHEN hwm - us > 60000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS late_1m,
+                CAST(sum(CASE WHEN hwm - us > 600000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS late_10m,
+                floor(CAST(sum(CASE WHEN hwm - us > 60000000
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                      * 1000 / count(*)) / 1000 AS late_1m_share
+         FROM h GROUP BY 1 ORDER BY event_type""",
     // q262: the q247 chain under a constant 'all' key — the oracle
     // recomputes GLOBAL quantiles from raw, certifying register merge
     // across types == from-raw rollup

@@ -261,4 +261,24 @@ class FunnelSpec extends SparkTestBase {
     // day 1: the spanner's tail + two disjoint sessions — peak 1
     assert(out(1L) == ((3L, 1L)), s"day1 ${out(1L)}")
   }
+
+  test("q264 lateness core: planted out-of-order arrivals measure exactly") {
+    import spark.implicits._
+    val M = 60000000L // one minute in us
+    // stream a: in-order, then one row 2 min late, then one 11 min late
+    val a = Seq((1L, 0L), (2L, 10L * M), (3L, 8L * M), (4L, 20L * M),
+                (5L, 9L * M))
+      .map { case (id, us) => ("a", id, us) }
+    // stream b: strictly in order — no late rows
+    val b = Seq(("b", 1L, 0L), ("b", 2L, M), ("b", 3L, 2L * M))
+    val out = graft.operators.EventOps
+      .latenessFromArrivals((a ++ b).toDF("event_type", "event_id", "us"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: id 3 is 2 min behind the hwm (late_1m), id 5 is 11 min behind
+    // (late_1m AND late_10m); max lateness 11 min
+    assert(out("a") == ((5L, 11L * M, 2L, 1L)), s"a ${out("a")}")
+    assert(out("b") == ((3L, 0L, 0L, 0L)), s"b ${out("b")}")
+  }
 }
