@@ -688,6 +688,50 @@ object EventOps extends QueryPack {
       .orderBy("day_idx")
   }
 
+  /** A/B TEST SIGNIFICANCE — the two-proportion z-test every
+    * experimentation pipeline runs on its conversion metric: users
+    * split into deterministic cohorts (id parity — the hash-bucket
+    * assignment an experiment service makes), per-cohort conversion =
+    * share of users with ≥ 1 purchase, and the pooled z-statistic
+    * decides whether the observed lift is noise. Everything up to the
+    * final statistic is exact integer counts from one user-grain
+    * aggregate; the z expression is a FIXED-ORDER chain of double
+    * ops whose divisions and the sqrt are single-rounded IEEE
+    * (sqrt is correctly rounded — unlike log it is parity-safe), so
+    * both engines produce the bit-identical statistic. */
+  private def q265AbTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("np"),
+           sum(when(col("event_type") === "view", 1L).otherwise(0L))
+             .as("nv"))
+      .select(col("user_id"),
+              when(col("np") > col("nv"), 1L).otherwise(0L).as("conv"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2)))
+    users.agg(
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("cohort") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a",
+        expr("floor(cast(conv_a as double) * 1000 / n_a) / 1000"))
+      .withColumn("rate_b",
+        expr("floor(cast(conv_b as double) * 1000 / n_b) / 1000"))
+      .withColumn("z", expr(
+        """CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+           THEN CAST(0 AS DOUBLE) ELSE floor(
+             ((cast(conv_a as double) / n_a) - (cast(conv_b as double) / n_b))
+             / sqrt(((cast(conv_a + conv_b as double) / (n_a + n_b))
+                     * (1.0e0 - cast(conv_a + conv_b as double) / (n_a + n_b)))
+                    * ((1.0e0 / n_a) + (1.0e0 / n_b)))
+             * 1000000) / 1000000 END"""))
+      .withColumn("significant", expr(
+        """CAST(CASE WHEN abs(z) >= 1.96e0 THEN 1 ELSE 0 END AS BIGINT)"""))
+      .select("n_a", "conv_a", "n_b", "conv_b", "rate_a", "rate_b",
+              "z", "significant")
+  }
+
   /** WATERMARK SIZING AUDIT — the out-of-orderness report run BEFORE
     * choosing a watermark delay: with event_id as arrival order, a
     * row's lateness is how far the already-seen event-time high-water
@@ -864,6 +908,7 @@ object EventOps extends QueryPack {
     "q258_multi_touch" -> q258MultiTouch _,
     "q262_quantile_rollup" -> q262QuantileRollup _,
     "q264_lateness_audit" -> q264LatenessAudit _,
+    "q265_ab_test" -> q265AbTest _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -1026,6 +1071,47 @@ object EventOps extends QueryPack {
                 floor(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
                       * 1000 / sum(n)) / 1000 AS risk_share
          FROM g GROUP BY 1 ORDER BY event_type""",
+    // q265: integer cohort counts from one user-grain aggregate; the z
+    // chain is the same fixed-order double expression (sqrt is
+    // correctly-rounded IEEE); significance compares the floored z
+    "q265_ab_test" ->
+      """WITH u0 AS (SELECT user_id,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS np,
+                  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+               FROM events GROUP BY user_id),
+         u AS (SELECT user_id,
+                      CASE WHEN np > nv THEN 1 ELSE 0 END AS conv,
+                      user_id % 2 AS cohort
+               FROM u0),
+         a AS (SELECT
+                 CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_a,
+                 CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS conv_b
+               FROM u),
+         z AS (SELECT *,
+                 CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                 THEN CAST(0 AS DOUBLE) ELSE floor(
+                   ((CAST(conv_a AS DOUBLE) / n_a)
+                    - (CAST(conv_b AS DOUBLE) / n_b))
+                   / sqrt(((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                           * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                    / (n_a + n_b)))
+                          * ((1.0 / n_a) + (1.0 / n_b)))
+                   * 1000000) / 1000000 END AS z
+               FROM a)
+         SELECT n_a, conv_a, n_b, conv_b,
+                floor(CAST(conv_a AS DOUBLE) * 1000 / n_a) / 1000 AS rate_a,
+                floor(CAST(conv_b AS DOUBLE) * 1000 / n_b) / 1000 AS rate_b,
+                z,
+                CAST(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END AS BIGINT)
+                  AS significant
+         FROM z""",
     // q264: per-type running event-time high-water mark over arrival
     // (event_id) order; late counts at the candidate delays
     "q264_lateness_audit" ->
