@@ -732,6 +732,62 @@ object EventOps extends QueryPack {
               "z", "significant")
   }
 
+  /** CUPED VARIANCE REDUCTION — the companion every serious A/B
+    * platform runs beside q265's z-test: use each user's PRE-period
+    * activity as a control covariate so the post-period metric's
+    * variance shrinks by ρ² (Deng et al., WSDM'13), which is weeks of
+    * experiment runtime saved. The corpus time range splits at its
+    * broadcast midpoint; per user X = pre-period purchases, Y = post-
+    * period purchases; θ = cov(X,Y)/var(X) and the adjusted variance
+    * var(Y) − cov²/var(X) both come from ONE aggregate of exact
+    * integer power sums (n, Σx, Σy, Σx², Σy², Σxy — the q197 OLS
+    * machinery), so everything before the final fixed-order double
+    * chain is partition-order-free. The gate carries the raw sums
+    * beside the statistics: the arithmetic is certified, not just the
+    * plumbing. */
+  private def q266Cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      .selectExpr("(mn + mx) div 2 AS mid")
+    val xy = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase" && col("us") < col("mid"),
+                    1L).otherwise(0L)).as("x"),
+           sum(when(col("event_type") === "purchase" && col("us") >= col("mid"),
+                    1L).otherwise(0L)).as("y"))
+    xy.agg(count(lit(1)).as("n_users"),
+           sum("x").as("sx"), sum("y").as("sy"),
+           sum(expr("x * x")).as("sxx"),
+           sum(expr("y * y")).as("syy"),
+           sum(expr("x * y")).as("sxy"))
+      .withColumn("theta", expr(
+        """CASE WHEN n_users * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+           ELSE floor(cast(n_users * sxy - sx * sy as double)
+                      / cast(n_users * sxx - sx * sx as double)
+                      * 1000000) / 1000000 END"""))
+      .withColumn("var_y", expr(
+        """floor(cast(n_users * syy - sy * sy as double)
+                 / (cast(n_users as double) * n_users) * 1000000)
+           / 1000000"""))
+      .withColumn("var_y_adj", expr(
+        """CASE WHEN n_users * sxx - sx * sx = 0
+           THEN var_y
+           ELSE floor((cast(n_users * syy - sy * sy as double)
+                       / (cast(n_users as double) * n_users)
+                       - (cast(n_users * sxy - sx * sy as double)
+                          * (n_users * sxy - sx * sy))
+                         / ((cast(n_users as double) * n_users)
+                            * (n_users * sxx - sx * sx)))
+                      * 1000000) / 1000000 END"""))
+      .withColumn("var_cut_share", expr(
+        """CASE WHEN var_y = 0 THEN CAST(0 AS DOUBLE)
+           ELSE floor((var_y - var_y_adj) * 1000 / var_y) / 1000 END"""))
+      .select("n_users", "sx", "sy", "sxx", "syy", "sxy",
+              "theta", "var_y", "var_y_adj", "var_cut_share")
+  }
+
   /** WATERMARK SIZING AUDIT — the out-of-orderness report run BEFORE
     * choosing a watermark delay: with event_id as arrival order, a
     * row's lateness is how far the already-seen event-time high-water
@@ -909,6 +965,7 @@ object EventOps extends QueryPack {
     "q262_quantile_rollup" -> q262QuantileRollup _,
     "q264_lateness_audit" -> q264LatenessAudit _,
     "q265_ab_test" -> q265AbTest _,
+    "q266_cuped" -> q266Cuped _,
     "q197_value_trend"  -> q197ValueTrend _,
     "q193_retention"    -> q193Retention _,
     "q191_rate_anomaly" -> q191RateAnomaly _,
@@ -1071,6 +1128,51 @@ object EventOps extends QueryPack {
                 floor(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
                       * 1000 / sum(n)) / 1000 AS risk_share
          FROM g GROUP BY 1 ORDER BY event_type""",
+    // q266: integer power sums (the q197 machinery), fixed-order double
+    // tail; `//` floors the broadcast midpoint like Spark's `div`
+    "q266_cuped" ->
+      """WITH e AS (SELECT user_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us
+               FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         xy AS (SELECT user_id,
+                  CAST(sum(CASE WHEN event_type = 'purchase' AND us < mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase' AND us >= mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM e, m GROUP BY user_id),
+         a AS (SELECT count(*) AS n_users,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM xy),
+         t AS (SELECT *,
+                 CASE WHEN n_users * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE floor(CAST(n_users * sxy - sx * sy AS DOUBLE)
+                            / CAST(n_users * sxx - sx * sx AS DOUBLE)
+                            * 1000000) / 1000000 END AS theta,
+                 floor(CAST(n_users * syy - sy * sy AS DOUBLE)
+                       / (CAST(n_users AS DOUBLE) * n_users) * 1000000)
+                   / 1000000 AS var_y
+               FROM a),
+         v AS (SELECT *,
+                 CASE WHEN n_users * sxx - sx * sx = 0
+                 THEN var_y
+                 ELSE floor((CAST(n_users * syy - sy * sy AS DOUBLE)
+                             / (CAST(n_users AS DOUBLE) * n_users)
+                             - (CAST(n_users * sxy - sx * sy AS DOUBLE)
+                                * (n_users * sxy - sx * sy))
+                               / ((CAST(n_users AS DOUBLE) * n_users)
+                                  * (n_users * sxx - sx * sx)))
+                            * 1000000) / 1000000 END AS var_y_adj
+               FROM t)
+         SELECT n_users, sx, sy, sxx, syy, sxy, theta, var_y, var_y_adj,
+                CASE WHEN var_y = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor((var_y - var_y_adj) * 1000 / var_y) / 1000
+                END AS var_cut_share
+         FROM v""",
     // q265: integer cohort counts from one user-grain aggregate; the z
     // chain is the same fixed-order double expression (sqrt is
     // correctly-rounded IEEE); significance compares the floored z
