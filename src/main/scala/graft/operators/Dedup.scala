@@ -213,8 +213,9 @@ object Dedup extends QueryPack {
     * estimator's verification twin, q79's precedent — the production
     * XXH64 kernel is not SQL-replicable, this family is, so DuckDB
     * rebuilds the signatures, the banding, the candidate set and the
-    * counts value-exactly). The exact side is the q35 inverted-index
-    * baseline (declared-exact status, df-cut composable as there);
+    * counts value-exactly). The exact side runs the prefix-filtered
+    * core at τ = 1/2 (lossless — the q244 principle at the sweep
+    * floor, so no uncapped shingle self-join anywhere in the plan);
     * detection = candidate ∧ verified, so precision is 1 by
     * construction and recall is the one number swept. Thresholds are
     * Scala doubles end-to-end (a bare SQL decimal would parse as
@@ -230,16 +231,14 @@ object Dedup extends QueryPack {
     * predicts at the knee. */
   private[graft] def lshRecallCore(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val exact = ex.select(col("s"), col("doc_id").as("a_id"))
-      .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("asz")),
-            Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("bsz")),
-            Seq("b_id"))
+    // exact ground truth down to j ≥ 0.5 through the PREFIX-FILTERED core
+    // at τ = 1/2 (lossless by the prefix principle; the integer overlap
+    // ceiling is the certified q244 arithmetic) — never the uncapped
+    // Σ df² shingle self-join this eval originally inlined: at τ = 0.5
+    // the candidate set is identical and the hot-shingle quadratic term
+    // never materializes. jf = floor(raw·1000)/1000 ≥ 0.5 ⟺ raw ≥ 0.5,
+    // so the final floored filter states exactly the core's threshold.
+    val exact = TextAnalysis.prefixVerifiedPairs(sh, 1, 2)
       .withColumn("jf", floor(col("common")
         / (col("asz") + col("bsz") - col("common")) * 1000) / 1000)
       .filter(col("jf") >= 0.5)

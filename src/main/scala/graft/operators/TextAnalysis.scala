@@ -252,6 +252,26 @@ object TextAnalysis extends QueryPack {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
               graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    prefixVerifiedPairs(sh, tnum, tden)
+      .withColumn("jac_raw", col("common") / (col("asz") + col("bsz") - col("common")))
+      .filter(col("jac_raw") >= 0.8)
+      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The prefix-filter core over ANY (doc_id, sh) distinct-shingle
+    * relation: every candidate pair surviving the prefix collision + the
+    * symmetric length filter, verified EXACTLY — output is
+    * (a_id, b_id, asz, bsz, common), all exact integers, a SUPERSET of
+    * the pairs with true Jaccard ≥ tnum/tden (callers apply the final
+    * threshold in whatever float/floored form their oracle states).
+    * Factored out of [[prefixJaccardJoin]] so q242's exact ground-truth
+    * side (τ = 1/2) and any future threshold reuse the one certified
+    * integer-ceiling implementation. */
+  private[graft] def prefixVerifiedPairs(sh0: DataFrame,
+                                         tnum: Int, tden: Int): DataFrame = {
+    val sh = sh0.select(col("doc_id"), col("sh"))
     val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
                        explode(col("sh")).as("s"))
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -277,10 +297,57 @@ object TextAnalysis extends QueryPack {
               size(col("b_sh")).cast("long").as("bsz"),
               size(array_intersect(col("a_sh"), col("b_sh")))
                 .cast("long").as("common"))
-      .withColumn("jac_raw", col("common") / (col("asz") + col("bsz") - col("common")))
-      .filter(col("jac_raw") >= 0.8)
-      .withColumn("jaccard", floor(col("jac_raw") * 1000) / 1000)
-      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** q174's scale plan: PREFIX FILTERING IN THE CONTAINMENT DIRECTION.
+    * The prefix principle composes with the directed measure because the
+    * containment overlap ceiling uses ONLY the contained side's size:
+    * C(A→B) = |A∩B| / |A| ≥ τ forces |A∩B| ≥ o = ⌈τ·|A|⌉, and if the
+    * intersection avoided A's first |A| − o + 1 shingles (ANY fixed
+    * per-doc order works — the pigeonhole runs entirely inside A; we
+    * keep the rarest-first order because it concentrates the surviving
+    * postings in low-df shingles) it would fit inside A's last o − 1 —
+    * contradiction. So the candidate join is ASYMMETRIC: contained-side
+    * PREFIX postings (~(1−τ) of the index at τ = 0.9) probe the FULL
+    * posting index, Σ df_pref(s)·df(s) join work instead of the
+    * undirected Σ df² self-join — and unlike the df-cut (which bounds
+    * hot-shingle work by trading recall), this DROPS the hot-shingle
+    * quadratic term losslessly: a boilerplate shingle shared by millions
+    * of docs ranks last within every doc and never enters a prefix.
+    * Directions are independent candidates (a near-identical twin
+    * qualifies both ways, arriving as two candidate rows), each verified
+    * EXACTLY from the two full shingle arrays with its own divisor.
+    * Output ≡ the inverted-index [[containmentDfCut]] (ScaleSpec asserts
+    * set equality); the declared oracle is unchanged. */
+  private[graft] def prefixContainmentJoin(s: SparkSession, d: String,
+                                           tnum: Int = 9, tden: Int = 10): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+                       explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val pref = ex.join(dfTab, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz * $tnum + $tden - 1) div $tden") + lit(1))
+      .select(col("s"), col("doc_id"))
+    val cand = pref.select(col("s"), col("doc_id").as("a_id"))
+      .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+              size(col("a_sh")).cast("long").as("asz"),
+              size(array_intersect(col("a_sh"), col("b_sh")))
+                .cast("long").as("common"))
+      .withColumn("cont_raw", col("common") / col("asz"))
+      .filter(col("cont_raw") >= 0.9)
+      .withColumn("containment", floor(col("cont_raw") * 1000) / 1000)
+      .select("a_id", "b_id", "containment")
       .orderBy("a_id", "b_id")
   }
 
@@ -626,12 +693,15 @@ object TextAnalysis extends QueryPack {
     "q155_lang_confusion" -> q155LangConfusion _,
     "q34_fingerprint"   -> q34Fingerprint _,
     "q35_ngram_jaccard" -> ((s: SparkSession, d: String) =>
-      // maxDf = -1 → corpus size as a lazy broadcast scalar: no shingle
-      // can exceed it, so the cut is value-neutral while the plan still
-      // carries the df bound — and building the plan schedules no job
-      ngramJaccardDfCut(s, d)),
+      // the prefix-filtered join (q244's core) IS the gated plan: it is
+      // lossless at τ = 0.8 (ScaleSpec asserts set equality vs the full
+      // inverted index) and measured faster in the same run — the df-cut
+      // and unbounded-index forms remain as certification baselines
+      prefixJaccardJoin(s, d)),
     "q174_containment" -> ((s: SparkSession, d: String) =>
-      containmentDfCut(s, d)),
+      // prefix filtering composed into the containment direction — the
+      // inverted-index containmentDfCut stays as the cert baseline
+      prefixContainmentJoin(s, d)),
     "q183_inc_containment" -> ((s: SparkSession, d: String) =>
       incrementalContainment(s, d)),
     "q201_vocab_coverage" -> q201VocabCoverage _,

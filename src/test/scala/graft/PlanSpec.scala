@@ -366,14 +366,42 @@ class PlanSpec extends SparkTestBase {
     assert(gens.size <= 1, "only the post-agg posexplode may generate rows")
   }
 
-  test("q174: the pruned posting exchange is reused by both self-join " +
-       "branches (no second shuffle of the inverted index)") {
-    val plan = executed(SparkEntry.queries("q174_containment")(spark, sfDir))
-    val reused = plan.collect {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+  test("q35/q244: the prefix posting exchange is shared by both " +
+       "self-join branches (prefix plan, no full posting self-join)") {
+    for (q <- Seq("q35_ngram_jaccard", "q244_prefix_join")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sfDir))
+      // the prefix rank is present (a doc-grain window, never global)...
+      assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$q: the rarest-first prefix rank window is missing")
+      // ...and the candidate self-join reads ONE ranked-prefix exchange
+      // from both branches — a full inverted-index self-join would have
+      // no window above its (identical, also reused) posting branches,
+      // so the window+reuse pair pins the prefix shape specifically
+      assert(plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+        s"$q: the prefix posting exchange must be shared, not rebuilt per branch")
     }
-    assert(reused.nonEmpty,
-      "q174's df-cut posting relation must shuffle once, not per branch")
+  }
+
+  test("q174: the candidate join is prefix-vs-full — exactly one branch " +
+       "carries the prefix rank window (no full posting self-join)") {
+    val plan = executed(SparkEntry.queries("q174_containment")(spark, sfDir))
+    val sJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if (j.leftKeys ++ j.rightKeys)
+          .forall(_.references.exists(_.name == "s")) => j
+    }
+    assert(sJoins.nonEmpty, "the shingle-keyed candidate join is missing")
+    // the contained-side branch is window-ranked (prefix); the container
+    // side is the full posting list — asymmetric BY DESIGN: containment's
+    // overlap ceiling uses only the contained doc's size
+    val windowSides = sJoins.map { j =>
+      Seq(j.children.head, j.children(1)).count(side => allNodes(side).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    }
+    assert(windowSides.exists(_ == 1),
+      s"expected exactly one prefix-ranked side on the candidate join, got $windowSides")
   }
 
   test("q175: stats come back as ONE broadcast row — the corpus side " +
