@@ -125,6 +125,14 @@ class ScaleSpec extends SparkTestBase {
     val inc = rows(SparkEntry.queries("q261_incremental_clusters")(spark, sfDir))
     assert(inc == full,
       "incremental maintenance must reproduce the from-scratch assignment")
+    // warm path: with the versioned assignment artifact in place, the
+    // incremental query runs ONE connected-components invocation — the
+    // touched-subgraph pass — and reads everything else from parquet
+    Dedup.ccInvocations.set(0)
+    val warm = rows(SparkEntry.queries("q261_incremental_clusters")(spark, sfDir))
+    assert(warm == full, "warm artifact-backed path must agree")
+    assert(Dedup.ccInvocations.get() == 1,
+      s"warm q261 must run exactly 1 CC pass, ran ${Dedup.ccInvocations.get()}")
     // the incremental path genuinely skips work: some old component is
     // untouched by the new batch's edges (else the subgraph is the graph)
     val pairs = Dedup.minhashLshPairsCore(spark, sfDir)
