@@ -315,6 +315,14 @@ object Mining extends QueryPack {
   /** Neighborhood size for the q224 hubness audit. */
   private val hubK = 5
 
+  /** Cells probed per vector in the q224 IVF-probed kNN graph. */
+  private[graft] val hubProbes = 4
+
+  /** Coarse codebooks trained by q224 builds, keyed by dataset dir —
+    * the q45 oracle-generation contract. */
+  private[graft] val hubCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   /** q224: KNN-GRAPH HUBNESS AUDIT — the in-degree distribution of the
     * directed k-nearest-neighbor graph: how many other vectors count
     * each vector among their top-k. High-dimensional embedding spaces
@@ -326,13 +334,60 @@ object Mining extends QueryPack {
     * run BEFORE trusting any of them; q126's margin denominator is the
     * per-pair correction, this is the corpus-level diagnosis. Output
     * is the full per-vector in-degree table (antihubs included via a
-    * left join, in-degree 0), hub-first. Shape: the A×B cosine
-    * relation (broadcast nested-loop at test scale, the q86 IVF-PQ
-    * probed candidate set at 100 TB — identical downstream), bounded-
-    * heap top-k per vector, one id-grain count; shuffles carry
-    * (id, id) rows only, Σ in-degree = k·N by construction
-    * (MiningSpec pins it). */
+    * left join, in-degree 0), hub-first.
+    *
+    * The GATED plan is the IVF PROBED-CANDIDATE graph with DECLARED
+    * semantics (q45's technique): every vector is coarse-assigned
+    * (trained fixed-k codebook, argmax cosine), each vector probes its
+    * [[hubProbes]] best cells, and its top-[[hubK]] is taken over the
+    * candidates IN THOSE CELLS — exactly what a production kNN-graph
+    * build over an IVF layout computes, candidate work N·nprobe·E[cell]
+    * instead of the A×B N² cosine sweep, shuffles keyed by the 16 cell
+    * ids (co-partitioned with the index layout at scale). The trained
+    * codebook embeds in the generated DuckDB oracle as literals, so the
+    * cross-engine gate certifies the probed semantics end-to-end.
+    * [[hubAuditBrute]] stays as the spec-side exact certificate
+    * (MiningSpec replays it brute-force and measures the probed graph's
+    * agreement against it). */
   private def q224HubAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e, Similarity.ivfK)
+    hubCodebooks.put(d, cents)
+    val cb = cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("c_id", "cv")
+    val assigned = Similarity.ivfAssignCodebook(s, e, cents)
+      .select(col("vec_id").as("b_id"), col("centroid"),
+              col("embedding").as("bv"))
+    // probe list: the vector's hubProbes best cells under the heap's
+    // total order (cos DESC, c_id ASC) — 2 scalar rows per vector
+    val probes = e.crossJoin(broadcast(cb))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(TopKAgg.top_k_by_score(col("cos_c"), col("c_id"), hubProbes).as("pr"),
+           first(col("embedding")).as("embedding"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+              explode(expr("pr.id")).as("centroid"))
+    // each corpus vector lives in exactly one cell, so a (probe, cell)
+    // join emits every candidate pair at most once — no distinct needed
+    val knn = probes.join(assigned, Seq("centroid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("c", NativeExprs.cosine_sim(col("av"), col("bv")))
+      .groupBy("a_id")
+      .agg(TopKAgg.top_k_by_score(col("c"), col("b_id"), hubK).as("top"))
+      .select(col("a_id"), explode(expr("top.id")).as("n_id"))
+    val indeg = knn.groupBy(col("n_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    e.select("vec_id").join(indeg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+              coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .orderBy(col("in_degree").desc, col("vec_id"))
+  }
+
+  /** The exact A×B kNN in-degree audit — certificate-only (never gated,
+    * never benched): MiningSpec replays it brute-force on the driver and
+    * reports the probed graph's agreement against it. */
+  private[graft] def hubAuditBrute(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val knn = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
       .crossJoin(broadcast(
@@ -461,7 +516,57 @@ object Mining extends QueryPack {
     "q180_collocations" -> q180Collocations _,
   )
 
-  override val oracles: Map[String, String] = Map(
+  /** q224's oracle: the TRAINED coarse codebook embedded as double
+    * literals, then the identical probe semantics replicated in DuckDB —
+    * assignment argmax (ties: highest cosine, then highest c_id,
+    * matching max(struct)), per-vector top-[[hubProbes]] probe list
+    * (ties: cosine DESC, c_id ASC — the bounded heap's total order),
+    * candidate restriction to the probed cells, top-[[hubK]] rank in
+    * (c DESC, b_id), in-degree with antihub zeros. */
+  private def hubOracleSqlTrained(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES
+             $rows) AS t(c_id, cv)),
+        sc AS (SELECT e.vec_id, c.c_id,
+                      list_cosine_similarity(e.v, c.cv) AS cc FROM e, c),
+        asg AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, c_id DESC) AS rn FROM sc)
+                WHERE rn = 1),
+        pr AS (SELECT vec_id AS a_id, c_id AS centroid FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, c_id ASC) AS rn FROM sc)
+                WHERE rn <= $hubProbes),
+        p AS (SELECT pr.a_id, asg.vec_id AS b_id,
+                     list_cosine_similarity(a.v, b.v) AS c2
+              FROM pr JOIN e a ON a.vec_id = pr.a_id
+                      JOIN asg ON asg.centroid = pr.centroid
+                      JOIN e b ON b.vec_id = asg.vec_id
+              WHERE asg.vec_id <> pr.a_id),
+        r AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                       ORDER BY c2 DESC, b_id) AS rnk
+              FROM p),
+        d AS (SELECT b_id, count(*) AS ind FROM r WHERE rnk <= $hubK
+              GROUP BY 1)
+        SELECT e.vec_id, CAST(coalesce(d.ind, 0) AS BIGINT) AS in_degree
+        FROM e LEFT JOIN d ON d.b_id = e.vec_id
+        ORDER BY in_degree DESC, e.vec_id"""
+  }
+
+  override def oraclesFor(dir: String): Map[String, String] =
+    oracles +
+      ("q224_hub_audit" -> Option(hubCodebooks.get(dir)).map(hubOracleSqlTrained)
+        .getOrElse("SELECT 1 AS q224_not_built_for_this_dataset"))
+
+  // `def`, not `val`: the q224 entry embeds the codebook trained when the
+  // query ran — oraclesFor(dir) is the precise path; this is the
+  // single-codebook dir-agnostic fallback (the Similarity contract).
+  override def oracles: Map[String, String] = Map(
     // q231: same kNN relation; the packed heap id (b_id·16 + label)
     // replicated in the rank's tie-break; integer agreement sums
     "q231_knn_purity" ->
@@ -481,22 +586,11 @@ object Mining extends QueryPack {
                  floor(CAST(sum(m) AS DOUBLE) / (count(*) * $hubK) * 1000000)
                    / 1000000 AS purity
           FROM ag GROUP BY 1 ORDER BY label""",
-    // q224: q96's kNN machinery (list_cosine_similarity in the same
-    // argument order as the native expression; row_number in (c DESC,
-    // id) ≡ the bounded heap's total order), left join keeps antihubs
-    "q224_hub_audit" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                       list_cosine_similarity(a.v, b.v) AS c
-                FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-          r AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
-                         ORDER BY c DESC, b_id) AS rnk
-                FROM p),
-          d AS (SELECT b_id, count(*) AS ind FROM r WHERE rnk <= $hubK
-                GROUP BY 1)
-          SELECT e.vec_id, CAST(coalesce(d.ind, 0) AS BIGINT) AS in_degree
-          FROM e LEFT JOIN d ON d.b_id = e.vec_id
-          ORDER BY in_degree DESC, e.vec_id""",
+    // q224: generated-literal oracle (the probed-candidate semantics
+    // need the trained codebook) — dir-agnostic fallback only
+    "q224_hub_audit" -> (if (hubCodebooks.size == 1)
+        hubOracleSqlTrained(hubCodebooks.values.iterator.next())
+      else "SELECT 1 AS q224_not_built_unambiguously_this_process"),
     // q217: same integer quantization (q163's), co-unnest dim zip,
     // exact BIGINT sums/products; the only float is dot/(sqrt·sqrt)
     // with identical parenthesization

@@ -312,9 +312,9 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(t => assign(t._3) != assign(t._1)))
   }
 
-  test("q224 hub audit: matches a brute-force kNN replay; mass = k*N") {
-    val got = SparkEntry.queries("q224_hub_audit")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+  test("q224 hub audit: probed graph matches a codebook replay; brute " +
+       "certificate matches the exact replay") {
+    import graft.operators.Mining
     val vecs = Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding as array<double>)").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -324,18 +324,74 @@ class MiningSpec extends SparkTestBase {
         nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val indeg = scala.collection.mutable.Map.empty[Long, Long]
+    // the brute A×B form is the exact certificate
+    val brute = Mining.hubAuditBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exactIndeg = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
     vecs.foreach { case (a, av) =>
       vecs.filter(_._1 != a)
         .map { case (b, bv) => (b, cos(av, bv)) }
         .sortBy(t => (-t._2, t._1)).take(5)
-        .foreach { case (b, _) => indeg(b) += 1 }
+        .foreach { case (b, _) => exactIndeg(b) += 1 }
     }
-    val want = vecs.map(v => (v._1, indeg(v._1)))
+    val wantExact = vecs.map(v => (v._1, exactIndeg(v._1)))
       .sortBy(t => (-t._2, t._1))
-    assert(got.toSeq == want.toSeq)
-    assert(got.map(_._2).sum == 5L * vecs.length)
+    assert(brute.toSeq == wantExact.toSeq)
+    assert(brute.map(_._2).sum == 5L * vecs.length)
+
+    // the GATED plan is the IVF probed-candidate graph — replay it with
+    // the codebook the build trained (declared-probes semantics)
+    val got = SparkEntry.queries("q224_hub_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cents = Mining.hubCodebooks.get(sfDir)
+    assert(cents != null, "q224 must capture its trained codebook")
+    val scored = vecs.map { case (id, v) =>
+      id -> cents.zipWithIndex.map { case (cv, ci) => (ci.toLong, cos(v, cv)) }
+    }.toMap
+    // assignment: max cosine, ties -> highest c_id (max(struct) order)
+    val assign = scored.map { case (id, cs) =>
+      id -> cs.maxBy { case (ci, cc) => (cc, ci) }._1 }
+    val cells = assign.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq }
+    // probes: top-hubProbes cells in (cos DESC, c_id ASC) heap order
+    val probes = scored.map { case (id, cs) =>
+      id -> cs.sortBy { case (ci, cc) => (-cc, ci) }.take(Mining.hubProbes)
+        .map(_._1) }
+    val vmap = vecs.toMap
+    val probedIndeg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    vecs.foreach { case (a, av) =>
+      probes(a).flatMap(c => cells.getOrElse(c, Nil)).filter(_ != a)
+        .map(b => (b, cos(av, vmap(b))))
+        .sortBy(t => (-t._2, t._1)).take(5)
+        .foreach { case (b, _) => probedIndeg(b) += 1 }
+    }
+    val wantProbed = vecs.map(v => (v._1, probedIndeg(v._1)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == wantProbed.toSeq)
+    // the probe restriction must stay a useful approximation of the
+    // exact graph on this corpus: ≥ half the k·N directed edges agree.
+    // These near-uniform test embeddings are the IVF WORST case (no
+    // cluster structure for the quantizer to exploit) — the probed
+    // graph is a DECLARED different relation certified by its own
+    // generated oracle (the q45/q86 precedent), and this measured floor
+    // documents the gap the q109-style eval would report, not an
+    // equivalence claim
+    val agree = vecs.map { case (a, av) =>
+      val ex = vecs.filter(_._1 != a).map { case (b, bv) => (b, cos(av, bv)) }
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+      val pr = probes(a).flatMap(c => cells.getOrElse(c, Nil)).filter(_ != a)
+        .map(b => (b, cos(av, vmap(b)))).sortBy(t => (-t._2, t._1))
+        .take(5).map(_._1).toSet
+      (ex intersect pr).size
+    }.sum
+    assert(agree.toDouble / (5.0 * vecs.length) >= 0.5,
+      s"probed kNN graph agreement too low: $agree / ${5 * vecs.length}")
+    // structural mass bound: every vector still finds k candidates in
+    // its probed cells here, so the directed-edge mass is exactly k·N
+    assert(got.map(_._2).sum <= 5L * vecs.length)
+    assert(got.map(_._2).sum == 5L * vecs.length,
+      "every vector has >= k candidates in its probe set on this corpus")
     // hubness exists on this corpus: some vector is over-represented
     assert(got.head._2 > 5L)
   }

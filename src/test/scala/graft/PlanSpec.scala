@@ -61,6 +61,9 @@ class PlanSpec extends SparkTestBase {
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
       "q130_pipeline_funnel", "q132_source_scorecard", "q204_optout_filter",
+      // q224 trains the constant-size coarse codebook at build (the
+      // q45/q86 FAISS training step) for its probed-candidate kNN graph
+      "q224_hub_audit",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep", "q125_pca_sweep",
       "q128_cluster_balanced", "q136_pca_binary", "q138_cluster_purity",
