@@ -32,6 +32,8 @@ object SparkEntry {
     operators.Stats,
     operators.Skew,
     operators.Behavior,
+    operators.Evaluation,
+    operators.Lakehouse,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

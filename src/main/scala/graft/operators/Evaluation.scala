@@ -1,0 +1,398 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline evaluation metrics for the retrieval / curation tiers — the
+  * statistics a data-pipeline team runs over its OWN outputs before a
+  * release: ranking quality (nDCG/MRR), score calibration (ECE),
+  * inter-rater agreement (Cohen's κ), and the corpus-law fit (Zipf OLS).
+  *
+  * Shared discipline (the q207/q266 parity rules): every cross-row SUM
+  * is over exact integers (integerized logs, literal integer discount
+  * weights, contingency-cell counts), so no aggregate is
+  * partition-order-dependent; doubles appear only in single-rounded
+  * closing divisions whose expression text is shared verbatim with the
+  * DuckDB oracle.
+  *
+  * Reference tie-in: the reference pipeline ships records to parquet and
+  * stops (`ETLTask.java:269`); these are the post-ingest report queries a
+  * warehouse runs on the landed tables.
+  */
+object Evaluation extends QueryPack {
+
+  /** The fixed benchmark query set for q267: (query_id, term) — literal
+    * relation, broadcast everywhere it joins. */
+  private val ndcgQueries: Seq[(Long, String)] = Seq(
+    1L -> "join", 1L -> "hash", 1L -> "scan",
+    2L -> "customer", 2L -> "order", 2L -> "line",
+    3L -> "stream", 3L -> "window", 3L -> "batch",
+    4L -> "vector", 4L -> "merge", 4L -> "sort",
+    5L -> "filter", 5L -> "group", 5L -> "agg")
+
+  /** Integer DCG discount weights W_i = round(1e9 / log2(i + 1)) for
+    * ranks 1..10 — literals generated ONCE here and embedded in both
+    * plans, so DCG is an exact-integer Σ gain·W (gain ≤ 7, W ≤ 1e9:
+    * products ≤ 7e9, ten-term sums ≤ 7e10 — no double sum anywhere,
+    * and the final nDCG is one floored division of exact integers). */
+  private[graft] val dcgW: Seq[Long] =
+    (1 to 10).map(i => math.round(1e9 / (math.log(i + 1) / math.log(2))))
+
+  private def dcgCaseSql(rankCol: String): String =
+    (1 to 10).map(i => s"WHEN $rankCol = $i THEN ${dcgW(i - 1)}L")
+      .mkString("CASE ", " ", " ELSE 0L END")
+
+  private def dcgCaseDuck(rankCol: String): String =
+    (1 to 10).map(i => s"WHEN $rankCol = $i THEN ${dcgW(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** q267: RANKING QUALITY (nDCG@10 + MRR) — the retrieval eval the
+    * recall gates (q109/q115/q153) don't cover: graded-relevance rank
+    * quality of a term-frequency scorer against the benchmark query
+    * set. Candidates come from an inverted posting join (docs fan out
+    * to (term, doc) postings map-side; the 15-term query relation is
+    * broadcast), per-(query, doc) score = Σ tf, graded relevance = the
+    * number of query terms with tf ≥ 2. Ranking and the ideal ranking
+    * are two windows over the per-query candidate slice, both ordered
+    * by exact integers with doc_id tie-breaks, so the permutation is
+    * engine-invariant; DCG/IDCG are exact-integer sums of literal
+    * discount weights ([[dcgW]]); nDCG and MRR close with one floored
+    * division each. Scale: per-query candidate slices are posting-join
+    * sized (|docs containing a term|), the windows partition by
+    * query_id, nothing global. */
+  private def q267Ndcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = ndcgQueries.toDF("query_id", "term")
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(expr(graft.functions.TextExprs.toks)).as("term"))
+    val tf = postings.join(broadcast(terms), "term")
+      .groupBy("query_id", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cand = tf.groupBy("query_id", "doc_id")
+      .agg(sum("tf").as("score"),
+           sum(expr("CASE WHEN tf >= 2 THEN 1 ELSE 0 END")).as("rel"))
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val byRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val ranked = cand
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .withColumn("irk", row_number().over(byRel).cast("long"))
+      .withColumn("gain", expr("cast(pow(2, rel) as bigint) - 1"))
+    ranked.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"),
+           sum(expr(s"(${dcgCaseSql("rk")}) * gain")).as("dcg_i"),
+           sum(expr(s"(${dcgCaseSql("irk")}) * gain")).as("idcg_i"),
+           min(expr("CASE WHEN rel >= 2 THEN rk ELSE NULL END")).as("frel"))
+      .select(col("query_id"), col("n_candidates"),
+        expr("""CASE WHEN idcg_i = 0 THEN cast(0 as double)
+                ELSE floor(cast(dcg_i as double) * 1000000 / idcg_i) / 1000000
+                END""").as("ndcg10"),
+        expr("""CASE WHEN frel IS NULL THEN cast(0 as double)
+                ELSE (1000000 div frel) / cast(1000000 as double)
+                END""").as("mrr"))
+      .orderBy("query_id")
+  }
+
+  /** q268: CALIBRATION (ECE, 10 bins) — does the cheap linear quality
+    * score (q93) CALIBRATE against the full pipeline verdict
+    * ([[Curation.pipelineFlags]] final-survival s3)? Confidence is the
+    * affine map p = (score+1)/2 clamped to [0,1], integerized once per
+    * row (score is already a 1e-6 multiple, so ip is exact); bin
+    * assignment, per-bin counts and confidence sums are all integers.
+    * The per-bin |acc − conf| gap has the exact-integer numerator
+    * |n_pos·1e6 − Σip|, and ECE = Σ_b |Δ_b| / N closes in ONE integer
+    * division — no double accumulates across rows anywhere. One doc
+    * scan (score) + the shared flag relation + a 10-row aggregate. */
+  private def q268Calibration(s: SparkSession, d: String): DataFrame = {
+    val sc = Curation2.qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"),
+        expr("""least(1000000L, greatest(0L,
+                cast(round((score + 1) / 2 * 1000000) as bigint)))""").as("ip"))
+    val lab = Curation.pipelineFlags(s, d)
+      .select(col("doc_id"), expr("CASE WHEN s3 THEN 1L ELSE 0L END").as("y"))
+    val bins = sc.join(lab, "doc_id")
+      .select(least(lit(9L), expr("ip div 100000")).as("bin"),
+              col("ip"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"),
+           sum("ip").as("sconf"))
+      .withColumn("adiff", expr("abs(n_pos * 1000000 - sconf)"))
+    val tot = bins.agg(sum("n_docs").as("nn"), sum("adiff").as("sdiff"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("floor(cast(n_pos as double) * 1000000 / n_docs) / 1000000")
+          .as("acc"),
+        expr("floor(cast(sconf as double) / n_docs) / 1000000").as("conf"),
+        expr("((sdiff div nn)) / cast(1000000 as double)").as("ece"))
+      .orderBy("bin")
+  }
+
+  /** q269: INTER-RATER AGREEMENT (Cohen's κ) — the standard chance-
+    * corrected agreement statistic between the two document classifiers
+    * this repo already gates: rater A = the q93 linear model's keep,
+    * rater B = a Gopher-style structural rule (≥ 30 tokens, stopword
+    * ratio ≥ 5%, mean word length ≤ 4.5 — all spelled as integer cross
+    * products, no division). κ's numerator and denominator are exact
+    * integer combinations of the four contingency cells
+    * (κ = (N·(n00+n11) − (a0·b0 + a1·b1)) / (N² − (a0·b0 + a1·b1))),
+    * so the only double is the single floored closing division. One doc
+    * scan, one 4-row aggregate, one output row. */
+  private def q269Kappa(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(expr(graft.functions.TextExprs.let1(
+        graft.functions.TextExprs.toks, "w",
+        """named_struct(
+             'n', size(w),
+             'ns', size(filter(w, x -> x IN ('a', 'the'))),
+             'sl', aggregate(w, 0, (acc, x) -> acc + length(x)))""")).as("f"))
+      .select(col("f.n").as("n"), col("f.ns").as("ns"), col("f.sl").as("sl"))
+      .select(
+        expr("""CASE WHEN 0.1 + 0.015 * n + 3.0 * (ns / cast(n as double))
+                          - 0.25 * (sl / cast(n as double)) > 0
+                THEN 1L ELSE 0L END""").as("ka"),
+        expr("""CASE WHEN n >= 30 AND ns * 20 >= n AND sl * 10 <= n * 45
+                THEN 1L ELSE 0L END""").as("kb"))
+    f.agg(count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN ka = 0 AND kb = 0 THEN 1L ELSE 0L END")).as("n00"),
+          sum(expr("CASE WHEN ka = 0 AND kb = 1 THEN 1L ELSE 0L END")).as("n01"),
+          sum(expr("CASE WHEN ka = 1 AND kb = 0 THEN 1L ELSE 0L END")).as("n10"),
+          sum(expr("CASE WHEN ka = 1 AND kb = 1 THEN 1L ELSE 0L END")).as("n11"))
+      .select(col("n_docs"), col("n00"), col("n01"), col("n10"), col("n11"),
+        expr("""floor(cast((n00 + n11) as double) * 1000000 / n_docs)
+                / 1000000""").as("po"),
+        expr("""floor(cast((n00 + n01) * (n00 + n10)
+                           + (n10 + n11) * (n01 + n11) as double)
+                      * 1000000 / (n_docs * n_docs)) / 1000000""").as("pe"),
+        expr("""floor(cast(n_docs * (n00 + n11)
+                           - ((n00 + n01) * (n00 + n10)
+                              + (n10 + n11) * (n01 + n11)) as double) * 1000000
+                      / (n_docs * n_docs
+                         - ((n00 + n01) * (n00 + n10)
+                            + (n10 + n11) * (n01 + n11)))) / 1000000""")
+          .as("kappa"))
+  }
+
+  /** q270: ZIPF-LAW FIT — OLS of ln(freq) on ln(rank) over the head of
+    * the term-frequency table (rank ≤ 1000 by (freq desc, term): the
+    * standard head fit, and the cap is the scale lever — the ranked
+    * head is a top-k, never the full vocabulary). Per-term logs are
+    * integerized at 1e-3 BEFORE any sum (round(ln·1e3) ≤ ~2e4, pair
+    * products ≤ ~4e8, thousand-term sums ≤ ~4e11 — every OLS moment is
+    * an exact bigint; ln itself agrees across engines far below the
+    * 1e-3 quantum, the q39 precedent). Slope/intercept/r² close in
+    * floored double divisions whose operand order is shared verbatim
+    * with the oracle. */
+  private def q270ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(expr(graft.functions.TextExprs.toks)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = tf
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= 1000)
+      .select(expr("cast(round(ln(rk) * 1000) as bigint)").as("lx"),
+              expr("cast(round(ln(freq) * 1000) as bigint)").as("ly"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+               sum("lx").as("sx"), sum("ly").as("sy"),
+               sum(expr("lx * lx")).as("sxx"),
+               sum(expr("lx * ly")).as("sxy"),
+               sum(expr("ly * ly")).as("syy"))
+      .select(col("n_terms"),
+        expr("""floor(cast(n_terms * sxy - sx * sy as double) * 1000
+                      / (n_terms * sxx - sx * sx)) / 1000""").as("slope"),
+        expr("""floor((cast(sy as double) / 1000
+                       - cast(n_terms * sxy - sx * sy as double)
+                         / (n_terms * sxx - sx * sx)
+                         * (cast(sx as double) / 1000))
+                      * 1000 / n_terms) / 1000""").as("intercept"),
+        expr("""floor(cast(n_terms * sxy - sx * sy as double)
+                      * cast(n_terms * sxy - sx * sy as double) * 1000000
+                      / (cast(n_terms * sxx - sx * sx as double)
+                         * cast(n_terms * syy - sy * sy as double)))
+                / 1000000""").as("r2"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_ndcg" -> q267Ndcg _,
+    "q268_calibration" -> q268Calibration _,
+    "q269_kappa" -> q269Kappa _,
+    "q270_zipf_fit" -> q270ZipfFit _,
+  )
+
+  private val ndcgValuesSql: String =
+    ndcgQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  override val oracles: Map[String, String] = Map(
+    "q267_ndcg" ->
+      s"""WITH qs(query_id, term) AS (VALUES $ndcgValuesSql),
+         p AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+                        AS term
+               FROM documents),
+         tf AS (SELECT qs.query_id, p.doc_id, p.term, count(*) AS tf
+                FROM p JOIN qs ON p.term = qs.term GROUP BY 1, 2, 3),
+         cand AS (SELECT query_id, doc_id,
+                         CAST(sum(tf) AS BIGINT) AS score,
+                         CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS rel
+                  FROM tf GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, score, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rk,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id) AS irk,
+                       CAST(pow(2, rel) AS BIGINT) - 1 AS gain
+                FROM cand),
+         ag AS (SELECT query_id, count(*) AS n_candidates,
+                       CAST(sum((${dcgCaseDuck("rk")}) * gain) AS BIGINT)
+                         AS dcg_i,
+                       CAST(sum((${dcgCaseDuck("irk")}) * gain) AS BIGINT)
+                         AS idcg_i,
+                       min(CASE WHEN rel >= 2 THEN rk ELSE NULL END) AS frel
+                FROM rk GROUP BY 1)
+         SELECT CAST(query_id AS BIGINT) AS query_id, n_candidates,
+                CASE WHEN idcg_i = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(dcg_i AS DOUBLE) * 1000000 / idcg_i)
+                          / 1000000 END AS ndcg10,
+                CASE WHEN frel IS NULL THEN CAST(0 AS DOUBLE)
+                     ELSE (1000000 // frel) / CAST(1000000 AS DOUBLE)
+                END AS mrr
+         FROM ag ORDER BY query_id""",
+    // label CTEs (base/fc/t/f/q/sh/bench/corpus/flagged) are the
+    // q204/q130-family flag block VERBATIM — the oracle recomputes the
+    // same pipeline verdict those gates certify
+    "q268_calibration" ->
+      """WITH base AS (SELECT doc_id, source, md5(text) AS dig,
+                              len(string_split_regex(trim(text), '\s+')) AS ntok
+                       FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep,
+                      floor((0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                             - 0.25 * (sl / CAST(n AS DOUBLE))) * 1e6) / 1e6
+                        AS score
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         lab AS (SELECT b.doc_id,
+                        least(1000000, greatest(0,
+                          CAST(round((q.score + 1) / 2 * 1000000) AS BIGINT)))
+                          AS ip,
+                        CASE WHEN b.doc_id = fc.first_id AND q.keep = 1
+                                  AND coalesce(fg.fl, 0) = 0
+                                  AND b.doc_id >= 20
+                             THEN 1 ELSE 0 END AS y
+                 FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                 LEFT JOIN flagged fg USING (doc_id)),
+         bins AS (SELECT least(9, ip // 100000) AS bin,
+                         count(*) AS n_docs,
+                         CAST(sum(y) AS BIGINT) AS n_pos,
+                         CAST(sum(ip) AS BIGINT) AS sconf
+                  FROM lab GROUP BY 1),
+         ab AS (SELECT bin, n_docs, n_pos, sconf,
+                       abs(n_pos * 1000000 - sconf) AS adiff
+                FROM bins),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+                        CAST(sum(adiff) AS BIGINT) AS sdiff
+                 FROM ab)
+         SELECT ab.bin, ab.n_docs, ab.n_pos,
+                floor(CAST(ab.n_pos AS DOUBLE) * 1000000 / ab.n_docs)
+                  / 1000000 AS acc,
+                floor(CAST(ab.sconf AS DOUBLE) / ab.n_docs) / 1000000 AS conf,
+                (tot.sdiff // tot.nn) / CAST(1000000 AS DOUBLE) AS ece
+         FROM ab, tot ORDER BY ab.bin""",
+    "q269_kappa" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         f AS (SELECT len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_sum(list_transform(w, x -> length(x))) AS sl
+               FROM t),
+         r AS (SELECT CASE WHEN 0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                - 0.25 * (sl / CAST(n AS DOUBLE)) > 0
+                      THEN 1 ELSE 0 END AS ka,
+                      CASE WHEN n >= 30 AND ns * 20 >= n AND sl * 10 <= n * 45
+                      THEN 1 ELSE 0 END AS kb
+               FROM f),
+         c AS (SELECT count(*) AS n_docs,
+                      CAST(sum(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00,
+                      CAST(sum(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                      CAST(sum(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                      CAST(sum(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11
+               FROM r)
+         SELECT n_docs, n00, n01, n10, n11,
+                floor(CAST((n00 + n11) AS DOUBLE) * 1000000 / n_docs)
+                  / 1000000 AS po,
+                floor(CAST((n00 + n01) * (n00 + n10)
+                           + (n10 + n11) * (n01 + n11) AS DOUBLE)
+                      * 1000000 / (n_docs * n_docs)) / 1000000 AS pe,
+                floor(CAST(n_docs * (n00 + n11)
+                           - ((n00 + n01) * (n00 + n10)
+                              + (n10 + n11) * (n01 + n11)) AS DOUBLE) * 1000000
+                      / (n_docs * n_docs
+                         - ((n00 + n01) * (n00 + n10)
+                            + (n10 + n11) * (n01 + n11)))) / 1000000 AS kappa
+         FROM c""",
+    "q270_zipf_fit" ->
+      """WITH tf AS (SELECT tok, count(*) AS freq
+                     FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                             AS tok
+                           FROM documents)
+                     GROUP BY 1),
+         rk AS (SELECT row_number() OVER (ORDER BY freq DESC, tok) AS rk, freq
+                FROM tf),
+         lg AS (SELECT CAST(round(ln(rk) * 1000) AS BIGINT) AS lx,
+                       CAST(round(ln(freq) * 1000) AS BIGINT) AS ly
+                FROM rk WHERE rk <= 1000),
+         m AS (SELECT count(*) AS n_terms,
+                      CAST(sum(lx) AS BIGINT) AS sx,
+                      CAST(sum(ly) AS BIGINT) AS sy,
+                      CAST(sum(lx * lx) AS BIGINT) AS sxx,
+                      CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                      CAST(sum(ly * ly) AS BIGINT) AS syy
+               FROM lg)
+         SELECT n_terms,
+                floor(CAST(n_terms * sxy - sx * sy AS DOUBLE) * 1000
+                      / (n_terms * sxx - sx * sx)) / 1000 AS slope,
+                floor((CAST(sy AS DOUBLE) / 1000
+                       - CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                         / (n_terms * sxx - sx * sx)
+                         * (CAST(sx AS DOUBLE) / 1000))
+                      * 1000 / n_terms) / 1000 AS intercept,
+                floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                      * CAST(n_terms * sxy - sx * sy AS DOUBLE) * 1000000
+                      / (CAST(n_terms * sxx - sx * sx AS DOUBLE)
+                         * CAST(n_terms * syy - sy * sy AS DOUBLE)))
+                / 1000000 AS r2
+         FROM m""",
+  )
+}

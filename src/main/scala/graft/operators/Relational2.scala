@@ -286,7 +286,39 @@ object Relational2 extends QueryPack {
       .orderBy("tbl", "lhs", "rhs")
   }
 
+  /** q275: SKYLINE (Pareto frontier) — parts no other part dominates on
+    * (size, price) with both maximized: the classic preference operator
+    * missing from SQL engines' builtin set. The plan works at the
+    * DISTINCT-(size, price) GRAIN, not the row grain: dedupe first (a
+    * bounded |sizes|×|prices| relation however big the table is), then
+    * ONE ordered sweep — under (size desc, price desc) order a pair is
+    * dominated iff the running max of price over STRICTLY-preceding
+    * rows reaches it (preceding rows have larger size, or equal size
+    * and larger price — either way domination; ties are equal pairs and
+    * never dominate, handled by the dedup). Price is integerized to
+    * cents once so the ordering and the cummax compare exact integers.
+    * Survivors join back broadcast for the per-point part count. The
+    * global window sorts only the deduped grain — the 100 TB shape
+    * (local per-partition skylines would pre-shrink further; the grain
+    * dedup already bounds the sort input). */
+  private def q275Skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d)
+      .select(col("p_size").cast("long").as("psize"),
+              expr("cast(round(p_retailprice * 100) as bigint)").as("pc"))
+    val grain = pts.groupBy("psize", "pc").agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("psize").desc, col("pc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grain
+      .withColumn("mx", max("pc").over(w))
+      .filter(col("mx").isNull || col("mx") < col("pc"))
+      .select(col("psize"), col("pc"),
+              expr("pc / cast(100 as double)").as("price"),
+              col("n_parts"))
+      .orderBy(col("psize").desc)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_skyline" -> q275Skyline _,
     "q256_fd_audit" -> q256FdAudit _,
     "q189_data_quality" -> q189DataQuality _,
     "q63_range_join"   -> q63RangeJoin _,
@@ -302,6 +334,23 @@ object Relational2 extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q275: the same dedup-then-sweep — cummax over strictly-preceding
+    // rows in (size desc, cents desc) order; survivors where the
+    // running max never reached them
+    "q275_skyline" ->
+      """WITH pts AS (SELECT CAST(p_size AS BIGINT) AS psize,
+                             CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+                      FROM part),
+         grain AS (SELECT psize, pc, count(*) AS n_parts
+                   FROM pts GROUP BY 1, 2),
+         sw AS (SELECT psize, pc, n_parts,
+                       max(pc) OVER (ORDER BY psize DESC, pc DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS mx
+                FROM grain)
+         SELECT psize, pc, pc / CAST(100 AS DOUBLE) AS price, n_parts
+         FROM sw WHERE mx IS NULL OR mx < pc
+         ORDER BY psize DESC""",
     // q256: each candidate is two DISTINCT-subquery counts; DISTINCT
     // keeps NULL rows in both engines
     "q256_fd_audit" ->

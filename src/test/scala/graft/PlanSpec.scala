@@ -47,6 +47,9 @@ class PlanSpec extends SparkTestBase {
       "q41_ann_lsh", "q42_minhash_lsh", "q100_incremental_neardup",
       "q73_dedup_clusters", "q80_embedding_clusters",
       "q261_incremental_clusters",
+      // q88 composes the memoized fuzzy-pair core (lazy localCheckpoint —
+      // whichever of q88/q89 builds first pays the one-off)
+      "q88_fuzzy_join",
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q164_priority_survivor", "q181_effective_tokens",
       // q205 composes the memoized cluster assignment (the CC loop);
@@ -61,6 +64,7 @@ class PlanSpec extends SparkTestBase {
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
       "q130_pipeline_funnel", "q132_source_scorecard", "q204_optout_filter",
+      "q268_calibration",
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph
       "q224_hub_audit",
