@@ -438,7 +438,7 @@ object SimHashSig {
   * string concat); this is the verification twin, same one-pass shape.
   */
 case class Md5MinHashes(child: Expression, nHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -448,28 +448,63 @@ case class Md5MinHashes(child: Expression, nHashes: Int)
       s"md5_minhashes requires ARRAY<STRING>, got ${other.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData]
-    val m = sh.numElements()
+  /** The ":<j>" suffixes as UTF-8 bytes, once per expression instance:
+    * md5 over (update(sBytes); update(suffix(j))) digests the IDENTICAL
+    * byte stream as md5((s + ":" + j).getBytes) — same signatures, none
+    * of the per-(shingle, component) String concat/realloc the naive
+    * form paid (measured 3.6 s for one 64-hash pass over the sf0.1
+    * corpus, almost all of it allocation; the md5 arithmetic itself is
+    * a fraction of that). */
+  @transient private lazy val suffixes: Array[Array[Byte]] =
+    Array.tabulate(nHashes)(j =>
+      (":" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Shared by the interpreted path and the generated code. */
+  def kernel(input: ArrayData): ArrayData = {
+    val m = input.numElements()
     val md = SimHashSig.digest.get()
+    val buf = Md5MinHashes.digestBuf.get()
     val out = new Array[Long](nHashes)
     java.util.Arrays.fill(out, Long.MaxValue)
     var i = 0
     while (i < m) {
-      val s = sh.getUTF8String(i).toString
+      val sBytes = input.getUTF8String(i).getBytes
       var j = 0
       while (j < nHashes) {
-        val h = SimHashSig.md5Top60(
-          md, (s + ":" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        md.update(sBytes)
+        md.update(suffixes(j))
+        md.digest(buf, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (buf(b) & 0xffL); b += 1 }
+        h = h >>> 4
         if (h < out(j)) out(j) = h
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(out.map(x => x: Any))
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("md5MinHashes", this, classOf[Md5MinHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Md5MinHashes {
+  private[functions] val digestBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 }
 
 /** Product-quantization encoder: split the vector into `codebook.length`

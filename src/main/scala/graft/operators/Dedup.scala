@@ -243,28 +243,40 @@ object Dedup extends QueryPack {
         / (col("asz") + col("bsz") - col("common")) * 1000) / 1000)
       .filter(col("jf") >= 0.5)
       .select("a_id", "b_id", "jf")
+    // repartition on the join key BEFORE the self-join aliases: both
+    // branches then share ONE canonical shuffle exchange (ReusedExchange),
+    // so the 64-hash md5 signature computation runs once — unhinted, AQE
+    // broadcast-joins the small banded side and the signature relation is
+    // computed TWICE (measured 2× the md5 work, the q242 dominant cost;
+    // the q81 posting-exchange-reuse contract applied here)
     val bd = sh
       .select(col("doc_id"), NativeExprs.md5_minhashes(col("sh"), nHashes)
         .as("mh"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> slice(mh, b * 4 + 1, 4))"))
         .as(Seq("band", "k")))
+      .repartition(col("band"), col("k"))
     val cand = bd.select(col("band"), col("k"), col("doc_id").as("a_id"))
       .join(bd.select(col("band"), col("k"), col("doc_id").as("b_id")),
             Seq("band", "k"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val det = exact.join(cand, Seq("a_id", "b_id"))
+    // ONE consumer each for the exact relation and the candidate set: a
+    // left join tags every ground-truth pair with its detection bit, and
+    // a single conditional aggregate serves every threshold — the
+    // two-branch form (separate n_exact / n_detected pipelines) evaluated
+    // the whole prefix-verify chain twice per run, which round-10's bench
+    // measured as q242's 6.4 s top slot.
+    val flagged = exact
+      .join(cand.withColumn("det", lit(1L)), Seq("a_id", "b_id"), "left")
+      .select(col("jf"), coalesce(col("det"), lit(0L)).as("det"))
     val thr = s.range(1)
       .select(explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
         .as("t"))
-    val ne = exact.crossJoin(broadcast(thr)).filter(col("jf") >= col("t"))
-      .groupBy("t").agg(count(lit(1)).as("n_exact"))
-    val nd = det.crossJoin(broadcast(thr)).filter(col("jf") >= col("t"))
-      .groupBy("t").agg(count(lit(1)).as("n_detected"))
-    ne.join(nd, Seq("t"), "left")
-      .select(col("t").as("threshold"), col("n_exact"),
-              coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+    flagged.crossJoin(broadcast(thr)).filter(col("jf") >= col("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_exact"), sum("det").as("n_detected"))
+      .select(col("t").as("threshold"), col("n_exact"), col("n_detected"))
       .withColumn("recall", expr(
         "floor(cast(n_detected as double) / n_exact * 1000000) / 1000000"))
       .withColumn("theory", expr(sCurveSql("threshold")))

@@ -202,6 +202,21 @@ class PlanSpec extends SparkTestBase {
       "the capped simhash posting exchange must be shared by both join branches")
   }
 
+  test("q242: the banded-signature exchange is reused by both self-join branches") {
+    // the 64-hash md5 signature relation must compute ONCE: the explicit
+    // repartition on (band, k) puts an identical shuffle under both
+    // self-join branches, and the second branch must read the reused
+    // exchange (without it the signature pass runs twice — measured as
+    // q242's dominant cost in round 10)
+    val plan = executed(
+      graft.operators.Dedup.queries("q242_lsh_recall")(spark, sfDir))
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.toSeq
+    assert(reused.nonEmpty,
+      "the banded md5-signature exchange must be shared by both join branches")
+  }
+
   test("hot-path queries execute inside WholeStageCodegen spans") {
     // the per-row kernels of the scan-heavy queries must sit inside
     // codegen stages (no interpreted Project/Filter on the hot path);
