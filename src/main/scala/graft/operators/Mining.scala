@@ -65,9 +65,17 @@ object Mining extends QueryPack {
       .select(col("vec_id").as("a_id"), col("embedding").as("av"))
     val b = e.filter(col("label") >= 5)
       .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    // one canonical exchange under all three consumers (both density
+    // aggregates + the final scoring join): the broadcast nested-loop
+    // pair relation has NO exchange of its own, so unhinted each
+    // consumer recomputes the |A|×|B| cosine pass — repartitioning on
+    // a_id makes the A-side density reuse the exchange in place and the
+    // other two consumers read it (the q242-banding ReusedExchange
+    // contract; the exchange carries (a_id, b_id, c) only, never vectors)
     val pairs = a.crossJoin(broadcast(b))
       .withColumn("c", NativeExprs.cosine_sim(col("av"), col("bv")))
       .select("a_id", "b_id", "c")
+      .repartition(col("a_id"))
     def density(side: String): DataFrame = pairs.groupBy(side)
       .agg(TopKAgg.top_k_by_score(col("c"),
              col(if (side == "a_id") "b_id" else "a_id"), marginK).as("top"))

@@ -306,12 +306,34 @@ object TextAnalysis extends QueryPack {
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       .filter(col("rn") <=
         col("sz") - expr(s"(sz * $tnum + $tden - 1) div $tden") + lit(1))
-      .select(col("s"), col("doc_id"), col("sz"))
-    val cand = pref.select(col("s"), col("doc_id").as("a_id"), col("sz").as("asz"))
-      .join(pref.select(col("s"), col("doc_id").as("b_id"), col("sz").as("bsz")),
+      .select(col("s"), col("doc_id"), col("sz"), col("rn"))
+    // NO repartition(s) here, deliberately: the ranked-prefix chain ends
+    // in the doc-grain window exchange, which both self-join branches
+    // already reuse (PlanSpec pins the ReusedExchange), and AQE then
+    // broadcasts one side — so the hot-shingle quadratic pairing work
+    // stays SPREAD across every probe partition. Forcing a shuffle join
+    // on s concentrates each hot shingle's whole posting list in one
+    // task (measured 2× q242's exact side at τ = 1/2).
+    val cand = pref.select(col("s"), col("doc_id").as("a_id"),
+                           col("sz").as("asz"), col("rn").as("arn"))
+      .join(pref.select(col("s"), col("doc_id").as("b_id"),
+                        col("sz").as("bsz"), col("rn").as("brn")),
             Seq("s"))
       .filter(col("a_id") < col("b_id"))
       .filter(expr(s"least(asz, bsz) * $tden >= greatest(asz, bsz) * $tnum"))
+      // PPJoin POSITIONAL upper bound (lossless): J ≥ τ forces
+      // common ≥ ⌈τ·(|A|+|B|)/(1+τ)⌉ = ⌈tnum·(asz+bsz)/(tnum+tden)⌉,
+      // while a pair meeting at global-order positions (arn, brn) can
+      // share at most 1 + min(asz − arn, bsz − brn) elements (everything
+      // else must come from BOTH suffixes). A qualifying pair always
+      // passes at its EARLIEST meeting row (there common ≤ the bound by
+      // the same argument), so per-row filter + distinct keeps exactly
+      // the pairs the membership-only prefix filter kept whose ceiling
+      // is attainable — at τ = 1/2 this is the difference between 310k
+      // and ~40k verify rows (the prefix keeps half of every doc, so
+      // membership alone barely prunes; position is what prunes)
+      .filter(expr(s"1 + least(asz - arn, bsz - brn) >= " +
+        s"($tnum * (asz + bsz) + $tnum + $tden - 1) div ($tnum + $tden)"))
       .select("a_id", "b_id").distinct()
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
@@ -505,7 +527,12 @@ object TextAnalysis extends QueryPack {
       else dfTab
         .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("__cap"))))
         .filter(col("df") <= col("__cap")).select("token")
-    val pruned = tf.join(keep, "token")
+    // repartition on the join key BEFORE the self-join aliases so both
+    // branches share ONE canonical shuffle exchange (ReusedExchange) —
+    // unhinted, AQE broadcast-joins one side and the whole tf/df chain
+    // (shingle explode + two aggregates) computes twice (the q242
+    // banding fix applied to the tf index)
+    val pruned = tf.join(keep, "token").repartition(col("token"))
     val norms = pruned.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
     val dots = pruned.select(col("token"), col("doc_id").as("a_id"), col("tf").as("atf"))
       .join(pruned.select(col("token"), col("doc_id").as("b_id"), col("tf").as("btf")),

@@ -68,6 +68,10 @@ class PlanSpec extends SparkTestBase {
       // whichever flags consumer builds first pays the one-off
       "q130_pipeline_funnel", "q132_source_scorecard", "q204_optout_filter",
       "q268_calibration",
+      // the BPE merge-chain memo lazily checkpoints each round's one-row
+      // election; toRdd physical planning under AQE runs the leading
+      // election stages — whichever of q186/q202 builds first pays it
+      "q186_bpe_merges", "q202_bpe_apply",
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph
       "q224_hub_audit",
@@ -468,8 +472,16 @@ class PlanSpec extends SparkTestBase {
     assert(modes.contains(Partial), "collect_list partial phase missing")
   }
 
-  test("q186: the vocabulary exchange is reused across BPE rounds") {
-    val nodes = executed(SparkEntry.queries("q186_bpe_merges")(spark, sfDir))
+  test("q186: the vocabulary exchange is reused across BPE rounds " +
+       "(un-memoized training form)") {
+    // the declared q186/q202 read the memoized per-round-checkpointed
+    // merge artifact (lineage truncated), so the one-lazy-plan training
+    // shape is pinned on the compute form (the q35/q244 precedent)
+    val (t1, t2, t3) = graft.operators.Stats.bpeMergeChainCompute(spark, sfDir)
+    val merged = t1.withColumn("step", org.apache.spark.sql.functions.lit(1L))
+      .unionByName(t2.withColumn("step", org.apache.spark.sql.functions.lit(2L)))
+      .unionByName(t3.withColumn("step", org.apache.spark.sql.functions.lit(3L)))
+    val nodes = executed(merged)
     val reused = nodes.collect {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
     }
