@@ -215,11 +215,46 @@ object Evaluation extends QueryPack {
                 / 1000000""").as("r2"))
   }
 
+  /** q277: ROC-AUC of the q93 linear quality score against the pipeline
+    * verdict — the threshold-FREE companion to q268's calibration (ECE
+    * asks "are the probabilities honest?", AUC asks "does the score
+    * rank keepers above droppers at all?"). Computed as the tie-aware
+    * Mann-Whitney U from exact integer rank sums: rows collapse to the
+    * DISTINCT-integerized-score grain (cnt, pos per score), one ordered
+    * sweep gives each group its cumulative-before count cb, and every
+    * positive in a tie group carries 2·avgrank = 2·cb + cnt + 1
+    * (integer by construction), so U2 = Σ pos·(2cb + cnt + 1) and
+    * AUC = (U2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) closes in one
+    * floored division. The sweep orders the score GRAIN, not rows (the
+    * q275 dedup-then-sweep shape); rank cross-products stay under 2^63
+    * to ~3e9 docs — past that production runs the identical plan
+    * per stratum or on the q268 quantized-confidence grain. */
+  private def q277Auc(s: SparkSession, d: String): DataFrame = {
+    val sc = Curation2.qualityScoreCore(Tables.documents(s, d))
+      .select(col("doc_id"),
+              expr("cast(round(score * 1000000) as bigint)").as("v"))
+    val lab = Curation.pipelineFlags(s, d)
+      .select(col("doc_id"), expr("CASE WHEN s3 THEN 1L ELSE 0L END").as("y"))
+    val g = sc.join(lab, "doc_id")
+      .groupBy("v").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cb", coalesce(sum("cnt").over(w), lit(0L)))
+      .agg(sum("cnt").as("n_docs"), sum("pos").as("n_pos"),
+           sum(expr("pos * (2 * cb + cnt + 1)")).as("u2"))
+      .select(col("n_docs"), col("n_pos"),
+        (col("n_docs") - col("n_pos")).as("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_pos = n_docs THEN cast(0 as double)
+                ELSE floor(cast(u2 - n_pos * (n_pos + 1) as double) * 1000000
+                           / (2 * n_pos * (n_docs - n_pos))) / 1000000
+                END""").as("auc"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
     "q269_kappa" -> q269Kappa _,
     "q270_zipf_fit" -> q270ZipfFit _,
+    "q277_auc" -> q277Auc _,
   )
 
   private val ndcgValuesSql: String =
@@ -326,6 +361,71 @@ object Evaluation extends QueryPack {
                 floor(CAST(ab.sconf AS DOUBLE) / ab.n_docs) / 1000000 AS conf,
                 (tot.sdiff // tot.nn) / CAST(1000000 AS DOUBLE) AS ece
          FROM ab, tot ORDER BY ab.bin""",
+    // q277: the q268 flag/score CTE chain verbatim through `lab` (raw
+    // integerized score instead of the clamped confidence), then the
+    // tie-aware rank-sum sweep over the distinct-score grain
+    "q277_auc" ->
+      """WITH base AS (SELECT doc_id, source, md5(text) AS dig,
+                              len(string_split_regex(trim(text), '\s+')) AS ntok
+                       FROM documents),
+         fc AS (SELECT dig, min(doc_id) AS first_id FROM base GROUP BY dig),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        AS sl
+               FROM t),
+         q AS (SELECT doc_id,
+                      CASE WHEN (0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                 - 0.25 * (sl / CAST(n AS DOUBLE))) > 0
+                           THEN 1 ELSE 0 END AS keep,
+                      floor((0.1 + 0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                             - 0.25 * (sl / CAST(n AS DOUBLE))) * 1e6) / 1e6
+                        AS score
+               FROM f),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3 THEN
+                    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END) AS shingles
+                FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)),
+         bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                   WHERE doc_id < 20),
+         corpus AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s
+                    FROM sh WHERE doc_id >= 20),
+         flagged AS (SELECT doc_id, 1 AS fl
+                     FROM corpus JOIN bench USING (s)
+                     GROUP BY doc_id
+                     HAVING floor(count(*) / any_value(nsh) * 1000) / 1000
+                            >= 0.2),
+         lab AS (SELECT b.doc_id,
+                        CAST(round(q.score * 1000000) AS BIGINT) AS v,
+                        CASE WHEN b.doc_id = fc.first_id AND q.keep = 1
+                                  AND coalesce(fg.fl, 0) = 0
+                                  AND b.doc_id >= 20
+                             THEN 1 ELSE 0 END AS y
+                 FROM base b JOIN fc USING (dig) JOIN q USING (doc_id)
+                 LEFT JOIN flagged fg USING (doc_id)),
+         g AS (SELECT v, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+               FROM lab GROUP BY 1),
+         sw AS (SELECT v, cnt, pos,
+                       coalesce(sum(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS cb
+                FROM g),
+         ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS u2
+                FROM sw)
+         SELECT n_docs, n_pos, n_docs - n_pos AS n_neg,
+                CASE WHEN n_pos = 0 OR n_pos = n_docs THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+                                * 1000000
+                                / (2 * n_pos * (n_docs - n_pos))) / 1000000
+                END AS auc
+         FROM ag""",
     "q269_kappa" ->
       """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w
                     FROM documents),

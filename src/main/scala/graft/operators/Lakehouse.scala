@@ -177,11 +177,63 @@ object Lakehouse extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q276: t-CLOSENESS AUDIT — the third rung of the anonymity ladder
+    * (k-anonymity q250 → l-diversity q274 → this): a group can hold ≥ l
+    * distinct sensitive values and still leak when its sensitive
+    * DISTRIBUTION deviates from the corpus-wide one (the classic
+    * salary-skew example), so the release gate also bounds the
+    * per-group total-variation distance to the global distribution:
+    * TV(p_g, p) = ½ Σ_v |p_g(v) − p(v)| ≤ t (t = 1/4 here; for ordinal
+    * attributes the standard uses EMD — TV is the categorical form).
+    * Exact integers end-to-end: TV's numerator cross-multiplies to
+    * Σ_v |c_gv·N − g_v·n_g| over the (group × sensitive-domain) grid —
+    * the grid is QI-groups × |domain| (both bounded however big the
+    * corpus), absent values contribute g_v·n_g via the left join, and
+    * the t-test cross-multiplies too (TV > 1/4 ⟺ 2·Σ > n_g·N), so the
+    * only doubles are the floored closing reports. The cross-products
+    * need N·c ≤ 2^63 — fine to ~3e9 rows; past that production runs the
+    * identical plan on DECIMAL(38) or per-stratum shards. */
+  private def q276TCloseness(s: SparkSession, d: String): DataFrame = {
+    val qi = Tables.events(s, d)
+      .select(col("event_type"),
+              expr("unix_micros(ts) div 3600000000 % 24").as("hod"),
+              expr("""length(bin(greatest(cast(floor(value * 100 + 0.5)
+                      as bigint), 1)))""").cast("long").as("vbin"),
+              expr("user_id % 10").as("sens"))
+    val cell = qi.groupBy("event_type", "hod", "vbin", "sens")
+      .agg(count(lit(1)).as("c"))
+    val glob = qi.groupBy("sens").agg(count(lit(1)).as("g"))
+    val tot = qi.agg(count(lit(1)).as("nn"))
+    val grp = cell.groupBy("event_type", "hod", "vbin").agg(sum("c").as("n"))
+    val grid = grp
+      .crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+      .join(cell, Seq("event_type", "hod", "vbin", "sens"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val tv = grid.groupBy("event_type", "hod", "vbin")
+      .agg(max("n").as("n"), max("nn").as("nn"),
+           sum(expr("abs(c0 * nn - g * n)")).as("tvnum"))
+    tv.groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"),
+           max(expr(
+             "floor(cast(tvnum as double) * 1000 / (2 * n * nn)) / 1000"))
+             .as("max_t"),
+           sum(expr("CASE WHEN 2 * tvnum > n * nn THEN 1L ELSE 0L END"))
+             .as("n_violations"),
+           sum(expr("CASE WHEN 2 * tvnum > n * nn THEN n ELSE 0L END"))
+             .as("n_exposed_rows"))
+      .withColumn("exposed_share",
+        expr("floor(cast(n_exposed_rows as double) * 1000 / n_rows) / 1000"))
+      .select("event_type", "n_groups", "n_rows", "max_t", "n_violations",
+              "n_exposed_rows", "exposed_share")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q271_compaction_plan" -> q271CompactionPlan _,
     "q272_delete_vectors" -> q272DeleteVectors _,
     "q273_dp_release" -> q273DpRelease _,
     "q274_l_diversity" -> q274LDiversity _,
+    "q276_t_closeness" -> q276TCloseness _,
   )
 
   private val dpNoiseValuesSql: String =
@@ -249,6 +301,44 @@ object Lakehouse extends QueryPack {
                 CAST(greatest(0, cnt.n_docs + noise.k) AS BIGINT) AS n_released
          FROM cnt JOIN noise ON cnt.u >= noise.lo AND cnt.u < noise.hi
          ORDER BY cnt.source""",
+    // q276: the same QI/sens CTE as q274; TV numerator cross-multiplied
+    // onto the (group × sensitive-domain) grid, absent cells via the
+    // left join; the t-test and every sum are exact integers
+    "q276_t_closeness" ->
+      """WITH qi AS (SELECT event_type,
+                            epoch_us(ts::TIMESTAMP) // 3600000000 % 24 AS hod,
+                            CAST(len(bin(greatest(CAST(floor("value" * 100 + 0.5)
+                              AS BIGINT), 1))) AS BIGINT) AS vbin,
+                            user_id % 10 AS sens
+                     FROM events),
+         cell AS (SELECT event_type, hod, vbin, sens, count(*) AS c
+                  FROM qi GROUP BY 1, 2, 3, 4),
+         gl AS (SELECT sens, count(*) AS g FROM qi GROUP BY 1),
+         tot AS (SELECT count(*) AS nn FROM qi),
+         grp AS (SELECT event_type, hod, vbin, CAST(sum(c) AS BIGINT) AS n
+                 FROM cell GROUP BY 1, 2, 3),
+         grid AS (SELECT grp.event_type, grp.hod, grp.vbin, grp.n,
+                         gl.sens, gl.g, tot.nn,
+                         coalesce(cell.c, 0) AS c0
+                  FROM grp CROSS JOIN gl CROSS JOIN tot
+                  LEFT JOIN cell ON cell.event_type = grp.event_type
+                                AND cell.hod = grp.hod
+                                AND cell.vbin = grp.vbin
+                                AND cell.sens = gl.sens),
+         tv AS (SELECT event_type, hod, vbin, max(n) AS n, max(nn) AS nn,
+                       CAST(sum(abs(c0 * nn - g * n)) AS BIGINT) AS tvnum
+                FROM grid GROUP BY 1, 2, 3)
+         SELECT event_type, count(*) AS n_groups,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                max(floor(CAST(tvnum AS DOUBLE) * 1000 / (2 * n * nn))
+                    / 1000) AS max_t,
+                CAST(sum(CASE WHEN 2 * tvnum > n * nn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations,
+                CAST(sum(CASE WHEN 2 * tvnum > n * nn THEN n ELSE 0 END)
+                  AS BIGINT) AS n_exposed_rows,
+                floor(CAST(sum(CASE WHEN 2 * tvnum > n * nn THEN n ELSE 0 END)
+                      AS DOUBLE) * 1000 / sum(n)) / 1000 AS exposed_share
+         FROM tv GROUP BY 1 ORDER BY event_type""",
     "q274_l_diversity" ->
       """WITH qi AS (SELECT event_type,
                             epoch_us(ts::TIMESTAMP) // 3600000000 % 24 AS hod,

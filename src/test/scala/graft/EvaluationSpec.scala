@@ -96,6 +96,38 @@ class EvaluationSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("q277 auc: rank-sum equals the pairwise Mann-Whitney definition") {
+    val got = Evaluation.queries("q277_auc")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (nd, np, nn, auc) = got.head
+    assert(nd == np + nn && auc >= 0 && auc <= 1)
+    // third implementation: the O(n_pos·n_neg) DEFINITION of AUC —
+    // wins + half-ties over all (positive, negative) pairs — against
+    // the query's tie-aware rank-sum form; scores replayed from text
+    // (the q269 formula), labels from the shared pipeline verdict
+    val scores = docs.map { case (id, text) =>
+      val w = toks(text)
+      val n = w.length
+      val ns = w.count(x => x == "a" || x == "the")
+      val sl = w.map(_.length).sum
+      val raw = 0.1 + 0.015 * n + 3.0 * (ns.toDouble / n) -
+        0.25 * (sl.toDouble / n)
+      (id, math.round(math.floor(raw * 1e6) / 1e6 * 1e6))
+    }.toMap
+    val y = graft.operators.Curation.pipelineFlags(spark, sfDir)
+      .selectExpr("doc_id", "CASE WHEN s3 THEN 1L ELSE 0L END")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pos = scores.collect { case (id, v) if y(id) == 1L => v }.toSeq
+    val neg = scores.collect { case (id, v) if y(id) == 0L => v }.toSeq
+    assert(pos.length.toLong == np && neg.length.toLong == nn)
+    val wins2 = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val want = math.floor(wins2.toDouble * 1e6 /
+      (2.0 * pos.length * neg.length)) / 1e6
+    assert(auc == want)
+  }
+
   test("q270 zipf fit: matches an OLS replay over integerized logs") {
     val got = Evaluation.queries("q270_zipf_fit")(spark, sfDir).collect().map(
       r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq

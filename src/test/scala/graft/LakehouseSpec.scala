@@ -95,6 +95,40 @@ class LakehouseSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("q276 t-closeness: matches a total-variation replay; t-test " +
+       "agrees with the double form") {
+    val got = Lakehouse.queries("q276_t_closeness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+                 r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 % 24",
+                  "length(bin(greatest(cast(floor(value * 100 + 0.5) as bigint), 1)))",
+                  "user_id % 10")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+                           r.getLong(3)))
+    val nn = ev.length.toLong
+    val glob = ev.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val groups = ev.groupBy(e => (e._1, e._2, e._3)).toSeq.map { case ((et, _, _), rs) =>
+      val n = rs.length.toLong
+      val cnt = rs.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+      val tvnum = glob.map { case (sv, g) =>
+        math.abs(cnt.getOrElse(sv, 0L) * nn - g * n) }.sum
+      // the integer t-test is EXACTLY the double TV > 1/4 test
+      assert((2 * tvnum > n * nn) ==
+        (tvnum.toDouble / (2.0 * n * nn) > 0.25))
+      (et, n, tvnum)
+    }
+    val want = groups.groupBy(_._1).toSeq.map { case (et, gs) =>
+      val nRows = gs.map(_._2).sum
+      val exposed = gs.filter(g => 2 * g._3 > g._2 * nn).map(_._2).sum
+      (et, gs.length.toLong, nRows,
+       gs.map(g => math.floor(g._3.toDouble * 1000 / (2 * g._2 * nn)) / 1000).max,
+       gs.count(g => 2 * g._3 > g._2 * nn).toLong, exposed,
+       math.floor(exposed.toDouble * 1000 / nRows) / 1000)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
   test("q275 skyline: survivors undominated, non-survivors dominated") {
     val got = Relational2.queries("q275_skyline")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

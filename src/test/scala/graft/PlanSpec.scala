@@ -67,7 +67,7 @@ class PlanSpec extends SparkTestBase {
       // toRdd physical planning under AQE runs leading query stages —
       // whichever flags consumer builds first pays the one-off
       "q130_pipeline_funnel", "q132_source_scorecard", "q204_optout_filter",
-      "q268_calibration",
+      "q268_calibration", "q277_auc",
       // the BPE merge-chain memo lazily checkpoints each round's one-row
       // election; toRdd physical planning under AQE runs the leading
       // election stages — whichever of q186/q202 builds first pays it
