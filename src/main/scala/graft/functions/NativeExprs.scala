@@ -67,6 +67,10 @@ object NativeExprs {
   def pq_encode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebook))
 
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowFingerprints(
+      GraftColumnBridge.expression(text), k, w))
+
   def pq_adc(qv: Column, codes: Column, codebook: Array[Array[Array[Double]]]): Column =
     GraftColumnBridge.column(PqAdc(
       GraftColumnBridge.expression(qv), GraftColumnBridge.expression(codes), codebook))
@@ -505,6 +509,89 @@ object Md5MinHashes {
   private[functions] val digestBuf = new ThreadLocal[Array[Byte]] {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
+}
+
+/** Schleimer–Wilkerson–Aiken winnowing selection in one pass: tokenize,
+  * md5-hash every token k-gram to its first 60 bits, keep the minimum
+  * of each w-wide sliding window, first-occurrence-distinct. Value-
+  * identical to the declarative form it replaced —
+  * `array_distinct(transform(sequence(1, len-w+1), p -> array_min(slice(hs, p, w))))`
+  * over `hs = transform(..., i -> cast(conv(substr(md5(kgram), 1, 15), 16, 10) as bigint))`
+  * — the first 15 hex chars of an md5 are its first 60 bits, the same
+  * big-endian-8-bytes `>>> 4` extraction [[Md5MinHashes]] uses, and the
+  * k-gram byte stream (tokens joined by ' ') is digested without the
+  * hex-string/`conv`-parse/slice-array allocations the interpreted HOF
+  * paid per position (the q151 hot loop). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires STRING, got ${other.sql}")
+  }
+
+  private val space = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Shared by the interpreted path and the generated code. */
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = SimHashSig.sqlToks(input.toString)
+    if (toks.length < k)
+      return new GenericArrayData(Array.empty[Any])
+    val nGrams = toks.length - k + 1
+    val md = SimHashSig.digest.get()
+    val buf = Md5MinHashes.digestBuf.get()
+    val tokBytes = toks.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(space)
+        md.update(tokBytes(i + j))
+        j += 1
+      }
+      md.digest(buf, 0, 16)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (buf(b) & 0xffL); b += 1 }
+      hs(i) = h >>> 4
+      i += 1
+    }
+    if (nGrams < w)
+      return new GenericArrayData(Array.empty[Any])
+    // sliding min + first-occurrence distinct (array_distinct order)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](16)
+    var p = 0
+    while (p <= nGrams - w) {
+      var mn = hs(p)
+      var q = p + 1
+      while (q < p + w) { if (hs(q) < mn) mn = hs(q); q += 1 }
+      seen.add(mn)
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    defineCodeGen(ctx, ev, c => s"$self.kernel($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Product-quantization encoder: split the vector into `codebook.length`

@@ -572,14 +572,20 @@ object Stats extends QueryPack {
 
   /** Selected fingerprints as (doc_id, fp) postings over any
     * (doc_id, text) relation — injectable for the planted guarantee
-    * spec (shared substring of ≥ k+w−1 tokens ⇒ shared fingerprint). */
+    * spec (shared substring of ≥ k+w−1 tokens ⇒ shared fingerprint).
+    * Selection runs in the native one-pass kernel
+    * ([[graft.functions.WinnowFingerprints]]); [[winnowExpr]] is the
+    * value-identical declarative form the kernel is certified against
+    * (StatsSpec) and the DuckDB oracle replays. */
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(winnowExpr).as("fps"))
+    docs.select(col("doc_id"),
+        graft.functions.NativeExprs
+          .winnow_fingerprints(col("text"), winK, winW).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   /** Per-row winnowing selection: k-gram hashes → min-per-window →
     * distinct. Guarded for short docs (no k-gram → no fingerprint). */
-  private def winnowExpr: String = {
+  private[graft] def winnowExpr: String = {
     val kgram = (0 until winK).map(o => s"t[i + $o]").mkString(", ")
     TextExprs.let1(TextExprs.toks, "t",
       TextExprs.let1(

@@ -444,6 +444,33 @@ class StatsSpec extends SparkTestBase {
       s"winnowing selected ${byDoc(1L).size} of 12 hashes — no density win")
   }
 
+  test("winnow kernel: native one-pass selection equals the declarative " +
+       "HOF form on the corpus and on edge-case docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "a b c"), // < k tokens
+      (9004L, "a b c d"),                            // exactly k, < w hashes
+      (9005L, "x x x x x x x x x x"),                // all-equal hashes
+      (9006L, "\tlead tab\nand newline bounded text here okay then")
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(edge)
+    val native = docs.select(col("doc_id"),
+        graft.functions.NativeExprs.winnow_fingerprints(col("text"), 4, 4)
+          .as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val declarative = docs.select(col("doc_id"),
+        expr(graft.operators.Stats.winnowExpr).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == declarative.keySet)
+    // ORDER included: array_distinct keeps first occurrence, so the two
+    // forms must agree element-for-element, not just as sets
+    native.foreach { case (id, fps) =>
+      assert(fps == declarative(id), s"doc $id: $fps != ${declarative(id)}")
+    }
+  }
+
   test("q154: radius curve is monotone; true pairs bounded by detected pairs") {
     val out = SparkEntry.queries("q154_simhash_sweep")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
