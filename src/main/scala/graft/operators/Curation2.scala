@@ -598,7 +598,7 @@ object Curation2 extends QueryPack {
     val src = docs.select(col("doc_id"), col("source"))
     val j = qualityScoreCore(docs)
       .select(col("doc_id"), expr("cast(round(score * 1000000) as bigint)").as("v93"))
-      .join(Curation3.lmScoreCore(docs)
+      .join(Curation3.lmScoreMemo(s, d)
         .select(col("doc_id"), expr("cast(round(nll * 1000000) as bigint)").as("v119")),
         Seq("doc_id"))
       .join(Stats.tokenEntropyCore(docs)

@@ -72,6 +72,10 @@ class PlanSpec extends SparkTestBase {
       // election; toRdd physical planning under AQE runs the leading
       // election stages — whichever of q186/q202 builds first pays it
       "q186_bpe_merges", "q202_bpe_apply",
+      // the LM score memo lazily checkpoints the bigram count/join chain;
+      // same AQE leading-stage one-off — whichever of q119/q241 builds
+      // first pays it
+      "q119_lm_score", "q241_quality_ensemble",
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph
       "q224_hub_audit",
