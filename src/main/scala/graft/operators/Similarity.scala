@@ -132,12 +132,32 @@ object Similarity extends QueryPack {
     annLshPairsCore(s, d, maxBucket, broadcastCandLimit)
       .orderBy("a_id", "b_id")
 
+  private val annPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   /** [[annLshPairs]] without the output sort (edge-builder form — q80's
     * CC consumer builds an unordered edge list, so inheriting the
-    * declared query's global sort was pure waste). */
+    * declared query's global sort was pure waste).
+    *
+    * The DEFAULT-parameter pair relation is memoized per (session,
+    * dataset) behind a lazy localCheckpoint (the q42
+    * `minhashLshPairsCore` discipline): q41 declares the pair report
+    * and q80 builds its CC edge list from the identical relation — an
+    * embedding-dedup pipeline materializes its verified pair table once
+    * and fans out. Non-default parameters (the capped sweep variants)
+    * bypass the memo. */
   private[graft] def annLshPairsCore(s: SparkSession, d: String,
                                      maxBucket: Long = -1L,
-                                     broadcastCandLimit: Long = 4000000L): DataFrame = {
+                                     broadcastCandLimit: Long = 4000000L): DataFrame =
+    if (maxBucket == -1L && broadcastCandLimit == 4000000L)
+      annPairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+        annLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
+          .localCheckpoint(eager = false))
+    else annLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
+
+  private def annLshPairsCompute(s: SparkSession, d: String,
+                                 maxBucket: Long,
+                                 broadcastCandLimit: Long): DataFrame = {
     // bitsFor needs a concrete number BEFORE the plan exists (it sizes
     // the hyperplane array) — the memoized ANALYZE-style stat, one
     // metadata-only count per (session, dataset), not per query build
@@ -1474,8 +1494,8 @@ object Similarity extends QueryPack {
     * recursive-CTE closure q73 uses.
     */
   private def q80EmbeddingClusters(s: SparkSession, d: String): DataFrame = {
+    // the session pair memo IS the checkpoint — no second one needed
     val pairs = annLshPairsCore(s, d).select(col("a_id"), col("b_id"))
-      .localCheckpoint(eager = false)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
