@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 /** Edge-case behavior of the native expressions. */
 class NativeExprSpec extends SparkTestBase {
 
+  test("md5_minhashes: component independence — a 64-signature's first " +
+       "32 components ARE the 32-signature (the q79/q242 shared-store " +
+       "contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+      .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+    val cmp = docs
+      .select(col("doc_id"),
+        graft.functions.NativeExprs.md5_minhashes(col("sh"), 64).as("mh64"),
+        graft.functions.NativeExprs.md5_minhashes(col("sh"), 32).as("mh32"))
+      .select(col("doc_id"), expr("slice(mh64, 1, 32)").as("s64"), col("mh32"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: 64-sig prefix != 32-sig")
+    }
+  }
+
   test("word_shingles: degenerate inputs") {
     import spark.implicits._
     val df = Seq(

@@ -127,6 +127,26 @@ class WindowSpec extends SparkTestBase {
     assert(removed.values.exists(_._2 > 0), "planted near-dups must remove spans")
   }
 
+  test("posting store: the memoized session relation equals the " +
+       "positionalWindows definition row-for-row (plus source)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val fromStore = WindowDedup.windowPostingsCore(spark, sfDir)
+      .select("doc_id", "pos", "wh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val fromDef = WindowDedup.positionalWindows(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(fromStore == fromDef,
+      "the six store consumers and the q118 stream must share ONE " +
+        "window/hash definition — the store drifted from positionalWindows")
+    // the store's source column matches the document row's
+    val srcOk = WindowDedup.windowPostingsCore(spark, sfDir)
+      .select("doc_id", "source").distinct()
+      .join(docs.select(col("doc_id"), col("source").as("want")), "doc_id")
+      .filter(col("source") =!= col("want")).count()
+    assert(srcOk == 0, "posting-store source column drifted")
+  }
+
   test("q118: streamed span containment equals the batch formulation") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
