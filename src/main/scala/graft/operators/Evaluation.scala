@@ -249,18 +249,116 @@ object Evaluation extends QueryPack {
                 END""").as("auc"))
   }
 
+  /** Benford expected first-digit masses as ppm literals —
+    * round(log10(1 + 1/d)·1e6), generated ONCE here and embedded in
+    * both plans (the q273 noise-table discipline). */
+  private[graft] val benfordPpm: Seq[(Long, Long)] =
+    (1 to 9).map(d => d.toLong -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** q278: BENFORD FIRST-DIGIT AUDIT — the data-forensics screen a
+    * warehouse runs on financial/measurement columns (fabricated or
+    * truncated feeds break the log-uniform first-digit law long before
+    * totals look wrong). The digit is taken EXACTLY: prices integerize
+    * to cents once (round(x·100) — scaling by 100 preserves the
+    * leading significant digit) and the first digit is the first
+    * character of the BIGINT's decimal string, which both engines
+    * render identically — never a float log10, whose boundary cells
+    * (x ≈ 10^k) could disagree cross-engine. Shares are integer ppm
+    * divisions; the report is per-digit observed vs expected with the
+    * signed ppm deviation. One scan, one 9-row aggregate, broadcast
+    * literals. */
+  private def q278Benford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bexp = benfordPpm.toDF("digit", "expected_ppm")
+    val g = Tables.lineitem(s, d)
+      .select(expr("""cast(substring(cast(cast(round(l_extendedprice * 100)
+                      as bigint) as string), 1, 1) as bigint)""").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = g.agg(sum("n_obs").as("n"))
+    g.join(broadcast(bexp), "digit")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000000 div n").as("share_ppm"),
+        col("expected_ppm"),
+        expr("n_obs * 1000000 div n - expected_ppm").as("delta_ppm"))
+      .orderBy("digit")
+  }
+
+  /** q279: GINI TOKEN CONCENTRATION — the inequality measure of the
+    * corpus token distribution (the Lorenz-curve summary beside q270's
+    * Zipf slope: the slope says HOW the head decays, the Gini says how
+    * much of the corpus the head owns — the balance number a mixture
+    * designer reads before upweighting a source). Exact integers
+    * end-to-end: frequencies ranked ascending by the deterministic
+    * (freq, tok) order, G = (2·Σ rk·freq − (n+1)·Σ freq) / (n·Σ freq),
+    * one floored closing division. The rank window orders the
+    * VOCABULARY (Zipf-bounded however big the corpus — the q270
+    * argument); at extreme scale the same sum regroups by distinct
+    * frequency value, and past ~1e18 token-rank products the moments
+    * go DECIMAL — structure unchanged. */
+  private def q279Gini(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(expr(graft.functions.TextExprs.toks)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    tf.withColumn("rk", row_number()
+        .over(Window.orderBy(col("freq"), col("tok"))).cast("long"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum("freq").as("total_tokens"),
+           sum(expr("rk * freq")).as("swr"))
+      .select(col("n_terms"), col("total_tokens"),
+        expr("""floor(cast(2 * swr - (n_terms + 1) * total_tokens as double)
+                * 1000000 / (n_terms * total_tokens)) / 1000000""").as("gini"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
     "q269_kappa" -> q269Kappa _,
     "q270_zipf_fit" -> q270ZipfFit _,
     "q277_auc" -> q277Auc _,
+    "q278_benford" -> q278Benford _,
+    "q279_gini" -> q279Gini _,
   )
 
   private val ndcgValuesSql: String =
     ndcgQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  private val benfordValuesSql: String =
+    benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+
   override val oracles: Map[String, String] = Map(
+    // q278: the same cents-string first digit; the expected masses are
+    // the identical generated literals
+    "q278_benford" ->
+      s"""WITH bexp(digit, expected_ppm) AS (VALUES $benfordValuesSql),
+         dd AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                         AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM lineitem),
+         g AS (SELECT digit, count(*) AS n_obs FROM dd GROUP BY 1),
+         t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+         SELECT g.digit, g.n_obs,
+                g.n_obs * 1000000 // t.n AS share_ppm,
+                CAST(bexp.expected_ppm AS BIGINT) AS expected_ppm,
+                g.n_obs * 1000000 // t.n - bexp.expected_ppm AS delta_ppm
+         FROM g JOIN bexp ON bexp.digit = g.digit CROSS JOIN t
+         ORDER BY g.digit""",
+    // q279: ascending (freq, tok) ranks; every moment an exact bigint
+    "q279_gini" ->
+      """WITH tf AS (SELECT tok, count(*) AS freq
+                     FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                             AS tok
+                           FROM documents)
+                     GROUP BY 1),
+         rk AS (SELECT freq, row_number() OVER (ORDER BY freq, tok) AS rk
+                FROM tf),
+         m AS (SELECT count(*) AS n_terms,
+                      CAST(sum(freq) AS BIGINT) AS total_tokens,
+                      CAST(sum(rk * freq) AS BIGINT) AS swr
+               FROM rk)
+         SELECT CAST(n_terms AS BIGINT) AS n_terms, total_tokens,
+                floor(CAST(2 * swr - (n_terms + 1) * total_tokens AS DOUBLE)
+                      * 1000000 / (n_terms * total_tokens)) / 1000000 AS gini
+         FROM m""",
     "q267_ndcg" ->
       s"""WITH qs(query_id, term) AS (VALUES $ndcgValuesSql),
          p AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))

@@ -128,6 +128,52 @@ class EvaluationSpec extends SparkTestBase {
     assert(auc == want)
   }
 
+  test("q278 benford: digits partition the rows; expected masses sum to " +
+       "~1e6; replay matches") {
+    val got = Evaluation.queries("q278_benford")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    val prices = Tables.lineitem(spark, sfDir).selectExpr("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    assert(got.map(_._2).sum == prices.length)
+    // generated literals: Σ round(log10(1+1/d)·1e6) ≈ 1e6 (rounding only)
+    assert(math.abs(Evaluation.benfordPpm.map(_._2).sum - 1000000L) <= 5)
+    val want = prices
+      .map(p => math.round(p * 100).toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      .map { case (dig, n) =>
+        val exp = Evaluation.benfordPpm.toMap.apply(dig)
+        val share = n * 1000000L / prices.length
+        (dig, n, share, exp, share - exp)
+      }
+    assert(got.toSeq == want)
+    got.foreach { case (_, _, share, _, delta) =>
+      assert(share >= 0 && share <= 1000000 && math.abs(delta) <= 1000000)
+    }
+  }
+
+  test("q279 gini: matches a sorted-rank replay; bounds and degenerate " +
+       "cases hold") {
+    val got = Evaluation.queries("q279_gini")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    val (n, tot, gini) = got.head
+    assert(gini >= 0 && gini < 1)
+    val freq = docs.flatMap(d => toks(d._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toSeq
+    val ranked = freq.sortBy { case (t, f) => (f, t) }.zipWithIndex
+    val nn = ranked.length.toLong
+    val tt = ranked.map(_._1._2).sum
+    val swr = ranked.map { case ((_, f), i) => (i + 1L) * f }.sum
+    assert(n == nn && tot == tt)
+    val want = math.floor((2 * swr - (nn + 1) * tt).toDouble * 1e6
+      / (nn * tt)) / 1e6
+    assert(gini == want)
+    // definition sanity: a perfectly uniform distribution has G → 0
+    val uswr = (1L to nn).map(_ * 7L).sum
+    assert(math.abs((2 * uswr - (nn + 1) * nn * 7).toDouble) < 1e-9)
+  }
+
   test("q270 zipf fit: matches an OLS replay over integerized logs") {
     val got = Evaluation.queries("q270_zipf_fit")(spark, sfDir).collect().map(
       r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
