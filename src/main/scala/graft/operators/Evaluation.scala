@@ -166,12 +166,22 @@ object Evaluation extends QueryPack {
         expr("""floor(cast((n00 + n01) * (n00 + n10)
                            + (n10 + n11) * (n01 + n11) as double)
                       * 1000000 / (n_docs * n_docs)) / 1000000""").as("pe"),
-        expr("""floor(cast(n_docs * (n00 + n11)
+        // Degenerate-corpus guard: when both raters are constant AND
+        // agree on every doc, pe = 1 and the κ denominator
+        // N² − (a0·b0 + a1·b1) is exactly 0 — Spark's /0 yields NULL
+        // while another engine may raise, so the division is reached
+        // only when defined; the degenerate case reports κ = 0
+        // (agreement is indistinguishable from chance when chance
+        // already predicts 100%). Same CASE, verbatim, in the oracle.
+        expr("""CASE WHEN n_docs * n_docs = (n00 + n01) * (n00 + n10)
+                                            + (n10 + n11) * (n01 + n11)
+                THEN 0.0
+                ELSE floor(cast(n_docs * (n00 + n11)
                            - ((n00 + n01) * (n00 + n10)
                               + (n10 + n11) * (n01 + n11)) as double) * 1000000
                       / (n_docs * n_docs
                          - ((n00 + n01) * (n00 + n10)
-                            + (n10 + n11) * (n01 + n11)))) / 1000000""")
+                            + (n10 + n11) * (n01 + n11)))) / 1000000 END""")
           .as("kappa"))
   }
 
@@ -259,8 +269,13 @@ object Evaluation extends QueryPack {
     * warehouse runs on financial/measurement columns (fabricated or
     * truncated feeds break the log-uniform first-digit law long before
     * totals look wrong). The digit is taken EXACTLY: prices integerize
-    * to cents once (round(x·100) — scaling by 100 preserves the
-    * leading significant digit) and the first digit is the first
+    * to cents once (round(x·100) — a power-of-10 scale, so the leading
+    * digit survives EXCEPT when the rounding carry crosses a decade
+    * boundary, e.g. 999.996 → 100000 cents reads 1, not 9; those cells
+    * are a vanishing fraction and, more to the point, both engines
+    * compute the identical carried digit, so the audit statistic is
+    * deterministic and parity-safe even where it is boundary-shifted)
+    * and the first digit is the first
     * character of the BIGINT's decimal string, which both engines
     * render identically — never a float log10, whose boundary cells
     * (x ≈ 10^k) could disagree cross-engine. Shares are integer ppm
@@ -553,12 +568,15 @@ object Evaluation extends QueryPack {
                 floor(CAST((n00 + n01) * (n00 + n10)
                            + (n10 + n11) * (n01 + n11) AS DOUBLE)
                       * 1000000 / (n_docs * n_docs)) / 1000000 AS pe,
-                floor(CAST(n_docs * (n00 + n11)
+                CASE WHEN n_docs * n_docs = (n00 + n01) * (n00 + n10)
+                                            + (n10 + n11) * (n01 + n11)
+                THEN 0.0
+                ELSE floor(CAST(n_docs * (n00 + n11)
                            - ((n00 + n01) * (n00 + n10)
                               + (n10 + n11) * (n01 + n11)) AS DOUBLE) * 1000000
                       / (n_docs * n_docs
                          - ((n00 + n01) * (n00 + n10)
-                            + (n10 + n11) * (n01 + n11)))) / 1000000 AS kappa
+                            + (n10 + n11) * (n01 + n11)))) / 1000000 END AS kappa
          FROM c""",
     "q270_zipf_fit" ->
       """WITH tf AS (SELECT tok, count(*) AS freq

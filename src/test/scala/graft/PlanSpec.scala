@@ -404,21 +404,20 @@ class PlanSpec extends SparkTestBase {
     // both declared queries are the memoized τ = 0.8 pair core + sort
     // (checkpoint truncates the lineage out of their executed plans), so
     // the algorithm's plan shape is pinned on the compute form they share
-    for (q <- Seq("prefixJaccardPairsCompute")) {
-      val plan = executed(
-        graft.operators.TextAnalysis.prefixJaccardPairsCompute(spark, sfDir))
-      // the prefix rank is present (a doc-grain window, never global)...
-      assert(plan.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-        s"$q: the rarest-first prefix rank window is missing")
-      // ...and the candidate self-join reads ONE ranked-prefix exchange
-      // from both branches — a full inverted-index self-join would have
-      // no window above its (identical, also reused) posting branches,
-      // so the window+reuse pair pins the prefix shape specifically
-      assert(plan.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
-        s"$q: the prefix posting exchange must be shared, not rebuilt per branch")
-    }
+    val plan = executed(
+      graft.operators.TextAnalysis.prefixJaccardPairsCompute(spark, sfDir))
+    // the prefix rank is present (a doc-grain window, never global)...
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "prefixJaccardPairsCompute: the rarest-first prefix rank window is missing")
+    // ...and the candidate self-join reads ONE ranked-prefix exchange
+    // from both branches — a full inverted-index self-join would have
+    // no window above its (identical, also reused) posting branches,
+    // so the window+reuse pair pins the prefix shape specifically
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+      "prefixJaccardPairsCompute: the prefix posting exchange must be " +
+        "shared, not rebuilt per branch")
   }
 
   test("q174: the candidate join is prefix-vs-full — exactly one branch " +
