@@ -11,8 +11,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * all apply).
   */
 object Tables {
-  private val loadMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
   /** `spark.read.parquet` schedules a footer-reading schema-inference
     * job on EVERY call (Spark 4 parallel footer reads) — a driver job
@@ -24,7 +22,7 @@ object Tables {
     * MUTABLE paths (ingest outputs, indexes) use `spark.read` directly,
     * never this. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadMemo.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+    SessionMemo.getOrElseUpdate[DataFrame](spark, "tables.load", s"$dir/$name")(
       spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
@@ -62,8 +60,6 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  private val rowCountMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Long]
 
   /** Table row count as a DRIVER-SIDE literal, memoized per (session,
     * dataset, table) — the one-time ANALYZE-style stat for the few plan
@@ -75,7 +71,7 @@ object Tables {
     * form (see Dedup.capBuckets) so query construction schedules no job
     * at all (PlanSpec asserts it). */
   def rowCount(s: SparkSession, d: String, name: String): Long =
-    rowCountMemo.getOrElseUpdate((System.identityHashCode(s), d, name),
+    SessionMemo.getOrElseUpdate[Long](s, "tables.rowcount", s"$d/$name")(
       load(s, d, name).count())
 }
 

@@ -232,9 +232,6 @@ object Curation extends QueryPack {
     * throughout except the single retained-fraction division per output
     * row. At 100 TB: shuffles carry (digest|doc_id, ntok, 3 booleans);
     * the 4-row result joins its own raw row broadcast. */
-  private val flagsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String),
-      org.apache.spark.sql.DataFrame]
 
   /** Per-doc pipeline-stage flags shared by q130 (funnel), q132
     * (per-source scorecard), q188 (release export) and q204 (opt-out):
@@ -249,7 +246,7 @@ object Curation extends QueryPack {
     * exactly how a production pipeline materializes its flag table
     * before fanning out reports. */
   private[graft] def pipelineFlags(s: SparkSession, d: String): DataFrame =
-    flagsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElseUpdate[org.apache.spark.sql.DataFrame](s, "curation.flags", d)(
       pipelineFlagsCompute(s, d).localCheckpoint(eager = false))
 
   private def pipelineFlagsCompute(s: SparkSession, d: String): DataFrame = {
@@ -431,8 +428,6 @@ object Curation extends QueryPack {
                    / padded_slots) / 1000)"""))
       .orderBy("max_len")
 
-  private val releaseMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** RELEASE EXPORT — the step every curation pipeline actually ends
     * with: materialize the surviving corpus (q130's full funnel — exact
@@ -486,7 +481,7 @@ object Curation extends QueryPack {
   }
 
   private def q188ReleaseExport(s: SparkSession, d: String): DataFrame = {
-    val out = releaseMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    val out = graft.SessionMemo.getOrElseUpdate[String](s, "curation.release", d)( {
       val root = graft.WorkDirs.artifactDir(s, "release", d)
       pipelineFlags(s, d).filter(col("s3"))
         .select(col("doc_id"), col("source"), col("ntok"))

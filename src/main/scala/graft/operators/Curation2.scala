@@ -303,8 +303,6 @@ object Curation2 extends QueryPack {
     bm25TopK(tf, stats)
   }
 
-  private val bm25IndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** q260: PERSISTED LEXICAL INDEX + APPEND ≡ REBUILD — the index-
     * lifecycle story (q156/q157/q160/q172 on the ANN tier, q108 on the
@@ -321,8 +319,8 @@ object Curation2 extends QueryPack {
     * pure additive statistics, which is exactly WHY search engines can
     * append segments without rescoring history. */
   private def q260Bm25IndexAppend(s: SparkSession, d: String): DataFrame = {
-    val root = bm25IndexMemo.getOrElseUpdate(
-      (System.identityHashCode(s), d), {
+    val root = graft.SessionMemo.getOrElseUpdate[String](
+      s, "bm25.index", d)({
         val r = graft.WorkDirs.artifactDir(s, "bm25index", d)
         val t = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("w"))

@@ -44,8 +44,6 @@ object Curation3 extends QueryPack {
   /** The q119 chain over any (doc_id, text) relation, pre-sort —
     * injectable for the q241 ensemble (which re-partitions by source
     * anyway and must not inherit a wasted global sort). */
-  private val lmMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Session-scoped memo of the corpus LM score relation
     * (doc_id, n_bigrams, nll) — the statistical-filter artifact a
@@ -55,7 +53,7 @@ object Curation3 extends QueryPack {
     * quality signals. Split-trained variants (q236) call
     * [[lmScoreCore]] directly and bypass the memo. */
   private[graft] def lmScoreMemo(s: SparkSession, d: String): DataFrame =
-    lmMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "lm.scores", d)(
       lmScoreCore(Tables.documents(s, d)).localCheckpoint(eager = false))
 
   private[graft] def lmScoreCore(docs: DataFrame): DataFrame = {

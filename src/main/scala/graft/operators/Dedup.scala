@@ -136,11 +136,7 @@ object Dedup extends QueryPack {
     minhashLshPairsCore(s, d, maxBucket, broadcastCandLimit)
       .orderBy("a_id", "b_id")
 
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Session-scoped memo of the 64-component md5-family minhash
     * SIGNATURE relation (doc_id, sh, mh) — the production signature
@@ -154,7 +150,7 @@ object Dedup extends QueryPack {
     * oracles replay unchanged. One 64-hash pass per (session, dataset)
     * replaces a 64-pass and a 32-pass. */
   private[graft] def md5SigCore(s: SparkSession, d: String): DataFrame =
-    sigMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.md5sig", d)(
       shingled(s, d)
         .select(col("doc_id"), col("sh"),
                 NativeExprs.md5_minhashes(col("sh"), nHashes).as("mh"))
@@ -177,7 +173,7 @@ object Dedup extends QueryPack {
                                          maxBucket: Long = -1L,
                                          broadcastCandLimit: Long = 4000000L): DataFrame =
     if (maxBucket == -1L && broadcastCandLimit == 4000000L)
-      pairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.lshPairs", d)(
         minhashLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
           .localCheckpoint(eager = false))
     else minhashLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
@@ -409,8 +405,6 @@ object Dedup extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
-  private val lshIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** The PERSISTED-INDEX incremental near-dup declared under the oracle
     * gate: build the `partitionBy(band)` LSH index of the existing
@@ -420,7 +414,7 @@ object Dedup extends QueryPack {
     * the direct q100 join certifies the index layout + probe path
     * end-to-end cross-engine, not just ScalaTest-equal. */
   private def q108NearDupIndexed(s: SparkSession, d: String): DataFrame = {
-    val path = lshIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    val path = graft.SessionMemo.getOrElseUpdate[String](s, "dedup.lshIndex", d)( {
       val dir = graft.WorkDirs.artifactDir(s, "lsh_index", d)
       lshIndex(Tables.documents(s, d).filter(col("doc_id") < 250), dir)
       dir
@@ -635,14 +629,12 @@ object Dedup extends QueryPack {
     * whichever consumer acts first materializes; the other reads cached
     * blocks. Non-default caps (the spec's planted-hot-bucket runs)
     * bypass the memo. */
-  private val fuzzyPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** [[fuzzyJoinPairs]] without the output sort (edge-builder form). */
   private[graft] def fuzzyJoinPairsCore(s: SparkSession, d: String,
                                         maxBucket: Long = -1L): DataFrame =
     if (maxBucket == -1L)
-      fuzzyPairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.fuzzyPairs", d)(
         fuzzyJoinPairsCompute(s, d, maxBucket).localCheckpoint(eager = false))
     else fuzzyJoinPairsCompute(s, d, maxBucket)
 
@@ -725,8 +717,6 @@ object Dedup extends QueryPack {
     * frame is backed by the loop's final localCheckpoint blocks, so reuse
     * is a cached-block read, not a recompute; superseded entries are
     * reclaimed by the ContextCleaner once unreferenced. */
-  private val clusterAssignMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   private def dedupClusterAssignment(s: SparkSession, d: String): DataFrame = {
     // lazy checkpoint: the bidirectional union reads the pair set twice;
@@ -740,7 +730,7 @@ object Dedup extends QueryPack {
     val assign = labels
       .select(col("doc_id"), col("cluster_id"),
               when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L).as("keep"))
-    clusterAssignMemo.put((System.identityHashCode(s), d), assign)
+    graft.SessionMemo.put(s, "dedup.clusterAssign", d, assign)
     assign
   }
 
@@ -750,7 +740,7 @@ object Dedup extends QueryPack {
   /** Warm-memo read of the cluster assignment for cross-pack consumers
     * (q124's cluster-aware split) — q101's access pattern. */
   private[graft] def clusterAssignmentOf(s: SparkSession, d: String): DataFrame =
-    clusterAssignMemo.getOrElse((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElse[DataFrame](s, "dedup.clusterAssign", d)(
                                 dedupClusterAssignment(s, d))
 
   /** q261: INCREMENTAL CLUSTER MAINTENANCE — the daily-ingest form of
@@ -781,8 +771,6 @@ object Dedup extends QueryPack {
     * build runs the old-corpus CC exactly as yesterday's nightly job
     * would have — that cost is the artifact's, not the incremental
     * query's (ScaleSpec pins the warm path to ONE CC invocation). */
-  private val clusterArtifactMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   private def q261IncrementalClusters(s: SparkSession, d: String): DataFrame = {
     val cut = 250L
@@ -793,8 +781,8 @@ object Dedup extends QueryPack {
     def undirect(p: DataFrame): DataFrame =
       p.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val root = clusterArtifactMemo.getOrElseUpdate(
-      (System.identityHashCode(s), d), {
+    val root = graft.SessionMemo.getOrElseUpdate[String](
+      s, "dedup.clusterArtifact", d)({
         val r = graft.WorkDirs.artifactDir(s, "clusters", d)
         val (aOld, _) = connectedComponents(docs.filter(col("doc_id") < cut),
                                             undirect(oldPairs))
@@ -1089,7 +1077,7 @@ object Dedup extends QueryPack {
   }
 
   private def q101ClusterSizes(s: SparkSession, d: String): DataFrame =
-    clusterAssignMemo.getOrElse((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElse[DataFrame](s, "dedup.clusterAssign", d)(
                                 dedupClusterAssignment(s, d))
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")

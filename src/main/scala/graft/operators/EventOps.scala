@@ -222,8 +222,6 @@ object EventOps extends QueryPack {
     * certify the per-topic fan-out. */
   private val q173Topics = Seq("click", "view")
 
-  private val multiTopicMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** MULTI-TOPIC INGEST PARITY — the reference's headline deployment
     * shape (N topics consumed by one job, each landing in its own
@@ -242,7 +240,7 @@ object EventOps extends QueryPack {
     * in parallel — the reference does this single-threaded per
     * partition); the read-back is the gate's own verification scan. */
   private def q173MultiTopicIngest(s: SparkSession, d: String): DataFrame = {
-    val out = multiTopicMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    val out = graft.SessionMemo.getOrElseUpdate[String](s, "events.multiTopic", d)( {
       val root = graft.WorkDirs.artifactDir(s, "multitopic", d)
       q173Topics.foreach { t =>
         Ingest.withBucketColumns(

@@ -132,8 +132,6 @@ object Similarity extends QueryPack {
     annLshPairsCore(s, d, maxBucket, broadcastCandLimit)
       .orderBy("a_id", "b_id")
 
-  private val annPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** [[annLshPairs]] without the output sort (edge-builder form — q80's
     * CC consumer builds an unordered edge list, so inheriting the
@@ -150,7 +148,7 @@ object Similarity extends QueryPack {
                                      maxBucket: Long = -1L,
                                      broadcastCandLimit: Long = 4000000L): DataFrame =
     if (maxBucket == -1L && broadcastCandLimit == 4000000L)
-      annPairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      graft.SessionMemo.getOrElseUpdate[DataFrame](s, "ann.pairs", d)(
         annLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
           .localCheckpoint(eager = false))
     else annLshPairsCompute(s, d, maxBucket, broadcastCandLimit)
@@ -874,8 +872,6 @@ object Similarity extends QueryPack {
   /** Persisted IVF-PQ index dirs built by q156, one per (session, dataset)
     * — the write-once side of a production ANN deployment (q108's memo
     * pattern on the vector side). */
-  private val rerankIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
   /** Codebooks matching q156's persisted index, keyed by dataset dir
     * (training is deterministic, so re-training here reproduces exactly
     * what [[ivfPqIndex]] wrote to `_codebook`/`_pq_codebook`). */
@@ -900,7 +896,7 @@ object Similarity extends QueryPack {
     * raw vectors. */
   /** The q156 persisted index, built once per (session, dataset). */
   private def rerankIndexFor(s: SparkSession, e: DataFrame, d: String): String =
-    rerankIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.SessionMemo.getOrElseUpdate[String](s, "ann.rerankIndex", d)( {
       val dir = graft.WorkDirs.artifactDir(s, "ivfpq_index", d)
       ivfPqIndex(e, ivfK, dir) // residual default — the FAISS semantic
       dir
@@ -934,8 +930,6 @@ object Similarity extends QueryPack {
     * oracle certifies). */
   private val appendSplit = 300
 
-  private val appendIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** INDEX APPEND + SEARCH — incremental maintenance under the oracle
     * gate: build the persisted IVF-PQ index on the initial corpus
@@ -950,7 +944,7 @@ object Similarity extends QueryPack {
     * rows, map-side PQ encode, one shuffle of the batch keyed by cell);
     * the standing corpus is never rescanned. */
   private[graft] def appendIndexFor(s: SparkSession, e: DataFrame, d: String): String =
-    appendIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.SessionMemo.getOrElseUpdate[String](s, "ann.appendIndex", d)( {
       val dir = graft.WorkDirs.artifactDir(s, "ivfpq_append", d)
       ivfPqIndex(e.filter(col("vec_id") < appendSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") >= appendSplit))
@@ -1045,8 +1039,6 @@ object Similarity extends QueryPack {
     path
   }
 
-  private val compactIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** INDEX COMPACTION + SEARCH — closes the maintenance lifecycle under
     * the oracle gate: q157's appended (fragmented) index is compacted via
@@ -1058,7 +1050,7 @@ object Similarity extends QueryPack {
   private def q160IndexCompact(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val appended = appendIndexFor(s, e, d)
-    val path = compactIndexMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    val path = graft.SessionMemo.getOrElseUpdate[String](s, "ann.compactIndex", d)(
       ivfPqCompact(s, appended))
     rerankCodebooksFor(e, d)
     ivfPqSearchRerank(s, path, rerankQueries(e), e,
@@ -1113,8 +1105,6 @@ object Similarity extends QueryPack {
     * a confusing oracle mismatch. */
   private val retrainShare = 1.2 / ivfK
 
-  private val retrainIndexMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** INDEX RETRAIN + SEARCH — closes the lifecycle loop under the
     * oracle gate: an index whose codebooks went STALE (trained on an
@@ -1129,7 +1119,7 @@ object Similarity extends QueryPack {
     * oracle. */
   private def q172IndexRetrain(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val path = retrainIndexMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    val path = graft.SessionMemo.getOrElseUpdate[String](s, "ann.retrainIndex", d)( {
       val dir = graft.WorkDirs.artifactDir(s, "ivfpq_retrain", d)
       ivfPqIndex(e.filter(col("vec_id") >= retrainStaleSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") < retrainStaleSplit))

@@ -690,8 +690,6 @@ object Stats extends QueryPack {
     vocab.crossJoin(broadcast(t))
       .select(expr(bpeReplaceChain("s", "mw1", "mw2")).as("s"), col("cnt"))
 
-  private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, DataFrame, DataFrame)]
 
   /** The learned 3-round merge chain — three lazy one-row elections
     * (shared by q186, which REPORTS them, and q202, which APPLIES them
@@ -704,7 +702,7 @@ object Stats extends QueryPack {
     * otherwise nest each election's full subtree in the next). */
   private def bpeMergeChain(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) =
-    bpeMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.SessionMemo.getOrElseUpdate[(DataFrame, DataFrame, DataFrame)](s, "bpe.mergeChain", d)( {
       val vocab0 = bpeVocab0(s, d)
       val t1 = bpeTop(bpePairCounts(vocab0)).localCheckpoint(eager = false)
       val v1 = bpeApplyMerge(vocab0, t1)

@@ -103,8 +103,6 @@ object StreamGate extends QueryPack {
     s.readStream.schema(Tables.documents(s, d).schema)
       .parquet(stagedDir(d, "documents"))
 
-  private val evStageMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.types.StructType)]
 
   /** The events table staged for the file-stream source: NORMALIZED
     * through the batch loader (so the nanos-vs-micros physical-encoding
@@ -123,7 +121,7 @@ object StreamGate extends QueryPack {
     * micro-batch flushes all of them. Gates filter the sentinel's own
     * key (< 0) from the sink. Staged once per (session, dataset). */
   private def eventsStaged(s: SparkSession, d: String): (String, org.apache.spark.sql.types.StructType) =
-    evStageMemo.getOrElseUpdate(s"${System.identityHashCode(s)}/$d", {
+    graft.SessionMemo.getOrElseUpdate[(String, org.apache.spark.sql.types.StructType)](s, "stream.evStage", d)({
       import s.implicits._
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("user_id"),
@@ -401,13 +399,11 @@ object StreamGate extends QueryPack {
   // single-aggregation registers; tagging them is a disjoint union of
   // key spaces, and each gate stays individually oracle-certified.
 
-  private val docRegMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** The documents-feed register stream (q211 HLL max-registers, q240
     * distribution count-registers), run once per (session, dataset). */
   private def docRegisters(s: SparkSession, d: String): DataFrame =
-    docRegMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.docRegisters", d)( {
       val ds = docStream(s, d)
       val hll = Stats.hllRegisterRows(ds
           .select(col("source"),
@@ -428,14 +424,12 @@ object StreamGate extends QueryPack {
         .localCheckpoint()
     })
 
-  private val evRegMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** The events-feed register stream (q218 decayed sums, q229 min/count
     * registers, q248 quantile counts, q263 bloom position set), run once
     * per (session, dataset). */
   private def eventRegisters(s: SparkSession, d: String): DataFrame =
-    evRegMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.evRegisters", d)( {
       val maxd = Tables.events(s, d).agg(max(to_date(col("ts")))).head().getDate(0)
       val cd = Behavior.clampDays
       val ev = eventStream(s, d).filter(col("event_id") >= 0)
@@ -637,8 +631,6 @@ object StreamGate extends QueryPack {
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "click_id", "purchase_id")
 
-  private val attribMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** The LEFT-OUTER interval-join attribution stream, run ONCE per
     * (session, dataset) — the production dashboard relation both
@@ -653,7 +645,7 @@ object StreamGate extends QueryPack {
     * event_id < 0); the consumers drop its key (< 0), the gate's
     * standard sentinel contract. */
   private def attributionJoined(s: SparkSession, d: String): DataFrame =
-    attribMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.attribution", d)( {
       val ev = eventStream(s, d)
       val clicks = ev
         .filter(col("event_type") === "click" || col("event_id") < 0)

@@ -253,8 +253,6 @@ object TextAnalysis extends QueryPack {
      else prefixJaccardPairsCompute(s, d, tnum, tden))
       .orderBy("a_id", "b_id")
 
-  private val prefixPairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** The default-τ prefix pair relation, memoized per (session, dataset)
     * behind a lazy localCheckpoint (the q42 `minhashLshPairsCore`
@@ -267,7 +265,7 @@ object TextAnalysis extends QueryPack {
     * ground truth goes through [[prefixVerifiedPairs]] directly) bypass
     * the memo. */
   private[graft] def prefixJaccardPairsCore(s: SparkSession, d: String): DataFrame =
-    prefixPairsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "text.prefixPairs", d)(
       prefixJaccardPairsCompute(s, d).localCheckpoint(eager = false))
 
   /** The un-memoized compute form — PlanSpec pins the prefix plan shape

@@ -71,8 +71,6 @@ object WindowDedup extends QueryPack {
     (t.select("doc_id", "nw"), win)
   }
 
-  private val postingsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Session-scoped memo of the full POSITIONAL window-hash posting
     * relation (doc_id, source, pos, wh) — the span-posting table a
@@ -86,7 +84,7 @@ object WindowDedup extends QueryPack {
     * unchanged; the tokenize + T-window md5 explode runs once per
     * (session, dataset) instead of once per report. */
   private[graft] def windowPostingsCore(s: SparkSession, d: String): DataFrame =
-    postingsMemo.getOrElseUpdate((System.identityHashCode(s), d),
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "window.postings", d)(
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), expr(toks).as("w"))
         .withColumn("nw",
