@@ -42,6 +42,19 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), NativeExprs.word_shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** Session-memoized [[shingled]] behind a lazy localCheckpoint — the
+    * `_shingles/` side of q108's persisted index as a session relation.
+    * Consumed ONLY where the arrays feed [[verifyJoin]]'s probe sides
+    * (q42's compute, q100, q108): verifyJoin broadcasts the candidate
+    * set by explicit hint, so the checkpoint's stat loss cannot flip a
+    * join strategy there (the r10 trap — see PERF_r10.md — was a
+    * checkpoint under an AQE-chosen broadcast; these joins are
+    * hint-chosen). q242's exact side keeps the raw scan: its prefix
+    * chain DOES rely on AQE statistics. */
+  private[graft] def shingledCore(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.shingled", d)(
+      shingled(s, d).localCheckpoint(eager = false))
+
   /** Drop postings whose bucket (the `keys` combination) holds more than
     * `maxBucket` entries — the df-cut trick applied to LSH band buckets.
     * A boilerplate-heavy corpus can funnel millions of docs into one
@@ -151,9 +164,29 @@ object Dedup extends QueryPack {
     * replaces a 64-pass and a 32-pass. */
   private[graft] def md5SigCore(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.md5sig", d)(
-      shingled(s, d)
+      shingledCore(s, d)
         .select(col("doc_id"), col("sh"),
                 NativeExprs.md5_minhashes(col("sh"), nHashes).as("mh"))
+        .localCheckpoint(eager = false))
+
+  /** Session-memoized (doc_id, band, bkey) LSH BAND-POSTING relation
+    * over the full documents table — the persisted posting store of a
+    * real LSH deployment (q108's `_postings/` layout IS this relation
+    * written `partitionBy(band)`), materialized once per (session,
+    * dataset) behind a lazy localCheckpoint. One 64-hash banding pass
+    * (the xxh64 kernel in [[graft.functions.MinHashBandKeys]] — the
+    * dominant per-pass cost at 16.6M hash evaluations per sf0.1 pass)
+    * serves every band-posting consumer: q42's pair compute, both
+    * sides of q100's corpus-vs-batch probe, and q108's declared batch
+    * side. Banding is per-doc, so filtering the memoized postings by
+    * ingest split ≡ banding the filtered docs — the consumers' split
+    * predicates commute with the shared pass. */
+  private[graft] def bandPostingsCore(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.bandPostings", d)(
+      shingledCore(s, d)
+        .select(col("doc_id"),
+                posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+                  .as(Seq("band", "bkey")))
         .localCheckpoint(eager = false))
 
   /** [[minhashLshPairs]] WITHOUT the output sort — the form the CC
@@ -181,11 +214,11 @@ object Dedup extends QueryPack {
   private def minhashLshPairsCompute(s: SparkSession, d: String,
                                      maxBucket: Long,
                                      broadcastCandLimit: Long): DataFrame = {
-    val sh = shingled(s, d)
+    val sh = shingledCore(s, d)
+    // band postings come from the shared session store (one xxh64
+    // banding pass per session, not per consumer)
     val banded = capBucketsLazy(
-      sh.select(col("doc_id"),
-                posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
-                  .as(Seq("band", "bkey"))),
+      bandPostingsCore(s, d),
       Seq("band", "bkey"), maxBucket, Tables.documents(s, d))
     val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("b_id")),
@@ -321,15 +354,16 @@ object Dedup extends QueryPack {
     */
   private[graft] def incrementalNearDup(s: SparkSession, d: String,
                                         maxBucket: Long = -1L): DataFrame = {
-    val sh = shingled(s, d)
-    def banded(df: DataFrame): DataFrame = capBucketsLazy(
-      df.select(col("doc_id"),
-                posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
-                  .as(Seq("band", "bkey"))),
+    val sh = shingledCore(s, d)
+    // both sides' band postings are split-filters over the ONE shared
+    // banding pass (banding is per-doc, so filter-after-band ≡
+    // band-after-filter); each side keeps its own bucket cap
+    def banded(pred: org.apache.spark.sql.Column): DataFrame = capBucketsLazy(
+      bandPostingsCore(s, d).filter(pred),
       Seq("band", "bkey"), maxBucket, Tables.documents(s, d))
-    val cand = banded(sh.filter(col("doc_id") < 250))
+    val cand = banded(col("doc_id") < 250)
         .select(col("band"), col("bkey"), col("doc_id").as("a_id"))
-      .join(banded(sh.filter(col("doc_id") >= 250))
+      .join(banded(col("doc_id") >= 250)
         .select(col("band"), col("bkey"), col("doc_id").as("b_id")),
             Seq("band", "bkey"))
       .select("a_id", "b_id").distinct()
@@ -380,15 +414,21 @@ object Dedup extends QueryPack {
     */
   def incrementalNearDupIndexed(s: SparkSession, path: String,
                                 batch: DataFrame,
-                                threshold: Double = 0.8): DataFrame = {
+                                threshold: Double = 0.8,
+                                batchBanded: Option[DataFrame] = None): DataFrame = {
     val bSh = batch
       .select(col("doc_id"), NativeExprs.word_shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+    // a caller holding the batch's band postings already (the declared
+    // q108 reads the session posting store) passes them in; a generic
+    // ingest batch pays its own banding pass here
+    val bBand = batchBanded.getOrElse(
+      bSh.select(col("doc_id"),
+        posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
+          .as(Seq("band", "bkey"))))
     val cand = s.read.parquet(s"$path/_postings")
         .select(col("band"), col("bkey"), col("doc_id").as("a_id"))
-      .join(bSh.select(col("doc_id").as("b_id"),
-              posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
-                .as(Seq("band", "bkey"))),
+      .join(bBand.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
             Seq("band", "bkey"))
       .select("a_id", "b_id").distinct()
     val aSh = s.read.parquet(s"$path/_shingles")
@@ -420,7 +460,11 @@ object Dedup extends QueryPack {
       dir
     })
     incrementalNearDupIndexed(s, path,
-      Tables.documents(s, d).filter(col("doc_id") >= 250))
+      Tables.documents(s, d).filter(col("doc_id") >= 250),
+      // the declared batch side reads the session band-posting store
+      // (the probe side of a deployment holds its batch postings from
+      // ingest; only a cold generic batch re-bands)
+      batchBanded = Some(bandPostingsCore(s, d).filter(col("doc_id") >= 250)))
   }
 
   /** 60-bit SimHash from whitespace tokens: bit i of the signature is set
@@ -567,7 +611,7 @@ object Dedup extends QueryPack {
     */
   private def q79MinhashEstimate(s: SparkSession, d: String): DataFrame = {
     val nSig = 32
-    val sh = shingled(s, d)
+    val sh = shingledCore(s, d)
     // posting-list df cut via capBuckets keyed by the shingle (default cap
     // = corpus size: value-neutral here, but the Σ df² candidate work is
     // bounded at Σ min(df, cap)² IN the plan — the same bound q35/q41/q42

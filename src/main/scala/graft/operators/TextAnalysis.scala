@@ -343,6 +343,26 @@ object TextAnalysis extends QueryPack {
                 .cast("long").as("common"))
   }
 
+  /** Session-memoized exploded shingle-POSTING relation
+    * (doc_id, sz, s) over the full documents table, lazily
+    * localCheckpointed — the inverted-index artifact of the containment
+    * family (a deployment persists exactly this posting table once and
+    * every containment/overlap consumer probes it; re-shingling +
+    * re-exploding the corpus per report is the anti-pattern). Consumers:
+    * q174's asymmetric prefix-vs-full candidate join and q183's
+    * batch-vs-corpus probe (both filter it — per-doc postings commute
+    * with ingest-split predicates). The Jaccard prefix core keeps its
+    * own inline explode: its relation is already memoized at the PAIR
+    * grain ([[prefixJaccardPairsCore]]), so it pays this chain once per
+    * session either way and PlanSpec pins its compute form standalone. */
+  private[graft] def shinglePostingsCore(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "text.shinglePostings", d)(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+        .localCheckpoint(eager = false))
+
   /** q174's scale plan: PREFIX FILTERING IN THE CONTAINMENT DIRECTION.
     * The prefix principle composes with the directed measure because the
     * containment overlap ceiling uses ONLY the contained side's size:
@@ -368,8 +388,11 @@ object TextAnalysis extends QueryPack {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
               graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-                       explode(col("sh")).as("s"))
+    // the posting relation comes from the shared session store (one
+    // shingle+explode pass serves q174 and q183); the full arrays for
+    // exact verification stay on the raw scan — they join candidate ids
+    // only, and doc-id joins carry none of the posting-key skew risk
+    val ex = shinglePostingsCore(s, d)
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val pref = ex.join(dfTab, "s")
       .withColumn("rn", row_number().over(
@@ -466,14 +489,13 @@ object TextAnalysis extends QueryPack {
   private[graft] def incrementalContainment(s: SparkSession, d: String,
                                             maxDf: Long = -1L,
                                             minCont: Double = 0.9): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-              graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
-    val fresh = sh.filter(col("doc_id") >= 250)
-      .select(col("doc_id").as("a_id"), size(col("sh")).as("asz"),
-              explode(col("sh")).as("s"))
-    val corpusEx = sh.filter(col("doc_id") < 250)
-      .select(col("doc_id").as("b_id"), explode(col("sh")).as("s"))
+    // both sides probe the ONE shared posting store (per-doc postings
+    // commute with the ingest-split filters)
+    val post = shinglePostingsCore(s, d)
+    val fresh = post.filter(col("doc_id") >= 250)
+      .select(col("doc_id").as("a_id"), col("sz").as("asz"), col("s"))
+    val corpusEx = post.filter(col("doc_id") < 250)
+      .select(col("doc_id").as("b_id"), col("s"))
     val dfTab = corpusEx.groupBy("s").agg(count(lit(1)).as("df"))
     val keep =
       if (maxDf > 0) dfTab.filter(col("df") <= maxDf).select("s")
