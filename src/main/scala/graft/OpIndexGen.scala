@@ -14,19 +14,30 @@ package graft
   * rows-only checks).
   */
 object OpIndexGen {
-  def main(args: Array[String]): Unit = {
-    for (pack <- SparkEntry.packs) {
-      val packName = pack.getClass.getSimpleName.stripSuffix("$")
-      val oracles = pack.oracles
-      for (key <- pack.queries.keys.toSeq.sorted) {
-        val kind = oracles.get(key) match {
-          case Some(sql) if sql.contains("_not_built") => "generated"
-          case Some(_)                                 => "sql"
-          // absent from the static map → produced only by oraclesFor
-          case None                                    => "generated"
-        }
-        println(s"$key\t$packName\t$kind")
+
+  /** (key, owning pack, oracle kind) for every declared query — the
+    * stable registry content of the README table (the `registered at`
+    * file:line column is resolved by grep in tools/gen_opindex.py and
+    * shifts with unrelated edits, so it is display-only, not contract).
+    * OpIndexSpec string-compares THIS against the committed README
+    * section, which is what makes the registry ↔ README index match a
+    * failing test instead of a convention. */
+  def rows: Seq[(String, String, String)] =
+    for {
+      pack <- SparkEntry.packs
+      packName = pack.getClass.getSimpleName.stripSuffix("$")
+      oracles = pack.oracles
+      key <- pack.queries.keys.toSeq.sorted
+    } yield {
+      val kind = oracles.get(key) match {
+        case Some(sql) if sql.contains("_not_built") => "generated"
+        case Some(_)                                 => "sql"
+        // absent from the static map → produced only by oraclesFor
+        case None                                    => "generated"
       }
+      (key, packName, kind)
     }
-  }
+
+  def main(args: Array[String]): Unit =
+    rows.foreach { case (k, p, o) => println(s"$k\t$p\t$o") }
 }

@@ -145,6 +145,22 @@ object StreamGate extends QueryPack {
       .parquet(dir)
   }
 
+  /** Dev-probe hooks for graft.tools.StreamFloor: the staged sources
+    * and the bounded runner exposed so the per-gate fixed cost (query
+    * start + state-store instantiation + AvailableNow scheduling) can
+    * be measured over the IDENTICAL staging + sink machinery the
+    * declared gates use — an external reimplementation would measure a
+    * different floor. Not part of any declared query. */
+  private[graft] def probeDocStream(s: SparkSession, d: String): DataFrame =
+    docStream(s, d)
+  private[graft] def probeEventStream(s: SparkSession, d: String): DataFrame =
+    eventStream(s, d)
+  private[graft] def probeRunToBatch(s: SparkSession, out: DataFrame,
+                                     outputMode: String = "append"): DataFrame =
+    runToBatch(s, out, outputMode)
+  private[graft] def probeRunToBatchRocks(s: SparkSession, out: DataFrame): DataFrame =
+    runToBatchRocks(s, out)
+
   /** Streaming incremental exact dedup vs the static existing corpus,
     * through the BLOOM-split path (map-side definitive negatives + exact
     * anti-join for positives) — output is exact regardless of fpp, which
