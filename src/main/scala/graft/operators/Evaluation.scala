@@ -325,6 +325,172 @@ object Evaluation extends QueryPack {
                 * 1000000 / (n_terms * total_tokens)) / 1000000""").as("gini"))
   }
 
+  // ---------------------------------------------------------------------
+  // Preference-data prep (q280–q282) — the pairwise (prompt, response A,
+  // response B) record model every RLHF/DPO pipeline audits before
+  // training. Records derive deterministically from the documents table
+  // (record r: prompt = doc 3r, response A = doc 3r+1, response B =
+  // doc 3r+2 — complete triples only), and the two "annotators" are the
+  // repo's two certified document raters (q269's linear model and a
+  // structural rule), lifted from doc-grain keep/drop to PAIR-grain
+  // preference by score comparison.
+
+  /** Per-doc integer features (token count, stopword count, summed word
+    * length) — q269's feature scan, shared by the preference gates. */
+  private def prefFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(graft.functions.TextExprs.let1(
+        graft.functions.TextExprs.toks, "w",
+        """named_struct(
+             'n', size(w),
+             'ns', size(filter(w, x -> x IN ('a', 'the'))),
+             'sl', aggregate(w, 0, (acc, x) -> acc + length(x)))""")).as("f"))
+      .select(col("doc_id"), col("f.n").as("n"), col("f.ns").as("ns"),
+              col("f.sl").as("sl"))
+
+  /** The per-record rater verdicts ('A' / 'B' / 'T'): rater 1 compares
+    * q269's linear-model score (identical double expression on identical
+    * integers — the certified cross-engine comparison form), rater 2 is
+    * lexicographic structural preference (more tokens within an 80-token
+    * budget, stopword count as tie-break). One row per complete record. */
+  private def prefVerdicts(s: SparkSession, d: String): DataFrame = {
+    val f = prefFeatures(s, d)
+    val a = f.filter(col("doc_id") % 3 === 1)
+      .select(expr("(doc_id - 1) div 3").as("r"), col("n").as("na"),
+              col("ns").as("nsa"), col("sl").as("sla"))
+    val b = f.filter(col("doc_id") % 3 === 2)
+      .select(expr("(doc_id - 2) div 3").as("r"), col("n").as("nb"),
+              col("ns").as("nsb"), col("sl").as("slb"))
+    a.join(b, "r")
+      .select(col("r"),
+        expr("""CASE WHEN 0.015 * na + 3.0 * (nsa / cast(na as double))
+                          - 0.25 * (sla / cast(na as double))
+                        > 0.015 * nb + 3.0 * (nsb / cast(nb as double))
+                          - 0.25 * (slb / cast(nb as double)) THEN 'A'
+                     WHEN 0.015 * na + 3.0 * (nsa / cast(na as double))
+                          - 0.25 * (sla / cast(na as double))
+                        < 0.015 * nb + 3.0 * (nsb / cast(nb as double))
+                          - 0.25 * (slb / cast(nb as double)) THEN 'B'
+                     ELSE 'T' END""").as("r1"),
+        expr("""CASE WHEN least(na, 80) > least(nb, 80) THEN 'A'
+                     WHEN least(na, 80) < least(nb, 80) THEN 'B'
+                     WHEN nsa > nsb THEN 'A'
+                     WHEN nsa < nsb THEN 'B'
+                     ELSE 'T' END""").as("r2"))
+  }
+
+  /** q280: PAIR-GRAIN INTER-ANNOTATOR AGREEMENT — q269's Cohen's κ
+    * generalized to the 3-category preference verdict (A / B / tie),
+    * the first number any preference dataset reports (noisy-rater pairs
+    * poison a reward model far faster than noisy doc labels). The 3×3
+    * confusion cells are exact integer sums; po/pe/κ close in floored
+    * double divisions; κ carries q269's degenerate-denominator guard. */
+  private def q280PreferenceKappa(s: SparkSession, d: String): DataFrame = {
+    val v = prefVerdicts(s, d)
+    val cells = Seq("A", "B", "T").flatMap(x => Seq("A", "B", "T").map(y =>
+      sum(expr(s"CASE WHEN r1 = '$x' AND r2 = '$y' THEN 1L ELSE 0L END"))
+        .as(s"c_${x.toLowerCase}${y.toLowerCase}")))
+    v.agg(count(lit(1)).as("n_records"), cells: _*)
+      .select(col("n_records"),
+        col("c_aa"), col("c_ab"), col("c_at"),
+        col("c_ba"), col("c_bb"), col("c_bt"),
+        col("c_ta"), col("c_tb"), col("c_tt"),
+        expr("""floor(cast(c_aa + c_bb + c_tt as double) * 1000000
+                      / n_records) / 1000000""").as("po"),
+        expr("""floor(cast((c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                           + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                           + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt) as double)
+                      * 1000000 / (n_records * n_records)) / 1000000""").as("pe"),
+        expr("""CASE WHEN n_records * n_records =
+                          (c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                          + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                          + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt)
+                THEN 0.0
+                ELSE floor(cast(n_records * (c_aa + c_bb + c_tt)
+                           - ((c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                              + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                              + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt)) as double)
+                      * 1000000
+                      / (n_records * n_records
+                         - ((c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                            + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                            + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt))))
+                     / 1000000 END""").as("kappa"))
+  }
+
+  /** q281: POSITION-BIAS / TIE AUDIT — does a rater systematically
+    * prefer the first-presented response? Presentation order alternates
+    * deterministically (record r presents A first iff r is even — the
+    * swap-randomization a real pipeline applies), so an order-blind
+    * rater splits its non-tie preferences ~50/50 on presentation
+    * position regardless of content. One conditional aggregate serves
+    * both raters; the two report rows explode from it (the q154
+    * single-pass discipline). first_share is floored ppm over non-tie
+    * preferences, guarded for the all-tie degenerate case. */
+  private def q281PositionBias(s: SparkSession, d: String): DataFrame = {
+    val v = prefVerdicts(s, d)
+      .withColumn("first", expr("IF(r % 2 = 0, 'A', 'B')"))
+    val agg = v.agg(count(lit(1)).as("n_records"),
+      sum(expr("CASE WHEN r1 <> 'T' AND r1 = first THEN 1L ELSE 0L END")).as("f1"),
+      sum(expr("CASE WHEN r1 <> 'T' AND r1 <> first THEN 1L ELSE 0L END")).as("s1"),
+      sum(expr("CASE WHEN r1 = 'T' THEN 1L ELSE 0L END")).as("t1"),
+      sum(expr("CASE WHEN r2 <> 'T' AND r2 = first THEN 1L ELSE 0L END")).as("f2"),
+      sum(expr("CASE WHEN r2 <> 'T' AND r2 <> first THEN 1L ELSE 0L END")).as("s2"),
+      sum(expr("CASE WHEN r2 = 'T' THEN 1L ELSE 0L END")).as("t2"))
+    agg.select(col("n_records"), explode(expr(
+        """array(named_struct('rater', 'model',
+                              'n_pref_first', f1, 'n_pref_second', s1,
+                              'n_tie', t1),
+                 named_struct('rater', 'structural',
+                              'n_pref_first', f2, 'n_pref_second', s2,
+                              'n_tie', t2))""")).as("x"))
+      .select(col("x.rater").as("rater"), col("n_records"),
+              col("x.n_pref_first").as("n_pref_first"),
+              col("x.n_pref_second").as("n_pref_second"),
+              col("x.n_tie").as("n_tie"))
+      .withColumn("first_share_ppm", expr(
+        """CASE WHEN n_pref_first + n_pref_second = 0 THEN 0L
+           ELSE n_pref_first * 1000000 div (n_pref_first + n_pref_second)
+           END"""))
+      .withColumn("tie_ppm", expr("n_tie * 1000000 div n_records"))
+      .orderBy("rater")
+  }
+
+  /** q282: PROMPT NEAR-DUP SPLIT LEAKAGE — q122/q124's argument at the
+    * preference-record grain: two records whose PROMPTS are near-dups
+    * must land in one split, or the reward model evals on paraphrases
+    * of its training prompts. Near-dup prompt pairs come from the
+    * session pair core (q42's exact-verified relation, restricted to
+    * prompt ids ≡ 0 mod 3); `leak_naive` counts pairs split apart by
+    * record-grain hashing, `leak_cluster` the same under q73's
+    * cluster-grain assignment — structurally 0, and the gate PROVES it
+    * cross-engine rather than asserting it. Scale shape: id-only probes
+    * of two memoized relations plus per-row hash buckets. */
+  private def q282PreferenceLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: String) = expr(
+      s"""CASE WHEN cast(conv(substr(md5(cast($c as string)), 1, 15), 16, 10)
+                    as bigint) % 100 < 80 THEN 'train'
+              WHEN cast(conv(substr(md5(cast($c as string)), 1, 15), 16, 10)
+                    as bigint) % 100 < 90 THEN 'val'
+              ELSE 'test' END""")
+    val asg = Dedup.clusterAssignmentOf(s, d).select(col("doc_id"), col("cluster_id"))
+    val pairs = Dedup.minhashLshPairsCore(s, d)
+      .filter(col("a_id") % 3 === 0 && col("b_id") % 3 === 0)
+      .select(col("a_id"), col("b_id"))
+      .join(asg.select(col("doc_id").as("a_id"), col("cluster_id").as("ca")), "a_id")
+      .join(asg.select(col("doc_id").as("b_id"), col("cluster_id").as("cb")), "b_id")
+      .withColumn("ra", expr("a_id div 3")).withColumn("rb", expr("b_id div 3"))
+    val pAgg = pairs.agg(
+      count(lit(1)).as("n_neardup_prompt_pairs"),
+      coalesce(sum(when(splitOf("ra") =!= splitOf("rb"), 1L).otherwise(0L)), lit(0L))
+        .as("leak_naive"),
+      coalesce(sum(when(splitOf("ca") =!= splitOf("cb"), 1L).otherwise(0L)), lit(0L))
+        .as("leak_cluster"))
+    val nRec = prefVerdicts(s, d).agg(count(lit(1)).as("n_records"))
+    nRec.crossJoin(pAgg)
+      .select("n_records", "n_neardup_prompt_pairs", "leak_naive", "leak_cluster")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
@@ -333,7 +499,49 @@ object Evaluation extends QueryPack {
     "q277_auc" -> q277Auc _,
     "q278_benford" -> q278Benford _,
     "q279_gini" -> q279Gini _,
+    "q280_preference_kappa" -> q280PreferenceKappa _,
+    "q281_position_bias" -> q281PositionBias _,
+    "q282_preference_leakage" -> q282PreferenceLeakage _,
   )
+
+  /** The preference-record verdict CTE chain shared by the q280/q281
+    * oracles — mirrors [[prefVerdicts]] expression for expression (the
+    * rater-1 comparison drops q269's constant 0.1 on BOTH sides, so the
+    * decision is unchanged and the float form stays identical across
+    * engines). */
+  private val prefVerdictSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM documents),
+       f AS (SELECT doc_id, len(w) AS n,
+                    len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                    list_sum(list_transform(w, x -> length(x))) AS sl
+             FROM t),
+       pa AS (SELECT (doc_id - 1) // 3 AS r, n AS na, ns AS nsa, sl AS sla
+              FROM f WHERE doc_id % 3 = 1),
+       pb AS (SELECT (doc_id - 2) // 3 AS r, n AS nb, ns AS nsb, sl AS slb
+              FROM f WHERE doc_id % 3 = 2),
+       v AS (SELECT pa.r AS r,
+               CASE WHEN 0.015 * na + 3.0 * (nsa / CAST(na AS DOUBLE))
+                         - 0.25 * (sla / CAST(na AS DOUBLE))
+                       > 0.015 * nb + 3.0 * (nsb / CAST(nb AS DOUBLE))
+                         - 0.25 * (slb / CAST(nb AS DOUBLE)) THEN 'A'
+                    WHEN 0.015 * na + 3.0 * (nsa / CAST(na AS DOUBLE))
+                         - 0.25 * (sla / CAST(na AS DOUBLE))
+                       < 0.015 * nb + 3.0 * (nsb / CAST(nb AS DOUBLE))
+                         - 0.25 * (slb / CAST(nb AS DOUBLE)) THEN 'B'
+                    ELSE 'T' END AS r1,
+               CASE WHEN least(na, 80) > least(nb, 80) THEN 'A'
+                    WHEN least(na, 80) < least(nb, 80) THEN 'B'
+                    WHEN nsa > nsb THEN 'A'
+                    WHEN nsa < nsb THEN 'B'
+                    ELSE 'T' END AS r2
+             FROM pa JOIN pb USING (r))"""
+
+  /** The nine exact confusion-cell sums of the q280 oracle. */
+  private val prefCellsSql: Seq[String] =
+    for (x <- Seq("a", "b", "t"); y <- Seq("a", "b", "t")) yield
+      s"CAST(sum(CASE WHEN r1 = '${x.toUpperCase}' AND r2 = '${y.toUpperCase}' " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS c_$x$y"
 
   private val ndcgValuesSql: String =
     ndcgQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
@@ -374,6 +582,108 @@ object Evaluation extends QueryPack {
                 floor(CAST(2 * swr - (n_terms + 1) * total_tokens AS DOUBLE)
                       * 1000000 / (n_terms * total_tokens)) / 1000000 AS gini
          FROM m""",
+    // q280: the shared verdict CTE + exact 3x3 confusion cells; po/pe/
+    // kappa floored, kappa guarded (the q269 degenerate form)
+    "q280_preference_kappa" ->
+      s"""$prefVerdictSql,
+         c AS (SELECT count(*) AS n_records,
+                      ${prefCellsSql.mkString(",\n                      ")}
+               FROM v)
+         SELECT n_records, c_aa, c_ab, c_at, c_ba, c_bb, c_bt,
+                c_ta, c_tb, c_tt,
+                floor(CAST(c_aa + c_bb + c_tt AS DOUBLE) * 1000000
+                      / n_records) / 1000000 AS po,
+                floor(CAST((c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                           + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                           + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt) AS DOUBLE)
+                      * 1000000 / (n_records * n_records)) / 1000000 AS pe,
+                CASE WHEN n_records * n_records =
+                          (c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                          + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                          + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt)
+                THEN 0.0
+                ELSE floor(CAST(n_records * (c_aa + c_bb + c_tt)
+                           - ((c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                              + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                              + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt)) AS DOUBLE)
+                      * 1000000
+                      / (n_records * n_records
+                         - ((c_aa+c_ab+c_at) * (c_aa+c_ba+c_ta)
+                            + (c_ba+c_bb+c_bt) * (c_ab+c_bb+c_tb)
+                            + (c_ta+c_tb+c_tt) * (c_at+c_bt+c_tt))))
+                     / 1000000 END AS kappa
+         FROM c""",
+    // q281: one conditional aggregate, two report rows (UNION ALL over
+    // the single agg CTE mirrors the Spark explode)
+    "q281_position_bias" ->
+      s"""$prefVerdictSql,
+         w2 AS (SELECT r, r1, r2,
+                       CASE WHEN r % 2 = 0 THEN 'A' ELSE 'B' END AS fst
+                FROM v),
+         g AS (SELECT count(*) AS n_records,
+                 CAST(sum(CASE WHEN r1 <> 'T' AND r1 = fst THEN 1 ELSE 0 END)
+                   AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN r1 <> 'T' AND r1 <> fst THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN r1 = 'T' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t1,
+                 CAST(sum(CASE WHEN r2 <> 'T' AND r2 = fst THEN 1 ELSE 0 END)
+                   AS BIGINT) AS f2,
+                 CAST(sum(CASE WHEN r2 <> 'T' AND r2 <> fst THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN r2 = 'T' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS t2
+               FROM w2)
+         SELECT 'model' AS rater, n_records, f1 AS n_pref_first,
+                s1 AS n_pref_second, t1 AS n_tie,
+                CASE WHEN f1 + s1 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE f1 * 1000000 // (f1 + s1) END AS first_share_ppm,
+                t1 * 1000000 // n_records AS tie_ppm
+         FROM g
+         UNION ALL
+         SELECT 'structural' AS rater, n_records, f2 AS n_pref_first,
+                s2 AS n_pref_second, t2 AS n_tie,
+                CASE WHEN f2 + s2 = 0 THEN CAST(0 AS BIGINT)
+                     ELSE f2 * 1000000 // (f2 + s2) END AS first_share_ppm,
+                t2 * 1000000 // n_records AS tie_ppm
+         FROM g
+         ORDER BY rater""",
+    // q282: q42's exact pair SQL restricted to prompt ids + q73's
+    // recursive cluster closure (the q124 composition), both split
+    // hashes spelled with the shared md5 bucket function
+    "q282_preference_leakage" -> {
+      def splitOf(c: String) =
+        s"""CASE WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END"""
+      s"""WITH prs AS (SELECT a_id, b_id
+                       FROM (${Dedup.oracles("q42_minhash_lsh")})
+                       WHERE a_id % 3 = 0 AND b_id % 3 = 0),
+         asg AS (SELECT doc_id, cluster_id
+                 FROM (${Dedup.oracles("q73_dedup_clusters")})),
+         j AS (SELECT p.a_id // 3 AS ra, p.b_id // 3 AS rb,
+                      ca.cluster_id AS ca, cb.cluster_id AS cb
+               FROM prs p JOIN asg ca ON p.a_id = ca.doc_id
+                          JOIN asg cb ON p.b_id = cb.doc_id),
+         pagg AS (SELECT count(*) AS n_neardup_prompt_pairs,
+                    COALESCE(CAST(sum(CASE WHEN ${splitOf("ra")}
+                             <> ${splitOf("rb")} THEN 1 ELSE 0 END)
+                      AS BIGINT), 0) AS leak_naive,
+                    COALESCE(CAST(sum(CASE WHEN ${splitOf("ca")}
+                             <> ${splitOf("cb")} THEN 1 ELSE 0 END)
+                      AS BIGINT), 0) AS leak_cluster
+                  FROM j),
+         rec AS (SELECT count(*) AS n_records
+                 FROM (SELECT (doc_id - 1) // 3 AS r FROM documents
+                       WHERE doc_id % 3 = 1) x
+                 JOIN (SELECT (doc_id - 2) // 3 AS r FROM documents
+                       WHERE doc_id % 3 = 2) y USING (r))
+         SELECT rec.n_records, pagg.n_neardup_prompt_pairs,
+                pagg.leak_naive, pagg.leak_cluster
+         FROM rec, pagg"""
+    },
     "q267_ndcg" ->
       s"""WITH qs(query_id, term) AS (VALUES $ndcgValuesSql),
          p AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))

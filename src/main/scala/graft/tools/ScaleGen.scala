@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: generate a SCALED copy of the synthetic corpus for the
+  * scale study (PERF.md) — same statistical shape as the driver's
+  * tables, N× the rows, fully deterministic (every random draw is an
+  * xxhash64 of the row id, so the output is independent of partitioning
+  * and re-runs bit-identically).
+  *
+  * Self-calibrating: vocabulary, language mix, twin density and
+  * embedding cluster centroids/spreads are measured FROM the base
+  * dataset rather than hardcoded, so the generated corpus tracks the
+  * driver generator's observable statistics:
+  *  - documents: uniform token draws from the base's 30-word core
+  *    vocabulary, uniform 10–100 token lengths, source = src{id%20}
+  *    (the base's exact layout), languages at the base's measured mix;
+  *    ~1/19 of docs are near-identical TWINS of their predecessor (one
+  *    interior token replaced by the rare `dup` marker — J ≳ 0.85 on
+  *    3-gram shingles for docs ≥ 30 tokens, the base's planted-pair
+  *    density), which also reproduces the base's directed-containment
+  *    pair density (a twin contains ~94% of its base both ways).
+  *  - embeddings: 10 clusters; per-(label, dim) mean/std measured from
+  *    the base, points = centroid + Box–Muller Gaussian noise.
+  *  - all other tables are copied from the base unchanged (the study
+  *    families read documents/embeddings only).
+  *
+  * Usage: ScaleGen <baseDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val base = args(0); val out = args(1); val factor = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- calibrate from the base corpus ----------------------------
+    val baseDocs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = baseDocs.count() * factor
+    // core vocabulary: every token within 2× of the modal count (the
+    // base is a uniform 30-word draw + the rare `dup` marker)
+    val tokCounts = baseDocs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .collect()
+    val modal = tokCounts.head.getLong(1)
+    val vocab = tokCounts.filter(_.getLong(1) * 2 > modal).map(_.getString(0))
+    require(vocab.length >= 10, s"degenerate base vocabulary: ${vocab.length}")
+    // language mix in per-mille, deterministic order
+    val langRows = baseDocs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect()
+    val nBase = langRows.map(_.getLong(1)).sum.toDouble
+    val langCut = langRows.scanLeft(("", 0L)) { case ((_, acc), r) =>
+      (r.getString(0), acc + math.round(r.getLong(1) / nBase * 1000)) }.tail
+    val nSources = baseDocs.select(countDistinct("source")).head().getLong(0)
+
+    // ---- documents --------------------------------------------------
+    val v = vocab.length
+    val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+    def lenOf(idCol: String) = s"(10 + pmod(xxhash64($idCol, 0L), 91))"
+    val langSql = langCut.init.foldRight(s"'${langCut.last._1}'") {
+      case ((l, cut), tail) => s"IF(pmod(xxhash64(id, 999L), 1000) < $cut, '$l', $tail)"
+    }
+    val docs = spark.range(nDocs)
+      .withColumn("is_twin", expr(
+        s"id % 19 = 1 AND id >= 1 AND ${lenOf("id - 1")} >= 30"))
+      .withColumn("sid", expr("IF(is_twin, id - 1, id)"))
+      .withColumn("L", expr(lenOf("sid")))
+      .withColumn("toks0", expr(
+        s"transform(sequence(1L, L), i -> element_at($vocabSql, " +
+          s"cast(1 + pmod(xxhash64(sid, i), $v) as int)))"))
+      // twin: ONE interior token -> the rare `dup` marker (kills 3
+      // shingles of ~L-2: J = (S-3)/(S+3) >= 0.8 for S >= 27)
+      .withColumn("p", expr("cast(3 + pmod(xxhash64(id, 12345L), L - 4) as bigint)"))
+      .withColumn("toks", expr(
+        "IF(is_twin, transform(toks0, (t, i) -> IF(i + 1 = p, 'dup', t)), toks0)"))
+      .select(
+        col("id").as("doc_id"),
+        array_join(col("toks"), " ").as("text"),
+        expr(langSql).as("lang"),
+        expr(s"concat('src', pmod(id, $nSources))").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.coalesce(math.max(1, factor / 2))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // ---- embeddings --------------------------------------------------
+    val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nEmb = baseEmb.count() * factor
+    val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+    val stats = baseEmb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg("x").as("mu"), stddev_pop("x").as("sd"))
+      .groupBy("label")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)").as("mu"),
+        expr("transform(array_sort(collect_list(struct(pos, sd))), s -> s.sd)").as("sd"))
+    val emb = spark.range(nEmb)
+      .select(col("id").as("vec_id"),
+              expr("cast(pmod(xxhash64(id, 7L), 10) as int)").as("label"))
+      .join(broadcast(stats), "label")
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), j -> cast(
+              element_at(mu, j + 1) + element_at(sd, j + 1) *
+              sqrt(-2.0 * ln((pmod(xxhash64(vec_id, cast(j * 2 + 101 as long)), 1000000) + 0.5) / 1000000.0)) *
+              cos(2.0 * pi() * (pmod(xxhash64(vec_id, cast(j * 2 + 102 as long)), 1000000) + 0.5) / 1000000.0)
+            as float))"""))
+      .select("vec_id", "embedding", "label")
+    emb.coalesce(math.max(1, factor / 2))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ---- remaining tables: copied from the base ---------------------
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events")) {
+      val src = java.nio.file.Paths.get(s"$base/$t.parquet")
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"""{"out":"$out","factor":$factor,"docs":$nDocs,"embeddings":$nEmb,"vocab":$v}""")
+    spark.stop()
+  }
+}
