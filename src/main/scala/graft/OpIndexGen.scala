@@ -26,13 +26,20 @@ object OpIndexGen {
     for {
       pack <- SparkEntry.packs
       packName = pack.getClass.getSimpleName.stripSuffix("$")
-      oracles = pack.oracles
+      // Probe oraclesFor with a dir no query ever built for: every
+      // generated-oracle entry is keyed by a per-dir codebook cache, so
+      // the probe returns its `_not_built` placeholder REGARDLESS of
+      // what this process has trained. (Classifying off the static
+      // `oracles` map was state-dependent: a pack whose fallback embeds
+      // the one trained codebook flips kind once another query trains
+      // it — OpIndexSpec flaked in the full suite exactly that way.)
+      oracles = pack.oraclesFor("__opindex_probe__")
       key <- pack.queries.keys.toSeq.sorted
     } yield {
       val kind = oracles.get(key) match {
         case Some(sql) if sql.contains("_not_built") => "generated"
         case Some(_)                                 => "sql"
-        // absent from the static map → produced only by oraclesFor
+        // absent even from oraclesFor → produced only at query build
         case None                                    => "generated"
       }
       (key, packName, kind)

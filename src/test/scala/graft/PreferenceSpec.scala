@@ -1,0 +1,55 @@
+package graft
+
+/** Behavioral pins for the preference-data prep pack (q280–q282) beyond
+  * the DuckDB hash gate: internal consistency of the record model and
+  * the structural guarantees the gates exist to demonstrate.
+  */
+class PreferenceSpec extends SparkTestBase {
+
+  private def row1(q: String) =
+    SparkEntry.queries(q)(spark, sfDir).collect().head
+
+  test("q280: confusion cells partition the records; kappa/po/pe in range") {
+    val r = row1("q280_preference_kappa")
+    val n = r.getAs[Long]("n_records")
+    val cells = Seq("c_aa", "c_ab", "c_at", "c_ba", "c_bb", "c_bt",
+                    "c_ta", "c_tb", "c_tt").map(r.getAs[Long](_))
+    assert(n > 0, "the sf0.001 corpus must yield complete records")
+    assert(cells.sum == n, "the 3x3 cells must partition the records")
+    val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+    val k = r.getAs[Double]("kappa")
+    assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0)
+    assert(k >= -1.0 && k <= 1.0 && !k.isNaN, s"kappa out of range: $k")
+  }
+
+  test("q281: per-rater counts partition the records; ppm fields bounded") {
+    val rows = SparkEntry.queries("q281_position_bias")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("rater")).toSeq == Seq("model", "structural"))
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_records")
+      assert(r.getAs[Long]("n_pref_first") + r.getAs[Long]("n_pref_second") +
+        r.getAs[Long]("n_tie") == n)
+      val share = r.getAs[Long]("first_share_ppm")
+      assert(share >= 0L && share <= 1000000L)
+      assert(r.getAs[Long]("tie_ppm") >= 0L && r.getAs[Long]("tie_ppm") <= 1000000L)
+    }
+  }
+
+  test("q282: cluster-grain assignment leaks zero near-dup prompt pairs") {
+    val r = row1("q282_preference_leakage")
+    assert(r.getAs[Long]("leak_cluster") == 0L,
+      "near-dup prompts share a CC cluster by construction - a nonzero " +
+        "cluster leak means the assignment or the split hash broke")
+    assert(r.getAs[Long]("leak_naive") <= r.getAs[Long]("n_neardup_prompt_pairs"))
+    assert(r.getAs[Long]("n_records") > 0)
+  }
+
+  test("q280/q281 read the same record population") {
+    val n280 = row1("q280_preference_kappa").getAs[Long]("n_records")
+    val n281 = SparkEntry.queries("q281_position_bias")(spark, sfDir)
+      .collect().head.getAs[Long]("n_records")
+    val n282 = row1("q282_preference_leakage").getAs[Long]("n_records")
+    assert(n280 == n281 && n281 == n282,
+      "the three gates must agree on the complete-record count")
+  }
+}
