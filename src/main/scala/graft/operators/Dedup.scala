@@ -44,13 +44,19 @@ object Dedup extends QueryPack {
 
   /** Session-memoized [[shingled]] behind a lazy localCheckpoint — the
     * `_shingles/` side of q108's persisted index as a session relation.
-    * Consumed ONLY where the arrays feed [[verifyJoin]]'s probe sides
-    * (q42's compute, q100, q108): verifyJoin broadcasts the candidate
-    * set by explicit hint, so the checkpoint's stat loss cannot flip a
-    * join strategy there (the r10 trap — see PERF_r10.md — was a
-    * checkpoint under an AQE-chosen broadcast; these joins are
-    * hint-chosen). q242's exact side keeps the raw scan: its prefix
-    * chain DOES rely on AQE statistics. */
+    * Consumers and why each is safe against the r10 stat-loss trap
+    * (PERF_r10.md: a checkpoint under an AQE-chosen broadcast flipped
+    * q242 to a skew-concentrated SMJ):
+    *  - q42's compute, q100, q108 — the arrays feed [[verifyJoin]]'s
+    *    probe sides, and verifyJoin broadcasts the candidate set by
+    *    EXPLICIT hint, so stats never pick the strategy;
+    *  - q79 — its posting self-join branches read the capBuckets
+    *    window exchange (ReusedExchange, the PlanSpec-pinned shape) and
+    *    the bucket cap joins via an explicit broadcast() hint; A/B
+    *    measured faster (1.80 → 1.51 s at sf0.1).
+    * Any NEW consumer must state which of the two arguments covers it.
+    * q242's exact side keeps the raw scan: its prefix chain DOES rely
+    * on AQE statistics. */
   private[graft] def shingledCore(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrElseUpdate[DataFrame](s, "dedup.shingled", d)(
       shingled(s, d).localCheckpoint(eager = false))
@@ -421,7 +427,11 @@ object Dedup extends QueryPack {
       .filter(size(col("sh")) > 0)
     // a caller holding the batch's band postings already (the declared
     // q108 reads the session posting store) passes them in; a generic
-    // ingest batch pays its own banding pass here
+    // ingest batch pays its own banding pass here. PRECONDITION (not
+    // checkable here without recomputing the banding): batchBanded must
+    // be the (doc_id, band, bkey) postings of exactly `batch`'s doc set
+    // under this object's (nHashes, nBands) — postings for a different
+    // doc set or banding silently corrupt the candidate set
     val bBand = batchBanded.getOrElse(
       bSh.select(col("doc_id"),
         posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))

@@ -353,7 +353,15 @@ object Evaluation extends QueryPack {
     * integers — the certified cross-engine comparison form), rater 2 is
     * lexicographic structural preference (more tokens within an 80-token
     * budget, stopword count as tie-break). One row per complete record. */
-  private def prefVerdicts(s: SparkSession, d: String): DataFrame = {
+  private def prefVerdicts(s: SparkSession, d: String): DataFrame =
+    // three declared consumers (q280, q281, q282's record count) read
+    // the identical relation — the standard SessionMemo + lazy
+    // localCheckpoint shape, so the corpus feature scan and the A/B
+    // join run once per (session, dataset)
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "eval.prefVerdicts", d)(
+      prefVerdictsCompute(s, d).localCheckpoint(eager = false))
+
+  private def prefVerdictsCompute(s: SparkSession, d: String): DataFrame = {
     val f = prefFeatures(s, d)
     val a = f.filter(col("doc_id") % 3 === 1)
       .select(expr("(doc_id - 1) div 3").as("r"), col("n").as("na"),
@@ -452,7 +460,9 @@ object Evaluation extends QueryPack {
         """CASE WHEN n_pref_first + n_pref_second = 0 THEN 0L
            ELSE n_pref_first * 1000000 div (n_pref_first + n_pref_second)
            END"""))
-      .withColumn("tie_ppm", expr("n_tie * 1000000 div n_records"))
+      .withColumn("tie_ppm", expr(
+        """CASE WHEN n_records = 0 THEN 0L
+           ELSE n_tie * 1000000 div n_records END"""))
       .orderBy("rater")
   }
 
@@ -638,14 +648,16 @@ object Evaluation extends QueryPack {
                 s1 AS n_pref_second, t1 AS n_tie,
                 CASE WHEN f1 + s1 = 0 THEN CAST(0 AS BIGINT)
                      ELSE f1 * 1000000 // (f1 + s1) END AS first_share_ppm,
-                t1 * 1000000 // n_records AS tie_ppm
+                CASE WHEN n_records = 0 THEN CAST(0 AS BIGINT)
+                     ELSE t1 * 1000000 // n_records END AS tie_ppm
          FROM g
          UNION ALL
          SELECT 'structural' AS rater, n_records, f2 AS n_pref_first,
                 s2 AS n_pref_second, t2 AS n_tie,
                 CASE WHEN f2 + s2 = 0 THEN CAST(0 AS BIGINT)
                      ELSE f2 * 1000000 // (f2 + s2) END AS first_share_ppm,
-                t2 * 1000000 // n_records AS tie_ppm
+                CASE WHEN n_records = 0 THEN CAST(0 AS BIGINT)
+                     ELSE t2 * 1000000 // n_records END AS tie_ppm
          FROM g
          ORDER BY rater""",
     // q282: q42's exact pair SQL restricted to prompt ids + q73's

@@ -102,9 +102,17 @@ object ScaleGen {
       .agg(
         expr("transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)").as("mu"),
         expr("transform(array_sort(collect_list(struct(pos, sd))), s -> s.sd)").as("sd"))
+    // draw labels from the base's ACTUAL label domain (not an assumed
+    // 0..9): an inner join on a label outside the domain would silently
+    // drop generated rows while the summary still claimed nEmb
+    val labels = stats.select("label").orderBy("label")
+      .collect().map(_.getInt(0))
+    require(labels.nonEmpty, "base embeddings have no labels")
+    val labelSql = labels.mkString("array(", ", ", ")")
     val emb = spark.range(nEmb)
       .select(col("id").as("vec_id"),
-              expr("cast(pmod(xxhash64(id, 7L), 10) as int)").as("label"))
+              expr(s"element_at($labelSql, cast(1 + pmod(xxhash64(id, 7L), " +
+                s"${labels.length}) as int))").as("label"))
       .join(broadcast(stats), "label")
       .withColumn("embedding", expr(
         s"""transform(sequence(0, ${dim - 1}), j -> cast(
