@@ -29,6 +29,35 @@ import org.apache.spark.sql.functions._
   * Usage: ScaleGen <baseDir> <outDir> <factor>
   */
 object ScaleGen {
+
+  /** Write `df` as ONE parquet FILE at `$out/$name.parquet` — the
+    * driver's physical layout. The layout is load-bearing, not
+    * cosmetic: StreamGate's staging symlinks `<table>.parquet` into a
+    * file-stream source dir, and a symlinked DIRECTORY yields zero
+    * input files there — the doc-stream gates then measure an empty
+    * stream's floor while looking green (caught in the round-11
+    * streaming study: rows=0 at every factor). */
+  private def writeSingleFile(df: DataFrame, out: String, name: String): Unit = {
+    val tmp = s"$out/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpDir = java.nio.file.Paths.get(tmp)
+    val part = java.nio.file.Files.list(tmpDir).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$out/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        moved = true
+      }
+    }
+    require(moved, s"no part file produced for $name")
+    java.nio.file.Files.list(tmpDir).forEach(f => java.nio.file.Files.delete(f))
+    java.nio.file.Files.delete(tmpDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args(0); val out = args(1); val factor = args(2).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,8 +116,7 @@ object ScaleGen {
         expr(langSql).as("lang"),
         expr(s"concat('src', pmod(id, $nSources))").as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    docs.coalesce(math.max(1, factor / 2))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    writeSingleFile(docs, out, "documents")
 
     // ---- embeddings --------------------------------------------------
     val baseEmb = spark.read.parquet(s"$base/embeddings.parquet")
@@ -121,12 +149,42 @@ object ScaleGen {
               cos(2.0 * pi() * (pmod(xxhash64(vec_id, cast(j * 2 + 102 as long)), 1000000) + 0.5) / 1000000.0)
             as float))"""))
       .select("vec_id", "embedding", "label")
-    emb.coalesce(math.max(1, factor / 2))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    writeSingleFile(emb, out, "embeddings")
+
+    // ---- events ------------------------------------------------------
+    // calibrated: event-type domain + weights, user count (scaled ×N so
+    // events-per-user stays constant — the sessionize/funnel grain), the
+    // base's time window (same window, ×N the rate — how scale-up
+    // actually arrives), exponential values at the base's measured mean
+    val baseEv = spark.read.parquet(s"$base/events.parquet")
+    val nEv = baseEv.count() * factor
+    val types = baseEv.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.getString(0))
+    val nUsers = baseEv.select(countDistinct("user_id")).head().getLong(0) * factor
+    val (tsMin, tsMax) = {
+      val r = baseEv.agg(expr("min(unix_millis(cast(ts as timestamp)))"),
+                         expr("max(unix_millis(cast(ts as timestamp)))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val meanValue = baseEv.agg(avg("value")).head().getDouble(0)
+    val typesSql = types.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val ev = spark.range(nEv).select(
+      col("id").as("event_id"),
+      // NTZ to match the base table's physical type (UTC session: equal)
+      expr(s"cast(timestamp_millis(${tsMin}L + pmod(xxhash64(id, 1L), " +
+        s"${tsMax - tsMin}L)) as timestamp_ntz)").as("ts"),
+      expr(s"pmod(xxhash64(id, 2L), ${nUsers}L)").as("user_id"),
+      expr(s"element_at($typesSql, cast(1 + pmod(xxhash64(id, 3L), " +
+        s"${types.length}) as int))").as("event_type"),
+      // exponential at the base's mean: value = −mean·ln(u), u ∈ (0, 1]
+      expr(s"round(-$meanValue * ln((pmod(xxhash64(id, 4L), 1000000) + 0.5) " +
+        s"/ 1000000.0), 2)").as("value"),
+      expr("concat('{\"k\": ', pmod(xxhash64(id, 5L), 100), '}')").as("props"))
+    writeSingleFile(ev, out, "events")
 
     // ---- remaining tables: copied from the base ---------------------
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events")) {
+                  "orders", "lineitem")) {
       val src = java.nio.file.Paths.get(s"$base/$t.parquet")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$out/$t.parquet"),
