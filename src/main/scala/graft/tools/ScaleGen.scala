@@ -68,7 +68,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, factor)
+    spark.stop()
+  }
 
+  /** The generation body, callable from a host session (ScaleGenSpec
+    * pins the output contract on this). */
+  def generate(spark: SparkSession, base: String, out: String,
+               factor: Int): Unit = {
     // ---- calibrate from the base corpus ----------------------------
     val baseDocs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = baseDocs.count() * factor
@@ -191,6 +198,5 @@ object ScaleGen {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     println(s"""{"out":"$out","factor":$factor,"docs":$nDocs,"embeddings":$nEmb,"vocab":$v}""")
-    spark.stop()
   }
 }
