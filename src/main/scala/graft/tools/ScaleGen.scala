@@ -68,14 +68,24 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, base, out, factor)
+    generate(spark, base, out, factor,
+             zipf = args.length > 3 && args(3) == "zipf")
     spark.stop()
   }
 
   /** The generation body, callable from a host session (ScaleGenSpec
     * pins the output contract on this). */
+  /** `zipf = true` swaps the base-calibrated constant vocabulary for a
+    * REALISTIC one: tokens drawn Zipf(s = 1) over a vocabulary that
+    * grows with the corpus by Heaps' law (V ∝ √totalTokens), via the
+    * classic inverse-CDF draw rank = ⌊V^u⌋. The constant-vocab mode is
+    * the adversarial hot-shingle regime (df ∝ corpus size — posting-
+    * join exponents are upper bounds); the zipf mode measures the
+    * long-tail regime a real crawl corpus exhibits, where rare
+    * shingles keep their df as the corpus grows. Twins, lengths,
+    * languages and sources are generated identically in both modes. */
   def generate(spark: SparkSession, base: String, out: String,
-               factor: Int): Unit = {
+               factor: Int, zipf: Boolean = false): Unit = {
     // ---- calibrate from the base corpus ----------------------------
     val baseDocs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = baseDocs.count() * factor
@@ -110,8 +120,17 @@ object ScaleGen {
       .withColumn("sid", expr("IF(is_twin, id - 1, id)"))
       .withColumn("L", expr(lenOf("sid")))
       .withColumn("toks0", expr(
-        s"transform(sequence(1L, L), i -> element_at($vocabSql, " +
-          s"cast(1 + pmod(xxhash64(sid, i), $v) as int)))"))
+        if (!zipf)
+          s"transform(sequence(1L, L), i -> element_at($vocabSql, " +
+            s"cast(1 + pmod(xxhash64(sid, i), $v) as int)))"
+        else {
+          // Heaps vocabulary for THIS corpus size; Zipf(1) inverse CDF
+          val bigV = math.max(100L,
+            math.ceil(3 * math.sqrt(nDocs * 55.0)).toLong)
+          s"transform(sequence(1L, L), i -> concat('w', cast(floor(" +
+            s"power($bigV, (pmod(xxhash64(sid, i), 1000000) + 0.5) " +
+            s"/ 1000000.0)) as bigint)))"
+        }))
       // twin: ONE interior token -> the rare `dup` marker (kills 3
       // shingles of ~L-2: J = (S-3)/(S+3) >= 0.8 for S >= 27)
       .withColumn("p", expr("cast(3 + pmod(xxhash64(id, 12345L), L - 4) as bigint)"))

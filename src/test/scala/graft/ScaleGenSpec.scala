@@ -58,6 +58,20 @@ class ScaleGenSpec extends SparkTestBase {
         .select(size(col("embedding"))).head().getInt(0))
   }
 
+  test("zipf mode grows a Heaps-law vocabulary and keeps the twin structure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scalegen_zipf")
+    TempDirs.register(dir.toString)
+    graft.tools.ScaleGen.generate(spark, sfDir, dir.toString, 1, zipf = true)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(countDistinct("t")).head().getLong(0)
+    assert(vocab > 100, s"zipf mode must grow the vocabulary (got $vocab)")
+    assert(docs.filter(col("text").contains("dup")).count() > 0,
+      "twins must be planted in zipf mode too")
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$dir/documents.parquet")))
+  }
+
   test("generation is deterministic (same seed hashing, bit-identical)") {
     val dir2 = java.nio.file.Files.createTempDirectory("graft_scalegen_spec2")
     TempDirs.register(dir2.toString)
