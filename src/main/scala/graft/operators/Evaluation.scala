@@ -339,14 +339,14 @@ object Evaluation extends QueryPack {
     * length) — q269's feature scan, shared by the preference gates. */
   private def prefFeatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), expr(graft.functions.TextExprs.let1(
+      .select(col("doc_id"), col("source"), expr(graft.functions.TextExprs.let1(
         graft.functions.TextExprs.toks, "w",
         """named_struct(
              'n', size(w),
              'ns', size(filter(w, x -> x IN ('a', 'the'))),
              'sl', aggregate(w, 0, (acc, x) -> acc + length(x)))""")).as("f"))
-      .select(col("doc_id"), col("f.n").as("n"), col("f.ns").as("ns"),
-              col("f.sl").as("sl"))
+      .select(col("doc_id"), col("source"), col("f.n").as("n"),
+              col("f.ns").as("ns"), col("f.sl").as("sl"))
 
   /** The per-record rater verdicts ('A' / 'B' / 'T'): rater 1 compares
     * q269's linear-model score (identical double expression on identical
@@ -501,6 +501,111 @@ object Evaluation extends QueryPack {
       .select("n_records", "n_neardup_prompt_pairs", "leak_naive", "leak_cluster")
   }
 
+  /** Per-record rater-1 score DIFFERENCE (A − B) joined at the record
+    * grain — q283/q284 read margins, not just verdicts. */
+  private def prefMargins(s: SparkSession, d: String): DataFrame =
+    // two declared consumers (q283's histogram, q284's win matrix) read
+    // the identical record-grain margin relation — memo discipline
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "eval.prefMargins", d)(
+      prefMarginsCompute(s, d).localCheckpoint(eager = false))
+
+  private def prefMarginsCompute(s: SparkSession, d: String): DataFrame = {
+    val f = prefFeatures(s, d)
+    def side(m: Int, pre: String) = f.filter(col("doc_id") % 3 === m)
+      .select(expr(s"(doc_id - $m) div 3").as("r"),
+        expr("""0.015 * n + 3.0 * (ns / cast(n as double))
+                - 0.25 * (sl / cast(n as double))""").as(s"m$pre"),
+        col("source").as(s"s$pre"))
+    side(1, "a").join(side(2, "b"), "r")
+      .select(col("r"), (col("ma") - col("mb")).as("diff"),
+              col("sa"), col("sb"))
+  }
+
+  /** q283: PREFERENCE MARGIN HISTOGRAM — the DPO diagnostic run before
+    * trusting a preference set: the distribution of the reward-model
+    * score difference (chosen − rejected). Margin mass piled at 0 means
+    * the raters are guessing (noisy pairs poison the DPO loss, whose
+    * gradient weights by margin); a healthy set shows spread. Buckets
+    * are floored half-point cells clamped to [−5, 4] (10 cells), exact
+    * integer counts + floored ppm shares — one scan, one aggregate. */
+  private def q283PreferenceMargin(s: SparkSession, d: String): DataFrame =
+    prefMargins(s, d)
+      .select(expr(
+        "least(greatest(cast(floor(diff / 0.5) as bigint), -5L), 4L)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bucket"), col("n"),
+              expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy("bucket")
+
+  /** Fixed MM iteration count for q284 — part of the declared statistic
+    * (more iterations = a different, equally deterministic number). */
+  private val btIters = 3
+
+  /** q284: BRADLEY–TERRY SOURCE STRENGTHS — the pairwise-preference
+    * aggregation model (Bradley & Terry 1952) fit at the SOURCE grain
+    * (each record compares a response from source (3r+1) mod 20 against
+    * one from (3r+2) mod 20, so sources recur across records — the
+    * repeated-comparison structure BT needs). [[btIters]] fixed
+    * iterations of the standard MM update s_i ← W_i / Σ_j n_ij/(s_i+s_j)
+    * from s = 1, fit on the CORE subgraph: comparisons where both
+    * sources hold ≥ 1 win overall (one restriction pass of the
+    * classical existence condition — a winless player's MLE strength
+    * is 0, which would zero a later denominator); sources outside the
+    * core are absent from the report, W_i and n_ij count core
+    * comparisons only. Cross-engine parity by the q119 discipline: every
+    * Σ_j is an ORDERED fold over the opponent list (array_sort /
+    * list(... ORDER BY) + left fold), never an unordered float SUM, so
+    * both engines accumulate in the identical order; the final strength
+    * floors at 1e-6. Scale shape: the fit runs on the (i, j, n_ij)
+    * win-pair table — players² at most — never on records. */
+  private def q284PreferenceBtl(s: SparkSession, d: String): DataFrame = {
+    val m = prefMargins(s, d)
+      .filter(col("diff") =!= 0.0)
+      .select(
+        when(col("diff") > 0, col("sa")).otherwise(col("sb")).as("w"),
+        when(col("diff") > 0, col("sb")).otherwise(col("sa")).as("l"))
+    val wins = m.groupBy("w", "l").agg(count(lit(1)).as("n"))
+    // core subgraph: losers must themselves hold >= 1 win somewhere
+    val winners = wins.select(col("w").as("p")).distinct()
+    val core = wins.join(winners.select(col("p").as("l")), Seq("l"))
+    // The win MATRIX is computed distributed (records-scale work); the
+    // MM fit itself runs DRIVER-SIDE on the collected matrix — at most
+    // players² rows, constant at the source grain (the q45/q86/q128
+    // driver-trained-codebook pattern; a fit over 20 strengths has no
+    // business scheduling 12 shuffles per invocation). Fold order over
+    // opponents is sorted-by-j, matching the oracle's list(... ORDER BY
+    // j) + list_reduce exactly, so the doubles agree bit-for-bit.
+    val rows = core.select("w", "l", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val players = rows.map(_._1).distinct.sorted
+    val wi = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nijM = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    for ((w, l, n) <- rows) {
+      nijM((w, l)) += n
+      nijM((l, w)) += n
+    }
+    val opponents: Map[String, Seq[String]] = players.map { i =>
+      i -> players.filter(j => nijM((i, j)) > 0).sorted.toSeq
+    }.toMap
+    var strength: Map[String, Double] = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to btIters) {
+      strength = players.map { i =>
+        val den = opponents(i).foldLeft(0.0) { (acc, j) =>
+          acc + nijM((i, j)).toDouble / (strength(i) + strength(j))
+        }
+        i -> wi(i) / den
+      }.toMap
+    }
+    import s.implicits._
+    players.map(i => (i, math.floor(strength(i) * 1000000) / 1000000))
+      .toSeq.toDF("source", "strength")
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
@@ -512,6 +617,8 @@ object Evaluation extends QueryPack {
     "q280_preference_kappa" -> q280PreferenceKappa _,
     "q281_position_bias" -> q281PositionBias _,
     "q282_preference_leakage" -> q282PreferenceLeakage _,
+    "q283_preference_margin" -> q283PreferenceMargin _,
+    "q284_preference_btl" -> q284PreferenceBtl _,
   )
 
   /** The preference-record verdict CTE chain shared by the q280/q281
@@ -546,6 +653,29 @@ object Evaluation extends QueryPack {
                     WHEN nsa < nsb THEN 'B'
                     ELSE 'T' END AS r2
              FROM pa JOIN pb USING (r))"""
+
+  /** The record-grain margin CTE chain shared by the q283/q284 oracles —
+    * mirrors [[prefMargins]] expression for expression. */
+  private val prefMarginSql: String =
+    """WITH t AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\s+') AS w
+                  FROM documents),
+       f AS (SELECT doc_id, source, len(w) AS n,
+                    len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                    list_sum(list_transform(w, x -> length(x))) AS sl
+             FROM t),
+       pa AS (SELECT (doc_id - 1) // 3 AS r,
+                     0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                     - 0.25 * (sl / CAST(n AS DOUBLE)) AS ma,
+                     source AS sa
+              FROM f WHERE doc_id % 3 = 1),
+       pb AS (SELECT (doc_id - 2) // 3 AS r,
+                     0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                     - 0.25 * (sl / CAST(n AS DOUBLE)) AS mb,
+                     source AS sb
+              FROM f WHERE doc_id % 3 = 2),
+       mg AS (SELECT pa.r AS r, ma - mb AS diff, sa, sb
+              FROM pa JOIN pb USING (r))"""
 
   /** The nine exact confusion-cell sums of the q280 oracle. */
   private val prefCellsSql: Seq[String] =
@@ -660,6 +790,51 @@ object Evaluation extends QueryPack {
                      ELSE t2 * 1000000 // n_records END AS tie_ppm
          FROM g
          ORDER BY rater""",
+    // q283: the shared margin CTE + one bucketed aggregate
+    "q283_preference_margin" ->
+      s"""$prefMarginSql,
+         b AS (SELECT least(greatest(CAST(floor(diff / 0.5) AS BIGINT), -5),
+                            4) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM mg GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM mg)
+         SELECT bucket, n, n * 1000000 // total AS share_ppm
+         FROM b CROSS JOIN tt ORDER BY bucket""",
+    // q284: the margin CTE -> win matrix on the core subgraph -> three
+    // unrolled MM iterations; every per-player sum is an ORDERED fold
+    // (list(... ORDER BY j) + list_reduce), the q119 float discipline
+    "q284_preference_btl" -> {
+      val base = s"""$prefMarginSql,
+         wl AS (SELECT CASE WHEN diff > 0 THEN sa ELSE sb END AS w,
+                       CASE WHEN diff > 0 THEN sb ELSE sa END AS l
+                FROM mg WHERE diff <> 0),
+         wins AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n
+                  FROM wl GROUP BY 1, 2),
+         winners AS (SELECT DISTINCT w AS p FROM wins),
+         core AS (SELECT wins.w, wins.l, wins.n
+                  FROM wins JOIN winners ON wins.l = winners.p),
+         tw AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS wi
+                FROM core GROUP BY 1),
+         nij AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij
+                 FROM (SELECT w AS i, l AS j, n FROM core
+                       UNION ALL SELECT l AS i, w AS j, n FROM core)
+                 GROUP BY 1, 2),
+         s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM tw)"""
+      val iters = (1 to btIters).map { k =>
+        s"""d$k AS (SELECT n.i AS i,
+               list_reduce(list(n.nij / (si.s + sj.s) ORDER BY n.j),
+                           (a, b) -> a + b) AS den
+             FROM nij n JOIN s${k - 1} si ON si.i = n.i
+                        JOIN s${k - 1} sj ON sj.i = n.j
+             GROUP BY n.i),
+           s$k AS (SELECT tw.i AS i, tw.wi / d$k.den AS s
+                   FROM tw JOIN d$k ON d$k.i = tw.i)"""
+      }.mkString(",\n         ")
+      s"""$base,
+         $iters
+         SELECT i AS source, floor(s * 1000000) / 1000000 AS strength
+         FROM s$btIters ORDER BY source"""
+    },
     // q282: q42's exact pair SQL restricted to prompt ids + q73's
     // recursive cluster closure (the q124 composition), both split
     // hashes spelled with the shared md5 bucket function

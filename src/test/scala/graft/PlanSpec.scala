@@ -79,6 +79,10 @@ class PlanSpec extends SparkTestBase {
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph
       "q224_hub_audit",
+      // q284 collects the players^2 win matrix at build and fits the
+      // Bradley-Terry strengths driver-side (same constant-size
+      // training pattern; the win matrix is source-grain bounded)
+      "q284_preference_btl",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep", "q125_pca_sweep",
       "q128_cluster_balanced", "q136_pca_binary", "q138_cluster_purity",

@@ -44,6 +44,31 @@ class PreferenceSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_records") > 0)
   }
 
+  test("q283: buckets bounded, counts positive, shares sum to ~1e6") {
+    val rows = SparkEntry.queries("q283_preference_margin")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Long]("bucket")
+      assert(b >= -5L && b <= 4L)
+      assert(r.getAs[Long]("n") > 0L)
+    }
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    // floored ppm shares: sum in (1e6 - nBuckets, 1e6]
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+  }
+
+  test("q284: strengths positive over core sources; mean near 1") {
+    val rows = SparkEntry.queries("q284_preference_btl")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val strengths = rows.map(_.getAs[Double]("strength"))
+    assert(strengths.forall(s => s > 0.0 && !s.isNaN && !s.isInfinite))
+    // MM preserves total wins; strengths are scale-normalized near 1
+    val mean = strengths.sum / strengths.length
+    assert(mean > 0.1 && mean < 10.0, s"degenerate fit: mean strength $mean")
+    val sources = rows.map(_.getAs[String]("source")).toSet
+    assert(sources.forall(_.startsWith("src")))
+  }
+
   test("q280/q281 read the same record population") {
     val n280 = row1("q280_preference_kappa").getAs[Long]("n_records")
     val n281 = SparkEntry.queries("q281_position_bias")(spark, sfDir)
