@@ -51,9 +51,10 @@ object Dedup extends QueryPack {
     *    probe sides, and verifyJoin broadcasts the candidate set by
     *    EXPLICIT hint, so stats never pick the strategy;
     *  - q79 — its posting self-join branches read the capBuckets
-    *    window exchange (ReusedExchange, the PlanSpec-pinned shape) and
-    *    the bucket cap joins via an explicit broadcast() hint; A/B
-    *    measured faster (1.80 → 1.51 s at sf0.1).
+    *    window exchange (ReusedExchange, the PlanSpec-pinned shape);
+    *    since r12 the cap is the LITERAL [[q79DfCap]] (no broadcast
+    *    cross-join at all); A/B measured faster (1.80 → 1.51 s at
+    *    sf0.1 under the lazy cap; the literal removes one more job).
     * Any NEW consumer must state which of the two arguments covers it.
     * q242's exact side keeps the raw scan: its prefix chain DOES rely
     * on AQE statistics. */
@@ -431,7 +432,13 @@ object Dedup extends QueryPack {
     // checkable here without recomputing the banding): batchBanded must
     // be the (doc_id, band, bkey) postings of exactly `batch`'s doc set
     // under this object's (nHashes, nBands) — postings for a different
-    // doc set or banding silently corrupt the candidate set
+    // doc set or banding silently corrupt the candidate set. The schema
+    // check below is the cheap partial guard (it catches a wrong
+    // relation outright; a same-shaped wrong doc set it cannot)
+    batchBanded.foreach(b => require(
+      b.columns.toSeq == Seq("doc_id", "band", "bkey"),
+      s"batchBanded must be (doc_id, band, bkey) postings; got " +
+        b.columns.mkString("(", ", ", ")")))
     val bBand = batchBanded.getOrElse(
       bSh.select(col("doc_id"),
         posexplode(NativeExprs.minhash_band_keys(col("sh"), nHashes, nBands))
@@ -614,21 +621,38 @@ object Dedup extends QueryPack {
     * part of the checked output. est is k/32 (dyadic — exact in both
     * engines); the md5 family makes the signature itself cross-engine
     * verifiable, which XXH64 (the production kernel in MinHashBandKeys)
-    * is not. The pair set is the inverted-index candidates (docs sharing
-    * >= 1 shingle — the SQL-replicable stand-in for LSH band collisions),
-    * so the checked output covers the estimator on true near-dups AND on
-    * weakly-overlapping negatives.
+    * is not. The pair set is the inverted-index candidates: docs sharing
+    * >= 1 NON-BOILERPLATE shingle (df <= [[q79DfCap]] — the declared df
+    * cut, mirrored in the oracle) — the SQL-replicable stand-in for LSH
+    * band collisions — so the checked output covers the estimator on
+    * true near-dups AND on weakly-overlapping negatives.
     */
+  /** q79's declared posting-list df cut: shingles held by more than this
+    * many docs generate NO candidate pairs — part of the gate's declared
+    * statistic, mirrored verbatim in the oracle SQL. Why a BOUND cap and
+    * not the corpus-size default: the r11 scale study measured the
+    * uncapped gate at α = 1.20 (×16 wall, ×100 output per data decade on
+    * the constant-vocab corpus) — an eval gate must not be the first
+    * thing that falls over when the production path it certifies (q42,
+    * measured flat) scales fine. With the cut the candidate join is
+    * bounded at Σ_{df≤64} df² ≤ 64·|postings| — LINEAR in corpus size —
+    * and a df>64 shingle is boilerplate by any dedup-literature standard
+    * (the estimator's quality on pairs sharing only boilerplate is not a
+    * statistic worth paying quadratic work for). Value-neutral on the
+    * committed corpora (measured max df: 7 at sf0.01, 25 at sf0.1), so
+    * the oracle hash certifies the cut costs nothing here. */
+  private val q79DfCap = 64L
+
   private def q79MinhashEstimate(s: SparkSession, d: String): DataFrame = {
     val nSig = 32
     val sh = shingledCore(s, d)
-    // posting-list df cut via capBuckets keyed by the shingle (default cap
-    // = corpus size: value-neutral here, but the Σ df² candidate work is
-    // bounded at Σ min(df, cap)² IN the plan — the same bound q35/q41/q42
-    // carry; the window shuffle on `s` is reused by the candidate join)
-    val ex = capBucketsLazy(
+    // posting-list df cut via capBuckets keyed by the shingle, bound at
+    // [[q79DfCap]] (NOT the value-neutral corpus-size default: the bound
+    // is the r12 fix for the measured α = 1.20 — see q79DfCap's doc);
+    // the window shuffle on `s` is reused by the candidate join
+    val ex = capBuckets(
       sh.select(col("doc_id"), explode(col("sh")).as("s")),
-      Seq("s"), -1L, Tables.documents(s, d))
+      Seq("s"), q79DfCap)
     val cand = ex.select(col("s"), col("doc_id").as("a_id"))
       .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
@@ -1581,7 +1605,7 @@ object Dedup extends QueryPack {
          ORDER BY threshold"""
     },
     "q79_minhash_est" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
                     FROM documents),
          sh AS (SELECT doc_id,
              list_distinct(CASE WHEN len(tk) >= 3 THEN
@@ -1589,7 +1613,13 @@ object Dedup extends QueryPack {
              ELSE [] END) AS shingles
            FROM t),
          s2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
-         ex AS (SELECT doc_id, unnest(shingles) AS s FROM s2),
+         ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM s2),
+         -- the declared df cut (q79DfCap): boilerplate shingles (df > cap)
+         -- generate no candidates — value-neutral on this corpus (max df 7)
+         ex AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+                  FROM ex0)
+                WHERE df <= $q79DfCap),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
          sig AS (SELECT doc_id, shingles,

@@ -330,7 +330,12 @@ object Evaluation extends QueryPack {
   // response B) record model every RLHF/DPO pipeline audits before
   // training. Records derive deterministically from the documents table
   // (record r: prompt = doc 3r, response A = doc 3r+1, response B =
-  // doc 3r+2 — complete triples only), and the two "annotators" are the
+  // doc 3r+2). A record exists iff BOTH response docs exist; the prompt
+  // doc 3r is never probed separately — its existence follows from the
+  // generator's contiguous doc_ids starting at 0 (3r < 3r+1, so any id
+  // below an existing id exists). q282's prompt-grain restriction
+  // (doc_id % 3 = 0 over the pair core) leans on the same contiguity.
+  // The two "annotators" are the
   // repo's two certified document raters (q269's linear model and a
   // structural rule), lifted from doc-grain keep/drop to PAIR-grain
   // preference by score comparison.
@@ -352,7 +357,9 @@ object Evaluation extends QueryPack {
     * q269's linear-model score (identical double expression on identical
     * integers — the certified cross-engine comparison form), rater 2 is
     * lexicographic structural preference (more tokens within an 80-token
-    * budget, stopword count as tie-break). One row per complete record. */
+    * budget, stopword count as tie-break). One row per record, i.e. per
+    * (3r+1, 3r+2) response pair — see the record-model note above for
+    * why the prompt doc's existence needs no separate check. */
   private def prefVerdicts(s: SparkSession, d: String): DataFrame =
     // three declared consumers (q280, q281, q282's record count) read
     // the identical relation — the standard SessionMemo + lazy
@@ -558,9 +565,14 @@ object Evaluation extends QueryPack {
     * comparisons only. Cross-engine parity by the q119 discipline: every
     * Σ_j is an ORDERED fold over the opponent list (array_sort /
     * list(... ORDER BY) + left fold), never an unordered float SUM, so
-    * both engines accumulate in the identical order; the final strength
-    * floors at 1e-6. Scale shape: the fit runs on the (i, j, n_ij)
-    * win-pair table — players² at most — never on records. */
+    * both engines accumulate in the identical order; the reported
+    * strength is ROUNDED DOWN at 1e-6 precision (floor(s·1e6)/1e6 — a
+    * precision cut for cross-engine hashing, not a minimum value). A
+    * core winner whose in-domain opponent list is empty (everything it
+    * beat is a non-core-winner) carries its previous strength — spelled
+    * identically in both engines. Scale shape: the fit runs on the
+    * (i, j, n_ij) win-pair table — players² at most — never on
+    * records. */
   private def q284PreferenceBtl(s: SparkSession, d: String): DataFrame = {
     val m = prefMargins(s, d)
       .filter(col("diff") =!= 0.0)
@@ -593,11 +605,23 @@ object Evaluation extends QueryPack {
     }.toMap
     var strength: Map[String, Double] = players.map(_ -> 1.0).toMap
     for (_ <- 1 to btIters) {
+      val prev = strength
       strength = players.map { i =>
-        val den = opponents(i).foldLeft(0.0) { (acc, j) =>
-          acc + nijM((i, j)).toDouble / (strength(i) + strength(j))
+        // a core winner can still have ZERO in-domain opponents (all the
+        // sources it beat are non-core-winners, so they are not players);
+        // den would be 0 and wi/den Infinity. Such a player carries its
+        // previous strength unchanged — the oracle's LEFT-join CASE below
+        // spells the identical rule, so the engines agree on this edge
+        // (it does not fire on the committed corpora; the gate stays
+        // hash-green either way)
+        val ops = opponents(i)
+        if (ops.isEmpty) i -> prev(i)
+        else {
+          val den = ops.foldLeft(0.0) { (acc, j) =>
+            acc + nijM((i, j)).toDouble / (prev(i) + prev(j))
+          }
+          i -> wi(i) / den
         }
-        i -> wi(i) / den
       }.toMap
     }
     import s.implicits._
@@ -821,14 +845,21 @@ object Evaluation extends QueryPack {
                  GROUP BY 1, 2),
          s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM tw)"""
       val iters = (1 to btIters).map { k =>
+        // LEFT join + CASE: a player with no in-domain opponents (every
+        // nij row's j dropped by the sj join) carries its previous
+        // strength instead of silently vanishing from s$k — the exact
+        // rule the Scala fold applies on an empty opponent list
         s"""d$k AS (SELECT n.i AS i,
                list_reduce(list(n.nij / (si.s + sj.s) ORDER BY n.j),
                            (a, b) -> a + b) AS den
              FROM nij n JOIN s${k - 1} si ON si.i = n.i
                         JOIN s${k - 1} sj ON sj.i = n.j
              GROUP BY n.i),
-           s$k AS (SELECT tw.i AS i, tw.wi / d$k.den AS s
-                   FROM tw JOIN d$k ON d$k.i = tw.i)"""
+           s$k AS (SELECT tw.i AS i,
+                          CASE WHEN d$k.den IS NULL THEN sp.s
+                               ELSE tw.wi / d$k.den END AS s
+                   FROM tw JOIN s${k - 1} sp ON sp.i = tw.i
+                           LEFT JOIN d$k ON d$k.i = tw.i)"""
       }.mkString(",\n         ")
       s"""$base,
          $iters

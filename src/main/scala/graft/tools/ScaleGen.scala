@@ -41,20 +41,22 @@ object ScaleGen {
     val tmp = s"$out/_tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val tmpDir = java.nio.file.Paths.get(tmp)
-    val part = java.nio.file.Files.list(tmpDir).iterator()
-      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        java.nio.file.Files.move(p,
-          java.nio.file.Paths.get(s"$out/$name.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
+    // list once into a collection and close the stream (Files.list holds
+    // a directory handle until closed)
+    val entries = {
+      val st = java.nio.file.Files.list(tmpDir)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        st.forEach(p => b += p)
+        b.result()
+      } finally st.close()
     }
-    require(moved, s"no part file produced for $name")
-    java.nio.file.Files.list(tmpDir).forEach(f => java.nio.file.Files.delete(f))
+    val part = entries.find(_.getFileName.toString.endsWith(".parquet"))
+    require(part.isDefined, s"no part file produced for $name")
+    java.nio.file.Files.move(part.get,
+      java.nio.file.Paths.get(s"$out/$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    entries.filterNot(_ == part.get).foreach(java.nio.file.Files.delete(_))
     java.nio.file.Files.delete(tmpDir)
   }
 
@@ -192,6 +194,12 @@ object ScaleGen {
                          expr("max(unix_millis(cast(ts as timestamp)))")).head()
       (r.getLong(0), r.getLong(1))
     }
+    // pmod(x, tsMax - tsMin) with a zero modulus returns NULL — a base
+    // table with one distinct timestamp would silently write NULL ts for
+    // every generated event (the vocabulary/labels degenerate-base guard,
+    // applied to the time window)
+    require(tsMax > tsMin,
+      s"degenerate base events window: min ts == max ts ($tsMin)")
     val meanValue = baseEv.agg(avg("value")).head().getDouble(0)
     val typesSql = types.map(t => s"'$t'").mkString("array(", ", ", ")")
     val ev = spark.range(nEv).select(
