@@ -76,6 +76,12 @@ class PlanSpec extends SparkTestBase {
       // same AQE leading-stage one-off — whichever of q119/q241 builds
       // first pays it
       "q119_lm_score", "q241_quality_ensemble",
+      // the prefVerdicts / prefMargins memos lazily checkpoint an A/B
+      // record join; toRdd physical planning fires the join's broadcast
+      // future async — whichever consumer builds first pays the one-off
+      // (the flags-memo exemption pattern: list every consumer)
+      "q280_preference_kappa", "q281_position_bias",
+      "q282_preference_leakage", "q283_preference_margin",
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph
       "q224_hub_audit",

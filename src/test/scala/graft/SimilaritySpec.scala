@@ -566,4 +566,67 @@ class SimilaritySpec extends SparkTestBase {
     assert(at05._3 < 40L, "banding should miss some j~0.5 pairs")
     assert(at05._3 > 0L, "banding should catch some j~0.5 pairs")
   }
+
+  test("IVF-PQ resident handle: cached per version; append keeps it; manifest swap and in-place rebuild reload it") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqhandle").toString
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.ivfPqIndex(e.filter(col("vec_id") < 150), Similarity.ivfK, dir)
+    val h1 = Similarity.ivfPqHandle(spark, dir)
+    assert(Similarity.ivfPqHandle(spark, dir) eq h1,
+      "handle must be session-resident (same object) while the version serves")
+    // append encodes under FROZEN codebooks — the resident handle stays valid
+    Similarity.ivfPqAppend(spark, dir,
+      e.filter(col("vec_id") >= 150 && col("vec_id") < 200))
+    assert(Similarity.ivfPqHandle(spark, dir) eq h1,
+      "append must not invalidate the resident handle (frozen codebooks)")
+    // compact swaps the manifest — the new version must reload
+    Similarity.ivfPqCompact(spark, dir)
+    val h2 = Similarity.ivfPqHandle(spark, dir)
+    assert((h2 ne h1) && h2.cur != h1.cur,
+      "a manifest swap must resolve to the new version and reload the handle")
+    // compaction carries codebooks over unchanged — same values, new residency
+    assert(h2.coarse.map(_.toSeq).toSeq == h1.coarse.map(_.toSeq).toSeq,
+      "compaction must carry the coarse codebook over unchanged")
+
+    // in-place rebuild (violating the versioned-artifact contract) still
+    // invalidates: the _codebook mtime is part of the memo token
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpqinplace").toString
+    Similarity.ivfPqIndex(e.filter(col("vec_id") < 150), Similarity.ivfK, dir2)
+    val g1 = Similarity.ivfPqHandle(spark, dir2)
+    Similarity.ivfPqIndex(e.filter(col("vec_id") >= 100), Similarity.ivfK, dir2)
+    val g2 = Similarity.ivfPqHandle(spark, dir2)
+    assert(g2 ne g1, "an in-place codebook rewrite must reload the handle")
+  }
+
+  test("IVF-PQ probe plan: keyed searches memoize the plan and match the unkeyed results exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.ivfPqIndex(e, Similarity.ivfK, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("qv"))
+    def rows(pk: Option[String]) =
+      Similarity.ivfPqSearch(spark, dir, qs, topK = 5, nprobe = 2, probeKey = pk)
+        .collect().toSeq
+    val unkeyed = rows(None)
+    val keyed1 = rows(Some("spec"))
+    assert(keyed1 == unkeyed, "a keyed probe plan must not change results")
+    // the memoized plan object is reused verbatim on the second keyed call
+    val h = Similarity.ivfPqHandle(spark, dir)
+    val plan1 = SessionMemo.get[Similarity.IvfProbePlan](
+      spark, "ann.ivfProbePlan", s"${h.token}|2|spec")
+    assert(plan1.isDefined, "keyed search must install the probe plan memo")
+    val keyed2 = rows(Some("spec"))
+    val plan2 = SessionMemo.get[Similarity.IvfProbePlan](
+      spark, "ann.ivfProbePlan", s"${h.token}|2|spec")
+    assert(plan2.get.asInstanceOf[AnyRef] eq plan1.get.asInstanceOf[AnyRef],
+      "the resident probe plan must be reused, not recomputed")
+    assert(keyed2 == unkeyed)
+    // the rerank path rides the same plan + resident query rows
+    val rr1 = Similarity.ivfPqSearchRerank(spark, dir, qs, e, topK = 5,
+      nprobe = 2, rerankK = 10, probeKey = Some("spec")).collect().toSeq
+    val rr0 = Similarity.ivfPqSearchRerank(spark, dir, qs, e, topK = 5,
+      nprobe = 2, rerankK = 10).collect().toSeq
+    assert(rr1 == rr0, "keyed rerank must match the unkeyed rerank exactly")
+  }
 }
