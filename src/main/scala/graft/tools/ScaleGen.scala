@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *    pair density (a twin contains ~94% of its base both ways).
   *  - embeddings: 10 clusters; per-(label, dim) mean/std measured from
   *    the base, points = centroid + Box–Muller Gaussian noise.
-  *  - all other tables are copied from the base unchanged (the study
-  *    families read documents/embeddings only).
+  *  - customer/supplier/orders/lineitem: scaled ×N with contiguous keys,
+  *    the base's name layout, measured categorical weights and the
+  *    base's per-parent fan-out shape; referential integrity holds by
+  *    construction (the q89/q189/q249 study families).
+  *  - region/nation/part are copied unchanged (fixed dimensions).
   *
   * Usage: ScaleGen <baseDir> <outDir> <factor>
   */
@@ -216,14 +219,139 @@ object ScaleGen {
       expr("concat('{\"k\": ', pmod(xxhash64(id, 5L), 100), '}')").as("props"))
     writeSingleFile(ev, out, "events")
 
+    // ---- relational tables (customer/supplier/orders/lineitem) ------
+    // scaled ×N so the entity-resolution / quality-audit / join-planning
+    // families (q89/q189/q249) get measured exponents too (r11 caveat b:
+    // they were excluded because these tables didn't scale). Calibrated
+    // from the base: key domains stay CONTIGUOUS from 0 (the name layout
+    // `<prefix>#%09d` that q89's deletion-neighborhood candidates key
+    // on), per-key fan-outs keep the base's mean (o_custkey / l_orderkey
+    // are uniform hash draws over the scaled parent domain, so the
+    // per-parent degree distribution stays binomial ≈ the base's
+    // Poisson — the base's key-skew shape at every factor), referential
+    // integrity holds by construction (child keys are pmod draws over
+    // the parent range — q189's audit must PASS at every factor), and
+    // categorical/value columns draw from the base's measured domains
+    // and per-mille weights (value columns are range-calibrated only;
+    // no study family reads them). region/nation/part stay copied —
+    // fixed dimension tables.
+    def weightedSql(rows: Array[(String, Long)], seed: Long): String = {
+      val tot = rows.map(_._2).sum.toDouble
+      val cut = rows.scanLeft(("", 0L)) { case ((_, acc), (v2, n)) =>
+        (v2, acc + math.round(n / tot * 1000)) }.tail
+      cut.init.foldRight(s"'${cut.last._1}'") { case ((v2, c), tail) =>
+        s"IF(pmod(xxhash64(id, ${seed}L), 1000) < $c, '$v2', $tail)"
+      }
+    }
+    def domainOf(df: DataFrame, c: String): Array[(String, Long)] =
+      df.groupBy(c).agg(count(lit(1)).as("n")).orderBy(c)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    def rangeOf(df: DataFrame, c: String): (Double, Double) = {
+      val r = df.agg(min(col(c)), max(col(c))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    def uniformSql(lo: Double, hi: Double, seed: Long): String =
+      // cast: interpolated decimal literals would otherwise type the
+      // whole expression DECIMAL; the base columns are doubles
+      s"cast(round($lo + (pmod(xxhash64(id, ${seed}L), 1000000) + 0.5) " +
+        s"/ 1000000.0 * ${hi - lo}, 2) as double)"
+    def tsWindowOf(df: DataFrame, c: String): (Long, Long) = {
+      val r = df.agg(expr(s"min(unix_millis(cast($c as timestamp)))"),
+                     expr(s"max(unix_millis(cast($c as timestamp)))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def uniformTsSql(w: (Long, Long), seed: Long): String = {
+      require(w._2 > w._1, s"degenerate base time window: $w")
+      s"cast(timestamp_millis(${w._1}L + pmod(xxhash64(id, ${seed}L), " +
+        s"${w._2 - w._1}L)) as timestamp_ntz)"
+    }
+    // a party table's name column is `<prefix><zero-padded key>`; measure
+    // the prefix + digit width from the base instead of assuming them
+    def nameLayoutOf(df: DataFrame, key: String, name: String): (String, Int) = {
+      val r = df.orderBy(col(key)).select(col(key), col(name)).head()
+      val nm = r.getString(1)
+      val digits = nm.reverse.takeWhile(_.isDigit).length
+      val prefix = nm.dropRight(digits)
+      require(digits > 0 && nm == prefix + ("%0" + digits + "d").format(r.getLong(0)),
+        s"unexpected $name layout: $nm")
+      (prefix, digits)
+    }
+
+    val baseCust = spark.read.parquet(s"$base/customer.parquet")
+    val nCust = baseCust.count() * factor
+    val (cPrefix, cDigits) = nameLayoutOf(baseCust, "c_custkey", "c_name")
+    val nNations = baseCust.select(countDistinct("c_nationkey")).head().getLong(0)
+    val segSql = weightedSql(domainOf(baseCust, "c_mktsegment"), 23L)
+    val cBal = rangeOf(baseCust, "c_acctbal")
+    val cust = spark.range(nCust).select(
+      col("id").as("c_custkey"),
+      expr(s"concat('$cPrefix', lpad(cast(id as string), $cDigits, '0'))")
+        .as("c_name"),
+      expr(s"cast(pmod(xxhash64(id, 21L), $nNations) as int)").as("c_nationkey"),
+      expr(uniformSql(cBal._1, cBal._2, 22L)).as("c_acctbal"),
+      expr(segSql).as("c_mktsegment"))
+    writeSingleFile(cust, out, "customer")
+
+    val baseSupp = spark.read.parquet(s"$base/supplier.parquet")
+    val nSupp = baseSupp.count() * factor
+    val (sPrefix, sDigits) = nameLayoutOf(baseSupp, "s_suppkey", "s_name")
+    val sBal = rangeOf(baseSupp, "s_acctbal")
+    val supp = spark.range(nSupp).select(
+      col("id").as("s_suppkey"),
+      expr(s"concat('$sPrefix', lpad(cast(id as string), $sDigits, '0'))")
+        .as("s_name"),
+      expr(s"cast(pmod(xxhash64(id, 31L), $nNations) as int)").as("s_nationkey"),
+      expr(uniformSql(sBal._1, sBal._2, 32L)).as("s_acctbal"))
+    writeSingleFile(supp, out, "supplier")
+
+    val baseOrd = spark.read.parquet(s"$base/orders.parquet")
+    val nOrd = baseOrd.count() * factor
+    val statusSql = weightedSql(domainOf(baseOrd, "o_orderstatus"), 43L)
+    val prioSql = weightedSql(domainOf(baseOrd, "o_orderpriority"), 44L)
+    val oPrice = rangeOf(baseOrd, "o_totalprice")
+    val oWin = tsWindowOf(baseOrd, "o_orderdate")
+    val ord = spark.range(nOrd).select(
+      col("id").as("o_orderkey"),
+      expr(s"pmod(xxhash64(id, 41L), ${nCust}L)").as("o_custkey"),
+      expr(statusSql).as("o_orderstatus"),
+      expr(uniformSql(oPrice._1, oPrice._2, 42L)).as("o_totalprice"),
+      expr(uniformTsSql(oWin, 45L)).as("o_orderdate"),
+      expr(prioSql).as("o_orderpriority"))
+    writeSingleFile(ord, out, "orders")
+
+    val baseLi = spark.read.parquet(s"$base/lineitem.parquet")
+    val nLi = baseLi.count() * factor
+    val nParts = spark.read.parquet(s"$base/part.parquet").count()
+    val rfSql = weightedSql(domainOf(baseLi, "l_returnflag"), 53L)
+    val lsSql = weightedSql(domainOf(baseLi, "l_linestatus"), 54L)
+    val lPrice = rangeOf(baseLi, "l_extendedprice")
+    val lDisc = rangeOf(baseLi, "l_discount")
+    val lTax = rangeOf(baseLi, "l_tax")
+    val maxLine = baseLi.agg(max("l_linenumber")).head().getInt(0)
+    val lWin = tsWindowOf(baseLi, "l_shipdate")
+    val li = spark.range(nLi).select(
+      expr(s"pmod(xxhash64(id, 51L), ${nOrd}L)").as("l_orderkey"),
+      expr(s"pmod(xxhash64(id, 52L), ${nParts}L)").as("l_partkey"),
+      expr(s"pmod(xxhash64(id, 55L), ${nSupp}L)").as("l_suppkey"),
+      expr(s"cast(1 + pmod(xxhash64(id, 56L), $maxLine) as int)")
+        .as("l_linenumber"),
+      // q189's domain-range rule: quantities land in [1, 50] exactly
+      expr("cast(1 + pmod(xxhash64(id, 57L), 50) as double)").as("l_quantity"),
+      expr(uniformSql(lPrice._1, lPrice._2, 58L)).as("l_extendedprice"),
+      expr(uniformSql(lDisc._1, lDisc._2, 59L)).as("l_discount"),
+      expr(uniformSql(lTax._1, lTax._2, 60L)).as("l_tax"),
+      expr(rfSql).as("l_returnflag"),
+      expr(lsSql).as("l_linestatus"),
+      expr(uniformTsSql(lWin, 61L)).as("l_shipdate"))
+    writeSingleFile(li, out, "lineitem")
+
     // ---- remaining tables: copied from the base ---------------------
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem")) {
+    for (t <- Seq("region", "nation", "part")) {
       val src = java.nio.file.Paths.get(s"$base/$t.parquet")
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$out/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    println(s"""{"out":"$out","factor":$factor,"docs":$nDocs,"embeddings":$nEmb,"vocab":$v}""")
+    println(s"""{"out":"$out","factor":$factor,"docs":$nDocs,"embeddings":$nEmb,"vocab":$v,"customer":$nCust,"orders":$nOrd,"lineitem":$nLi}""")
   }
 }

@@ -72,6 +72,46 @@ class ScaleGenSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$dir/documents.parquet")))
   }
 
+  test("relational tables scale with intact keys, names and referential integrity") {
+    val cust = spark.read.parquet(s"$outDir/customer.parquet")
+    val ord = spark.read.parquet(s"$outDir/orders.parquet")
+    val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+    val supp = spark.read.parquet(s"$outDir/supplier.parquet")
+    // factor 1: row counts match the base
+    assert(cust.count() ==
+      spark.read.parquet(s"$sfDir/customer.parquet").count())
+    assert(ord.count() == spark.read.parquet(s"$sfDir/orders.parquet").count())
+    assert(li.count() ==
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    // contiguous keys + the base's name layout (what q89's
+    // deletion-neighborhood candidates key on)
+    val c0 = cust.orderBy("c_custkey").select("c_custkey", "c_name").head()
+    val base0 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .orderBy("c_custkey").select("c_custkey", "c_name").head()
+    assert(c0 == base0, s"name layout must match the base: $c0 vs $base0")
+    assert(cust.agg(max("c_custkey")).head().getLong(0) == cust.count() - 1)
+    // q189's audit must PASS on a generated corpus: unique keys, zero
+    // orphans, quantities in range
+    assert(ord.select(countDistinct("o_orderkey")).head().getLong(0) == ord.count())
+    assert(ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .count() == 0, "orders must have no orphan o_custkey")
+    assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .count() == 0, "lineitem must have no orphan l_orderkey")
+    assert(li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .count() == 0)
+    // single-file layout + schema parity with the base (the Tables
+    // wrappers read these paths verbatim)
+    for (t <- Seq("customer", "supplier", "orders", "lineitem")) {
+      assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(s"$outDir/$t.parquet")))
+      assert(spark.read.parquet(s"$outDir/$t.parquet").schema ==
+        spark.read.parquet(s"$sfDir/$t.parquet").schema,
+        s"$t schema must match the base")
+    }
+    assert(supp.count() ==
+      spark.read.parquet(s"$sfDir/supplier.parquet").count())
+  }
+
   test("generation is deterministic (same seed hashing, bit-identical)") {
     val dir2 = java.nio.file.Files.createTempDirectory("graft_scalegen_spec2")
     TempDirs.register(dir2.toString)
