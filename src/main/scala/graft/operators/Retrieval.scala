@@ -210,10 +210,102 @@ object Retrieval extends QueryPack {
       .orderBy("vec_id")
   }
 
+  // ---- q285 semantic benchmark contamination ------------------------------
+
+  /** Declared contamination threshold — [[semDedupThreshold]]'s caveat
+    * applies verbatim: the synthetic embedding space holds no true
+    * high-cosine pairs, so the declared θ sits at the near-dup bar to
+    * exercise the flag path; production decontamination against a real
+    * benchmark suite runs ~0.95+. */
+  private val contamThreshold = 0.2
+
+  /** Deterministic benchmark membership (vec_id ≡ 7 mod 10) — the
+    * stand-in for "this vector embeds an eval-benchmark item", stated as
+    * SQL so the oracle can repeat it. */
+  private val benchMod = 10L
+  private val benchRem = 7L
+
+  /** Codebooks trained by q285 builds, keyed by dataset dir — a separate
+    * map keeps the gate self-contained for oracle generation (the
+    * [[codebooks]] contract); training is deterministic, so these equal
+    * q103's for the same dataset. */
+  private val contamCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** q285: SEMANTIC BENCHMARK CONTAMINATION — the embedding-space twin of
+    * q48/q129's n-gram decontamination, and the one decontamination axis
+    * n-grams cannot cover: a paraphrased benchmark item shares no 8-gram
+    * with its source but embeds next to it. Machinery is q103's SemDeDup
+    * composition: cells from the trained coarse quantizer, exact cosine
+    * WITHIN the corpus vector's cell against the benchmark subset only —
+    * cross-cell recall is the quantizer's job, not the pair join's. A
+    * corpus vector is flagged iff an in-cell benchmark vector sits at
+    * cos ≥ θ; the report carries the electing benchmark id (minimum, for
+    * auditability), one row per corpus vector. Scale shape: the
+    * benchmark set is benchmark-suite-sized by nature (broadcast); the
+    * flag join is corpus-assignment × in-cell benchmark rows — map-side
+    * work linear in the corpus, no corpus×corpus pairing anywhere.
+    * Oracle: the trained codebook embedded as literals (the q103
+    * contract), assignment + in-cell flag join replicated. */
+  private def q285SemanticContamination(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e, Similarity.ivfK)
+    contamCodebooks.put(d, cents)
+    val asg = Similarity.ivfAssignCodebook(s, e, cents)
+      .select(col("vec_id"), col("centroid").as("cell"), col("embedding"))
+    val bench = asg.filter(col("vec_id") % benchMod === benchRem)
+      .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val corpus = asg.filter(col("vec_id") % benchMod =!= benchRem)
+    val flags = corpus.join(broadcast(bench), Seq("cell"))
+      .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("bv")))
+      .filter(col("cos") >= contamThreshold)
+      .groupBy(col("vec_id"))
+      .agg(min("b_id").as("flagged_by"))
+    corpus.select(col("vec_id"), col("cell"))
+      .join(flags, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+              when(col("flagged_by").isNull, 1L).otherwise(0L).as("keep"),
+              coalesce(col("flagged_by"), lit(-1L)).as("flagged_by"))
+      .orderBy("vec_id")
+  }
+
+  /** q285's oracle: q103's literal-codebook assignment CTEs, the same
+    * benchmark-membership predicate, the in-cell flag join. */
+  private def contaminationOracleSql(cents: Array[Array[Double]]): String = {
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES
+             $rows) AS t(c_id, cv)),
+        sc AS (SELECT e.vec_id, c.c_id,
+                      list_cosine_similarity(e.v, c.cv) AS cc FROM e, c),
+        asg AS (SELECT vec_id, CAST(c_id AS BIGINT) AS cell FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cc DESC, c_id DESC) AS rn FROM sc)
+                WHERE rn = 1),
+        ae AS (SELECT asg.vec_id, asg.cell, e.v FROM asg JOIN e USING (vec_id)),
+        bench AS (SELECT * FROM ae WHERE vec_id % $benchMod = $benchRem),
+        corp AS (SELECT * FROM ae WHERE vec_id % $benchMod <> $benchRem),
+        flags AS (SELECT corp.vec_id, min(bench.vec_id) AS flagged_by
+                  FROM corp JOIN bench ON corp.cell = bench.cell
+                  WHERE list_cosine_similarity(corp.v, bench.v)
+                        >= $contamThreshold
+                  GROUP BY corp.vec_id)
+        SELECT corp.vec_id, corp.cell,
+               CAST(CASE WHEN f.flagged_by IS NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS keep,
+               coalesce(f.flagged_by, -1) AS flagged_by
+        FROM corp LEFT JOIN flags f USING (vec_id)
+        ORDER BY corp.vec_id"""
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_hybrid_search" -> q102HybridSearch _,
     "q103_semantic_dedup" -> q103SemanticDedup _,
     "q110_hybrid_weighted" -> q110HybridWeighted _,
+    "q285_semantic_contamination" -> q285SemanticContamination _,
   )
 
   /** q102's oracle: the lexical CTE is q97's oracle scoped per query
@@ -361,6 +453,9 @@ object Retrieval extends QueryPack {
     "q103_semantic_dedup" -> (if (codebooks.size == 1)
       semanticDedupOracleSql(codebooks.values.iterator.next())
       else "SELECT 1 AS q103_not_built_unambiguously_this_process"),
+    "q285_semantic_contamination" -> (if (contamCodebooks.size == 1)
+      contaminationOracleSql(contamCodebooks.values.iterator.next())
+      else "SELECT 1 AS q285_not_built_unambiguously_this_process"),
   )
 
   override def oraclesFor(dir: String): Map[String, String] =
@@ -368,5 +463,8 @@ object Retrieval extends QueryPack {
         "q110_hybrid_weighted" -> hybridWeightedOracleSql,
         "q103_semantic_dedup" -> Option(codebooks.get(dir))
           .map(semanticDedupOracleSql)
-          .getOrElse("SELECT 1 AS q103_not_built_for_this_dataset"))
+          .getOrElse("SELECT 1 AS q103_not_built_for_this_dataset"),
+        "q285_semantic_contamination" -> Option(contamCodebooks.get(dir))
+          .map(contaminationOracleSql)
+          .getOrElse("SELECT 1 AS q285_not_built_for_this_dataset"))
 }

@@ -74,4 +74,29 @@ class RetrievalSpec extends SparkTestBase {
     assert(drops > 0, "declared threshold must exercise the drop path")
     assert(out.count(_.getLong(2) == 1L) > 0, "and keep survivors")
   }
+
+  test("q285: report covers exactly the non-benchmark corpus; flags cite in-cell benchmark ids") {
+    val out = SparkEntry.queries("q285_semantic_contamination")(spark, sfDir)
+      .collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val benchIds = (0L until n).filter(_ % 10 == 7).toSet
+    assert(out.map(_.getLong(0)).toSet == (0L until n).toSet -- benchIds,
+      "one row per corpus (non-benchmark) vector, benchmark rows excluded")
+    val asgCell = SparkEntry.queries("q103_semantic_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var flagged = 0
+    out.foreach { r =>
+      val (id, cell, keep, by) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(asgCell(id) == cell, "assignment must match the shared quantizer")
+      if (keep == 0L) {
+        flagged += 1
+        assert(benchIds.contains(by), s"vec $id flagged by non-benchmark $by")
+        assert(asgCell(by) == cell,
+          s"vec $id (cell $cell) flagged across cells by $by (cell ${asgCell(by)})")
+      } else assert(by == -1L)
+    }
+    assert(flagged > 0, "declared threshold must exercise the flag path")
+    assert(out.count(_.getLong(2) == 1L) > 0, "and keep clean vectors")
+  }
 }
