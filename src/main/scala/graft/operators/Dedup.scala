@@ -1046,11 +1046,22 @@ object Dedup extends QueryPack {
   /** Negatives per anchor for q221. */
   private val negK = 3
 
-  /** Candidate buckets for q221 — each anchor probes ONE bucket, so
-    * candidate fan-out is |corpus|/negBuckets per anchor regardless of
-    * corpus size (the parameter a 100 TB run scales with the corpus to
-    * hold bucket size constant). */
-  private val negBuckets = 16
+  /** Candidate buckets for q221 — each anchor probes ONE bucket. The
+    * bucket COUNT is bound to the corpus IN the plan:
+    * B = max(16, N div 300), so per-anchor fan-out stays ≈ 300
+    * candidates at any corpus size and total candidate work stays
+    * LINEAR. The r12 z10 study measured the former fixed B = 16
+    * quadratic (×100 candidate rows per data decade — q221 126 s,
+    * q235 197 s at ×10); the scaled count is the fix, stated as the
+    * declared statistic: the sample is drawn from ~300-candidate
+    * buckets, not from a fixed sixteenth of the corpus. B is the lazy
+    * one-row broadcast (the capBucketsLazy corpus-N pattern — no job
+    * at query construction); the oracle computes the identical B as a
+    * scalar subquery. At the committed sfs B = 16 exactly (500 and
+    * 5,000 docs both floor to ≤ 16), so the committed samples — and
+    * the oracle hashes — are unchanged. */
+  private val negBucketTarget = 300L
+  private val negBucketFloor = 16L
 
   /** q221: CONTRASTIVE NEGATIVE SAMPLING — the deterministic
     * random-negatives step of contrastive/embedding training data prep
@@ -1072,12 +1083,15 @@ object Dedup extends QueryPack {
     * the family anti-condition rides the join predicate. */
   private def q221NegativeSample(s: SparkSession, d: String): DataFrame = {
     val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
-    val anchors = assign
+    val nb = broadcast(Tables.documents(s, d).agg(expr(
+      s"greatest(${negBucketFloor}L, count(1) div $negBucketTarget)").as("__b")))
+    val assignB = assign.crossJoin(nb)
+    val anchors = assignB
       .select(col("doc_id").as("anchor_id"), col("cluster_id").as("cl_a"),
-              expr(s"(doc_id * 40503) % $negBuckets").as("pb"))
-    val cands = assign
+              expr("(doc_id * 40503) % __b").as("pb"))
+    val cands = assignB
       .select(col("doc_id").as("cand_id"), col("cluster_id").as("cl_c"),
-              expr(s"((doc_id % 2147483647) * 2654435761) % $negBuckets")
+              expr("((doc_id % 2147483647) * 2654435761) % __b")
                 .as("cb"))
     anchors.join(cands,
         col("pb") === col("cb") && col("cl_a") =!= col("cl_c"))
@@ -1785,11 +1799,14 @@ object Dedup extends QueryPack {
                  WHERE common / (asz + bsz - common) >= 0.8),
          pos AS (SELECT a_id AS anchor_id, b_id AS positive_id FROM pr2
                  UNION ALL SELECT b_id, a_id FROM pr2),
+         nb AS (SELECT greatest($negBucketFloor,
+                                count(*) // $negBucketTarget) AS b
+                FROM documents),
          an AS (SELECT doc_id AS anchor_id, cluster_id AS cl_a,
-                       (doc_id * 40503) % $negBuckets AS pb FROM cl),
+                       (doc_id * 40503) % nb.b AS pb FROM cl, nb),
          cn AS (SELECT doc_id AS cand_id, cluster_id AS cl_c,
-                       ((doc_id % 2147483647) * 2654435761) % $negBuckets
-                         AS cb FROM cl),
+                       ((doc_id % 2147483647) * 2654435761) % nb.b
+                         AS cb FROM cl, nb),
          j AS (SELECT anchor_id, cand_id,
                       ((anchor_id * 1048573 + cand_id) % 2147483647)
                         * 2654435761 % 2147483647 AS r
@@ -1840,11 +1857,14 @@ object Dedup extends QueryPack {
     // (r, cand_id) order ≡ the bounded heap's (score DESC, id ASC)
     "q221_negative_sample" ->
       s"""WITH cl AS ($q73ClustersOracleSql),
+         nb AS (SELECT greatest($negBucketFloor,
+                                count(*) // $negBucketTarget) AS b
+                FROM documents),
          a AS (SELECT doc_id AS anchor_id, cluster_id AS cl_a,
-                      (doc_id * 40503) % $negBuckets AS pb FROM cl),
+                      (doc_id * 40503) % nb.b AS pb FROM cl, nb),
          c AS (SELECT doc_id AS cand_id, cluster_id AS cl_c,
-                      ((doc_id % 2147483647) * 2654435761) % $negBuckets
-                        AS cb FROM cl),
+                      ((doc_id % 2147483647) * 2654435761) % nb.b
+                        AS cb FROM cl, nb),
          j AS (SELECT anchor_id, cand_id,
                       ((anchor_id * 1048573 + cand_id) % 2147483647)
                         * 2654435761 % 2147483647 AS r
