@@ -89,6 +89,9 @@ class PlanSpec extends SparkTestBase {
       // Bradley-Terry strengths driver-side (same constant-size
       // training pattern; the win matrix is source-grain bounded)
       "q284_preference_btl",
+      // q285 trains the coarse codebook at build (the q103/q224
+      // constant-size training pattern) for its contamination cells
+      "q285_semantic_contamination",
       "q45_ann_ivf", "q82_ann_pq", "q86_ann_ivfpq", "q103_semantic_dedup",
       "q109_ann_recall", "q115_recall_sweep", "q125_pca_sweep",
       "q128_cluster_balanced", "q136_pca_binary", "q138_cluster_purity",
