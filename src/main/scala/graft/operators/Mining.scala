@@ -512,6 +512,102 @@ object Mining extends QueryPack {
   private def q246Triangles(s: SparkSession, d: String): DataFrame =
     triangleStats(Dedup.minhashLshPairsCore(s, d).select("a_id", "b_id"))
 
+  /** Cells probed per item and candidates kept per item per direction in
+    * the q286 probed mining stack — the declared knobs of the
+    * production candidate generator. */
+  private val mineProbes = 2
+  private val mineCandK = 8
+
+  /** Codebooks trained by q286 builds, keyed by dataset dir:
+    * (B-side codebook for the forward A→B probe, A-side for the
+    * backward) — the q45 oracle-generation contract. */
+  private[graft] val mineCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Double]])]()
+
+  /** q286: PROBED MARGIN MINING — q126's doc comment promised "at
+    * 100 TB the mining stack replaces the A×B relation with the IVF
+    * probed candidate set and the SAME margin scoring runs over it";
+    * this gate IS that stack, first-class and oracle-gated (the r12 z10
+    * run measured q126's declared brute baseline at 133 s ×10 — the
+    * swap needed to exist as code, not as a comment). Exactly the
+    * CCMatrix shape: each side gets its own trained coarse quantizer
+    * (two collections = two indexes, the bitext deployment); forward
+    * candidates are each A-item's top-[[mineCandK]] cosine neighbors
+    * among the B-items in its [[mineProbes]] best B-cells (q224's probe
+    * shape), backward symmetrically; the mined candidate set is the
+    * UNION of both directions; the ratio-margin denominator densities
+    * d_A/d_B are the mean of each item's top-[[marginK]] PROBED
+    * cosines — the probe results price the hubness correction for
+    * free, no extra pass. Margin scoring, per-A-item argmax and the
+    * [[marginThreshold]] cut are q126's verbatim. Scale shape:
+    * candidate work is N·nprobe·E[cell] per direction (measured flat
+    * family — q156/q224); vectors never shuffle past the cell join;
+    * densities are side-sized aggregates computed as rank-ordered
+    * folds over the bounded TopKAgg arrays (the proven cross-engine
+    * float-sum pattern). Oracle: BOTH trained codebooks as literals,
+    * assignment/probe/top-k/density/margin replicated end-to-end. */
+  private def q286MarginMineProbed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val aSide = e.filter(col("label") < 5).select("vec_id", "embedding")
+    val bSide = e.filter(col("label") >= 5).select("vec_id", "embedding")
+    // trained once per dataset (computeIfAbsent — the q156
+    // rerankCodebooksFor precedent): per-side codebooks are versioned
+    // persisted artifacts in the mining deployment, not per-query state
+    val (centsB, centsA) = mineCodebooks.computeIfAbsent(d, _ =>
+      (Similarity.trainCentroids(bSide, Similarity.ivfK),
+       Similarity.trainCentroids(aSide, Similarity.ivfK)))
+    // per-query top-mineCandK probed candidates among `corpus`, under
+    // `cents`'s cell decomposition of the corpus — one grouped row per
+    // query item carrying the rank-ordered (score, id) array
+    def probedCore(qs: DataFrame, corpus: DataFrame,
+                   cents: Array[Array[Double]], qc: String): DataFrame = {
+      val cb = cents.zipWithIndex.toSeq
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("c_id", "cv")
+      val assigned = Similarity.ivfAssignCodebook(s, corpus, cents)
+        .select(col("vec_id").as("cand_id"), col("centroid"),
+                col("embedding").as("cev"))
+      qs.crossJoin(broadcast(cb))
+        .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(TopKAgg.top_k_by_score(col("cos_c"), col("c_id"), mineProbes).as("pr"),
+             first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding").as("qv"),
+                explode(expr("pr.id")).as("centroid"))
+        .join(assigned, Seq("centroid"))
+        .withColumn("c", NativeExprs.cosine_sim(col("qv"), col("cev")))
+        .groupBy(col("vec_id").as(qc))
+        .agg(TopKAgg.top_k_by_score(col("c"), col("cand_id"), mineCandK).as("top"))
+    }
+    def pairsOf(core: DataFrame, qc: String, cc: String): DataFrame = core
+      .select(col(qc), explode(col("top")).as("t"))
+      .select(col(qc), col("t.id").as(cc), col("t.score").as("c"))
+    // density = rank-ordered fold over the first marginK probed scores
+    // (÷ marginK — the q126 denominator over the probed neighborhood)
+    def densityOf(core: DataFrame, qc: String, out: String): DataFrame = core
+      .select(col(qc),
+        (aggregate(expr(s"transform(slice(top, 1, $marginK), x -> x.score)"),
+                   lit(0.0), (acc, x) => acc + x) / marginK).as(out))
+    val fwd = probedCore(aSide, bSide, centsB, "a_id")
+    val bwd = probedCore(bSide, aSide, centsA, "b_id")
+    val cand = pairsOf(fwd, "a_id", "b_id")
+      .unionByName(pairsOf(bwd, "b_id", "a_id").select("a_id", "b_id", "c"))
+      .groupBy("a_id", "b_id").agg(max("c").as("c")) // cosine is symmetric: both directions carry the identical double
+    cand
+      .join(broadcast(densityOf(fwd, "a_id", "d_a")), "a_id")
+      .join(broadcast(densityOf(bwd, "b_id", "d_b")), "b_id")
+      .withColumn("margin", col("c") / ((col("d_a") + col("d_b")) / 2.0))
+      .groupBy("a_id")
+      .agg(TopKAgg.top_k_by_score(col("margin"), col("b_id"), 1).as("top"))
+      .select(col("a_id"), col("top")(0)("id").as("b_id"),
+              col("top")(0)("score").as("m"))
+      .filter(col("m") >= marginThreshold)
+      .select(col("a_id"), col("b_id"),
+              (floor(col("m") * 100000) / 100000).as("margin"))
+      .orderBy("a_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_triangles" -> q246Triangles _,
     "q231_knn_purity" -> q231KnnPurity _,
@@ -519,6 +615,7 @@ object Mining extends QueryPack {
     "q217_source_centroids" -> q217SourceCentroids _,
     "q216_pagerank" -> q216Pagerank _,
     "q126_margin_mine" -> q126MarginMine _,
+    "q286_margin_mine_probed" -> q286MarginMineProbed _,
     "q127_weighted_jaccard" -> q127WeightedJaccard _,
     "q131_crosslang_audit" -> q131CrossLangAudit _,
     "q180_collocations" -> q180Collocations _,
@@ -566,10 +663,81 @@ object Mining extends QueryPack {
         ORDER BY in_degree DESC, e.vec_id"""
   }
 
+  /** q286's oracle: BOTH trained codebooks as literals; per direction
+    * the q224 probe CTEs (assignment argmax ties cc DESC / c_id DESC;
+    * probe list ties cc DESC / c_id ASC; candidate rank c DESC / id ASC
+    * — the bounded heap's total order), densities as rank-ordered
+    * list_reduce folds, then q126's margin/argmax/threshold verbatim
+    * over the unioned candidate set. */
+  private def minedOracleSqlTrained(
+      cents: (Array[Array[Double]], Array[Array[Double]])): String = {
+    def lits(cs: Array[Array[Double]]): String =
+      cs.zipWithIndex.map { case (v, i) =>
+        s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n             ")
+    def direction(tag: String, qsTbl: String, corpTbl: String,
+                  cbTbl: String, qc: String, cc: String): String =
+      s"""asg$tag AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT t.vec_id, c.c_id,
+                         row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY list_cosine_similarity(t.v, c.cv) DESC,
+                                    c.c_id DESC) AS rn
+                  FROM $corpTbl t, $cbTbl c)
+                WHERE rn = 1),
+        pr$tag AS (SELECT vec_id, c_id AS centroid FROM (
+                  SELECT t.vec_id, c.c_id,
+                         row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY list_cosine_similarity(t.v, c.cv) DESC,
+                                    c.c_id ASC) AS rn
+                  FROM $qsTbl t, $cbTbl c)
+                WHERE rn <= $mineProbes),
+        pp$tag AS (SELECT pr$tag.vec_id AS $qc, asg$tag.vec_id AS $cc,
+                     list_cosine_similarity(q.v, t.v) AS c
+              FROM pr$tag JOIN $qsTbl q ON q.vec_id = pr$tag.vec_id
+                      JOIN asg$tag ON asg$tag.centroid = pr$tag.centroid
+                      JOIN $corpTbl t ON t.vec_id = asg$tag.vec_id),
+        rk$tag AS (SELECT $qc, $cc, c,
+                       row_number() OVER (PARTITION BY $qc
+                         ORDER BY c DESC, $cc ASC) AS rnk
+              FROM pp$tag),
+        top$tag AS (SELECT $qc, $cc, c, rnk FROM rk$tag
+                    WHERE rnk <= $mineCandK),
+        d$tag AS (SELECT $qc,
+                      list_reduce(list(c ORDER BY rnk), (x, y) -> x + y)
+                        / $marginK AS d_$tag
+                 FROM top$tag WHERE rnk <= $marginK GROUP BY $qc)"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        a AS (SELECT vec_id, v FROM e WHERE label < 5),
+        b AS (SELECT vec_id, v FROM e WHERE label >= 5),
+        cbb AS (SELECT * FROM (VALUES
+             ${lits(cents._1)}) AS t(c_id, cv)),
+        cba AS (SELECT * FROM (VALUES
+             ${lits(cents._2)}) AS t(c_id, cv)),
+        ${direction("f", "a", "b", "cbb", "a_id", "b_id")},
+        ${direction("w", "b", "a", "cba", "b_id", "a_id")},
+        cand AS (SELECT a_id, b_id, max(c) AS c FROM (
+                   SELECT a_id, b_id, c FROM topf
+                   UNION ALL SELECT a_id, b_id, c FROM topw)
+                 GROUP BY 1, 2),
+        m AS (SELECT cand.a_id, cand.b_id,
+                     cand.c / ((df.d_f + dw.d_w) / 2) AS margin
+              FROM cand JOIN df USING (a_id) JOIN dw USING (b_id)),
+        t AS (SELECT a_id, b_id, margin,
+                     row_number() OVER (PARTITION BY a_id
+                       ORDER BY margin DESC, b_id) AS rnk FROM m)
+        SELECT a_id, b_id, floor(margin * 100000) / 100000 AS margin
+        FROM t WHERE rnk = 1 AND margin >= $marginThreshold
+        ORDER BY a_id"""
+  }
+
   override def oraclesFor(dir: String): Map[String, String] =
     oracles +
       ("q224_hub_audit" -> Option(hubCodebooks.get(dir)).map(hubOracleSqlTrained)
-        .getOrElse("SELECT 1 AS q224_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q224_not_built_for_this_dataset")) +
+      ("q286_margin_mine_probed" -> Option(mineCodebooks.get(dir))
+        .map(minedOracleSqlTrained)
+        .getOrElse("SELECT 1 AS q286_not_built_for_this_dataset"))
 
   // `def`, not `val`: the q224 entry embeds the codebook trained when the
   // query ran — oraclesFor(dir) is the precise path; this is the
@@ -599,6 +767,9 @@ object Mining extends QueryPack {
     "q224_hub_audit" -> (if (hubCodebooks.size == 1)
         hubOracleSqlTrained(hubCodebooks.values.iterator.next())
       else "SELECT 1 AS q224_not_built_unambiguously_this_process"),
+    "q286_margin_mine_probed" -> (if (mineCodebooks.size == 1)
+        minedOracleSqlTrained(mineCodebooks.values.iterator.next())
+      else "SELECT 1 AS q286_not_built_unambiguously_this_process"),
     // q217: same integer quantization (q163's), co-unnest dim zip,
     // exact BIGINT sums/products; the only float is dot/(sqrt·sqrt)
     // with identical parenthesization

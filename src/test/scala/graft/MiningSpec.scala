@@ -465,4 +465,30 @@ class MiningSpec extends SparkTestBase {
     // global triangle count: each clique triangle credits 3 corners
     assert(out.values.map(_._2).sum == 4L * 3L)
   }
+
+  test("q286 probed mining: sides respected, margins cut, brute-mining agreement") {
+    val e = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val aIds = e.filter(_._2 < 5).map(_._1).toSet
+    val bIds = e.filter(_._2 >= 5).map(_._1).toSet
+    val got = SparkEntry.queries("q286_margin_mine_probed")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "probed mining must produce pairs on this corpus")
+    // structural: one row per mined A-item, ids on the declared sides,
+    // every margin at/above the declared cut
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.forall(t => aIds.contains(t._1) && bIds.contains(t._2)))
+    assert(got.forall(_._3 >= 1.0))
+    // agreement vs the exact A×B margin miner (q126) — the q224
+    // certificate style: the probed stack picks the same best match for
+    // a solid fraction of items (measured 0.53 on this corpus; densities
+    // over probed neighborhoods legitimately reorder near-ties, so the
+    // pinned floor leaves headroom)
+    val brute = SparkEntry.queries("q126_margin_mine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = got.count(t => brute.contains((t._1, t._2)))
+    assert(agree.toDouble / brute.size >= 0.4,
+      s"probed mining agreement too low: $agree / ${brute.size}")
+  }
 }

@@ -83,8 +83,9 @@ class PlanSpec extends SparkTestBase {
       "q280_preference_kappa", "q281_position_bias",
       "q282_preference_leakage", "q283_preference_margin",
       // q224 trains the constant-size coarse codebook at build (the
-      // q45/q86 FAISS training step) for its probed-candidate kNN graph
-      "q224_hub_audit",
+      // q45/q86 FAISS training step) for its probed-candidate kNN graph;
+      // q286 trains one per side for its two probed mining directions
+      "q224_hub_audit", "q286_margin_mine_probed",
       // q284 collects the players^2 win matrix at build and fits the
       // Bradley-Terry strengths driver-side (same constant-size
       // training pattern; the win matrix is source-grain bounded)
