@@ -552,12 +552,26 @@ object Mining extends QueryPack {
       .select(col("vec_id"), col("embedding"), col("label"))
     val aSide = e.filter(col("label") < 5).select("vec_id", "embedding")
     val bSide = e.filter(col("label") >= 5).select("vec_id", "embedding")
+    // CORPUS-SIZED quantizers — the FAISS k ≈ √N sizing rule, and the
+    // difference between sub-quadratic and quadratic here: q286 issues
+    // N queries (every item mines), so probed candidate work is
+    // N·nprobe·E[cell] = nprobe·N²/k — at FIXED k that is still
+    // quadratic/k (the g100 probe measured exactly that), while
+    // k ∝ √N bounds it at nprobe·N^1.5. The training sample scales
+    // with k (8k ids — the sample must dominate the cell count).
+    // max(ivfK, …) floors tiny corpora at the committed-sf value:
+    // √250 < 16 at sf0.01, so the oracle-gated output — and its
+    // hash — is unchanged there by construction.
+    def mineK(n: Long): Int =
+      math.max(Similarity.ivfK, math.sqrt(n.toDouble).toInt)
     // trained once per dataset (computeIfAbsent — the q156
     // rerankCodebooksFor precedent): per-side codebooks are versioned
     // persisted artifacts in the mining deployment, not per-query state
-    val (centsB, centsA) = mineCodebooks.computeIfAbsent(d, _ =>
-      (Similarity.trainCentroids(bSide, Similarity.ivfK),
-       Similarity.trainCentroids(aSide, Similarity.ivfK)))
+    val (centsB, centsA) = mineCodebooks.computeIfAbsent(d, _ => {
+      val (kB, kA) = (mineK(bSide.count()), mineK(aSide.count()))
+      (Similarity.trainCentroids(bSide, kB, sampleN = math.max(256, 8 * kB)),
+       Similarity.trainCentroids(aSide, kA, sampleN = math.max(256, 8 * kA)))
+    })
     // per-query top-mineCandK probed candidates among `corpus`, under
     // `cents`'s cell decomposition of the corpus — one grouped row per
     // query item carrying the rank-ordered (score, id) array
