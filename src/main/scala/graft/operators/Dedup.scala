@@ -1076,9 +1076,11 @@ object Dedup extends QueryPack {
     * FAMILY-grain (q73 cluster ids — transitive closure, stronger than
     * the raw pair set: a copy-of-a-copy is excluded even when q42
     * never compared the two directly). Scale shape: each anchor probes
-    * exactly ONE hash bucket of candidates ([[negBuckets]]), so the
-    * join fans out |corpus|/B per anchor — constant per anchor when B
-    * scales with the corpus — and carries (id, cluster, hash) rows
+    * exactly ONE of B = max([[negBucketFloor]], N div
+    * [[negBucketTarget]]) hash buckets, so the join fans out
+    * ≈ [[negBucketTarget]] candidates per anchor AT ANY corpus size
+    * (the bucket count scales with the corpus; the per-bucket
+    * population stays ~constant) and carries (id, cluster, hash) rows
     * only; selection is the bounded-heap TopKAgg (no window sort);
     * the family anti-condition rides the join predicate. */
   private def q221NegativeSample(s: SparkSession, d: String): DataFrame = {

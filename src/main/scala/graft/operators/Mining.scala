@@ -558,10 +558,14 @@ object Mining extends QueryPack {
     // N·nprobe·E[cell] = nprobe·N²/k — at FIXED k that is still
     // quadratic/k (the g100 probe measured exactly that), while
     // k ∝ √N bounds it at nprobe·N^1.5. The training sample scales
-    // with k (8k ids — the sample must dominate the cell count).
-    // max(ivfK, …) floors tiny corpora at the committed-sf value:
-    // √250 < 16 at sf0.01, so the oracle-gated output — and its
-    // hash — is unchanged there by construction.
+    // with k: exactly min(sideN, max(256, 8k)) vectors, taken by
+    // per-SIDE row rank (orderBy(vec_id).limit — sides hold disjoint
+    // id subsets, so a global vec_id cutoff would undershoot by the
+    // side's id density and could even miss k vectors on a side
+    // sparse in low ids; the rank sample is exact regardless of how
+    // ids interleave). max(ivfK, …) floors tiny corpora at the
+    // committed-sf value: √250 < 16 at sf0.01, so the oracle-gated
+    // output — and its hash — is unchanged there by construction.
     def mineK(n: Long): Int =
       math.max(Similarity.ivfK, math.sqrt(n.toDouble).toInt)
     // trained once per dataset (computeIfAbsent — the q156
@@ -569,8 +573,10 @@ object Mining extends QueryPack {
     // persisted artifacts in the mining deployment, not per-query state
     val (centsB, centsA) = mineCodebooks.computeIfAbsent(d, _ => {
       val (kB, kA) = (mineK(bSide.count()), mineK(aSide.count()))
-      (Similarity.trainCentroids(bSide, kB, sampleN = math.max(256, 8 * kB)),
-       Similarity.trainCentroids(aSide, kA, sampleN = math.max(256, 8 * kA)))
+      def sideSample(side: DataFrame, k: Int): DataFrame =
+        side.orderBy("vec_id").limit(math.max(256, 8 * k))
+      (Similarity.trainCentroids(sideSample(bSide, kB), kB, sampleN = Int.MaxValue),
+       Similarity.trainCentroids(sideSample(aSide, kA), kA, sampleN = Int.MaxValue))
     })
     // per-query top-mineCandK probed candidates among `corpus`, under
     // `cents`'s cell decomposition of the corpus — one grouped row per
@@ -603,14 +609,35 @@ object Mining extends QueryPack {
       .select(col(qc),
         (aggregate(expr(s"transform(slice(top, 1, $marginK), x -> x.score)"),
                    lit(0.0), (acc, x) => acc + x) / marginK).as(out))
+    // each probed core feeds TWO consumers (the pair explode + the
+    // density fold): both read the core's final-aggregate exchange, so
+    // AQE's runtime stage reuse computes the probe search once — no
+    // checkpoint needed (measured neutral r13; a lazy localCheckpoint
+    // changed q286's sf0.1 slot by < the host noise band)
     val fwd = probedCore(aSide, bSide, centsB, "a_id")
     val bwd = probedCore(bSide, aSide, centsA, "b_id")
+    // densities are SIDE-SIZED relations (one row per mining item) —
+    // never broadcast-hinted: forcing them through the driver is
+    // exactly the 100 TB hazard a hint can't retract (VERDICT r12).
+    // Instead the pair relation is CO-PARTITIONED with them: each
+    // density inherits its core's hash(item-id) partitioning (the
+    // groupBy alias), so the pair stream repartitions once per side
+    // and both density joins — and the final per-anchor aggregate —
+    // run exchange-free on the pair side. That is the same TWO
+    // pair-grain shuffles the forced-broadcast shape paid (its union
+    // dedup + final agg), with zero driver-sized relations; PlanSpec
+    // pins that the only forced broadcasts here are the driver-literal
+    // codebook relations.
     val cand = pairsOf(fwd, "a_id", "b_id")
       .unionByName(pairsOf(bwd, "b_id", "a_id").select("a_id", "b_id", "c"))
+      .repartition(col("b_id")) // hash(b_id) clusters (a_id, b_id) too:
+      // the dedup groupBy and the d_b join both reuse this exchange
       .groupBy("a_id", "b_id").agg(max("c").as("c")) // cosine is symmetric: both directions carry the identical double
     cand
-      .join(broadcast(densityOf(fwd, "a_id", "d_a")), "a_id")
-      .join(broadcast(densityOf(bwd, "b_id", "d_b")), "b_id")
+      .join(densityOf(bwd, "b_id", "d_b"), "b_id")
+      .repartition(col("a_id")) // one move to anchor grain: the d_a
+      // join AND the final top-1 aggregate both run on it exchange-free
+      .join(densityOf(fwd, "a_id", "d_a"), "a_id")
       .withColumn("margin", col("c") / ((col("d_a") + col("d_b")) / 2.0))
       .groupBy("a_id")
       .agg(TopKAgg.top_k_by_score(col("margin"), col("b_id"), 1).as("top"))

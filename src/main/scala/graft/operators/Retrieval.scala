@@ -225,6 +225,17 @@ object Retrieval extends QueryPack {
   private val benchMod = 10L
   private val benchRem = 7L
 
+  /** q285's benchmark-set size bound: membership is (vec_id % benchMod
+    * == benchRem) AND vec_id < benchMod·benchCap, so the set holds AT
+    * MOST [[benchCap]] items no matter how large the corpus grows — a
+    * benchmark SUITE is a fixed artifact, not a corpus fraction, and
+    * the broadcast the flag join rides must be bounded by construction
+    * (a residue-only predicate is a fixed 10% of the corpus: its
+    * "broadcast" grows linearly and OOMs the driver at scale — ADVICE
+    * r12). At the committed sfs the cap does not bind (max vec_id 1999
+    * < 5120), so the gated output and its hash are unchanged. */
+  private val benchCap = 512L
+
   /** Codebooks trained by q285 builds, keyed by dataset dir — a separate
     * map keeps the gate self-contained for oracle generation (the
     * [[codebooks]] contract); training is deterministic, so these equal
@@ -242,8 +253,10 @@ object Retrieval extends QueryPack {
     * corpus vector is flagged iff an in-cell benchmark vector sits at
     * cos ≥ θ; the report carries the electing benchmark id (minimum, for
     * auditability), one row per corpus vector. Scale shape: the
-    * benchmark set is benchmark-suite-sized by nature (broadcast); the
-    * flag join is corpus-assignment × in-cell benchmark rows — map-side
+    * benchmark set is bounded at [[benchCap]] items BY CONSTRUCTION
+    * (see the membership predicate there — a fixed artifact, not a
+    * corpus fraction), so its broadcast is a true constant; the flag
+    * join is corpus-assignment × in-cell benchmark rows — map-side
     * work linear in the corpus, no corpus×corpus pairing anywhere.
     * Oracle: the trained codebook embedded as literals (the q103
     * contract), assignment + in-cell flag join replicated. */
@@ -253,9 +266,11 @@ object Retrieval extends QueryPack {
     contamCodebooks.put(d, cents)
     val asg = Similarity.ivfAssignCodebook(s, e, cents)
       .select(col("vec_id"), col("centroid").as("cell"), col("embedding"))
-    val bench = asg.filter(col("vec_id") % benchMod === benchRem)
+    val isBench = col("vec_id") % benchMod === benchRem &&
+      col("vec_id") < benchMod * benchCap
+    val bench = asg.filter(isBench)
       .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
-    val corpus = asg.filter(col("vec_id") % benchMod =!= benchRem)
+    val corpus = asg.filter(!isBench)
     val flags = corpus.join(broadcast(bench), Seq("cell"))
       .withColumn("cos", NativeExprs.cosine_sim(col("embedding"), col("bv")))
       .filter(col("cos") >= contamThreshold)
@@ -286,8 +301,10 @@ object Retrieval extends QueryPack {
                            ORDER BY cc DESC, c_id DESC) AS rn FROM sc)
                 WHERE rn = 1),
         ae AS (SELECT asg.vec_id, asg.cell, e.v FROM asg JOIN e USING (vec_id)),
-        bench AS (SELECT * FROM ae WHERE vec_id % $benchMod = $benchRem),
-        corp AS (SELECT * FROM ae WHERE vec_id % $benchMod <> $benchRem),
+        bench AS (SELECT * FROM ae WHERE vec_id % $benchMod = $benchRem
+                                     AND vec_id < ${benchMod * benchCap}),
+        corp AS (SELECT * FROM ae WHERE NOT (vec_id % $benchMod = $benchRem
+                                     AND vec_id < ${benchMod * benchCap})),
         flags AS (SELECT corp.vec_id, min(bench.vec_id) AS flagged_by
                   FROM corp JOIN bench ON corp.cell = bench.cell
                   WHERE list_cosine_similarity(corp.v, bench.v)

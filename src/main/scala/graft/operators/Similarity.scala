@@ -1153,24 +1153,35 @@ object Similarity extends QueryPack {
   /** RETRAIN DECISION + REBUILD — the FAISS re-train-when-unbalanced
     * step composed from the lifecycle pieces: read the SERVING index's
     * per-cell occupancy (q159's stats shape — a partition-column-only
-    * scan, no code bytes), and if the hottest cell's corpus share
-    * exceeds `maxCellShare`, retrain codebooks on `corpus` and rebuild
-    * the whole index into the next `_v<N>` under the same root with the
-    * [[ivfPqCompact]] manifest-swap cutover (the standing index serves
-    * reads until the swap). Returns whether it retrained — a no-op
-    * below the threshold, so callers can run this after every append
-    * batch as the standing health check. Scale shape: the decision
-    * costs one footer-level count per cell; the rebuild is the one-off
-    * full-corpus pass retraining implies (that's the point of gating it
-    * on a threshold). */
+    * scan, no code bytes), and if the hottest cell holds more than
+    * `skewRatio` × the MEDIAN occupied cell's mass, retrain codebooks
+    * on `corpus` and rebuild the whole index into the next `_v<N>`
+    * under the same root with the [[ivfPqCompact]] manifest-swap
+    * cutover (the standing index serves reads until the swap). The
+    * trigger is CORPUS-RELATIVE by construction: max/median occupancy
+    * is a pure skew statistic, invariant to corpus size — a balanced
+    * index sits near 1 at any N (multinomial fluctuation shrinks as
+    * 1/√N), while genuine drift (a new mode the frozen quantizer has
+    * no centroid for, piling appends into one cell) pushes it with the
+    * drifted fraction regardless of scale. The r12 trigger compared
+    * max SHARE to a constant 1.2/k — that measured sampling noise, not
+    * drift (it fired on the driver sfs' N≈500 fluctuation and went
+    * silent on larger balanced corpora), which is why it needed a z10
+    * carve-out (VERDICT r12 task 4). Returns whether it retrained — a
+    * no-op below the threshold, so callers can run this after every
+    * append batch as the standing health check. Scale shape: the
+    * decision costs one footer-level count per cell; the rebuild is
+    * the one-off full-corpus pass retraining implies (that's the point
+    * of gating it on a threshold). */
   def ivfPqRetrain(s: SparkSession, path: String, corpus: DataFrame, k: Int,
-                   maxCellShare: Double): Boolean = {
+                   skewRatio: Double): Boolean = {
     val cur = resolveIndex(s, path)
     val occ = s.read.parquet(cur).select("centroid")
       .groupBy("centroid").agg(count(lit(1)).as("n"))
-      .agg(max("n").as("mx"), sum("n").as("tot")).head()
-    val share = occ.getLong(0).toDouble / occ.getLong(1)
-    if (share <= maxCellShare) false
+      .agg(max("n").as("mx"),
+           expr("percentile(n, 0.5D)").as("med")).head()
+    val skew = occ.getLong(0).toDouble / occ.getDouble(1)
+    if (skew <= skewRatio) false
     else {
       val v = nextVersion(s, path)
       ivfPqIndex(corpus, k, s"$path/$v") // fresh codebooks, full rebuild
@@ -1182,47 +1193,97 @@ object Similarity extends QueryPack {
   /** q172's stale-corpus split: the initial index is trained on
     * vec_id >= [[retrainStaleSplit]] only, so its codebooks draw the
     * sample [150, 256) — genuinely DIFFERENT from the full-corpus
-    * codebooks — and the appended early vectors are coded under that
-    * stale quantizer. */
+    * codebooks the retrain produces (a non-firing trigger therefore
+    * hash-mismatches the oracle) — and the appended early vectors are
+    * coded under that stale quantizer. */
   private val retrainStaleSplit = 150
 
-  /** q172's occupancy trigger: retrain when the hottest cell exceeds
-    * 1.2× the balanced share (1/ivfK = 0.0625 ⇒ threshold 0.075). The
-    * synthetic gaussian corpus is NEAR-balanced under any codebook
-    * (measured stale-index max shares 0.079–0.088 across the three test
-    * scale factors), so the production-style "fire only on gross drift"
-    * setting would never exercise the rebuild path here; 1.2×-balanced
-    * fires on the stale index at every test sf — measured, and the
-    * query build fails loudly (require below) if a testdata change ever
-    * stops the trigger firing, rather than serving the stale index into
-    * a confusing oracle mismatch. */
-  private val retrainShare = 1.2 / ivfK
+  /** q172's PLANTED DRIFT — the append-batch distribution shift that
+    * makes the retrain trigger fire HONESTLY at any corpus size: every
+    * fourth corpus vector arrives again as a new item blended hard
+    * toward one anchor direction (0.2·v + 0.8·v₀ — think "a new source
+    * whose embeddings share a dominant mode the frozen quantizer has
+    * no centroid for"). The whole batch assigns to the anchor's cell,
+    * so that cell's occupancy lands near (1/k + driftFrac)·N against a
+    * median of ~N/k — a max/median skew of ≈ 1 + k·driftFrac ≈ 5 at
+    * k = 16, cleanly over [[retrainSkew]] REGARDLESS of N (the r12
+    * share-threshold fixture only fired on small-N sampling noise).
+    * The blend is plain double arithmetic on corpus vectors, so the
+    * oracle states the identical batch as a UNION ALL list
+    * comprehension — no literals, no new tables. Batch ids offset by
+    * [[driftIdOffset]] keeps them disjoint from corpus ids at any
+    * ScaleGen factor and outside every training sample (vec_id < 256),
+    * so the retrained codebooks still equal the full-corpus-trained
+    * ones the oracle embeds. */
+  private[graft] val driftIdOffset = 10000000L
+  private val driftMod = 4
+  private val driftRem = 1
 
+  /** q172's retrain trigger: max/median occupied-cell skew ≥ 2 — fires
+    * on the planted drift (skew ≈ 5, N-invariant) and legitimately NOT
+    * on a balanced index (measured max/median ≈ 1.2–1.5 at N = 500,
+    * tightening toward 1 as N grows; pinned in SimilaritySpec). */
+  private[graft] val retrainSkew = 2.0
+
+  /** q172's oracle corpus: the identical original ∪ drifted union,
+    * stated in SQL (the blend comprehension mirrors [[driftedBatch]]'s
+    * zip_with bit-for-bit: same double literals, same multiply-add
+    * order). */
+  private def retrainCorpusCte: String =
+    s"""SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT b.vec_id + $driftIdOffset AS vec_id,
+               [0.2*b.v[i] + 0.8*a.v[i] for i in range(1, len(b.v)+1)] AS v
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id % $driftMod = $driftRem) b,
+             (SELECT embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id = 0) a"""
+
+  /** The drifted append batch: deterministic, corpus-derived,
+    * SQL-expressible (see [[driftIdOffset]]'s contract above). */
+  private[graft] def driftedBatch(e: DataFrame): DataFrame = {
+    val anchor = e.filter(col("vec_id") === 0)
+      .select(graft.functions.VectorExprs.asDouble("embedding").as("av"))
+    e.filter(col("vec_id") % driftMod === driftRem)
+      .crossJoin(broadcast(anchor))
+      .select((col("vec_id") + driftIdOffset).as("vec_id"),
+              expr("zip_with(transform(embedding, x -> cast(x as double)), " +
+                   "av, (x, y) -> 0.2D * x + 0.8D * y)").as("embedding"))
+  }
 
   /** INDEX RETRAIN + SEARCH — closes the lifecycle loop under the
     * oracle gate: an index whose codebooks went STALE (trained on an
-    * old corpus slice, the rest appended frozen — drift an append-only
-    * deployment accumulates) is health-checked by [[ivfPqRetrain]]; the
-    * occupancy trigger fires, codebooks retrain on the full corpus and
-    * the index rebuilds behind the manifest swap. The oracle is q156's
-    * full-rebuild SQL: a pass proves retrain-then-search ≡
-    * fresh-rebuild-search — and the gate has teeth, because if the
-    * trigger failed to fire the search would serve the STALE quantizer,
-    * whose different cell assignments and ADC tables hash-mismatch the
-    * oracle. */
+    * old corpus slice, the rest appended frozen) absorbs a DRIFTED
+    * batch ([[driftedBatch]] — a new mode the frozen quantizer piles
+    * into one cell), the [[ivfPqRetrain]] max/median occupancy health
+    * check fires, codebooks retrain on the full corpus (original ∪
+    * drifted) and the index rebuilds behind the manifest swap. The
+    * oracle is q156's full-rebuild SQL over the SAME union corpus
+    * (the drifted batch restated as a UNION ALL blend comprehension):
+    * a pass proves retrain-then-search ≡ fresh-rebuild-search — and
+    * the gate has teeth, because if the trigger failed to fire the
+    * search would serve the STALE quantizer, whose different cell
+    * assignments and ADC tables hash-mismatch the oracle. */
   private def q172IndexRetrain(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val drifted = driftedBatch(e)
+    val corpus = e
+      .select(col("vec_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("embedding"))
+      .unionByName(drifted)
     val path = graft.SessionMemo.getOrElseUpdate[String](s, "ann.retrainIndex", d)( {
       val dir = graft.WorkDirs.artifactDir(s, "ivfpq_retrain", d)
       ivfPqIndex(e.filter(col("vec_id") >= retrainStaleSplit), ivfK, dir)
       ivfPqAppend(s, dir, e.filter(col("vec_id") < retrainStaleSplit))
-      val retrained = ivfPqRetrain(s, dir, e, ivfK, retrainShare)
+      ivfPqAppend(s, dir, drifted) // the drift arrives frozen-encoded
+      val retrained = ivfPqRetrain(s, dir, corpus, ivfK, retrainSkew)
       require(retrained,
-        s"q172 expects the occupancy trigger (> $retrainShare) to fire here")
+        s"q172 expects the planted drift to trip the ≥${retrainSkew}× " +
+          "max/median occupancy trigger at any corpus size")
       dir
     })
     rerankCodebooksFor(e, d)
-    ivfPqSearchRerank(s, path, rerankQueries(e), e,
+    ivfPqSearchRerank(s, path, rerankQueries(e), corpus,
                       topK = 5, nprobe = rerankNprobe, rerankK = rerankPoolK,
                       probeKey = Some(d))
   }
@@ -1303,10 +1364,15 @@ object Similarity extends QueryPack {
     * down to the final top-5. */
   /** `candPred`: extra SQL predicate on the candidate stream (`recon`
     * alias) — q158 injects its tombstone mask here, at the same
-    * pre-pool stage the Spark path applies it. */
+    * pre-pool stage the Spark path applies it. `corpusCte`: the SQL
+    * body of the corpus relation `e` — q172 swaps in the original ∪
+    * drifted union so the oracle indexes and searches the identical
+    * post-drift corpus. */
   private def annRerankOracleSql(coarse: Array[Array[Double]],
                                  pq: Array[Array[Array[Double]]],
-                                 candPred: String = ""): String = {
+                                 candPred: String = "",
+                                 corpusCte: String =
+                                   "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val m = pq.length
     val sub = pq(0)(0).length
     val dim = m * sub
@@ -1323,7 +1389,7 @@ object Similarity extends QueryPack {
     val adcDist = (1 to dim)
       .map(i => s"(qr.qres[$i]-recon.r[$i])*(qr.qres[$i]-recon.r[$i])")
       .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($corpusCte),
         cc(c_id, cv) AS (VALUES
              $coarseRows),
         cb(m, code, cv) AS (VALUES
@@ -1856,10 +1922,12 @@ object Similarity extends QueryPack {
       ("q160_index_compact" -> Option(rerankCodebooks.get(dir))
         .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
         .getOrElse("SELECT 1 AS q160_not_built_for_this_dataset")) +
-      // retrain → search ≡ fresh rebuild → search: same SQL as q156 (a
-      // non-firing trigger would serve the STALE quantizer and mismatch)
+      // retrain → search ≡ fresh rebuild → search: q156's SQL over the
+      // original ∪ drifted corpus (a non-firing trigger would serve the
+      // STALE quantizer and mismatch)
       ("q172_index_retrain" -> Option(rerankCodebooks.get(dir))
-        .map { case (cc, pq) => annRerankOracleSql(cc, pq) }
+        .map { case (cc, pq) =>
+          annRerankOracleSql(cc, pq, corpusCte = retrainCorpusCte) }
         .getOrElse("SELECT 1 AS q172_not_built_for_this_dataset"))
 
   // `def`, not `val`: see oraclesFor — the static map is the dir-agnostic
@@ -1928,7 +1996,7 @@ object Similarity extends QueryPack {
       } else "SELECT 1 AS q160_not_built_unambiguously_this_process"),
     "q172_index_retrain" -> (if (rerankCodebooks.size == 1) {
         val (cc, pq) = rerankCodebooks.values.iterator.next()
-        annRerankOracleSql(cc, pq)
+        annRerankOracleSql(cc, pq, corpusCte = retrainCorpusCte)
       } else "SELECT 1 AS q172_not_built_unambiguously_this_process"),
     "q80_embedding_clusters" -> embeddingClustersOracleSql(lshBands, 8),
     // q123: pure prefix-slice arithmetic — no trained literals, so the

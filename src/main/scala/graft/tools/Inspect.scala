@@ -24,8 +24,12 @@ object Inspect {
     // warm + timed runs
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      // the AQE-final plan (what actually executed), not the static one
+      if (i == 1 && args.contains("explainExec"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

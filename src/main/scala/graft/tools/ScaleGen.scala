@@ -280,6 +280,13 @@ object ScaleGen {
     val baseCust = spark.read.parquet(s"$base/customer.parquet")
     val nCust = baseCust.count() * factor
     val (cPrefix, cDigits) = nameLayoutOf(baseCust, "c_custkey", "c_name")
+    // lpad TRUNCATES past the target width: a key count beyond the
+    // measured digit layout would silently collide generated names,
+    // breaking the contiguous-key/name-layout contract q89 keys on —
+    // fail loudly instead (ADVICE r12)
+    require(nCust <= math.pow(10, cDigits).toLong,
+      s"customer count $nCust exceeds the base's $cDigits-digit name " +
+        "layout: names would truncate and collide")
     val nNations = baseCust.select(countDistinct("c_nationkey")).head().getLong(0)
     val segSql = weightedSql(domainOf(baseCust, "c_mktsegment"), 23L)
     val cBal = rangeOf(baseCust, "c_acctbal")
@@ -295,6 +302,9 @@ object ScaleGen {
     val baseSupp = spark.read.parquet(s"$base/supplier.parquet")
     val nSupp = baseSupp.count() * factor
     val (sPrefix, sDigits) = nameLayoutOf(baseSupp, "s_suppkey", "s_name")
+    require(nSupp <= math.pow(10, sDigits).toLong,
+      s"supplier count $nSupp exceeds the base's $sDigits-digit name " +
+        "layout: names would truncate and collide")
     val sBal = rangeOf(baseSupp, "s_acctbal")
     val supp = spark.range(nSupp).select(
       col("id").as("s_suppkey"),

@@ -79,7 +79,11 @@ class PlanSpec extends SparkTestBase {
       // the prefVerdicts / prefMargins memos lazily checkpoint an A/B
       // record join; toRdd physical planning fires the join's broadcast
       // future async — whichever consumer builds first pays the one-off
-      // (the flags-memo exemption pattern: list every consumer)
+      // (the flags-memo exemption pattern: list every consumer).
+      // Verified r13: removing these four makes this test FAIL on the
+      // first consumer built ("q280_preference_kappa scheduled 1 driver
+      // job(s): [withThreadLocalCaptured at CompletableFuture.java]" —
+      // the async broadcast-exchange future of the memo's record join)
       "q280_preference_kappa", "q281_position_bias",
       "q282_preference_leakage", "q283_preference_margin",
       // q224 trains the constant-size coarse codebook at build (the
@@ -240,6 +244,28 @@ class PlanSpec extends SparkTestBase {
     }.toSeq
     assert(reused.nonEmpty,
       "the banded md5-signature exchange must be shared by both join branches")
+  }
+
+  test("q286: forced broadcasts are driver-literal codebooks only — density joins are AQE's call") {
+    // the production mining path must never FORCE a corpus-derived
+    // relation (the side-sized density aggregates) onto the driver: a
+    // broadcast() hint is unretractable at 100 TB, while AQE broadcasts
+    // from the observed runtime size only while it genuinely fits. The
+    // only legitimate hints in this plan are the k-row trained-codebook
+    // LocalRelations (constant-size by construction).
+    val df = SparkEntry.queries("q286_margin_mine_probed")(spark, sfDir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "expected the codebook broadcast hints")
+    hints.foreach { h =>
+      val leaves = h.child.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"forced broadcast over a non-literal relation: " +
+          s"${leaves.map(_.nodeName).mkString(", ")} — corpus-derived " +
+          "sides must be left to AQE (VERDICT r12)")
+    }
   }
 
   test("hot-path queries execute inside WholeStageCodegen spans") {

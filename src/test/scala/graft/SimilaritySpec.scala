@@ -393,25 +393,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(filesPerCell(serving2).forall(_ == 1))
   }
 
-  test("q172 retrain: trigger fires on the stale index, search equals " +
-       "rebuild; below-threshold check is a no-op") {
+  test("q172 retrain: planted drift trips the skew trigger; search equals " +
+       "a fresh rebuild over the drifted corpus; a balanced index does not fire") {
     import org.apache.spark.sql.functions.col
-    // the gated query: stale build → occupancy trigger → retrain; its
-    // search must equal the fresh-rebuild search (q156)
+    // the gated query: stale build → frozen backfill → drifted append →
+    // max/median occupancy trigger → retrain; its search must equal a
+    // FRESH index built directly on the same original ∪ drifted corpus
+    // (retrain ≡ rebuild, at the search grain)
     val retrained = Similarity.queries("q172_index_retrain")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val rebuilt = Similarity.queries("q156_ann_rerank")(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e
+      .select(col("vec_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("embedding"))
+      .unionByName(Similarity.driftedBatch(e))
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_rt_fresh").toString
+    Similarity.ivfPqIndex(corpus, Similarity.ivfK, freshDir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+              graft.functions.VectorExprs.asDouble("embedding").as("qv"))
+    val rebuilt = Similarity.ivfPqSearchRerank(spark, freshDir, queries, corpus,
+        topK = 5, nprobe = 2, rerankK = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(retrained == rebuilt, "retrain-then-search must equal fresh rebuild")
-    // no-op branch: a freshly built index under a permissive threshold
-    // neither retrains nor moves the serving pointer
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // the drifted ids actually surface: the whole point of the fixture
+    // is that the new mode is real data the retrained index must serve
+    assert(retrained.exists(_._3 >= Similarity.driftIdOffset),
+      "expected drifted vectors among the search results")
+    // corpus-relative no-fire: a BALANCED index at the same production
+    // threshold — max/median skew is sampling noise (~1.2–1.5 here),
+    // under retrainSkew, so the health check must be a no-op (the r12
+    // share-vs-constant trigger fired on exactly this case)
     val dir = java.nio.file.Files.createTempDirectory("graft_rt_noop").toString
     Similarity.ivfPqIndex(e, Similarity.ivfK, dir)
     val before = Similarity.resolveIndex(spark, dir)
     assert(!Similarity.ivfPqRetrain(spark, dir, e, Similarity.ivfK,
-                                    maxCellShare = 1.0),
-      "a below-threshold health check must not retrain")
+                                    skewRatio = Similarity.retrainSkew),
+      "a balanced index must not trip the corpus-relative skew trigger")
     assert(Similarity.resolveIndex(spark, dir) == before,
       "a no-op check must not move the serving pointer")
   }
