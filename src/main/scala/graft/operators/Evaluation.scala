@@ -630,6 +630,99 @@ object Evaluation extends QueryPack {
       .orderBy("source")
   }
 
+  /** Candidate responses per prompt in q287's best-of-n log: prompt
+    * group g holds docs [bonN·g, bonN·g + bonN) as its n sampled
+    * responses (the record-model contiguity argument, at width 4
+    * instead of q280's 3); incomplete trailing groups are excluded by
+    * the count filter — declared, and identical in the oracle. */
+  private val bonN = 4
+
+  /** q287: BEST-OF-N SAMPLING AUDIT — the selection step of rejection
+    * sampling / BoN distillation, audited before anyone trains on it:
+    * per prompt, the reward model (q269's linear scorer, integerized to
+    * exact micro-units by the q268 discipline) picks the argmax of n
+    * sampled responses; the audit reports, per WINNING POSITION, the
+    * win share (iid sampling ⇒ ~uniform; skew means position leaks
+    * into the reward) and the selection-margin distribution (argmax −
+    * runner-up; margins piled at 0 mean BoN is picking noise). The
+    * per-prompt argmax/runner-up ride one bounded-heap TopKAgg (k = 2,
+    * ties → lower position — the heap's total order), so no window
+    * ever sorts the response set; margins are integer micro-unit
+    * differences and every reported stat closes in integer division —
+    * no double accumulates across rows anywhere (the q268 ECE
+    * argument). One doc scan, one group pass, a 4-row report. */
+  private def q287BestOfNAudit(s: SparkSession, d: String): DataFrame = {
+    val scored = prefFeatures(s, d).select(
+      expr(s"doc_id div $bonN").as("g"),
+      expr(s"doc_id % $bonN").as("pos"),
+      expr("""cast(round((0.015 * n + 3.0 * (ns / cast(n as double))
+                          - 0.25 * (sl / cast(n as double))) * 1000000)
+              as bigint)""").as("ip"))
+    val winners = scored.groupBy("g")
+      .agg(count(lit(1)).as("k"),
+           graft.functions.TopKAgg.top_k_by_score(
+             col("ip").cast("double"), col("pos"), 2).as("top"))
+      .filter(col("k") === bonN)
+      // micro-unit scores are exact in doubles (max |score|·1e6 ≪ 2^53),
+      // so the margin subtraction is exact and casts back losslessly
+      .select(col("top")(0)("id").as("pos"),
+              (col("top")(0)("score") - col("top")(1)("score"))
+                .cast("long").as("margin"))
+    winners.groupBy("pos")
+      .agg(count(lit(1)).as("n_wins"), sum("margin").as("sm"),
+           max("margin").as("max_margin_micro"))
+      .withColumn("total", sum("n_wins").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("pos"), col("n_wins"),
+              expr("n_wins * 1000000 div total").as("win_share_ppm"),
+              expr("sm div n_wins").as("mean_margin_micro"),
+              col("max_margin_micro"))
+      .orderBy("pos")
+  }
+
+  /** q288: REWARD-MODEL CALIBRATION BY SOURCE — q268's ECE machinery
+    * lifted to the PAIR grain and stratified by source (VERDICT r12
+    * task 5): the model's confidence that response A beats B is the
+    * bounded squashing map p = (1 + diff/(1 + |diff|))/2 of the margin
+    * (pure arithmetic — the same IEEE ops in the same order in both
+    * engines, unlike exp-based sigmoid whose libm rounding differs);
+    * the outcome label is the INDEPENDENT structural rater's verdict
+    * (r2, ties excluded). A source whose pairs are systematically
+    * over-confident poisons DPO loss weighting for that slice even
+    * when the global ECE looks healthy — per-source is how the audit
+    * is actually consumed. Confidence integerizes once per pair (q268
+    * discipline), bins/counts/sums are exact integers, per-source ECE
+    * closes in one integer division. Composes the two memoized record
+    * relations ([[prefMargins]] ⋈ [[prefVerdicts]]); the per-source
+    * totals are a window over the (source, bin) aggregate — at most
+    * sources × 10 rows. */
+  private def q288RewardCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = prefMargins(s, d).join(prefVerdicts(s, d), "r")
+      .filter(col("r2") =!= "T")
+      .select(col("sa").as("source"),
+        expr("""least(1000000L, greatest(0L,
+                cast(round((1.0 + diff / (1.0 + abs(diff))) / 2.0 * 1000000)
+                  as bigint)))""").as("ip"),
+        expr("CASE WHEN r2 = 'A' THEN 1L ELSE 0L END").as("y"))
+    val bins = pairs
+      .select(col("source"), least(lit(9L), expr("ip div 100000")).as("bin"),
+              col("ip"), col("y"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("y").as("n_pos"),
+           sum("ip").as("sconf"))
+      .withColumn("adiff", expr("abs(n_pos * 1000000 - sconf)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    bins
+      .withColumn("nn", sum("n_pairs").over(w))
+      .withColumn("sdiff", sum("adiff").over(w))
+      .select(col("source"), col("bin"), col("n_pairs"), col("n_pos"),
+        expr("floor(cast(n_pos as double) * 1000000 / n_pairs) / 1000000")
+          .as("acc"),
+        expr("floor(cast(sconf as double) / n_pairs) / 1000000").as("conf"),
+        expr("(sdiff div nn) / cast(1000000 as double)").as("ece"))
+      .orderBy("source", "bin")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
@@ -643,6 +736,8 @@ object Evaluation extends QueryPack {
     "q282_preference_leakage" -> q282PreferenceLeakage _,
     "q283_preference_margin" -> q283PreferenceMargin _,
     "q284_preference_btl" -> q284PreferenceBtl _,
+    "q287_bestofn_audit" -> q287BestOfNAudit _,
+    "q288_reward_calibration" -> q288RewardCalibration _,
   )
 
   /** The preference-record verdict CTE chain shared by the q280/q281
@@ -714,6 +809,86 @@ object Evaluation extends QueryPack {
     benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
 
   override val oracles: Map[String, String] = Map(
+    // q287: the shared feature CTE at width-4 groups; argmax/runner-up
+    // as a per-group rank (ip DESC, pos ASC — the k=2 heap's total
+    // order), exact integer margins and integer-division closers
+    "q287_bestofn_audit" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_sum(list_transform(w, x -> length(x))) AS sl
+               FROM t),
+         sc AS (SELECT doc_id // $bonN AS g, doc_id % $bonN AS pos,
+                       CAST(round((0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                   - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000)
+                         AS BIGINT) AS ip
+                FROM f),
+         fg AS (SELECT g FROM sc GROUP BY g HAVING count(*) = $bonN),
+         r AS (SELECT g, pos, ip,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY ip DESC, pos ASC) AS rn
+               FROM sc WHERE g IN (SELECT g FROM fg)),
+         w AS (SELECT a.g, a.pos AS pos, a.ip - b.ip AS margin
+               FROM r a JOIN r b ON a.g = b.g AND b.rn = 2 WHERE a.rn = 1),
+         agg AS (SELECT pos, CAST(count(*) AS BIGINT) AS n_wins,
+                        CAST(sum(margin) AS BIGINT) AS sm,
+                        CAST(max(margin) AS BIGINT) AS max_margin_micro
+                 FROM w GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_wins) AS BIGINT) AS total FROM agg)
+         SELECT pos, n_wins,
+                n_wins * 1000000 // total AS win_share_ppm,
+                sm // n_wins AS mean_margin_micro, max_margin_micro
+         FROM agg CROSS JOIN tot ORDER BY pos""",
+    // q288: the margin chain widened with rater-2's structural verdict,
+    // the bounded squashing map stated verbatim, then q268's exact-
+    // integer bin/acc/conf/ECE arithmetic per source
+    "q288_reward_calibration" ->
+      """WITH t AS (SELECT doc_id, source,
+                           string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         f AS (SELECT doc_id, source, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_sum(list_transform(w, x -> length(x))) AS sl
+               FROM t),
+         pa AS (SELECT (doc_id - 1) // 3 AS r, n AS na, ns AS nsa,
+                       0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                       - 0.25 * (sl / CAST(n AS DOUBLE)) AS ma,
+                       source AS sa
+                FROM f WHERE doc_id % 3 = 1),
+         pb AS (SELECT (doc_id - 2) // 3 AS r, n AS nb, ns AS nsb,
+                       0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                       - 0.25 * (sl / CAST(n AS DOUBLE)) AS mb
+                FROM f WHERE doc_id % 3 = 2),
+         mg AS (SELECT pa.r AS r, ma - mb AS diff, sa,
+                       CASE WHEN least(na, 80) > least(nb, 80) THEN 'A'
+                            WHEN least(na, 80) < least(nb, 80) THEN 'B'
+                            WHEN nsa > nsb THEN 'A'
+                            WHEN nsa < nsb THEN 'B'
+                            ELSE 'T' END AS r2
+                FROM pa JOIN pb USING (r)),
+         pr AS (SELECT sa AS source,
+                       least(1000000, greatest(0,
+                         CAST(round((1.0 + diff / (1.0 + abs(diff))) / 2.0
+                                    * 1000000) AS BIGINT))) AS ip,
+                       CASE WHEN r2 = 'A' THEN 1 ELSE 0 END AS y
+                FROM mg WHERE r2 <> 'T'),
+         b AS (SELECT source, CAST(least(9, ip // 100000) AS BIGINT) AS bin,
+                      CAST(count(*) AS BIGINT) AS n_pairs,
+                      CAST(sum(y) AS BIGINT) AS n_pos,
+                      CAST(sum(ip) AS BIGINT) AS sconf
+               FROM pr GROUP BY 1, 2),
+         e AS (SELECT source, CAST(sum(n_pairs) AS BIGINT) AS nn,
+                      CAST(sum(abs(n_pos * 1000000 - sconf)) AS BIGINT)
+                        AS sdiff
+               FROM b GROUP BY 1)
+         SELECT b.source, b.bin, n_pairs, n_pos,
+                floor(CAST(n_pos AS DOUBLE) * 1000000 / n_pairs) / 1000000
+                  AS acc,
+                floor(CAST(sconf AS DOUBLE) / n_pairs) / 1000000 AS conf,
+                (sdiff // nn) / CAST(1000000 AS DOUBLE) AS ece
+         FROM b JOIN e USING (source)
+         ORDER BY b.source, b.bin""",
     // q278: the same cents-string first digit; the expected masses are
     // the identical generated literals
     "q278_benford" ->

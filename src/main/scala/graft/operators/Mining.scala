@@ -546,98 +546,110 @@ object Mining extends QueryPack {
     * folds over the bounded TopKAgg arrays (the proven cross-engine
     * float-sum pattern). Oracle: BOTH trained codebooks as literals,
     * assignment/probe/top-k/density/margin replicated end-to-end. */
-  private def q286MarginMineProbed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The two mining collections: the embedding labels split in half —
+    * q126's bitext stand-in (two languages / two snapshots). */
+  private def mineSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
-    val aSide = e.filter(col("label") < 5).select("vec_id", "embedding")
-    val bSide = e.filter(col("label") >= 5).select("vec_id", "embedding")
-    // CORPUS-SIZED quantizers — the FAISS k ≈ √N sizing rule, and the
-    // difference between sub-quadratic and quadratic here: q286 issues
-    // N queries (every item mines), so probed candidate work is
-    // N·nprobe·E[cell] = nprobe·N²/k — at FIXED k that is still
-    // quadratic/k (the g100 probe measured exactly that), while
-    // k ∝ √N bounds it at nprobe·N^1.5. The training sample scales
-    // with k: exactly min(sideN, max(256, 8k)) vectors, taken by
-    // per-SIDE row rank (orderBy(vec_id).limit — sides hold disjoint
-    // id subsets, so a global vec_id cutoff would undershoot by the
-    // side's id density and could even miss k vectors on a side
-    // sparse in low ids; the rank sample is exact regardless of how
-    // ids interleave). max(ivfK, …) floors tiny corpora at the
-    // committed-sf value: √250 < 16 at sf0.01, so the oracle-gated
-    // output — and its hash — is unchanged there by construction.
-    def mineK(n: Long): Int =
-      math.max(Similarity.ivfK, math.sqrt(n.toDouble).toInt)
-    // trained once per dataset (computeIfAbsent — the q156
-    // rerankCodebooksFor precedent): per-side codebooks are versioned
-    // persisted artifacts in the mining deployment, not per-query state
-    val (centsB, centsA) = mineCodebooks.computeIfAbsent(d, _ => {
+    (e.filter(col("label") < 5).select("vec_id", "embedding"),
+     e.filter(col("label") >= 5).select("vec_id", "embedding"))
+  }
+
+  /** CORPUS-SIZED quantizer sizing — the FAISS k ≈ √N rule, and the
+    * difference between sub-quadratic and quadratic here: the probed
+    * miner issues N queries (every item mines), so candidate work is
+    * N·nprobe·E[cell] = nprobe·N²/k — at FIXED k that is still
+    * quadratic/k (the g100 probe measured exactly that), while k ∝ √N
+    * bounds it at nprobe·N^1.5. max(ivfK, …) floors tiny corpora at
+    * the committed-sf value: √250 < 16 at sf0.01, so the oracle-gated
+    * output — and its hash — is unchanged there by construction. */
+  private def mineK(n: Long): Int =
+    math.max(Similarity.ivfK, math.sqrt(n.toDouble).toInt)
+
+  /** Per-side trained coarse quantizers, once per dataset
+    * (computeIfAbsent — the q156 rerankCodebooksFor precedent):
+    * codebooks are versioned persisted artifacts in the mining
+    * deployment, not per-query state (q289 persists exactly these).
+    * The training sample scales with k: exactly min(sideN,
+    * max(256, 8k)) vectors, taken by per-SIDE row rank
+    * (orderBy(vec_id).limit — sides hold disjoint id subsets, so a
+    * global vec_id cutoff would undershoot by the side's id density
+    * and could even miss k vectors on a side sparse in low ids; the
+    * rank sample is exact regardless of how ids interleave). */
+  private def mineCodebooksFor(s: SparkSession, d: String, aSide: DataFrame,
+                               bSide: DataFrame)
+      : (Array[Array[Double]], Array[Array[Double]]) =
+    mineCodebooks.computeIfAbsent(d, _ => {
       val (kB, kA) = (mineK(bSide.count()), mineK(aSide.count()))
       def sideSample(side: DataFrame, k: Int): DataFrame =
         side.orderBy("vec_id").limit(math.max(256, 8 * k))
       (Similarity.trainCentroids(sideSample(bSide, kB), kB, sampleN = Int.MaxValue),
        Similarity.trainCentroids(sideSample(aSide, kA), kA, sampleN = Int.MaxValue))
     })
-    // per-query top-mineCandK probed candidates among `corpus`, under
-    // `cents`'s cell decomposition of the corpus — one grouped row per
-    // query item carrying the rank-ordered (score, id) array
-    def probedCore(qs: DataFrame, corpus: DataFrame,
-                   cents: Array[Array[Double]], qc: String): DataFrame = {
-      val cb = cents.zipWithIndex.toSeq
-        .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("c_id", "cv")
-      val assigned = Similarity.ivfAssignCodebook(s, corpus, cents)
-        .select(col("vec_id").as("cand_id"), col("centroid"),
-                col("embedding").as("cev"))
-      qs.crossJoin(broadcast(cb))
-        .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
-        .groupBy("vec_id")
-        .agg(TopKAgg.top_k_by_score(col("cos_c"), col("c_id"), mineProbes).as("pr"),
-             first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding").as("qv"),
-                explode(expr("pr.id")).as("centroid"))
-        .join(assigned, Seq("centroid"))
-        .withColumn("c", NativeExprs.cosine_sim(col("qv"), col("cev")))
-        .groupBy(col("vec_id").as(qc))
-        .agg(TopKAgg.top_k_by_score(col("c"), col("cand_id"), mineCandK).as("top"))
-    }
-    def pairsOf(core: DataFrame, qc: String, cc: String): DataFrame = core
-      .select(col(qc), explode(col("top")).as("t"))
+
+  /** Per-query top-[[mineCandK]] probed candidates over an ASSIGNED
+    * corpus relation (cand_id, centroid, cev) under `cents`'s cell
+    * decomposition — one grouped row per query item carrying the
+    * rank-ordered (score, id) array. q286 assigns in-plan; q289 reads
+    * the assignment from its persisted index. */
+  private def minedCoreOver(s: SparkSession, qs: DataFrame, assigned: DataFrame,
+                            cents: Array[Array[Double]], qc: String): DataFrame = {
+    import s.implicits._
+    val cb = cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("c_id", "cv")
+    qs.crossJoin(broadcast(cb))
+      .withColumn("cos_c", NativeExprs.cosine_sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(TopKAgg.top_k_by_score(col("cos_c"), col("c_id"), mineProbes).as("pr"),
+           first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding").as("qv"),
+              explode(expr("pr.id")).as("centroid"))
+      .join(assigned, Seq("centroid"))
+      .withColumn("c", NativeExprs.cosine_sim(col("qv"), col("cev")))
+      .groupBy(col("vec_id").as(qc))
+      .agg(TopKAgg.top_k_by_score(col("c"), col("cand_id"), mineCandK).as("top"))
+  }
+
+  private def minedPairsOf(core: DataFrame, qc: String, cc: String): DataFrame =
+    core.select(col(qc), explode(col("top")).as("t"))
       .select(col(qc), col("t.id").as(cc), col("t.score").as("c"))
-    // density = rank-ordered fold over the first marginK probed scores
-    // (÷ marginK — the q126 denominator over the probed neighborhood)
-    def densityOf(core: DataFrame, qc: String, out: String): DataFrame = core
-      .select(col(qc),
-        (aggregate(expr(s"transform(slice(top, 1, $marginK), x -> x.score)"),
-                   lit(0.0), (acc, x) => acc + x) / marginK).as(out))
-    // each probed core feeds TWO consumers (the pair explode + the
-    // density fold): both read the core's final-aggregate exchange, so
-    // AQE's runtime stage reuse computes the probe search once — no
-    // checkpoint needed (measured neutral r13; a lazy localCheckpoint
-    // changed q286's sf0.1 slot by < the host noise band)
-    val fwd = probedCore(aSide, bSide, centsB, "a_id")
-    val bwd = probedCore(bSide, aSide, centsA, "b_id")
-    // densities are SIDE-SIZED relations (one row per mining item) —
-    // never broadcast-hinted: forcing them through the driver is
-    // exactly the 100 TB hazard a hint can't retract (VERDICT r12).
-    // Instead the pair relation is CO-PARTITIONED with them: each
-    // density inherits its core's hash(item-id) partitioning (the
-    // groupBy alias), so the pair stream repartitions once per side
-    // and both density joins — and the final per-anchor aggregate —
-    // run exchange-free on the pair side. That is the same TWO
-    // pair-grain shuffles the forced-broadcast shape paid (its union
-    // dedup + final agg), with zero driver-sized relations; PlanSpec
-    // pins that the only forced broadcasts here are the driver-literal
-    // codebook relations.
-    val cand = pairsOf(fwd, "a_id", "b_id")
-      .unionByName(pairsOf(bwd, "b_id", "a_id").select("a_id", "b_id", "c"))
+
+  /** Density = rank-ordered fold over the first [[marginK]] probed
+    * scores (÷ marginK — the q126 denominator over the probed
+    * neighborhood). */
+  private def minedDensityOf(core: DataFrame, qc: String, out: String): DataFrame =
+    core.select(col(qc),
+      (aggregate(expr(s"transform(slice(top, 1, $marginK), x -> x.score)"),
+                 lit(0.0), (acc, x) => acc + x) / marginK).as(out))
+
+  /** Candidate union → pair dedup → density joins → margin argmax —
+    * q126's scoring verbatim over two probed cores. Each core feeds
+    * TWO consumers (the pair explode + the density fold): both read
+    * the core's final-aggregate exchange, so AQE's runtime stage reuse
+    * computes the probe search once (a lazy localCheckpoint measured
+    * neutral, r13). Densities are SIDE-SIZED relations (one row per
+    * mining item) — never broadcast-hinted: forcing them through the
+    * driver is exactly the 100 TB hazard a hint can't retract (VERDICT
+    * r12). Instead the pair relation is CO-PARTITIONED with them: each
+    * density inherits its core's hash(item-id) partitioning (the
+    * groupBy alias), so the pair stream repartitions once per side and
+    * both density joins — and the final per-anchor aggregate — run
+    * exchange-free on the pair side. That is the same TWO pair-grain
+    * shuffles the forced-broadcast shape paid (its union dedup + final
+    * agg), with zero driver-sized relations; PlanSpec pins that the
+    * only forced broadcasts here are the driver-literal codebook
+    * relations. */
+  private def minedTail(fwd: DataFrame, bwd: DataFrame): DataFrame = {
+    val cand = minedPairsOf(fwd, "a_id", "b_id")
+      .unionByName(minedPairsOf(bwd, "b_id", "a_id").select("a_id", "b_id", "c"))
       .repartition(col("b_id")) // hash(b_id) clusters (a_id, b_id) too:
       // the dedup groupBy and the d_b join both reuse this exchange
       .groupBy("a_id", "b_id").agg(max("c").as("c")) // cosine is symmetric: both directions carry the identical double
     cand
-      .join(densityOf(bwd, "b_id", "d_b"), "b_id")
+      .join(minedDensityOf(bwd, "b_id", "d_b"), "b_id")
       .repartition(col("a_id")) // one move to anchor grain: the d_a
       // join AND the final top-1 aggregate both run on it exchange-free
-      .join(densityOf(fwd, "a_id", "d_a"), "a_id")
+      .join(minedDensityOf(fwd, "a_id", "d_a"), "a_id")
       .withColumn("margin", col("c") / ((col("d_a") + col("d_b")) / 2.0))
       .groupBy("a_id")
       .agg(TopKAgg.top_k_by_score(col("margin"), col("b_id"), 1).as("top"))
@@ -649,6 +661,72 @@ object Mining extends QueryPack {
       .orderBy("a_id")
   }
 
+  private def q286MarginMineProbed(s: SparkSession, d: String): DataFrame = {
+    val (aSide, bSide) = mineSides(s, d)
+    val (centsB, centsA) = mineCodebooksFor(s, d, aSide, bSide)
+    def assignedOf(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+      Similarity.ivfAssignCodebook(s, corpus, cents)
+        .select(col("vec_id").as("cand_id"), col("centroid"),
+                col("embedding").as("cev"))
+    minedTail(
+      minedCoreOver(s, aSide, assignedOf(bSide, centsB), centsB, "a_id"),
+      minedCoreOver(s, bSide, assignedOf(aSide, centsA), centsA, "b_id"))
+  }
+
+  /** q289's append batch: every fifth side vector (vec_id % 5 == 2)
+    * arrives AFTER the initial index build and is frozen-encoded into
+    * the standing version — id-interleaved, so the certificate covers
+    * non-contiguous arrival, not just a suffix batch. The codebooks
+    * are the versioned [[mineCodebooksFor]] artifacts passed frozen to
+    * both the build and the append, so append ≡ rebuild holds by the
+    * q157 argument (deterministic assignment under equal codebooks)
+    * whatever the split. */
+  private val mineAppendMod = 5
+  private val mineAppendRem = 2
+
+  /** q289: MINING-INDEX LIFECYCLE — q286's persisted legs (VERDICT r12
+    * task 6): the two per-side quantizers become versioned persisted
+    * indexes (q156's partitionBy(centroid) layout via [[Similarity.ivfPqIndex]]
+    * with the FROZEN [[mineCodebooksFor]] codebooks), each built on its
+    * initial slice and APPENDED with a later batch under the standing
+    * version — the two-sided freshness problem mining adds over the
+    * search lifecycle (either side's append can shift candidates). The
+    * probed margin mining then runs OVER the persisted indexes: serving
+    * state rides [[Similarity.ivfPqHandle]] (codebooks resident per
+    * index version), cell assignments are READ from the index's
+    * (vec_id, centroid) columns — column-pruned, code bytes untouched —
+    * and raw vectors come from the corpus store by id (the q156 rerank
+    * fetch shape). Output ≡ q286 BY CONSTRUCTION (same codebooks, same
+    * probe/score/margin semantics), so the gate shares q286's oracle —
+    * a pass certifies append ≡ rebuild AT THE MINING GRAIN, cross-
+    * engine (the q157 pattern, two-sided). */
+  private def q289MiningIndexLifecycle(s: SparkSession, d: String): DataFrame = {
+    val (aSide, bSide) = mineSides(s, d)
+    val (centsB, centsA) = mineCodebooksFor(s, d, aSide, bSide)
+    val (dirB, dirA) = graft.SessionMemo.getOrElseUpdate[(String, String)](
+      s, "mine.sideIndexes", d)( {
+      def build(side: DataFrame, cents: Array[Array[Double]],
+                tag: String): String = {
+        val dir = graft.WorkDirs.artifactDir(s, s"mine_idx_$tag", d)
+        val isAppend = col("vec_id") % mineAppendMod === mineAppendRem
+        Similarity.ivfPqIndex(side.filter(!isAppend), cents.length, dir,
+                              coarse = Some(cents))
+        Similarity.ivfPqAppend(s, dir, side.filter(isAppend))
+        dir
+      }
+      (build(bSide, centsB, "b"), build(aSide, centsA, "a"))
+    })
+    def assignedOf(dir: String, corpus: DataFrame): DataFrame = {
+      val h = Similarity.ivfPqHandle(s, dir) // resident per index version
+      s.read.parquet(h.cur).select(col("vec_id").as("cand_id"), col("centroid"))
+        .join(corpus.select(col("vec_id").as("cand_id"),
+                            col("embedding").as("cev")), "cand_id")
+    }
+    minedTail(
+      minedCoreOver(s, aSide, assignedOf(dirB, bSide), centsB, "a_id"),
+      minedCoreOver(s, bSide, assignedOf(dirA, aSide), centsA, "b_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_triangles" -> q246Triangles _,
     "q231_knn_purity" -> q231KnnPurity _,
@@ -657,6 +735,7 @@ object Mining extends QueryPack {
     "q216_pagerank" -> q216Pagerank _,
     "q126_margin_mine" -> q126MarginMine _,
     "q286_margin_mine_probed" -> q286MarginMineProbed _,
+    "q289_mining_index_lifecycle" -> q289MiningIndexLifecycle _,
     "q127_weighted_jaccard" -> q127WeightedJaccard _,
     "q131_crosslang_audit" -> q131CrossLangAudit _,
     "q180_collocations" -> q180Collocations _,
@@ -778,7 +857,13 @@ object Mining extends QueryPack {
         .getOrElse("SELECT 1 AS q224_not_built_for_this_dataset")) +
       ("q286_margin_mine_probed" -> Option(mineCodebooks.get(dir))
         .map(minedOracleSqlTrained)
-        .getOrElse("SELECT 1 AS q286_not_built_for_this_dataset"))
+        .getOrElse("SELECT 1 AS q286_not_built_for_this_dataset")) +
+      // q289 SHARES q286's oracle: the persisted-index mining must equal
+      // the in-plan rebuild exactly — the append ≡ rebuild certificate
+      // at the mining grain (the q157 pattern, two-sided)
+      ("q289_mining_index_lifecycle" -> Option(mineCodebooks.get(dir))
+        .map(minedOracleSqlTrained)
+        .getOrElse("SELECT 1 AS q289_not_built_for_this_dataset"))
 
   // `def`, not `val`: the q224 entry embeds the codebook trained when the
   // query ran — oraclesFor(dir) is the precise path; this is the

@@ -659,15 +659,20 @@ object Similarity extends QueryPack {
     * mean squared reconstruction error strictly improves). The residual
     * subtraction is a `zip_with` against the (broadcast) cell centroid —
     * map-side, no extra shuffle. */
-  def ivfPqIndex(e: DataFrame, k: Int, path: String, residual: Boolean = true): Unit = {
+  /** `coarse`: optional PRE-TRAINED coarse codebook (q289's mining
+    * deployment trains its versioned quantizers up front and builds the
+    * index under them frozen — the day-0-codebook production shape);
+    * `k` is ignored when it is supplied. */
+  def ivfPqIndex(e: DataFrame, k: Int, path: String, residual: Boolean = true,
+                 coarse: Option[Array[Array[Double]]] = None): Unit = {
     val s = e.sparkSession
-    val coarse = trainCentroids(e, k)
-    val pq = if (residual) trainPqResidual(e, coarse) else trainPq(e)
-    val assigned = ivfAssignCodebook(s, e, coarse)
+    val cb = coarse.getOrElse(trainCentroids(e, k))
+    val pq = if (residual) trainPqResidual(e, cb) else trainPq(e)
+    val assigned = ivfAssignCodebook(s, e, cb)
     val toEncode =
       if (residual)
         assigned
-          .join(broadcast(codebookDf(s, coarse)), col("centroid") === col("c_id"))
+          .join(broadcast(codebookDf(s, cb)), col("centroid") === col("c_id"))
           .withColumn("enc", expr(
             "zip_with(transform(embedding, x -> cast(x as double)), cv, (a, b) -> a - b)"))
       else assigned.withColumn("enc", col("embedding"))
@@ -675,7 +680,7 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("centroid"),
               NativeExprs.pq_encode(col("enc"), pq).as("codes"))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
-    codebookDf(s, coarse).write.mode("overwrite").parquet(s"$path/_codebook")
+    codebookDf(s, cb).write.mode("overwrite").parquet(s"$path/_codebook")
     pqCodebookDf(s, pq, residual).write.mode("overwrite").parquet(s"$path/_pq_codebook")
   }
 

@@ -491,4 +491,31 @@ class MiningSpec extends SparkTestBase {
     assert(agree.toDouble / brute.size >= 0.4,
       s"probed mining agreement too low: $agree / ${brute.size}")
   }
+
+  test("q289 lifecycle: persisted-index mining equals the in-plan rebuild; " +
+       "the batch landed as appended files under the standing version") {
+    // append ≡ rebuild at the mining grain: the persisted-leg query must
+    // reproduce q286 EXACTLY (same codebooks frozen, same probe/score
+    // semantics) — the two gates also share one oracle, so the driver
+    // certifies the same equality cross-engine
+    val lifecycle = SparkEntry.queries("q289_mining_index_lifecycle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuild = SparkEntry.queries("q286_margin_mine_probed")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lifecycle == rebuild,
+      "persisted-index mining must equal the in-plan rebuild")
+    // physical evidence the batch arrived as an APPEND, not a rebuild:
+    // at least one cell partition of each side index holds >1 file
+    for (tag <- Seq("a", "b")) {
+      // WorkDirs returns Hadoop-qualified paths (file:/… locally) —
+      // strip the local scheme for java.io inspection
+      val dir = new java.io.File(WorkDirs.artifactDir(spark, s"mine_idx_$tag", sfDir)
+        .stripPrefix("file:"))
+      val cells = dir.listFiles().filter(_.getName.startsWith("centroid="))
+      assert(cells.nonEmpty, s"missing cell partitions under $dir")
+      assert(cells.exists(
+        _.listFiles().count(_.getName.endsWith(".parquet")) > 1),
+        s"side $tag: expected appended files in at least one cell")
+    }
+  }
 }

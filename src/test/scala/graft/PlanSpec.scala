@@ -86,10 +86,16 @@ class PlanSpec extends SparkTestBase {
       // the async broadcast-exchange future of the memo's record join)
       "q280_preference_kappa", "q281_position_bias",
       "q282_preference_leakage", "q283_preference_margin",
+      // q288 joins BOTH record memos (prefMargins ⋈ prefVerdicts) —
+      // same one-off when it is the first consumer built
+      "q288_reward_calibration",
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph;
-      // q286 trains one per side for its two probed mining directions
+      // q286 trains one per side for its two probed mining directions;
+      // q289 additionally persists both side indexes (write-once per
+      // session+dataset) and loads their resident handles
       "q224_hub_audit", "q286_margin_mine_probed",
+      "q289_mining_index_lifecycle",
       // q284 collects the players^2 win matrix at build and fits the
       // Bradley-Terry strengths driver-side (same constant-size
       // training pattern; the win matrix is source-grain bounded)

@@ -69,6 +69,73 @@ class PreferenceSpec extends SparkTestBase {
     assert(sources.forall(_.startsWith("src")))
   }
 
+  test("q287: wins partition complete groups; per-position stats match a " +
+       "brute argmax replay") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = SparkEntry.queries("q287_bestofn_audit")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("pos") ->
+        ((r.getAs[Long]("n_wins"), r.getAs[Long]("win_share_ppm"),
+          r.getAs[Long]("mean_margin_micro"), r.getAs[Long]("max_margin_micro"))))
+      .toMap
+    assert(rows.nonEmpty)
+    // brute replay: score every doc through the same certified scorer
+    // expression, then do the argmax/margin bookkeeping in plain Scala
+    val ip = Tables.documents(spark, sfDir).select(col("doc_id"),
+        expr(graft.functions.TextExprs.let1(graft.functions.TextExprs.toks, "w",
+          """named_struct(
+               'n', size(w),
+               'ns', size(filter(w, x -> x IN ('a', 'the'))),
+               'sl', aggregate(w, 0, (acc, x) -> acc + length(x)))""")).as("f"))
+      .selectExpr("doc_id",
+        """cast(round((0.015 * f.n + 3.0 * (f.ns / cast(f.n as double))
+                       - 0.25 * (f.sl / cast(f.n as double))) * 1000000)
+           as bigint) as ip""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wins = ip.groupBy(_._1 / 4).filter(_._2.length == 4).values.map { g =>
+      val ranked = g.map { case (id, s) => (id % 4, s) }
+        .sortBy { case (pos, s) => (-s, pos) }
+      (ranked(0)._1, ranked(0)._2 - ranked(1)._2)
+    }.toSeq
+    val total = wins.size.toLong
+    val byPos = wins.groupBy(_._1).map { case (pos, ms) =>
+      val m = ms.map(_._2)
+      pos -> ((m.size.toLong, m.size * 1000000L / total,
+               m.sum / m.size, m.max))
+    }
+    assert(rows == byPos, s"gate $rows != replay $byPos")
+    assert(rows.values.map(_._1).sum == total)
+  }
+
+  test("q288: bins bounded and consistent; pair population ties out " +
+       "against q281's structural non-ties") {
+    val rows = SparkEntry.queries("q288_reward_calibration")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 9L)
+      val acc = r.getAs[Double]("acc"); val conf = r.getAs[Double]("conf")
+      assert(acc >= 0.0 && acc <= 1.0 && conf >= 0.0 && conf <= 1.0)
+      // mean confidence must sit inside its own bin's bounds
+      assert(conf >= bin * 0.1 - 1e-9 && conf <= (bin + 1) * 0.1 + 1e-9,
+        s"bin $bin holds conf $conf")
+      assert(r.getAs[Double]("ece") >= 0.0 && r.getAs[Double]("ece") <= 1.0)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_pairs"))
+    }
+    // every source reports ONE ece (constant across its bins)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Double]("ece")).distinct.length == 1,
+        s"source $src reports differing ece values")
+    }
+    // population: q288 audits exactly the structurally-decided pairs
+    val structural = SparkEntry.queries("q281_position_bias")(spark, sfDir)
+      .collect().find(_.getAs[String]("rater") == "structural").get
+    val nonTies = structural.getAs[Long]("n_records") -
+      structural.getAs[Long]("n_tie")
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nonTies,
+      "q288's pair population must equal q281's structural non-ties")
+  }
+
   test("q280/q281 read the same record population") {
     val n280 = row1("q280_preference_kappa").getAs[Long]("n_records")
     val n281 = SparkEntry.queries("q281_position_bias")(spark, sfDir)
