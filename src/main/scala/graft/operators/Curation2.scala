@@ -205,13 +205,24 @@ object Curation2 extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q96's held-out set bound: membership is (vec_id % 10 == 0) AND
+    * vec_id < 10·knnHoldoutCap, so AT MOST [[knnHoldoutCap]] vectors
+    * are ever classified per run — a labeling batch is a fixed work
+    * unit, not a corpus fraction (a residue-only predicate made the
+    * brute scan corpus × corpus/10: the r13 z10 run measured it ×178
+    * at ×10 data — the q285-benchmark lesson again). The cap does not
+    * bind at the committed sfs (max vec_id 1999 < 2560), so the gated
+    * output and its hash are unchanged. */
+  private val knnHoldoutCap = 256L
+
   /** kNN LABEL PROPAGATION — the semi-supervised step of quality
-    * curation: held-out vectors (vec_id % 10 == 0) get a label by
-    * majority vote of their 5 nearest labeled neighbors (cosine), ties
-    * to the smallest label; the true label rides along so the output is
-    * also the accuracy audit. The declared form is brute-force over a
-    * BROADCAST query set (q40's shape — the corpus never shuffles;
-    * per-partition work is corpus_rows × |Q| dot products) with the
+    * curation: a BOUNDED held-out batch (see [[knnHoldoutCap]]) gets a
+    * label by majority vote of its 5 nearest labeled neighbors
+    * (cosine), ties to the smallest label; the true label rides along
+    * so the output is also the accuracy audit. The declared form is
+    * brute-force over a BROADCAST query set (q40's shape — the corpus
+    * never shuffles; per-partition work is corpus_rows × |Q| dot
+    * products, LINEAR in the corpus at the capped |Q|) with the
     * bounded-heap TopKAgg ranking (shuffle ≤ 5·|Q| rows). At corpus
     * scale the candidate step swaps for [[Similarity]]'s IVF-PQ search
     * (`ivfPqSearchRerank`) with the same vote tail — the vote itself is
@@ -220,10 +231,12 @@ object Curation2 extends QueryPack {
   private def q96KnnClassify(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
-    val q = e.filter(col("vec_id") % 10 === 0)
+    val isHeldOut = col("vec_id") % 10 === 0 &&
+      col("vec_id") < 10L * knnHoldoutCap
+    val q = e.filter(isHeldOut)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
               col("label").as("true_label"))
-    val labeled = e.filter(col("vec_id") % 10 =!= 0)
+    val labeled = e.filter(!isHeldOut)
     val top = labeled.crossJoin(broadcast(q.select(col("q_id"), col("qv"))))
       .withColumn("cos",
         graft.functions.NativeExprs.cosine_sim(col("embedding"), col("qv")))
@@ -963,9 +976,10 @@ object Curation2 extends QueryPack {
     // total order both engines reproduce; cosine runs on DOUBLE-widened
     // lists in the same fold order (q40's proven parity).
     "q96_knn_classify" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-         q AS (SELECT vec_id AS q_id, v AS qv, label AS tl FROM e WHERE vec_id % 10 = 0),
-         c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, label AS tl FROM e
+               WHERE vec_id % 10 = 0 AND vec_id < ${10 * knnHoldoutCap}),
+         c AS (SELECT * FROM e WHERE NOT (vec_id % 10 = 0 AND vec_id < ${10 * knnHoldoutCap})),
          scored AS (SELECT q_id, c.vec_id AS n_id, c.label,
                            list_cosine_similarity(c.v, q.qv) AS s
                     FROM c, q),

@@ -360,7 +360,15 @@ object Mining extends QueryPack {
   private def q224HubAudit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(e, Similarity.ivfK)
+    // CORPUS-SIZED quantizer (the q286 [[mineK]] rule): q224 issues N
+    // probe queries — every vector audits — so at FIXED k the candidate
+    // join is N·nprobe·N/k: quadratic/k (the r13 z10 run measured ×23
+    // at ×10 data); k = max(16, √N) bounds it at nprobe·N^1.5. The
+    // training sample scales with k by row rank (the q286 sampler).
+    val kHub = mineK(e.count())
+    val cents = Similarity.trainCentroids(
+      e.orderBy("vec_id").limit(math.max(256, 8 * kHub)), kHub,
+      sampleN = Int.MaxValue)
     hubCodebooks.put(d, cents)
     val cb = cents.zipWithIndex.toSeq
       .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("c_id", "cv")
