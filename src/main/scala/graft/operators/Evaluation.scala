@@ -723,6 +723,69 @@ object Evaluation extends QueryPack {
       .orderBy("source", "bin")
   }
 
+  /** q290: REJECTION-SAMPLING YIELD CURVES — the acceptance step that
+    * follows q287's selection step: a rejection-sampling pipeline keeps
+    * the (prompt, best-of-n response) pair only when the winner's reward
+    * clears a threshold τ, and the curve of keep-rate vs τ PER SOURCE is
+    * how τ is actually chosen (a source whose yield collapses at the
+    * global τ silently vanishes from the distillation set). Per prompt
+    * group: the argmax winner under q287's total order (reward micro-
+    * units DESC, position ASC — `max_by` on the integer key pair
+    * (ip, -pos), unique per group so deterministic), carrying its
+    * source; the winner's reward squashes to a [0, 1e6] confidence via
+    * q288's bounded rational map (identical IEEE ops cross-engine, no
+    * libm); confidences land in ten fixed bins and the yield curve is
+    * the per-source DESCENDING cumulative over occupied bins — row
+    * (source, thr) reports how many prompts survive τ = thr/10 and the
+    * mean kept confidence. Sparse representation declared: only
+    * occupied bins appear (the oracle mirrors). Integer closers
+    * throughout (q268 discipline); output ≤ sources × 10 rows; the
+    * only exchanges are the group agg and the tiny (source, bin)
+    * window. */
+  private def q290RejectionYield(s: SparkSession, d: String): DataFrame = {
+    val scored = prefFeatures(s, d).select(
+      expr(s"doc_id div $bonN").as("g"),
+      expr(s"doc_id % $bonN").as("pos"),
+      col("source"),
+      expr("""cast(round((0.015 * n + 3.0 * (ns / cast(n as double))
+                          - 0.25 * (sl / cast(n as double))) * 1000000)
+              as bigint)""").as("ip"))
+    val winners = scored.groupBy("g")
+      .agg(count(lit(1)).as("k"),
+           expr("max_by(struct(ip, source), struct(ip, -pos))").as("w"))
+      .filter(col("k") === bonN)
+      // micro-units back to the model scale ONCE (exact long → double,
+      // |ip| ≪ 2^53), then the q288 squash — quantized by FLOOR, not
+      // round (round's tie rule differs cross-engine; floor after
+      // identical IEEE ops is bit-stable). Cross-engine pitfall found
+      // here: BOTH Spark and DuckDB parse `1000000.0` as DECIMAL, and
+      // BIGINT/DECIMAL stays in decimal arithmetic — with DIFFERENT
+      // scale rules per engine (observed: ±1 ppm skew on ~1 winner per
+      // source at sf0.01). The explicit cast to double on both sides
+      // pins the whole squash to IEEE ops, identical in both engines.
+      // q288 dodged it only because its input was already DOUBLE.
+      .select(expr("""least(1000000L, greatest(0L,
+                      cast(floor((1.0 + (cast(w.ip as double) / 1000000.0)
+                                  / (1.0 + abs(cast(w.ip as double)
+                                               / 1000000.0))) / 2.0
+                                 * 1000000) as bigint)))""").as("p"),
+              col("w.source").as("source"))
+    val bins = winners
+      .groupBy(col("source"), least(lit(9L), expr("p div 100000")).as("thr"))
+      .agg(count(lit(1)).as("n_bin"), sum("p").as("sp"))
+    val perSource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("thr").desc)
+    bins
+      .withColumn("n_kept", sum("n_bin").over(cum))
+      .withColumn("sp_kept", sum("sp").over(cum))
+      .withColumn("n_total", sum("n_bin").over(perSource))
+      .select(col("source"), col("thr"), col("n_kept"),
+        expr("n_kept * 1000000 div n_total").as("keep_ppm"),
+        expr("sp_kept div n_kept").as("mean_kept_conf_ppm"))
+      .orderBy("source", "thr")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
@@ -738,6 +801,7 @@ object Evaluation extends QueryPack {
     "q284_preference_btl" -> q284PreferenceBtl _,
     "q287_bestofn_audit" -> q287BestOfNAudit _,
     "q288_reward_calibration" -> q288RewardCalibration _,
+    "q290_rejection_yield" -> q290RejectionYield _,
   )
 
   /** The preference-record verdict CTE chain shared by the q280/q281
@@ -889,6 +953,50 @@ object Evaluation extends QueryPack {
                 (sdiff // nn) / CAST(1000000 AS DOUBLE) AS ece
          FROM b JOIN e USING (source)
          ORDER BY b.source, b.bin""",
+    // q290: q287's winner chain carrying source, q288's squash map
+    // verbatim on the winner's reward, then the per-source descending
+    // cumulative yield over occupied bins
+    "q290_rejection_yield" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                            string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents),
+         f AS (SELECT doc_id, source, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_sum(list_transform(w, x -> length(x))) AS sl
+               FROM t),
+         sc AS (SELECT doc_id // $bonN AS g, doc_id % $bonN AS pos, source,
+                       CAST(round((0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                   - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000)
+                         AS BIGINT) AS ip
+                FROM f),
+         fg AS (SELECT g FROM sc GROUP BY g HAVING count(*) = $bonN),
+         r AS (SELECT g, source, ip,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY ip DESC, pos ASC) AS rn
+               FROM sc WHERE g IN (SELECT g FROM fg)),
+         wn AS (SELECT source,
+                       least(1000000, greatest(0,
+                         CAST(floor((1.0 + (CAST(ip AS DOUBLE) / 1000000.0)
+                                     / (1.0 + abs(CAST(ip AS DOUBLE)
+                                                  / 1000000.0))) / 2.0
+                                    * 1000000) AS BIGINT))) AS p
+                FROM r WHERE rn = 1),
+         b AS (SELECT source, CAST(least(9, p // 100000) AS BIGINT) AS thr,
+                      CAST(count(*) AS BIGINT) AS n_bin,
+                      CAST(sum(p) AS BIGINT) AS sp
+               FROM wn GROUP BY 1, 2),
+         c AS (SELECT source, thr,
+                      CAST(sum(n_bin) OVER (PARTITION BY source
+                        ORDER BY thr DESC) AS BIGINT) AS n_kept,
+                      CAST(sum(sp) OVER (PARTITION BY source
+                        ORDER BY thr DESC) AS BIGINT) AS sp_kept,
+                      CAST(sum(n_bin) OVER (PARTITION BY source)
+                        AS BIGINT) AS n_total
+               FROM b)
+         SELECT source, thr, n_kept,
+                n_kept * 1000000 // n_total AS keep_ppm,
+                sp_kept // n_kept AS mean_kept_conf_ppm
+         FROM c ORDER BY source, thr""",
     // q278: the same cents-string first digit; the expected masses are
     // the identical generated literals
     "q278_benford" ->

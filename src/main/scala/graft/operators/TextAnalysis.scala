@@ -748,6 +748,45 @@ object TextAnalysis extends QueryPack {
                       ELSE floor(st.dup * 1e3 / size(grams)) / 1000
                       END""").as("rep_ratio"))
 
+  /** q291: KV-CACHE PREFIX GROUPING — the serving-side twin of exact
+    * dedup: an inference scheduler that batches requests sharing a
+    * token prefix re-uses one KV-cache page for the shared span, so the
+    * planning stat it consumes is "how much prefix mass does this
+    * corpus share, at which depths?". Per depth d ∈ {1, 2, 4, 8}
+    * (cache-page-grain powers of two): documents group by their first-d
+    * whitespace tokens (shorter docs by their whole token list — equal
+    * prefix STRINGS decode to equal token sequences since tokens carry
+    * no whitespace, so the group's prefix token count is single-valued
+    * and `min` just reads it); the report is, per depth, the group
+    * count, shared-group count, duplicate-doc count, and the tokens a
+    * prefix-sharing cache saves = Σ (|group| − 1) · |prefix|. Scale
+    * shape: tokenize ONCE per doc, fan out 4 depth rows per doc
+    * (generator, no recompute), and the ONLY corpus-sized exchange is
+    * the (depth, prefix) groupBy — partially aggregated map-side, keys
+    * bounded at 8 tokens; the closing agg is 4 rows. All counts
+    * integer; no doubles anywhere. */
+  private def q291PrefixCache(s: SparkSession, d: String): DataFrame =
+    prefixCacheOn(Tables.documents(s, d))
+
+  /** q291's core on any relation with a `text` column — injectable for
+    * planted-fixture specs (the repetitionOn convention). */
+  private[graft] def prefixCacheOn(docs: DataFrame): DataFrame =
+    docs
+      .select(expr(toksExpr).as("tk"))
+      .select(explode(expr("array(1L, 2L, 4L, 8L)")).as("depth"), col("tk"))
+      .select(col("depth"),
+              expr("concat_ws(' ', slice(tk, 1, cast(depth as int)))").as("prefix"),
+              expr("least(depth, size(tk))").cast("long").as("ptoks"))
+      .groupBy("depth", "prefix")
+      .agg(count(lit(1)).as("cnt"), min("ptoks").as("ptoks"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_groups"),
+           sum("cnt").as("n_docs"),
+           sum(expr("IF(cnt > 1, 1L, 0L)")).as("n_shared_groups"),
+           sum(expr("cnt - 1")).as("dup_docs"),
+           sum(expr("(cnt - 1) * ptoks")).as("saved_tokens"))
+      .orderBy("depth")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_repetition"   -> q161Repetition _,
     "q37_curation"      -> q37Curation _,
@@ -778,6 +817,7 @@ object TextAnalysis extends QueryPack {
     "q201_vocab_coverage" -> q201VocabCoverage _,
     "q244_prefix_join" -> ((s: SparkSession, d: String) =>
       prefixJaccardJoin(s, d)),
+    "q291_prefix_cache" -> q291PrefixCache _,
   )
 
   /** Vocabulary size for q201 — the top-V closed vocabulary. */
@@ -811,6 +851,27 @@ object TextAnalysis extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+    // q291: the same depth fan-out (CROSS JOIN a 4-row VALUES), 1-based
+    // inclusive list slice == Spark's slice(tk, 1, depth), all-integer
+    // closers
+    "q291_prefix_cache" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w
+                    FROM documents),
+         d(depth) AS (VALUES (1), (2), (4), (8)),
+         p AS (SELECT CAST(depth AS BIGINT) AS depth,
+                      array_to_string(w[1:depth], ' ') AS prefix,
+                      CAST(least(depth, len(w)) AS BIGINT) AS ptoks
+               FROM t CROSS JOIN d),
+         g AS (SELECT depth, prefix, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(min(ptoks) AS BIGINT) AS ptoks
+               FROM p GROUP BY 1, 2)
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(cnt) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_shared_groups,
+                CAST(sum(cnt - 1) AS BIGINT) AS dup_docs,
+                CAST(sum((cnt - 1) * ptoks) AS BIGINT) AS saved_tokens
+         FROM g GROUP BY 1 ORDER BY 1""",
     // q161: the unnest+GROUP BY form — value-identical to the map-side
     // run-length fold (counts are integers; one floored division)
     "q161_repetition" ->

@@ -136,6 +136,44 @@ class PreferenceSpec extends SparkTestBase {
       "q288's pair population must equal q281's structural non-ties")
   }
 
+  test("q290 yield curve: monotone, bounded, ties out against q287's " +
+       "prompt population") {
+    val rows = SparkEntry.queries("q290_rejection_yield")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val thr = r.getAs[Long]("thr")
+      assert(thr >= 0L && thr <= 9L)
+      val ppm = r.getAs[Long]("keep_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      // kept winners all sit in bins >= thr, so their mean confidence
+      // clears the threshold's lower edge
+      assert(r.getAs[Long]("mean_kept_conf_ppm") >= thr * 100000L,
+        s"mean kept confidence below its own threshold at thr=$thr")
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byThr = rs.sortBy(_.getAs[Long]("thr"))
+      // the curve is a descending cumulative: raising tau only drops rows
+      for (Array(lo, hi) <- byThr.sliding(2) if byThr.length >= 2) {
+        assert(lo.getAs[Long]("n_kept") > hi.getAs[Long]("n_kept"),
+          s"$src: occupied-bin cumulative must strictly decrease")
+        assert(lo.getAs[Long]("mean_kept_conf_ppm") <=
+               hi.getAs[Long]("mean_kept_conf_ppm"),
+          s"$src: truncating low bins cannot lower the kept mean")
+      }
+      // the lowest occupied threshold keeps everything
+      assert(byThr.head.getAs[Long]("keep_ppm") == 1000000L,
+        s"$src: lowest occupied bin must report full yield")
+    }
+    // population: one winner per complete prompt group — exactly q287's
+    val q287Total = SparkEntry.queries("q287_bestofn_audit")(spark, sfDir)
+      .collect().map(_.getAs[Long]("n_wins")).sum
+    val q290Total = rows.groupBy(_.getAs[String]("source"))
+      .map(_._2.map(_.getAs[Long]("n_kept")).max).sum
+    assert(q290Total == q287Total,
+      "q290's per-source totals must sum to q287's prompt-group count")
+  }
+
   test("q280/q281 read the same record population") {
     val n280 = row1("q280_preference_kappa").getAs[Long]("n_records")
     val n281 = SparkEntry.queries("q281_position_bias")(spark, sfDir)

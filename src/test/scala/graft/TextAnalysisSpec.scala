@@ -151,4 +151,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2L) == ((2L, 1L, 0L)), s"all-distinct doc: ${got(2L)}")
     assert(got(3L) == ((0L, 0L, 0L)), s"single-token doc: ${got(3L)}")
   }
+
+  test("q291 prefix-cache: refinement invariants + planted fixture") {
+    val rows = TextAnalysis.queries("q291_prefix_cache")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_docs") == nDocs,
+        "every doc lands in exactly one prefix group per depth")
+      assert(r.getAs[Long]("dup_docs") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("n_shared_groups") <= r.getAs[Long]("n_groups"))
+    }
+    // depth d+1 prefixes REFINE depth d groups: group count can only
+    // grow, duplicate mass can only shrink
+    val byDepth = rows.sortBy(_.getLong(0))
+    for (Array(lo, hi) <- byDepth.sliding(2)) {
+      assert(lo.getAs[Long]("n_groups") <= hi.getAs[Long]("n_groups"),
+        "finer prefixes cannot merge groups")
+      assert(lo.getAs[Long]("dup_docs") >= hi.getAs[Long]("dup_docs"),
+        "finer prefixes cannot create duplicates")
+    }
+    // planted: at depth 2, docs 1/2 share "the cat" (saves 2 tokens),
+    // docs 3/4/5 share "a dog" (saves 2·2); doc 6 is a 1-token doc whose
+    // depth-2 prefix is itself. depth 4 splits the "a dog" trio into
+    // {3,4} (share "a dog sat here") + {5}; depth 8 separates everything
+    // (prefixes of short docs are the whole doc).
+    import spark.implicits._
+    val planted = Seq(
+      "the cat sat here", "the cat ran off",
+      "a dog sat here now", "a dog sat here later", "a dog ran away",
+      "solo").toDF("text")
+    val got = graft.operators.TextAnalysis.prefixCacheOn(planted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5))).toMap
+    // (n_groups, n_docs, n_shared_groups, dup_docs, saved_tokens)
+    assert(got(2L) == ((3L, 6L, 2L, 3L, 6L)), s"depth 2: ${got(2L)}")
+    assert(got(4L) == ((5L, 6L, 1L, 1L, 4L)), s"depth 4: ${got(4L)}")
+    assert(got(8L) == ((6L, 6L, 0L, 0L, 0L)), s"depth 8: ${got(8L)}")
+  }
 }
