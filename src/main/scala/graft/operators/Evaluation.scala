@@ -741,7 +741,13 @@ object Evaluation extends QueryPack {
     * occupied bins appear (the oracle mirrors). Integer closers
     * throughout (q268 discipline); output ≤ sources × 10 rows; the
     * only exchanges are the group agg and the tiny (source, bin)
-    * window. */
+    * window. Plan shape note: `max_by` carries a var-width struct, which
+    * HashAggregate's mutable-buffer contract excludes, so Spark plans a
+    * partial SortAggregate — a LOCAL per-partition sort by g feeding a
+    * map-side combine to one row per group before the single exchange
+    * (audited: no extra shuffle vs q287's heap; the alternative — a
+    * scalar-key hash agg + join-back for source — would trade the local
+    * sort for a corpus-sized shuffle, strictly worse). */
   private def q290RejectionYield(s: SparkSession, d: String): DataFrame = {
     val scored = prefFeatures(s, d).select(
       expr(s"doc_id div $bonN").as("g"),
