@@ -798,4 +798,39 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSeq
     assert(stream == batch)
   }
+
+  test("q104's bloom-split plan carries NO state store; q177's keyed " +
+       "state does (the StateMetrics instrumentation finding, pinned)") {
+    // q104's scale story is that dedup state lives in the broadcast
+    // bloom + the static side, NOT a streaming state store — a plan
+    // change that reintroduces one (e.g. dropDuplicates on the stream)
+    // would silently change the gate's 100 TB cost model. Observed via
+    // the same listener StateMetrics uses.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val ops = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(so =>
+          ops.updateWith(so.operatorName)(
+            v => Some(v.getOrElse(0L) max so.numRowsTotal)))
+    }
+    spark.streams.addListener(listener)
+    try {
+      ops.clear()
+      SparkEntry.queries("q104_incdedup_stream")(spark, sfDir).count()
+      Thread.sleep(2000) // listener delivery is async
+      assert(ops.isEmpty,
+        s"q104 must stay stateless, found state operators: ${ops.keys}")
+      ops.clear()
+      SparkEntry.queries("q177_funnel_stream")(spark, sfDir).count()
+      Thread.sleep(2000)
+      assert(ops.keys.exists(_.contains("flatMapGroupsWithState")),
+        s"positive control: q177 must report its keyed state, got ${ops.keys}")
+    } finally spark.streams.removeListener(listener)
+  }
 }
