@@ -637,6 +637,21 @@ object Evaluation extends QueryPack {
     * the count filter — declared, and identical in the oracle. */
   private val bonN = 4
 
+  /** The shared best-of-n scored relation (g, pos, source, ip): q269's
+    * linear reward integerized to exact micro-units over width-[[bonN]]
+    * prompt groups. ONE definition feeding both q287 (ignores source)
+    * and q290 (stratifies by it) — the two gates' "q290 consumes q287's
+    * winner chain" contract is enforced by construction, not by keeping
+    * two copies in sync. */
+  private def bonScored(s: SparkSession, d: String): DataFrame =
+    prefFeatures(s, d).select(
+      expr(s"doc_id div $bonN").as("g"),
+      expr(s"doc_id % $bonN").as("pos"),
+      col("source"),
+      expr("""cast(round((0.015 * n + 3.0 * (ns / cast(n as double))
+                          - 0.25 * (sl / cast(n as double))) * 1000000)
+              as bigint)""").as("ip"))
+
   /** q287: BEST-OF-N SAMPLING AUDIT — the selection step of rejection
     * sampling / BoN distillation, audited before anyone trains on it:
     * per prompt, the reward model (q269's linear scorer, integerized to
@@ -652,13 +667,7 @@ object Evaluation extends QueryPack {
     * no double accumulates across rows anywhere (the q268 ECE
     * argument). One doc scan, one group pass, a 4-row report. */
   private def q287BestOfNAudit(s: SparkSession, d: String): DataFrame = {
-    val scored = prefFeatures(s, d).select(
-      expr(s"doc_id div $bonN").as("g"),
-      expr(s"doc_id % $bonN").as("pos"),
-      expr("""cast(round((0.015 * n + 3.0 * (ns / cast(n as double))
-                          - 0.25 * (sl / cast(n as double))) * 1000000)
-              as bigint)""").as("ip"))
-    val winners = scored.groupBy("g")
+    val winners = bonScored(s, d).groupBy("g")
       .agg(count(lit(1)).as("k"),
            graft.functions.TopKAgg.top_k_by_score(
              col("ip").cast("double"), col("pos"), 2).as("top"))
@@ -749,14 +758,7 @@ object Evaluation extends QueryPack {
     * scalar-key hash agg + join-back for source — would trade the local
     * sort for a corpus-sized shuffle, strictly worse). */
   private def q290RejectionYield(s: SparkSession, d: String): DataFrame = {
-    val scored = prefFeatures(s, d).select(
-      expr(s"doc_id div $bonN").as("g"),
-      expr(s"doc_id % $bonN").as("pos"),
-      col("source"),
-      expr("""cast(round((0.015 * n + 3.0 * (ns / cast(n as double))
-                          - 0.25 * (sl / cast(n as double))) * 1000000)
-              as bigint)""").as("ip"))
-    val winners = scored.groupBy("g")
+    val winners = bonScored(s, d).groupBy("g")
       .agg(count(lit(1)).as("k"),
            expr("max_by(struct(ip, source), struct(ip, -pos))").as("w"))
       .filter(col("k") === bonN)

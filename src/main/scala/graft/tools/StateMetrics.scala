@@ -15,9 +15,12 @@ import scala.collection.concurrent.TrieMap
   * The gates start and await their streaming queries internally, so the
   * probe is a session-level [[StreamingQueryListener]]: every progress
   * event's `stateOperators` is folded into a per-(gate, operator) max of
-  * `numRowsTotal` / `memoryUsedBytes`, plus the RocksDB SST footprint
-  * where the store is RocksDB (`rocksdbTotalSizeBytes` custom metric —
-  * HDFS-backed stores report memoryUsedBytes directly instead).
+  * `numRowsTotal` / `memoryUsedBytes`, plus the on-disk SST footprint
+  * where the store is RocksDB (the `rocksdbSstFileSize` custom metric;
+  * HDFS-backed stores report through memoryUsedBytes instead and show 0
+  * here). Events are delivered async — after each gate the drain loop
+  * polls until the fold is quiet for two consecutive ticks, so a slow
+  * final event cannot be attributed to the NEXT gate's row.
   *
   * Usage: StateMetrics <sfDir> [gate ...]
   * Output: one `[state]` TSV line per (gate, stateOperator) — append the
@@ -26,7 +29,8 @@ import scala.collection.concurrent.TrieMap
 object StateMetrics {
 
   private val defaultGates = Seq(
-    "q104_incdedup_stream", // state ≈ one entry per distinct signature
+    "q104_incdedup_stream", // NO state store (broadcast bloom + stream-
+                            // static anti-join — pinned by StreamingSpec)
     "q107_minhash_stream",  // state ≈ band-bucket postings (RocksDB)
     "q177_funnel_stream",   // state ≈ per-user stage vector (bounded/key)
     "q223_paths_stream")    // state ≈ per-user recent-path buffer
@@ -53,13 +57,10 @@ object StateMetrics {
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         e.progress.stateOperators.foreach { so =>
-          val sst = Option(so.customMetrics).map { m =>
-            math.max(
-              m.getOrDefault("rocksdbSstFileSize",
-                             java.lang.Long.valueOf(0L)).longValue(),
-              m.getOrDefault("rocksdbTotalMemoryUsageBytes",
-                             java.lang.Long.valueOf(0L)).longValue())
-          }.getOrElse(0L)
+          val sst = Option(so.customMetrics)
+            .map(_.getOrDefault("rocksdbSstFileSize",
+                                java.lang.Long.valueOf(0L)).longValue())
+            .getOrElse(0L)
           acc.updateWith(so.operatorName) {
             case Some((r, m, s0, u)) => Some((
               math.max(r, so.numRowsTotal), math.max(m, so.memoryUsedBytes),
@@ -78,8 +79,17 @@ object StateMetrics {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(g)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are delivered async — drain before reading
-      Thread.sleep(2000)
+      // listener events are delivered async — poll until the fold is
+      // quiet for two consecutive ticks (bounded at 20 s) so a late
+      // event can't leak into the next gate's cleared accumulator
+      var quiet = 0
+      var prev = acc.toMap
+      var waited = 0
+      while (quiet < 2 && waited < 40) {
+        Thread.sleep(500); waited += 1
+        val cur = acc.toMap
+        if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
+      }
       if (acc.isEmpty)
         println(f"[state]\t$g\t(no state operator)\t0\t0\t0\t0\t$wall%.2f")
       for ((op, (r, m, s0, u)) <- acc.toSeq.sortBy(_._1))

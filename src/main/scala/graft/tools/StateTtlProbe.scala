@@ -35,6 +35,10 @@ object StateTtlProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // recentProgress is the report source — size it to the batch count
+      // (default 100 would silently drop the ramp-up rows at nHours > ~98)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (hours + 8).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,15 +47,18 @@ object StateTtlProbe {
     // 2024-01-01 + h hours; one part file per hour, written in hour
     // order with distinct mtimes so the file source replays them in
     // event-time order
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_ttl_probe").toString
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_ttl_probe")
+    val stage = stageDir.toString
+    // one corpus scan for all hour slices, not one per slice
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .persist()
     for (h <- 0 until hours) {
       docs.filter(col("doc_id") % hours === h)
         .withColumn("ts", timestamp_seconds(lit(1704067200L + h * 3600L)))
         .coalesce(1).write.mode("append").parquet(stage)
       Thread.sleep(1100)
     }
+    docs.unpersist()
 
     implicit val sp: SparkSession = spark
     val stream = spark.readStream
@@ -80,5 +87,9 @@ object StateTtlProbe {
     val emitted = spark.table("ttl_probe").count()
     System.err.println(s"[ttl] emitted pairs: $emitted")
     spark.stop()
+    // the staging dir holds a full corpus copy — don't leave it behind
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(stageDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

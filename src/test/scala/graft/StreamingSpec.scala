@@ -819,18 +819,31 @@ class StreamingSpec extends SparkTestBase {
           ops.updateWith(so.operatorName)(
             v => Some(v.getOrElse(0L) max so.numRowsTotal)))
     }
+    // listener delivery is async: poll for the expected condition with a
+    // bounded deadline instead of a fixed sleep (a fixed sleep is flaky
+    // in BOTH directions — too short for a loaded host on the positive
+    // control, and any length proves nothing for the q104 empty check,
+    // where the positive control's observed delivery bounds the bus lag)
+    def awaitOrTimeout(cond: => Boolean, ms: Long = 30000): Boolean = {
+      val deadline = System.nanoTime() + ms * 1000000L
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
+      cond
+    }
     spark.streams.addListener(listener)
     try {
-      ops.clear()
-      SparkEntry.queries("q104_incdedup_stream")(spark, sfDir).count()
-      Thread.sleep(2000) // listener delivery is async
-      assert(ops.isEmpty,
-        s"q104 must stay stateless, found state operators: ${ops.keys}")
+      // positive control FIRST: q177's keyed state must arrive — this
+      // also measures that the listener bus is live and drained
       ops.clear()
       SparkEntry.queries("q177_funnel_stream")(spark, sfDir).count()
-      Thread.sleep(2000)
-      assert(ops.keys.exists(_.contains("flatMapGroupsWithState")),
+      assert(awaitOrTimeout(
+        ops.keys.exists(_.contains("flatMapGroupsWithState"))),
         s"positive control: q177 must report its keyed state, got ${ops.keys}")
+      ops.clear()
+      SparkEntry.queries("q104_incdedup_stream")(spark, sfDir).count()
+      // same drain window the control needed, then the emptiness claim
+      awaitOrTimeout(ops.nonEmpty, 5000)
+      assert(ops.isEmpty,
+        s"q104 must stay stateless, found state operators: ${ops.keys}")
     } finally spark.streams.removeListener(listener)
   }
 }
