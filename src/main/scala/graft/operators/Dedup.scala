@@ -972,15 +972,22 @@ object Dedup extends QueryPack {
     * double op over exact integers, then floored. Plan shape: the
     * source-grain relation is S rows; everything after the q181
     * aggregate is broadcast arithmetic. */
-  private def q205MixturePlan(s: SparkSession, d: String): DataFrame = {
+  /** The per-source DEDUPED token masses (source, eff_tokens) — q181's
+    * accounting at the source grain, shared by q205 (single-τ plan) and
+    * q292 (τ sweep) so the two mixture gates read one definition. */
+  private def effTokensBySource(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
               expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
     val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
-    val eff = toks.join(assign, "doc_id")
+    toks.join(assign, "doc_id")
       .groupBy("source")
       .agg(sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
         .otherwise(0L)).as("eff_tokens"))
+  }
+
+  private def q205MixturePlan(s: SparkSession, d: String): DataFrame = {
+    val eff = effTokensBySource(s, d)
     val w = eff.withColumn("weight",
       expr("cast(floor(sqrt(cast(eff_tokens as double)) * 1000) as bigint)"))
     val tot = w.agg(sum("weight").as("wtot"))
@@ -995,6 +1002,51 @@ object Dedup extends QueryPack {
              floor(cast(planned_tokens as double) * 1000 / eff_tokens)
                / 1000)"""))
       .orderBy("source")
+  }
+
+  /** q292: MIXTURE TEMPERATURE SWEEP — the ablation readout that picks
+    * q205's τ: the same deduped-token masses swept across τ ∈ {0.25,
+    * 0.5, 1.0} (τ = 1 reproduces natural proportions; lower τ
+    * up-weights small sources), reporting per (τ, source) the share,
+    * the [[mixBudget]] allocation, and the EPOCHS a run would repeat
+    * that source — the repetition-risk frontier is the whole point of
+    * the sweep (the smallest source's epochs blow up first as τ
+    * drops). Cross-engine float discipline: fractional powers via
+    * `pow`/`exp` are libm (NOT bit-stable across engines), but τ = 0.5
+    * is one IEEE-correctly-rounded `sqrt` and τ = 0.25 is
+    * `sqrt(sqrt(·))` — two correctly-rounded ops, identical in both
+    * engines; τ = 1 is the raw integer. Weights integerize per τ
+    * before normalization (floor(·)·1000 — the q205 discipline; scales
+    * differ per τ but normalization is WITHIN τ, so only ratios
+    * matter), sums are exact integers, every division single-rounded
+    * then floored. Plan shape: q205's source-grain aggregate, a 3-row
+    * generator fan-out, and a 3-row broadcast of per-τ totals —
+    * everything after the shared aggregate is broadcast arithmetic. */
+  private def q292MixtureSweep(s: SparkSession, d: String): DataFrame = {
+    val sw = effTokensBySource(s, d)
+      .select(col("source"), col("eff_tokens"),
+              explode(expr("array(25, 50, 100)")).as("tau_pct"))
+      .withColumn("weight", expr(
+        """CASE tau_pct
+             WHEN 100 THEN eff_tokens * 1000
+             WHEN 50 THEN cast(floor(sqrt(cast(eff_tokens as double))
+                                     * 1000) as bigint)
+             ELSE cast(floor(sqrt(sqrt(cast(eff_tokens as double)))
+                             * 1000) as bigint)
+           END"""))
+    val tot = sw.groupBy("tau_pct").agg(sum("weight").as("wtot"))
+    sw.join(broadcast(tot), "tau_pct")
+      .select(col("tau_pct").cast("long").as("tau_pct"),
+        col("source"), col("eff_tokens"),
+        expr("floor(cast(weight as double) * 1000000 / wtot) / 1000000")
+          .as("share"),
+        expr(s"cast(floor(cast(weight as double) * $mixBudget / wtot) as bigint)")
+          .as("planned_tokens"))
+      .withColumn("epochs", expr(
+        """IF(eff_tokens = 0, cast(0 as double),
+             floor(cast(planned_tokens as double) * 1000 / eff_tokens)
+               / 1000)"""))
+      .orderBy("tau_pct", "source")
   }
 
   /** q220: MIXTURE SAMPLE — the REALIZATION of q205's plan: the actual
@@ -1379,6 +1431,7 @@ object Dedup extends QueryPack {
     "q181_effective_tokens" -> q181EffectiveTokens _,
     "q205_mixture_plan" -> q205MixturePlan _,
     "q220_mixture_sample" -> q220MixtureSample _,
+    "q292_mixture_sweep" -> q292MixtureSweep _,
     "q221_negative_sample" -> q221NegativeSample _,
     "q235_triplets" -> q235Triplets _,
     "q242_lsh_recall" -> q242LshRecall _,
@@ -1778,6 +1831,43 @@ object Dedup extends QueryPack {
                      ELSE floor(CAST(planned_tokens AS DOUBLE) * 1000
                                 / eff_tokens) / 1000 END AS epochs
          FROM p ORDER BY source""",
+    // q292: q205's eff CTE fanned across the three temperatures; sqrt
+    // compositions only (correctly-rounded IEEE — libm pow is not),
+    // per-τ integer weight scales, normalization within τ
+    "q292_mixture_sweep" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         t AS (SELECT doc_id, source,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tok
+               FROM documents),
+         eff AS (SELECT source,
+                        CAST(sum(CASE WHEN t.doc_id = cl.cluster_id
+                                      THEN n_tok ELSE 0 END) AS BIGINT)
+                          AS eff_tokens
+                 FROM t JOIN cl ON t.doc_id = cl.doc_id
+                 GROUP BY source),
+         tau(tau_pct) AS (VALUES (25), (50), (100)),
+         w AS (SELECT CAST(tau_pct AS BIGINT) AS tau_pct, source, eff_tokens,
+                      CASE tau_pct
+                        WHEN 100 THEN eff_tokens * 1000
+                        WHEN 50 THEN CAST(floor(sqrt(CAST(eff_tokens AS DOUBLE))
+                                                * 1000) AS BIGINT)
+                        ELSE CAST(floor(sqrt(sqrt(CAST(eff_tokens AS DOUBLE)))
+                                        * 1000) AS BIGINT)
+                      END AS weight
+               FROM eff CROSS JOIN tau),
+         tot AS (SELECT tau_pct, CAST(sum(weight) AS BIGINT) AS wtot
+                 FROM w GROUP BY 1),
+         p AS (SELECT w.tau_pct, source, eff_tokens,
+                      floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
+                        / 1000000 AS share,
+                      CAST(floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
+                        AS BIGINT) AS planned_tokens
+               FROM w JOIN tot ON w.tau_pct = tot.tau_pct)
+         SELECT tau_pct, source, eff_tokens, share, planned_tokens,
+                CASE WHEN eff_tokens = 0 THEN CAST(0 AS DOUBLE)
+                     ELSE floor(CAST(planned_tokens AS DOUBLE) * 1000
+                                / eff_tokens) / 1000 END AS epochs
+         FROM p ORDER BY tau_pct, source""",
     // q235: the exact pair CTE (positives, both directions) + q221's
     // rank-1 negative under the cluster closure — the composed table
     "q235_triplets" ->

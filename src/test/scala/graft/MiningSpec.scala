@@ -134,6 +134,49 @@ class MiningSpec extends SparkTestBase {
     assert(rows.exists(r => r._4 < r._2))
   }
 
+  test("q292 sweep: tau=0.5 equals q205; tau ordering moves shares the " +
+       "right way; epochs blow up on the smallest source as tau drops") {
+    val sweep = SparkEntry.queries("q292_mixture_sweep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                           r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(sweep.map(_._1).distinct.sorted.toSeq == Seq(25L, 50L, 100L))
+    // tau = 0.5 is exactly q205's plan (shared core + identical closers)
+    val mid = sweep.filter(_._1 == 50L)
+      .map(t => (t._2, t._3, t._4, t._5, t._6)).sortBy(_._1).toSeq
+    val q205 = SparkEntry.queries("q205_mixture_plan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+                           r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(mid == q205, "tau=50 rows must replay q205 exactly")
+    // tau = 1 reproduces natural proportions (floored ppm of exact ratio)
+    val nat = sweep.filter(_._1 == 100L)
+    val ttot = nat.map(_._3).sum
+    nat.foreach { case (_, src, t, share, _, _) =>
+      val want = math.floor(t.toDouble * 1000 * 1000000 /
+                            (ttot.toDouble * 1000)) / 1000000
+      assert(share == want, s"$src natural share $share != $want")
+    }
+    // monotone temperature effect per source: smallest source's share
+    // rises as tau drops, largest source's falls
+    val bySrc = sweep.groupBy(_._2)
+    val smallest = nat.minBy(_._3)._2; val largest = nat.maxBy(_._3)._2
+    def shareAt(src: String, tau: Long) =
+      bySrc(src).find(_._1 == tau).get._4
+    assert(shareAt(smallest, 25) > shareAt(smallest, 50),
+      "smallest source must gain share as tau drops")
+    assert(shareAt(smallest, 50) > shareAt(smallest, 100),
+      "smallest source must gain share as tau drops")
+    assert(shareAt(largest, 25) < shareAt(largest, 50) &&
+           shareAt(largest, 50) < shareAt(largest, 100),
+      "largest source must lose share as tau drops")
+    // the repetition-risk frontier: the smallest source's epochs are
+    // maximal at the coldest temperature, and budget never over-allocates
+    assert(bySrc(smallest).maxBy(_._6)._1 == 25L,
+      "smallest source's epochs must peak at the coldest tau")
+    for (tau <- Seq(25L, 50L, 100L))
+      assert(sweep.filter(_._1 == tau).map(_._5).sum <= 1000000L,
+        s"tau=$tau allocates past the budget")
+  }
+
   test("q205: the temperature plan replays from q181's effective tokens " +
        "and up-weights small sources") {
     val eff = SparkEntry.queries("q181_effective_tokens")(spark, sfDir)
