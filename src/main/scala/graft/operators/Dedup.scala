@@ -922,6 +922,21 @@ object Dedup extends QueryPack {
                 CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** The cl/t/eff CTE chain shared by the q205/q292 oracles — mirrors
+    * [[effTokensBySource]] expression for expression (ONE SQL copy, like
+    * the Scala side's one shared aggregate). */
+  private lazy val effTokensOracleSql: String =
+    s"""WITH cl AS ($q73ClustersOracleSql),
+       t AS (SELECT doc_id, source,
+                    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+             FROM documents),
+       eff AS (SELECT source,
+                      CAST(sum(CASE WHEN t.doc_id = cl.cluster_id
+                                    THEN n_tok ELSE 0 END) AS BIGINT)
+                        AS eff_tokens
+               FROM t JOIN cl ON t.doc_id = cl.doc_id
+               GROUP BY source)"""
+
   /** EFFECTIVE TOKEN BUDGET per source — the training-data ACCOUNTING
     * view of the q73 near-dup families: how many tokens each source
     * contributes before dedup, and how many remain once every duplicate
@@ -956,6 +971,20 @@ object Dedup extends QueryPack {
   /** Token budget the q205 mixture plan allocates. */
   private val mixBudget = 1000000L
 
+  /** The per-source DEDUPED token masses (source, eff_tokens) — q181's
+    * accounting at the source grain, shared by q205 (single-τ plan) and
+    * q292 (τ sweep) so the two mixture gates read one definition. */
+  private def effTokensBySource(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
+    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
+    toks.join(assign, "doc_id")
+      .groupBy("source")
+      .agg(sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
+        .otherwise(0L)).as("eff_tokens"))
+  }
+
   /** q205: TEMPERATURE MIXTURE PLAN — the operator q181's accounting
     * feeds: turn per-source DEDUPED token masses into sampling weights
     * w_i = t_i^α with α = 0.5 (temperature sampling, the standard
@@ -972,20 +1001,6 @@ object Dedup extends QueryPack {
     * double op over exact integers, then floored. Plan shape: the
     * source-grain relation is S rows; everything after the q181
     * aggregate is broadcast arithmetic. */
-  /** The per-source DEDUPED token masses (source, eff_tokens) — q181's
-    * accounting at the source grain, shared by q205 (single-τ plan) and
-    * q292 (τ sweep) so the two mixture gates read one definition. */
-  private def effTokensBySource(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-              expr(s"size(${TextExprs.toks})").cast("long").as("n_tok"))
-    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
-    toks.join(assign, "doc_id")
-      .groupBy("source")
-      .agg(sum(when(col("doc_id") === col("cluster_id"), col("n_tok"))
-        .otherwise(0L)).as("eff_tokens"))
-  }
-
   private def q205MixturePlan(s: SparkSession, d: String): DataFrame = {
     val eff = effTokensBySource(s, d)
     val w = eff.withColumn("weight",
@@ -1805,16 +1820,7 @@ object Dedup extends QueryPack {
     // engines, the weight sum is exact integer, each division single-
     // rounded then floored
     "q205_mixture_plan" ->
-      s"""WITH cl AS ($q73ClustersOracleSql),
-         t AS (SELECT doc_id, source,
-                      len(string_split_regex(trim(text), '\\s+')) AS n_tok
-               FROM documents),
-         eff AS (SELECT source,
-                        CAST(sum(CASE WHEN t.doc_id = cl.cluster_id
-                                      THEN n_tok ELSE 0 END) AS BIGINT)
-                          AS eff_tokens
-                 FROM t JOIN cl ON t.doc_id = cl.doc_id
-                 GROUP BY source),
+      s"""$effTokensOracleSql,
          w AS (SELECT source, eff_tokens,
                       CAST(floor(sqrt(CAST(eff_tokens AS DOUBLE)) * 1000)
                         AS BIGINT) AS weight
@@ -1823,7 +1829,7 @@ object Dedup extends QueryPack {
          p AS (SELECT source, eff_tokens, weight,
                       floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
                         / 1000000 AS share,
-                      CAST(floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
+                      CAST(floor(CAST(weight AS DOUBLE) * $mixBudget / wtot)
                         AS BIGINT) AS planned_tokens
                FROM w, tot)
          SELECT source, eff_tokens, weight, share, planned_tokens,
@@ -1835,16 +1841,7 @@ object Dedup extends QueryPack {
     // compositions only (correctly-rounded IEEE — libm pow is not),
     // per-τ integer weight scales, normalization within τ
     "q292_mixture_sweep" ->
-      s"""WITH cl AS ($q73ClustersOracleSql),
-         t AS (SELECT doc_id, source,
-                      len(string_split_regex(trim(text), '\\s+')) AS n_tok
-               FROM documents),
-         eff AS (SELECT source,
-                        CAST(sum(CASE WHEN t.doc_id = cl.cluster_id
-                                      THEN n_tok ELSE 0 END) AS BIGINT)
-                          AS eff_tokens
-                 FROM t JOIN cl ON t.doc_id = cl.doc_id
-                 GROUP BY source),
+      s"""$effTokensOracleSql,
          tau(tau_pct) AS (VALUES (25), (50), (100)),
          w AS (SELECT CAST(tau_pct AS BIGINT) AS tau_pct, source, eff_tokens,
                       CASE tau_pct
@@ -1860,7 +1857,7 @@ object Dedup extends QueryPack {
          p AS (SELECT w.tau_pct, source, eff_tokens,
                       floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
                         / 1000000 AS share,
-                      CAST(floor(CAST(weight AS DOUBLE) * 1000000 / wtot)
+                      CAST(floor(CAST(weight AS DOUBLE) * $mixBudget / wtot)
                         AS BIGINT) AS planned_tokens
                FROM w JOIN tot ON w.tau_pct = tot.tau_pct)
          SELECT tau_pct, source, eff_tokens, share, planned_tokens,
