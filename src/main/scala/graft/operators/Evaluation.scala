@@ -750,21 +750,24 @@ object Evaluation extends QueryPack {
     * occupied bins appear (the oracle mirrors). Integer closers
     * throughout (q268 discipline); output ≤ sources × 10 rows; the
     * only exchanges are the group agg and the tiny (source, bin)
-    * window. Plan shape note: `max_by` carries a var-width struct, which
-    * HashAggregate's mutable-buffer contract excludes, so Spark plans a
-    * partial SortAggregate — a LOCAL per-partition sort by g feeding a
-    * map-side combine to one row per group before the single exchange
-    * (audited: no extra shuffle vs q287's heap; the alternative — a
-    * scalar-key hash agg + join-back for source — would trade the local
-    * sort for a corpus-sized shuffle, strictly worse). */
+    * window. Plan shape note: the argmax-with-payload rides the TAGGED
+    * bounded heap ([[graft.functions.TopKAgg.top_k_by_score_tagged]],
+    * k = 1) so the partial aggregate is ObjectHashAggregate exactly
+    * like q287's — the first draft's `max_by(struct, struct)` is a
+    * DeclarativeAggregate with a var-width buffer, which HashAggregate's
+    * mutable-buffer contract rejects, and Spark planned a per-partition
+    * SortAggregate (a corpus-wide LOCAL sort) for it. Heap order
+    * (score desc, id asc) = the oracle's (ip DESC, pos ASC); micro-unit
+    * scores are exact in the heap's double (≪ 2^53). */
   private def q290RejectionYield(s: SparkSession, d: String): DataFrame = {
     val winners = bonScored(s, d).groupBy("g")
       .agg(count(lit(1)).as("k"),
-           expr("max_by(struct(ip, source), struct(ip, -pos))").as("w"))
+           graft.functions.TopKAgg.top_k_by_score_tagged(
+             col("ip").cast("double"), col("pos"), col("source"), 1).as("top"))
       .filter(col("k") === bonN)
-      // micro-units back to the model scale ONCE (exact long → double,
-      // |ip| ≪ 2^53), then the q288 squash — quantized by FLOOR, not
-      // round (round's tie rule differs cross-engine; floor after
+      // winner micro-units back to the model scale ONCE (exact double
+      // → long → double), then the q288 squash — quantized by FLOOR,
+      // not round (round's tie rule differs cross-engine; floor after
       // identical IEEE ops is bit-stable). Cross-engine pitfall found
       // here: BOTH Spark and DuckDB parse `1000000.0` as DECIMAL, and
       // BIGINT/DECIMAL stays in decimal arithmetic — with DIFFERENT
@@ -772,12 +775,14 @@ object Evaluation extends QueryPack {
       // source at sf0.01). The explicit cast to double on both sides
       // pins the whole squash to IEEE ops, identical in both engines.
       // q288 dodged it only because its input was already DOUBLE.
+      .select(expr("cast(top[0].score as bigint)").as("ip_w"),
+              expr("top[0].tag").as("source"))
       .select(expr("""least(1000000L, greatest(0L,
-                      cast(floor((1.0 + (cast(w.ip as double) / 1000000.0)
-                                  / (1.0 + abs(cast(w.ip as double)
+                      cast(floor((1.0 + (cast(ip_w as double) / 1000000.0)
+                                  / (1.0 + abs(cast(ip_w as double)
                                                / 1000000.0))) / 2.0
                                  * 1000000) as bigint)))""").as("p"),
-              col("w.source").as("source"))
+              col("source"))
     val bins = winners
       .groupBy(col("source"), least(lit(9L), expr("p div 100000")).as("thr"))
       .agg(count(lit(1)).as("n_bin"), sum("p").as("sp"))

@@ -189,4 +189,38 @@ class NativeExprSpec extends SparkTestBase {
         .collect()
     }
   }
+
+  test("top_k_by_score_tagged: payload integrity across partial heaps, " +
+       "same ranking contract as the untagged heap") {
+    import graft.functions.TopKAgg
+    import spark.implicits._
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 7}", (i % 13).toDouble, i.toLong, s"tag-${i % 13}-${i % 7}")
+    }
+    def topk(parts: Int) = rows.toDF("g", "score", "id", "tag")
+      .repartition(parts, col("id"))
+      .groupBy("g")
+      .agg(TopKAgg.top_k_by_score_tagged(
+        col("score"), col("id"), col("tag"), 4).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("g"), col("r"), col("t.score"), col("t.id"), col("t.tag"))
+      .collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getDouble(2), x.getLong(3),
+                 x.getString(4))).toSet
+    val a = topk(2)
+    val b = topk(37) // many partial heaps + serialize/merge round-trips
+    assert(a == b, "tagged merge path must be partitioning-independent")
+    // ranking identical to the untagged heap; tag rides its own row
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(4).zipWithIndex
+        .map { case (r, i) => (g, i, r._2, r._3, r._4) }
+    }.toSet
+    assert(a == expected)
+    // every returned tag is the one generated WITH that id (payload
+    // never crosses rows through serialize/deserialize)
+    a.foreach { case (g, _, _, id, tag) =>
+      assert(tag == s"tag-${id % 13}-${id % 7}" && g == s"g${id % 7}",
+        s"tag $tag does not belong to id $id")
+    }
+  }
 }
