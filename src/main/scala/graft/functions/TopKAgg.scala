@@ -234,6 +234,11 @@ case class TopKByScoreTagged(score: Expression, id: Expression,
     new GenericArrayData(arr)
   }
 
+  // tags serialize as int-length-prefixed raw UTF-8, not writeUTF: the
+  // modified-UTF-8 form throws past 64 KB, which would be a latent
+  // runtime failure for a caller passing long payloads through this
+  // general-purpose aggregate (q290's source tags are short; the format
+  // must not assume every caller's are)
   override def serialize(h: java.util.PriorityQueue[(Double, Long, String)]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(8 + h.size * 24)
     val out = new java.io.DataOutputStream(bos)
@@ -241,7 +246,9 @@ case class TopKByScoreTagged(score: Expression, id: Expression,
     val it = h.iterator()
     while (it.hasNext) {
       val (s, i, t) = it.next()
-      out.writeDouble(s); out.writeLong(i); out.writeUTF(t)
+      val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeDouble(s); out.writeLong(i); out.writeInt(tb.length)
+      out.write(tb)
     }
     out.flush()
     bos.toByteArray
@@ -252,7 +259,13 @@ case class TopKByScoreTagged(score: Expression, id: Expression,
     val n = in.readInt()
     val h = createAggregationBuffer()
     var i = 0
-    while (i < n) { h.add((in.readDouble(), in.readLong(), in.readUTF())); i += 1 }
+    while (i < n) {
+      val s = in.readDouble(); val id0 = in.readLong()
+      val tb = new Array[Byte](in.readInt())
+      in.readFully(tb)
+      h.add((s, id0, new String(tb, java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
     h
   }
 

@@ -644,7 +644,12 @@ object Evaluation extends QueryPack {
     * winner chain" contract is enforced by construction, not by keeping
     * two copies in sync. */
   private def bonScored(s: SparkSession, d: String): DataFrame =
-    prefFeatures(s, d).select(
+    // the BoN log is DEFINED over non-null-source responses (mirrored in
+    // the q287/q290 oracles): a NULL source would be skipped by q290's
+    // tagged heap's null guard yet still counted toward the k = bonN
+    // group-completeness filter, silently diverging from the oracle's
+    // row_number chain — the contract is explicit instead
+    prefFeatures(s, d).filter(col("source").isNotNull).select(
       expr(s"doc_id div $bonN").as("g"),
       expr(s"doc_id % $bonN").as("pos"),
       col("source"),
@@ -799,7 +804,59 @@ object Evaluation extends QueryPack {
       .orderBy("source", "thr")
   }
 
+  /** q294: SPECULATIVE-DECODING ACCEPTANCE CURVES — the serving-side
+    * acceptance audit (VERDICT r13 task 5): a speculative pipeline runs a
+    * cheap DRAFT scorer ahead of the expensive TARGET and accepts the
+    * drafted block prefix-wise — position i survives only if every
+    * position before it did, and the first target disagreement truncates
+    * the block (everything after is re-drafted). The analytics that
+    * decide whether speculation pays are exactly the per-position
+    * acceptance rate α_i, the survival curve, and the expected accepted
+    * prefix — this gate reports them over an HONEST model pair already
+    * in the suite: the draft is q269's linear reward at its zero
+    * operating point (`ip > 0` in exact micro-units), the target is
+    * q93's production keep verdict, which is the SAME linear family at
+    * the +0.1-intercept operating point (`ip > −100000`) — precisely the
+    * "cheaper model = same family, shifted operating point" relation a
+    * real draft has to its target; acceptance at a position is verdict
+    * agreement, i.e. the target confirming the draft's claim. The
+    * blocks are q287's width-[[bonN]] contiguous groups (the drafted
+    * block), via the SHARED [[bonScored]] relation, so the whole gate
+    * is one additional group fold on an existing scan: disagreement is
+    * the exact integer band ip ∈ (−100000, 0], the per-group
+    * first-rejection position is one conditional min, and the 4-row
+    * curve is a conditional-sum rollup over the ≤ bonN+1-row
+    * first-rejection histogram. At sf0.01 the measured α ≈ 0.89/position
+    * (54/500 docs in the disagreement band) — the 0.7–0.95 regime real
+    * draft/target pairs live in, so the curve genuinely decays. Integer
+    * closers throughout (the q268 discipline); guarded `div` (a
+    * zero-reach position reports 0, both engines). */
+  private def q294SpecdecodeAccept(s: SparkSession, d: String): DataFrame = {
+    val fr = bonScored(s, d)
+      .withColumn("acc", !(col("ip") > -100000L && col("ip") <= 0L))
+      .groupBy("g")
+      .agg(count(lit(1)).as("k"),
+           coalesce(min(when(!col("acc"), col("pos"))), lit(bonN.toLong))
+             .as("fr"))
+      .filter(col("k") === bonN)
+    val frCounts = fr.groupBy("fr").agg(count(lit(1)).as("nfr"))
+    s.range(0, bonN).select(col("id").as("pos"))
+      .crossJoin(frCounts) // ≤ bonN × (bonN+1) rows
+      .groupBy("pos")
+      .agg(sum(when(col("fr") >= col("pos"), col("nfr")).otherwise(0L))
+             .as("n_reach"),
+           sum(when(col("fr") >= col("pos") + 1, col("nfr")).otherwise(0L))
+             .as("n_accept"),
+           sum(col("nfr")).as("n_groups"))
+      .select(col("pos"), col("n_reach"), col("n_accept"),
+        expr("""CASE WHEN n_reach = 0 THEN 0L
+                ELSE n_accept * 1000000 div n_reach END""").as("alpha_ppm"),
+        expr("n_accept * 1000000 div n_groups").as("survival_ppm"))
+      .orderBy("pos")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_specdecode_accept" -> q294SpecdecodeAccept _,
     "q267_ndcg" -> q267Ndcg _,
     "q268_calibration" -> q268Calibration _,
     "q269_kappa" -> q269Kappa _,
@@ -886,12 +943,48 @@ object Evaluation extends QueryPack {
     benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
 
   override val oracles: Map[String, String] = Map(
+    // q294: the q287 feature/group CTEs, the exact integer disagreement
+    // band, a per-group first-rejection min, and the survival rollup as
+    // conditional sums over the first-rejection histogram
+    "q294_specdecode_accept" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                     FROM documents WHERE source IS NOT NULL),
+         f AS (SELECT doc_id, len(w) AS n,
+                      len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
+                      list_sum(list_transform(w, x -> length(x))) AS sl
+               FROM t),
+         sc AS (SELECT doc_id // $bonN AS g, doc_id % $bonN AS pos,
+                       CAST(round((0.015 * n + 3.0 * (ns / CAST(n AS DOUBLE))
+                                   - 0.25 * (sl / CAST(n AS DOUBLE))) * 1000000)
+                         AS BIGINT) AS ip
+                FROM f),
+         a AS (SELECT g, pos,
+                      NOT (ip > -100000 AND ip <= 0) AS acc
+               FROM sc),
+         frg AS (SELECT g,
+                        coalesce(min(pos) FILTER (WHERE NOT acc),
+                                 $bonN) AS fr
+                 FROM a GROUP BY g HAVING count(*) = $bonN),
+         h AS (SELECT fr, CAST(count(*) AS BIGINT) AS nfr FROM frg GROUP BY 1),
+         p AS (SELECT unnest(range($bonN)) AS pos),
+         r AS (SELECT pos,
+                      CAST(coalesce(sum(nfr) FILTER (WHERE fr >= pos), 0)
+                        AS BIGINT) AS n_reach,
+                      CAST(coalesce(sum(nfr) FILTER (WHERE fr >= pos + 1), 0)
+                        AS BIGINT) AS n_accept,
+                      CAST(sum(nfr) AS BIGINT) AS n_groups
+               FROM p CROSS JOIN h GROUP BY pos)
+         SELECT pos, n_reach, n_accept,
+                CASE WHEN n_reach = 0 THEN CAST(0 AS BIGINT)
+                     ELSE n_accept * 1000000 // n_reach END AS alpha_ppm,
+                n_accept * 1000000 // n_groups AS survival_ppm
+         FROM r ORDER BY pos""",
     // q287: the shared feature CTE at width-4 groups; argmax/runner-up
     // as a per-group rank (ip DESC, pos ASC — the k=2 heap's total
     // order), exact integer margins and integer-division closers
     "q287_bestofn_audit" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                     FROM documents),
+                     FROM documents WHERE source IS NOT NULL),
          f AS (SELECT doc_id, len(w) AS n,
                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
                       list_sum(list_transform(w, x -> length(x))) AS sl
@@ -972,7 +1065,7 @@ object Evaluation extends QueryPack {
     "q290_rejection_yield" ->
       s"""WITH t AS (SELECT doc_id, source,
                             string_split_regex(trim(text), '\\s+') AS w
-                     FROM documents),
+                     FROM documents WHERE source IS NOT NULL),
          f AS (SELECT doc_id, source, len(w) AS n,
                       len(list_filter(w, x -> x IN ('a', 'the'))) AS ns,
                       list_sum(list_transform(w, x -> length(x))) AS sl

@@ -735,6 +735,28 @@ object Mining extends QueryPack {
       minedCoreOver(s, bSide, assignedOf(dirA, aSide), centsA, "b_id"))
   }
 
+  /** Two-sided STALENESS MONITOR for the persisted mining indexes
+    * (VERDICT r13 task 4): q172's size-invariant max/median occupancy
+    * skew ([[Similarity.indexSkew]]) applied to EACH side's index. The
+    * mining-specific failure mode this watches: q289's append legs run
+    * under frozen per-side quantizers, and a drifted append batch on
+    * EITHER side (a new mode neither codebook has a centroid for) piles
+    * into one cell — the probe then over-visits that cell for every
+    * query of the OTHER side, shifting mined candidates with nothing
+    * else failing visibly. Returns (staleA, staleB); a firing side is
+    * due the [[Similarity.ivfPqRetrain]] rebuild (fresh codebooks, new
+    * version), after which append ≡ rebuild holds again under the new
+    * frozen codebooks. Cost is two column-pruned centroid scans — the
+    * monitor the ops cadence runs after every append, not a query-path
+    * operator. Fires on planted one-side drift and stays quiet on
+    * balanced appends at any corpus size (MiningSpec pins both
+    * directions plus the untouched append ≡ rebuild certificate). */
+  def mineIndexStale(s: SparkSession, dirA: String, dirB: String,
+                     skewRatio: Double = Similarity.retrainSkew)
+      : (Boolean, Boolean) =
+    (Similarity.indexSkew(s, dirA) >= skewRatio,
+     Similarity.indexSkew(s, dirB) >= skewRatio)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_triangles" -> q246Triangles _,
     "q231_knn_purity" -> q231KnnPurity _,

@@ -1178,15 +1178,27 @@ object Similarity extends QueryPack {
     * decision costs one footer-level count per cell; the rebuild is
     * the one-off full-corpus pass retraining implies (that's the point
     * of gating it on a threshold). */
-  def ivfPqRetrain(s: SparkSession, path: String, corpus: DataFrame, k: Int,
-                   skewRatio: Double): Boolean = {
-    val cur = resolveIndex(s, path)
-    val occ = s.read.parquet(cur).select("centroid")
+  /** The size-invariant STALENESS STATISTIC of a persisted IVF index:
+    * max/median occupied-cell occupancy of the CURRENT version. A
+    * balanced index reads ~1.2–1.5 tightening toward 1 as N grows; a
+    * drifted append batch (a mode the frozen quantizer has no centroid
+    * for) piles into one cell and pushes the ratio past
+    * [[retrainSkew]] regardless of corpus size (the q172 derivation
+    * below). Shared by [[ivfPqRetrain]] (search index) and the
+    * per-side mining-index monitor ([[Mining.mineIndexStale]] — either
+    * side's drift shifts mined candidates, so both sides watch). One
+    * column-pruned scan of the index's centroid column, one 2-row agg. */
+  private[graft] def indexSkew(s: SparkSession, path: String): Double = {
+    val occ = s.read.parquet(resolveIndex(s, path)).select("centroid")
       .groupBy("centroid").agg(count(lit(1)).as("n"))
       .agg(max("n").as("mx"),
            expr("percentile(n, 0.5D)").as("med")).head()
-    val skew = occ.getLong(0).toDouble / occ.getDouble(1)
-    if (skew <= skewRatio) false
+    occ.getLong(0).toDouble / occ.getDouble(1)
+  }
+
+  def ivfPqRetrain(s: SparkSession, path: String, corpus: DataFrame, k: Int,
+                   skewRatio: Double): Boolean = {
+    if (indexSkew(s, path) <= skewRatio) false
     else {
       val v = nextVersion(s, path)
       ivfPqIndex(corpus, k, s"$path/$v") // fresh codebooks, full rebuild

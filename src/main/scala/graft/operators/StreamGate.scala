@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import graft.streaming.StreamOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -161,34 +161,105 @@ object StreamGate extends QueryPack {
   private[graft] def probeRunToBatchRocks(s: SparkSession, out: DataFrame): DataFrame =
     runToBatchRocks(s, out)
 
+  // ---- consolidated STATELESS ingest feed (one stream, all per-row /
+  // stream-static branches over the documents + embeddings feeds) ----
+  //
+  // q104/q105/q112/q118/q150/q162/q182 are all STATELESS streaming
+  // transforms — per-row scoring projections or stream-static joins; no
+  // watermark, no state store, any trigger. A production ingest pipeline
+  // computes every per-document score/flag in ONE pass over the feed
+  // (score-at-ingest fans out per-row work, not per-metric queries), so
+  // the gate suite runs them the same way: each branch is built by the
+  // SAME operator function its standalone form uses, projected into a
+  // tagged superset schema, unioned, and run through one bounded pass;
+  // every declared gate reads its tag slice from the one sink and stays
+  // individually oracle-certified (the register-consolidation
+  // discipline — PERF.md's per-gate fixed-cost ledger is the budget
+  // argument: ~0.4–0.7 s of query-start/source floor per standalone
+  // stateless gate, paid once here instead of seven times).
+  private def docFeed(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.docFeed", d)( {
+      val nullL = lit(null).cast("long")
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      val ds = docStream(s, d)
+      val docsAll = Tables.documents(s, d)
+      // q104: incremental exact dedup, bloom-split path (map-side
+      // definitive negatives + exact anti-join for positives)
+      val existing = docsAll.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("sig"))
+      val b104 = StreamOps.incrementalDedupStream(
+        ds.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), md5(col("text")).as("sig")),
+        existing, bloomExpected = 1000L, fpp = 0.03)
+      // q105: contamination gate (benchmark = docs < 20, q48's split)
+      val b105 = StreamOps.contaminationGateStream(
+        ds.filter(col("doc_id") >= 20), docsAll.filter(col("doc_id") < 20),
+        threshold = 0.2)
+      // q112: quality-model scoring (the q93 core)
+      val b112 = Curation2.qualityScoreCore(ds)
+      // q118: span-containment annotator vs the static window index
+      val corpus = WindowDedup.positionalWindows(
+          docsAll.filter(col("doc_id") < 250))
+        .select("wh").distinct().withColumn("hit", lit(1L))
+      val b118 = WindowDedup.positionalWindows(ds.filter(col("doc_id") >= 250))
+        .join(corpus, Seq("wh"), "left")
+        .select(col("doc_id"), col("pos"),
+                coalesce(col("hit"), lit(0L)).as("in_corpus"))
+      // q150: token-entropy score (bit-matches batch q142's fold)
+      val b150 = StreamOps.entropyScoreStream(ds)
+      // q162: Gopher-style repetition scoring (the q161 core)
+      val b162 = TextAnalysis.repetitionOn(ds)
+      // q182: embedding outlier flags vs the static corpus stats (the
+      // q175 core) — the embeddings feed rides the same bounded pass
+      // (a streaming query may union several file sources)
+      val b182 = Projection.outlierFlagOn(
+        vecStream(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v")),
+        Projection.dimStatsRow(s, d))
+      def shape(tag: String, df: DataFrame, id: Column, sig: Column,
+                l1: Column, l2: Column, l3: Column, d1: Column): DataFrame =
+        df.select(lit(tag).as("tag"), id.as("id"), sig.as("sig"),
+                  l1.cast("long").as("l1"), l2.cast("long").as("l2"),
+                  l3.cast("long").as("l3"), d1.cast("double").as("d1"))
+      val u = shape("q104", b104, col("doc_id"), col("sig"),
+                    nullL, nullL, nullL, nullD)
+        .unionByName(shape("q105", b105, col("doc_id"), nullS,
+                    nullL, nullL, nullL, col("contamination")))
+        .unionByName(shape("q112", b112, col("doc_id"), nullS,
+                    col("n_tokens"), col("keep"), nullL, col("score")))
+        .unionByName(shape("q118", b118, col("doc_id"), nullS,
+                    col("pos"), col("in_corpus"), nullL, nullD))
+        .unionByName(shape("q150", b150, col("doc_id"), nullS,
+                    col("n_tokens"), col("distinct_tokens"),
+                    col("low_entropy"), col("entropy")))
+        .unionByName(shape("q162", b162, col("doc_id"), nullS,
+                    col("n_2grams"), col("top2_n"), col("dup2_mass"),
+                    col("rep_ratio")))
+        .unionByName(shape("q182", b182, col("vec_id"), nullS,
+                    col("n_extreme"), col("z4max"), nullL, nullD))
+      runToBatch(s, u).localCheckpoint()
+    })
+
   /** Streaming incremental exact dedup vs the static existing corpus,
     * through the BLOOM-split path (map-side definitive negatives + exact
     * anti-join for positives) — output is exact regardless of fpp, which
-    * is what the batch q76 oracle certifies. */
-  private def q104IncDedupStream(s: SparkSession, d: String): DataFrame = {
-    val existing = Tables.documents(s, d).filter(col("doc_id") < 250)
-      .select(md5(col("text")).as("sig"))
-    val fresh = docStream(s, d).filter(col("doc_id") >= 250)
-      .select(col("doc_id"), md5(col("text")).as("sig"))
-    val out = StreamOps.incrementalDedupStream(fresh, existing,
-      bloomExpected = 1000L, fpp = 0.03)
-    runToBatch(s, out).orderBy("doc_id")
-  }
+    * is what the batch q76 oracle certifies. Rides the consolidated
+    * stateless ingest pass ([[docFeed]]). */
+  private def q104IncDedupStream(s: SparkSession, d: String): DataFrame =
+    docFeed(s, d).filter(col("tag") === "q104")
+      .select(col("id").as("doc_id"), col("sig"))
+      .orderBy("doc_id")
 
   /** Streaming contamination gate: benchmark = docs < 20 (q48's split),
     * stream = docs >= 20; keeps rows BELOW the threshold with their
     * score (zero-shingle docs pass with 0.0 — the round-5 ADVICE
-    * contract fix, now under the cross-engine gate). */
-  private def q105ContaminationStream(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val bench = docs.filter(col("doc_id") < 20)
-    val stream = docStream(s, d).filter(col("doc_id") >= 20)
-    val out = StreamOps.contaminationGateStream(stream, bench, threshold = 0.2)
-    runToBatch(s, out)
-      .select(col("doc_id"),
-              (floor(col("contamination") * 1000) / 1000).as("contamination"))
+    * contract fix, now under the cross-engine gate). Rides [[docFeed]]. */
+  private def q105ContaminationStream(s: SparkSession, d: String): DataFrame =
+    docFeed(s, d).filter(col("tag") === "q105")
+      .select(col("id").as("doc_id"),
+              (floor(col("d1") * 1000) / 1000).as("contamination"))
       .orderBy("doc_id")
-  }
 
   /** Streaming simhash near-dup through the transformWithState bucket
     * processor. Constant event time + a 1-hour watermark keep every row
@@ -222,16 +293,96 @@ object StreamGate extends QueryPack {
       .orderBy("a_id", "b_id")
   }
 
+  /** Hour-sliced staging for the WATERMARK-EVICTION gate ([[q293]]): the
+    * documents table rewritten as one parquet file per synthetic hour
+    * (hour h = docs with doc_id ≡ h mod 6, event time T0 + h hours),
+    * with EXPLICIT ascending modification times so the file source
+    * replays the slices in event-time order under
+    * `maxFilesPerTrigger = 1` — one micro-batch per hour, which is what
+    * makes the watermark ADVANCE between batches (the
+    * tools/StateTtlProbe staging, promoted into the gated suite; mtimes
+    * are set with setLastModifiedTime rather than the probe's 1.1 s
+    * sleeps). Staged once per (session, dataset). */
+  private def evictStaged(s: SparkSession, d: String): String =
+    graft.SessionMemo.getOrElseUpdate[String](s, "stream.evictStage", d)( {
+      import scala.jdk.CollectionConverters._
+      val H = 6
+      val dir = graft.TempDirs.register(
+        java.nio.file.Files.createTempDirectory("graft_stream_evict").toString)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      for (h <- 0 until H) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evict_slice")
+        docs.filter(pmod(col("doc_id"), lit(H)) === h)
+          .withColumn("ts", timestamp_seconds(lit(1704067200L + h * 3600L)))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .next()
+        val dest = java.nio.file.Paths.get(dir, f"hour_$h%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1704067200000L + h * 1000L))
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      dir
+    })
+
+  /** q293: WATERMARK EVICTION under ADVANCING event time — the piece the
+    * q107 gate cannot exercise: q107 pins constant event time (so its
+    * output equals batch q42's, the oracle contract), which means the
+    * suite never runs the eviction the real operator performs and the
+    * 100 TB state story lived in a tool (tools/StateTtlProbe), not a
+    * test. This gate replays the corpus as six hourly micro-batches
+    * through the SAME [[StreamOps.nearDupPairsStream]] operator (RocksDB
+    * state, 1-hour delay): between batches the watermark advances and
+    * the bucket processor PRUNES residents older than the horizon, so
+    * pairs more than three hour-slices apart are structurally
+    * unfindable — the earlier doc is evicted before the later arrives.
+    *
+    * The 3-slice bound is the exact composition of the engine's
+    * watermark mechanics, derived once and pinned by the oracle: at
+    * batch h the watermark is max-event-time THROUGH BATCH h−1 minus
+    * the 1 h delay = T0 + (h−2)·3600 s, and the processor keeps
+    * residents with ts ≥ watermark − delay = T0 + (h−3)·3600 s — so
+    * hour g survives into batch h iff h − g ≤ 3 (one slice of watermark
+    * lag + delay counted in the watermark + delay counted in the
+    * prune). The oracle is batch q42's exact inverted-index SQL with
+    * that horizon as a WHERE clause — SQL-expressible, so the
+    * cross-engine gate certifies BOTH sides of eviction: every
+    * in-horizon pair emits (at sf0.01: 22), every out-of-horizon pair
+    * is evicted (3 true near-dup pairs at gap 4–5 exist and must NOT
+    * appear). Emission is at the later doc's arrival, so no sentinel
+    * or flush is needed; a multi-band pair emits once
+    * (dropDuplicatesWithinWatermark inside the operator, all emissions
+    * in the later doc's batch). */
+  private def q293MinhashEvictStream(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.evictGate", d)( {
+      implicit val sp: SparkSession = s
+      val staged = evictStaged(s, d)
+      val stream = s.readStream
+        .schema(s.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+      val out = StreamOps.nearDupPairsStream(stream, "ts", "1 hour",
+        delayMs = 3600000L, threshold = 0.8, maxResidents = 1000000)
+      runToBatchRocks(s, out)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .localCheckpoint()
+    }).orderBy("a_id", "b_id")
+
   /** Streaming QUALITY-MODEL scoring gate — the q93 classifier running
     * as a stream transform. The scoring core is the SAME function object
     * the batch query uses ([[Curation2.qualityScoreCore]] — stateless
     * projection, so it lifts to Structured Streaming unchanged); the
     * oracle is batch q93's SQL verbatim. The production shape for
     * score-at-ingest: no state store, any trigger, per-row map work. */
-  private def q112QualityStream(s: SparkSession, d: String): DataFrame = {
-    val out = Curation2.qualityScoreCore(docStream(s, d))
-    runToBatch(s, out).orderBy("doc_id")
-  }
+  private def q112QualityStream(s: SparkSession, d: String): DataFrame =
+    docFeed(s, d).filter(col("tag") === "q112")
+      .select(col("id").as("doc_id"), col("l1").as("n_tokens"),
+              col("d1").as("score"), col("l2").as("keep"))
+      .orderBy("doc_id")
 
   /** Streaming SPAN-CONTAINMENT annotator — the ingest-time form of the
     * window-dedup family (q111's definition via the SHARED
@@ -245,17 +396,11 @@ object StreamGate extends QueryPack {
     * persisted distinct-hash index, and q104's sharded-bloom split
     * composes in front as the map-side definitive-negative filter so
     * the join only sees probable hits. */
-  private def q118WindowStream(s: SparkSession, d: String): DataFrame = {
-    val corpus = WindowDedup.positionalWindows(
-        Tables.documents(s, d).filter(col("doc_id") < 250))
-      .select("wh").distinct().withColumn("hit", lit(1L))
-    val stream = WindowDedup.positionalWindows(
-      docStream(s, d).filter(col("doc_id") >= 250))
-    val out = stream.join(corpus, Seq("wh"), "left")
-      .select(col("doc_id"), col("pos"),
-              coalesce(col("hit"), lit(0L)).as("in_corpus"))
-    runToBatch(s, out).orderBy("doc_id", "pos")
-  }
+  private def q118WindowStream(s: SparkSession, d: String): DataFrame =
+    docFeed(s, d).filter(col("tag") === "q118")
+      .select(col("id").as("doc_id"), col("l1").as("pos"),
+              col("l2").as("in_corpus"))
+      .orderBy("doc_id", "pos")
 
   /** The embeddings table as a file-source STREAM (schema from the batch
     * loader; same symlink staging as [[docStream]]). */
@@ -273,13 +418,11 @@ object StreamGate extends QueryPack {
     * corpus store. Streaming the whole table against its own stats
     * makes the output ≡ batch q175, so q175's oracle gates it
     * verbatim (the q112/q150/q162 shared-core pattern). */
-  private def q182OutlierStream(s: SparkSession, d: String): DataFrame = {
-    val stream = vecStream(s, d)
-      .select(col("vec_id"),
-              expr("transform(embedding, x -> cast(x as double))").as("v"))
-    runToBatch(s, Projection.outlierFlagOn(stream, Projection.dimStatsRow(s, d)))
+  private def q182OutlierStream(s: SparkSession, d: String): DataFrame =
+    docFeed(s, d).filter(col("tag") === "q182")
+      .select(col("id").as("vec_id"), col("l1").as("n_extreme"),
+              col("l2").as("z4max"))
       .orderBy("vec_id")
-  }
 
   /** Streaming EVENT-RATE ANOMALY — q191's volume monitor as the live
     * alarm it exists to be: arriving events aggregate into append-mode
@@ -293,15 +436,41 @@ object StreamGate extends QueryPack {
     * serves q191's oracle verbatim). Epoch-aligned windows make the
     * streaming hour bucket ≡ the batch `unix_micros div 3600000000`
     * bucket by construction. */
+  /** The events-feed WINDOWED-AGGREGATION stream (q168 per-window top-k
+    * heaps, q194 per-(type, window) counts), run once per (session,
+    * dataset): both gates are append-mode 1-hour tumbling-window
+    * aggregations under the same 1-minute watermark, so they ride ONE
+    * tagged aggregation — groupBy(tag, window, k1) with the count and
+    * bounded-heap registers side by side (the register-consolidation
+    * discipline at the windowed tier; TopKAgg skips the count branch's
+    * null score/id, count ignores the heap branch — a disjoint union of
+    * key spaces, each gate reading its tag slice against its own
+    * unchanged oracle). Each closed window emits once the watermark
+    * passes its end; the sentinel closes the tail windows. */
+  private def eventWindowAggs(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.evWindows", d)( {
+      val ev = eventStream(s, d)
+      val heapIn = ev.select(lit("q168").as("tag"), col("ts"),
+        lit("").as("k1"), col("value").as("score"),
+        col("event_id").as("id"))
+      val cntIn = ev.select(lit("q194").as("tag"), col("ts"),
+        col("event_type").as("k1"), lit(null).cast("double").as("score"),
+        lit(null).cast("long").as("id"))
+      val agg = heapIn.unionByName(cntIn)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("tag"), window(col("ts"), "1 hour"), col("k1"))
+        .agg(count(lit(1)).as("c"),
+             graft.functions.TopKAgg
+               .top_k_by_score(col("score"), col("id"), 3).as("top"))
+        .select(col("tag"), col("k1"),
+                col("window.start").as("ws"), col("c"), col("top"))
+      runToBatch(s, agg).localCheckpoint()
+    })
+
   private def q194AnomalyStream(s: SparkSession, d: String): DataFrame = {
-    val counts = eventStream(s, d)
-      .withWatermark("ts", "1 minute")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("event_type"),
-              expr("unix_micros(window.start) div 3600000000").as("hr"),
-              col("c"))
-    val closed = runToBatch(s, counts)
+    val closed = eventWindowAggs(s, d).filter(col("tag") === "q194")
+      .select(col("k1").as("event_type"),
+              expr("unix_micros(ws) div 3600000000").as("hr"), col("c"))
       .filter(col("event_type") =!= "zzz_sentinel")
     EventOps.scoreHourly(closed, EventOps.hourlyStats(s, d))
   }
@@ -311,7 +480,10 @@ object StreamGate extends QueryPack {
     * aggregation, so q142's oracle gates the streamed output verbatim
     * (see [[StreamOps.entropyScoreStream]]). */
   private def q150EntropyStream(s: SparkSession, d: String): DataFrame =
-    runToBatch(s, StreamOps.entropyScoreStream(docStream(s, d)))
+    docFeed(s, d).filter(col("tag") === "q150")
+      .select(col("id").as("doc_id"), col("l1").as("n_tokens"),
+              col("l2").as("distinct_tokens"), col("d1").as("entropy"),
+              col("l3").as("low_entropy"))
       .orderBy("doc_id")
 
   /** Streaming REPETITION scoring — q161's Gopher-style 2-gram filters
@@ -322,7 +494,10 @@ object StreamGate extends QueryPack {
     * score-at-ingest shape for the filter most pretraining pipelines
     * apply first: degenerate docs never reach the corpus store. */
   private def q162RepetitionStream(s: SparkSession, d: String): DataFrame =
-    runToBatch(s, TextAnalysis.repetitionOn(docStream(s, d)))
+    docFeed(s, d).filter(col("tag") === "q162")
+      .select(col("id").as("doc_id"), col("l1").as("n_2grams"),
+              col("l2").as("top2_n"), col("l3").as("dup2_mass"),
+              col("d1").as("rep_ratio"))
       .orderBy("doc_id")
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
@@ -341,24 +516,51 @@ object StreamGate extends QueryPack {
     * Mid-stream sessions emit when their successor opens; each user's
     * LAST session emits via the event-time timeout once the sentinel
     * advances the watermark past session_end + gap. */
-  private def q167SessionizeStream(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    import s.implicits._
-    val ev = eventStream(s, d)
-      .select(col("user_id"), col("ts"),
-              expr("floor(value * 100 + 0.5)").as("value")) // exact cents
-      .as[graft.streaming.StreamOps.SessionEvent]
-    val out = graft.streaming.StreamOps
-      .sessionizeStream(ev, gapMs = 3600000L, watermarkDelay = "1 minute")
-    runToBatch(s, out.toDF())
-      .filter(col("user_id") >= 0)
+  /** The events-feed per-user KEYED-STATE stream (q167 sessionization,
+    * q177 funnel attribution, q223 path assembly), run once per
+    * (session, dataset): all three are flatMapGroupsWithState machines
+    * keyed by user under the same 1-minute watermark, so they ride ONE
+    * consolidated pass keyed by (tag, user_id) — each key runs exactly
+    * one branch's state machine via the SHARED transition/finalize
+    * functions the standalone operators use
+    * ([[graft.streaming.StreamOps.userTimelineStream]]), with its own
+    * per-key event-time timer. One shuffle by user, one state store,
+    * three machines — the production shape for per-user feed analytics,
+    * and the register-consolidation discipline at the keyed-state tier
+    * (PERF.md ledger: ~1.3 s query-start + state-store floor per
+    * standalone stateful gate, paid once here instead of three times).
+    * Session values are exact integer cents (`floor(value·100 + 0.5)`,
+    * the q167 parity contract); the sentinel's +35-day jump fires every
+    * timer, so the bounded pass finalizes every key. */
+  private def userTimeline(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.userTimeline", d)( {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ev = eventStream(s, d)
+      def branch(tag: String, withValue: Boolean): DataFrame =
+        ev.select(lit(tag).as("tag"), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          (if (withValue) expr("floor(value * 100 + 0.5)") // exact cents
+           else lit(0.0)).as("value"))
+      val tagged = branch("sess", withValue = true)
+        .unionByName(branch("funl", withValue = false))
+        .unionByName(branch("path", withValue = false))
+        .as[graft.streaming.StreamOps.TlEvent]
+      val out = graft.streaming.StreamOps.userTimelineStream(tagged,
+        stages = Seq("view", "signup", "purchase"), gapMs = 3600000L,
+        horizonMs = 30L * 24 * 3600 * 1000, watermarkDelay = "1 minute")
+      runToBatch(s, out.toDF()).localCheckpoint()
+    })
+
+  private def q167SessionizeStream(s: SparkSession, d: String): DataFrame =
+    userTimeline(s, d)
+      .filter(col("tag") === "sess" && col("user_id") >= 0)
       .select(col("user_id"),
-              date_format(col("session_start"), tsFmt).as("session_start"),
-              date_format(col("session_end"), tsFmt).as("session_end"),
-              col("n_events"),
-              (col("total_value") / 100).as("total_value"))
+              date_format(expr("timestamp_millis(l1)"), tsFmt).as("session_start"),
+              date_format(expr("timestamp_millis(l2)"), tsFmt).as("session_end"),
+              col("l3").as("n_events"),
+              (col("d1") / 100).as("total_value"))
       .orderBy("user_id", "session_start")
-  }
 
   /** Streaming PER-WINDOW TOP-K — [[StreamOps.windowTopK]] (the
     * bounded-heap [[graft.functions.TopKAgg]] inside an append-mode
@@ -368,16 +570,16 @@ object StreamGate extends QueryPack {
     * once the watermark passes the window end (the sentinel closes the
     * tail windows); the oracle is the window-function formulation (score
     * desc, id asc — TopKAgg's total order, q77's precedent). */
-  private def q168WindowTopkStream(s: SparkSession, d: String): DataFrame = {
-    val out = graft.streaming.StreamOps.windowTopK(
-      eventStream(s, d), "ts", delay = "1 minute", window_ = "1 hour",
-      scoreCol = "value", idCol = "event_id", k = 3)
-    runToBatch(s, out)
+  private def q168WindowTopkStream(s: SparkSession, d: String): DataFrame =
+    eventWindowAggs(s, d).filter(col("tag") === "q168")
+      .select(col("ws").as("window_start"),
+              posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("window_start"), (col("rnk0") + 1).cast("long").as("rnk"),
+              col("t.id").as("event_id"), col("t.score").as("value"))
       .filter(col("event_id") >= 0)
       .select(date_format(col("window_start"), tsFmt).as("window_start"),
               col("rnk"), col("event_id"), col("value"))
       .orderBy("window_start", "rnk")
-  }
 
   /** Streaming PER-KEY QUOTA — [[StreamOps.quotaPerKeyStream]]
     * (transformWithState, one admitted-counter per open (key, window))
@@ -529,15 +731,9 @@ object StreamGate extends QueryPack {
     * serves q176's oracle verbatim — finalized attribution ≡ the batch
     * strict-order min-chain, certified cross-engine. */
   private def q177FunnelStream(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    import s.implicits._
-    val ev = eventStream(s, d)
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .as[graft.streaming.StreamOps.FunnelEvent]
-    val out = graft.streaming.StreamOps.funnelStageStream(
-      ev, stages = Seq("view", "signup", "purchase"),
-      horizonMs = 30L * 24 * 3600 * 1000, watermarkDelay = "1 minute")
-    val users = runToBatch(s, out.toDF()).filter(col("user_id") >= 0)
+    val users = userTimeline(s, d)
+      .filter(col("tag") === "funl" && col("user_id") >= 0)
+      .select(col("user_id"), col("l1").as("stage"))
     EventOps.funnelRows(users.agg(
       count(lit(1)).as("n0"),
       sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n1"),
@@ -612,18 +808,12 @@ object StreamGate extends QueryPack {
     * in-warehouse split), and the sentinel's +35-day jump fires every
     * timer, so the bounded pass finalizes every user and serves batch
     * q213's oracle verbatim. */
-  private def q223PathsStream(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    import s.implicits._
-    val ev = eventStream(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .as[graft.streaming.StreamOps.PathEvent]
-    val out = graft.streaming.StreamOps.eventPathsStream(
-      ev, horizonMs = 30L * 24 * 3600 * 1000, watermarkDelay = "1 minute")
-    runToBatch(s, out.toDF()).filter(col("user_id") >= 0)
+  private def q223PathsStream(s: SparkSession, d: String): DataFrame =
+    userTimeline(s, d)
+      .filter(col("tag") === "path" && col("user_id") >= 0)
+      .select(col("s1").as("t1"), col("s2").as("t2"), col("s3").as("t3"))
       .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("t1"), col("t2"), col("t3")).limit(20)
-  }
 
   /** q227: STREAM-STREAM LEFT OUTER INTERVAL JOIN — the UNATTRIBUTED
     * side q219 cannot express: every click, paired with its
@@ -771,6 +961,7 @@ object StreamGate extends QueryPack {
         .select(col("k2").as("pos")))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_minhash_evict" -> q293MinhashEvictStream _,
     "q263_bloom_stream" -> q263BloomStream _,
     "q248_quantile_stream" -> q248QuantileStream _,
     "q240_ks_stream" -> q240KsStream _,
@@ -798,6 +989,32 @@ object StreamGate extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q42's exact inverted-index pair SQL (recall-1 at the 0.8
+    // threshold) restricted to the watermark horizon: hour = doc_id mod
+    // 6, and a pair is findable iff its slices are ≤ 3 apart (watermark
+    // lag + delay + prune — the derivation at the gate definition).
+    // Both eviction directions are certified: in-horizon pairs must
+    // all emit, out-of-horizon true pairs must all be evicted.
+    "q293_minhash_evict" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+             ELSE [] END) AS shingles
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS asz, b.sz AS bsz,
+                  count(*) AS common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT a_id, b_id,
+                floor(common / (asz + bsz - common) * 1000) / 1000 AS jaccard
+         FROM pairs
+         WHERE common / (asz + bsz - common) >= 0.8
+           AND abs((a_id % 6) - (b_id % 6)) <= 3
+         ORDER BY a_id, b_id""",
     // batch-equivalence: per-(source, value) sum registers replay the
     // batch counts exactly; the KS tail is deterministic arithmetic
     "q240_ks_stream" -> Stats.oracles("q215_length_ks"),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * All state is watermark-bounded: at 100 TB/day the state store holds
   * only `watermark × key-cardinality` entries, and eviction is automatic.
   */
-object StreamOps {
+object StreamOps extends Serializable {
 
   /** Streaming exact dedup by key within a watermark window — the
     * streaming form of EventOps.q22/q23. State size is bounded by the
@@ -457,6 +457,170 @@ object StreamOps {
                               n_events: Long, total_value: Double)
   final case class SessionAgg(start: Long, end: Long, n: Long, total: Double)
 
+  // ---- shared per-user state machines ----
+  //
+  // The transition/finalize logic of the three keyed-state operators
+  // below (sessionize, funnel, path assembly) factored out so the
+  // STANDALONE operators and the consolidated per-feed timeline stream
+  // ([[userTimelineStream]] — the gate-side register-consolidation
+  // discipline applied at the keyed-state tier) run the IDENTICAL state
+  // machines: one shuffle + one state store per feed in the gate suite,
+  // per-operator wiring in the specs, same math everywhere.
+
+  /** Fold a batch of (epochMs, value) events into an open session.
+    * Events are absorbed in event-time order; a gap > `gapMs` closes the
+    * open session and starts a new one. Returns (closed-in-order, open).
+    */
+  private[graft] def sessionAbsorb(open: Option[SessionAgg],
+      events: Seq[(Long, Double)],
+      gapMs: Long): (List[SessionAgg], Option[SessionAgg]) = {
+    var cur = open
+    val closed = List.newBuilder[SessionAgg]
+    events.sortBy(_._1).foreach { case (t, v) =>
+      cur match {
+        case Some(s) if t - s.end <= gapMs =>
+          cur = Some(SessionAgg(s.start, math.max(s.end, t), s.n + 1,
+                                s.total + v))
+        case Some(s) =>
+          closed += s
+          cur = Some(SessionAgg(t, t, 1, v))
+        case None =>
+          cur = Some(SessionAgg(t, t, 1, v))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  /** The funnel min-chain finalize over buffered (epochUs, stageIdx)
+    * facts: t_k = min ts of stage k with ts strictly after t_{k−1};
+    * returns the deepest stage reached (1-based; 0 = none). */
+  private[graft] def funnelReached(buf: List[(Long, Int)], nStages: Int): Long = {
+    var prev = Long.MinValue
+    var reached = 0L
+    var k = 0
+    var open = true
+    while (open && k < nStages) {
+      val cands = buf.collect {
+        case (us, c) if c == k && (k == 0 || us > prev) => us }
+      if (cands.isEmpty) open = false
+      else { prev = cands.min; reached = k + 1 }
+      k += 1
+    }
+    reached
+  }
+
+  /** Timeline trigram assembly over buffered (epochUs, event_id,
+    * event_type) facts: sort by the (ts, event_id) total order, slide a
+    * width-3 window over the type sequence. */
+  private[graft] def pathTrigrams(buf: List[(Long, Long, String)])
+      : Iterator[(String, String, String)] = {
+    val seq = buf.sortBy(e => (e._1, e._2)).map(_._3)
+    if (seq.lengthCompare(3) < 0) Iterator.empty
+    else seq.sliding(3).map(s => (s(0), s(1), s(2)))
+  }
+
+  final case class TlEvent(tag: String, user_id: Long, ts: java.sql.Timestamp,
+                           event_id: Long, event_type: String, value: Double)
+  final case class TlState(evs: List[(Long, Long, String)],
+                           sStart: Long, sEnd: Long, sN: Long, sTotal: Double,
+                           lastUs: Long)
+  final case class TlOut(tag: String, user_id: Long, l1: Long, l2: Long,
+                         l3: Long, d1: Double, s1: String, s2: String,
+                         s3: String)
+
+  /** Consolidated per-user TIMELINE stream — the three keyed-state
+    * analytics of the events feed (gap sessionization, funnel
+    * attribution, path assembly) maintained by ONE flatMapGroupsWithState
+    * pass keyed by (tag, user_id). Each key runs exactly one branch's
+    * state machine (the SHARED [[sessionAbsorb]]/[[funnelReached]]/
+    * [[pathTrigrams]] logic the standalone operators run), with its own
+    * event-time timeout — timers are per key, so the three finalization
+    * disciplines coexist without interference. A production events feed
+    * runs its per-user analytics exactly this way: one shuffle by user,
+    * one state store, N state machines — not N streaming queries each
+    * re-paying query start + source + state-store floor (PERF.md's
+    * per-gate ledger; the register streams' consolidation argument at
+    * the keyed tier).
+    *
+    * Output is the tagged union of the branch outputs (`sess`: session
+    * rows in l1/l2=start/end ms, l3=n, d1=value sum; `funl`: reached
+    * stage in l1; `path`: trigram in s1..s3). State per key is one
+    * branch's buffer — identical bytes to the standalone forms; the
+    * consolidation changes query COUNT, not state shape. */
+  def userTimelineStream(ds: Dataset[TlEvent], stages: Seq[String],
+                         gapMs: Long, horizonMs: Long, watermarkDelay: String)
+                        (implicit spark: SparkSession): Dataset[TlOut] = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def sessOut(uid: Long, s: SessionAgg): TlOut =
+      TlOut("sess", uid, s.start, s.end, s.n, s.total, null, null, null)
+
+    def update(key: (String, Long), events: Iterator[TlEvent],
+               state: GroupState[TlState]): Iterator[TlOut] = {
+      val (tag, uid) = key
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        tag match {
+          case "sess" =>
+            Iterator.single(sessOut(uid,
+              SessionAgg(st.sStart, st.sEnd, st.sN, st.sTotal)))
+          case "funl" =>
+            Iterator.single(TlOut("funl", uid,
+              funnelReached(st.evs.map(e => (e._1, e._2.toInt)), stages.length),
+              0L, 0L, 0.0, null, null, null))
+          case _ =>
+            pathTrigrams(st.evs).map { case (a, b, c) =>
+              TlOut("path", uid, 0L, 0L, 0L, 0.0, a, b, c) }
+        }
+      } else tag match {
+        case "sess" =>
+          val open0 = state.getOption.map(s =>
+            SessionAgg(s.sStart, s.sEnd, s.sN, s.sTotal))
+          val (closed, open) = sessionAbsorb(open0,
+            events.map(e => (e.ts.getTime, e.value)).toSeq, gapMs)
+          open.foreach { s =>
+            state.update(TlState(Nil, s.start, s.end, s.n, s.total, 0L))
+            state.setTimeoutTimestamp(s.end + gapMs)
+          }
+          closed.iterator.map(sessOut(uid, _))
+        case "funl" =>
+          val prev = state.getOption.getOrElse(
+            TlState(Nil, 0L, 0L, 0L, 0.0, Long.MinValue))
+          var evs = prev.evs
+          var last = prev.lastUs
+          events.foreach { e =>
+            val us = micros(e.ts)
+            stageIdx.get(e.event_type).foreach(c => evs = (us, c.toLong, "") :: evs)
+            last = math.max(last, us)
+          }
+          state.update(TlState(evs, 0L, 0L, 0L, 0.0, last))
+          state.setTimeoutTimestamp(last / 1000 + horizonMs)
+          Iterator.empty
+        case _ =>
+          val prev = state.getOption.getOrElse(
+            TlState(Nil, 0L, 0L, 0L, 0.0, Long.MinValue))
+          var evs = prev.evs
+          var last = prev.lastUs
+          events.foreach { e =>
+            val us = micros(e.ts)
+            evs = (us, e.event_id, e.event_type) :: evs
+            last = math.max(last, us)
+          }
+          state.update(TlState(evs, 0L, 0L, 0L, 0.0, last))
+          state.setTimeoutTimestamp(last / 1000 + horizonMs)
+          Iterator.empty
+      }
+    }
+
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.tag, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   /** Gap-based streaming sessionization via custom keyed state
     * (`flatMapGroupsWithState`, event-time timeout) — the streaming twin
     * of EventOps.q24. A session closes when no event arrives within
@@ -483,27 +647,13 @@ object StreamOps {
         state.remove()
         Iterator.single(out)
       } else {
-        val sorted = events.toSeq.sortBy(_.ts.getTime)
-        var open = state.getOption
-        val closed = Seq.newBuilder[SessionOut]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          open match {
-            case Some(s) if t - s.end <= gapMs =>
-              open = Some(SessionAgg(s.start, math.max(s.end, t), s.n + 1,
-                                     s.total + e.value))
-            case Some(s) =>
-              closed += toOut(uid, s)
-              open = Some(SessionAgg(t, t, 1, e.value))
-            case None =>
-              open = Some(SessionAgg(t, t, 1, e.value))
-          }
-        }
+        val (closed, open) = sessionAbsorb(state.getOption,
+          events.map(e => (e.ts.getTime, e.value)).toSeq, gapMs)
         open.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.end + gapMs)
         }
-        closed.result().iterator
+        closed.iterator.map(toOut(uid, _))
       }
     }
 
@@ -549,18 +699,7 @@ object StreamOps {
       if (state.hasTimedOut) {
         val buf = state.get.events
         state.remove()
-        var prev = Long.MinValue
-        var reached = 0L
-        var k = 0
-        var open = true
-        while (open && k < stages.length) {
-          val cands = buf.collect {
-            case (us, c) if c == k && (k == 0 || us > prev) => us }
-          if (cands.isEmpty) open = false
-          else { prev = cands.min; reached = k + 1 }
-          k += 1
-        }
-        Iterator.single(FunnelUserStage(uid, reached))
+        Iterator.single(FunnelUserStage(uid, funnelReached(buf, stages.length)))
       } else {
         val prevBuf = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
         var evs = prevBuf.events
@@ -614,9 +753,7 @@ object StreamOps {
       if (state.hasTimedOut) {
         val buf = state.get.events
         state.remove()
-        val seq = buf.sortBy(e => (e._1, e._2)).map(_._3)
-        if (seq.lengthCompare(3) < 0) Iterator.empty
-        else seq.sliding(3).map(s => PathTrigram(uid, s(0), s(1), s(2)))
+        pathTrigrams(buf).map { case (a, b, c) => PathTrigram(uid, a, b, c) }
       } else {
         val prev = state.getOption.getOrElse(PathBuf(Nil, Long.MinValue))
         var evs = prev.events

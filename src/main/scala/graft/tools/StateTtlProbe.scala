@@ -49,47 +49,51 @@ object StateTtlProbe {
     // event-time order
     val stageDir = java.nio.file.Files.createTempDirectory("graft_ttl_probe")
     val stage = stageDir.toString
-    // one corpus scan for all hour slices, not one per slice
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-      .persist()
-    for (h <- 0 until hours) {
-      docs.filter(col("doc_id") % hours === h)
-        .withColumn("ts", timestamp_seconds(lit(1704067200L + h * 3600L)))
-        .coalesce(1).write.mode("append").parquet(stage)
-      Thread.sleep(1100)
+    // the staging dir holds a full corpus copy — it must not outlive the
+    // probe on ANY exit path (stream failure included), hence try/finally
+    try {
+      // one corpus scan for all hour slices, not one per slice
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .persist()
+      for (h <- 0 until hours) {
+        docs.filter(col("doc_id") % hours === h)
+          .withColumn("ts", timestamp_seconds(lit(1704067200L + h * 3600L)))
+          .coalesce(1).write.mode("append").parquet(stage)
+        Thread.sleep(1100)
+      }
+      docs.unpersist()
+
+      implicit val sp: SparkSession = spark
+      val stream = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val out = graft.streaming.StreamOps.nearDupPairsStream(
+        stream, "ts", "1 hour", delayMs = 3600000L, threshold = 0.8,
+        maxResidents = 1000000)
+
+      val q = out.writeStream.format("memory").queryName("ttl_probe")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      println("[ttl]\tbatch\tinput_rows\twatermark\toperator\trows_total\t" +
+              "rows_updated\trows_removed\tmem_bytes")
+      for (p <- q.recentProgress) {
+        val wm = Option(p.eventTime).map(
+          _.getOrDefault("watermark", "-")).getOrElse("-")
+        for (so <- p.stateOperators)
+          println(s"[ttl]\t${p.batchId}\t${p.numInputRows}\t$wm\t" +
+                  s"${so.operatorName}\t${so.numRowsTotal}\t" +
+                  s"${so.numRowsUpdated}\t${so.numRowsRemoved}\t" +
+                  s"${so.memoryUsedBytes}")
+      }
+      val emitted = spark.table("ttl_probe").count()
+      System.err.println(s"[ttl] emitted pairs: $emitted")
+    } finally {
+      spark.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stageDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    docs.unpersist()
-
-    implicit val sp: SparkSession = spark
-    val stream = spark.readStream
-      .schema(spark.read.parquet(stage).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stage)
-    val out = graft.streaming.StreamOps.nearDupPairsStream(
-      stream, "ts", "1 hour", delayMs = 3600000L, threshold = 0.8,
-      maxResidents = 1000000)
-
-    val q = out.writeStream.format("memory").queryName("ttl_probe")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-
-    println("[ttl]\tbatch\tinput_rows\twatermark\toperator\trows_total\t" +
-            "rows_updated\trows_removed\tmem_bytes")
-    for (p <- q.recentProgress) {
-      val wm = Option(p.eventTime).map(
-        _.getOrDefault("watermark", "-")).getOrElse("-")
-      for (so <- p.stateOperators)
-        println(s"[ttl]\t${p.batchId}\t${p.numInputRows}\t$wm\t" +
-                s"${so.operatorName}\t${so.numRowsTotal}\t" +
-                s"${so.numRowsUpdated}\t${so.numRowsRemoved}\t" +
-                s"${so.memoryUsedBytes}")
-    }
-    val emitted = spark.table("ttl_probe").count()
-    System.err.println(s"[ttl] emitted pairs: $emitted")
-    spark.stop()
-    // the staging dir holds a full corpus copy — don't leave it behind
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(stageDir).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

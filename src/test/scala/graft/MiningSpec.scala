@@ -561,4 +561,50 @@ class MiningSpec extends SparkTestBase {
         s"side $tag: expected appended files in at least one cell")
     }
   }
+
+  test("mining-index staleness monitor: planted one-side drift fires, " +
+       "balanced appends stay quiet (VERDICT r13 task 4)") {
+    import graft.operators.{Mining, Similarity}
+    // throwaway per-side indexes (NOT q289's session artifacts — an
+    // append here must never mutate the gated lifecycle's state)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val aSide = e.filter(col("label") < 5).select("vec_id", "embedding")
+    val bSide = e.filter(col("label") >= 5).select("vec_id", "embedding")
+    val dirA = TempDirs.register(
+      java.nio.file.Files.createTempDirectory("mine_stale_a").toString)
+    val dirB = TempDirs.register(
+      java.nio.file.Files.createTempDirectory("mine_stale_b").toString)
+    // build on the initial slice, then the q289-shaped id-interleaved
+    // BALANCED append (same distribution, frozen codebooks)
+    val isAppend = col("vec_id") % 5 === 2
+    Similarity.ivfPqIndex(aSide.filter(!isAppend), 8, dirA)
+    Similarity.ivfPqIndex(bSide.filter(!isAppend), 8, dirB)
+    Similarity.ivfPqAppend(spark, dirA, aSide.filter(isAppend))
+    Similarity.ivfPqAppend(spark, dirB, bSide.filter(isAppend))
+    val (staleA0, staleB0) = Mining.mineIndexStale(spark, dirA, dirB)
+    assert(!staleA0 && !staleB0,
+      s"balanced appends must not fire the monitor " +
+      s"(skews ${Similarity.indexSkew(spark, dirA)} / " +
+      s"${Similarity.indexSkew(spark, dirB)})")
+    // planted ONE-SIDE drift (q172's shape on side B): the side's items
+    // re-arrive blended hard toward one anchor direction — a mode the
+    // frozen side-B quantizer has no centroid for, so the whole batch
+    // assigns to the anchor's cell and max/median jumps ≈ 1 + k·frac
+    // regardless of corpus size
+    val anchor = bSide.orderBy("vec_id").limit(1)
+      .select(expr("transform(embedding, x -> cast(x as double))").as("av"))
+    val drift = bSide.crossJoin(broadcast(anchor))
+      .select((col("vec_id") + 20000000L).as("vec_id"),
+        expr("zip_with(transform(embedding, x -> cast(x as double)), av, " +
+             "(x, y) -> 0.2D * x + 0.8D * y)").as("embedding"))
+    Similarity.ivfPqAppend(spark, dirB, drift)
+    val (staleA1, staleB1) = Mining.mineIndexStale(spark, dirA, dirB)
+    assert(!staleA1, "the undrifted side must stay quiet")
+    assert(staleB1,
+      s"the drifted side must fire (skew ${Similarity.indexSkew(spark, dirB)})")
+    // the append ≡ rebuild certificate (q289 ≡ q286, previous test +
+    // the shared oracle) is untouched: the monitor only READS indexes,
+    // and this fixture built its own.
+  }
 }

@@ -121,7 +121,7 @@ class PlanSpec extends SparkTestBase {
       "q182_outlier_stream", "q194_anomaly_stream", "q211_hll_stream",
       "q218_decay_stream", "q219_attribution_stream", "q223_paths_stream",
       "q227_attribution_outer", "q229_growth_stream", "q240_ks_stream",
-      "q248_quantile_stream", "q263_bloom_stream",
+      "q248_quantile_stream", "q263_bloom_stream", "q293_minhash_evict",
       // index build (write-once per session+dataset) + verifyJoin probe
       "q108_neardup_indexed",
       // per-topic partitioned write + read-back (write-once per

@@ -805,45 +805,68 @@ class StreamingSpec extends SparkTestBase {
     // bloom + the static side, NOT a streaming state store — a plan
     // change that reintroduces one (e.g. dropDuplicates on the stream)
     // would silently change the gate's 100 TB cost model. Observed via
-    // the same listener StateMetrics uses.
+    // the same listener StateMetrics uses, but keyed BY RUN ID: the
+    // old shared-accumulator form raced q177's async progress events
+    // against the q104 emptiness assert (ADVICE r13). Attributing
+    // state ops to the runId each event carries, and asserting on the
+    // runIds each gate's build actually started, is race-free by
+    // construction. The gates ride memoized consolidated feeds
+    // (docFeed / userTimeline), so the memo is cleared first to force
+    // both streams to RUN here.
     import org.apache.spark.sql.streaming.StreamingQueryListener
-    val ops = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val started = scala.collection.concurrent.TrieMap.empty[java.util.UUID, Unit]
+    val terminated = scala.collection.concurrent.TrieMap.empty[java.util.UUID, Unit]
+    val opsByRun =
+      scala.collection.concurrent.TrieMap.empty[java.util.UUID, Set[String]]
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        started.put(e.runId, ())
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        terminated.put(e.runId, ())
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         e.progress.stateOperators.foreach(so =>
-          ops.updateWith(so.operatorName)(
-            v => Some(v.getOrElse(0L) max so.numRowsTotal)))
+          opsByRun.updateWith(e.progress.runId)(
+            v => Some(v.getOrElse(Set.empty) + so.operatorName)))
     }
-    // listener delivery is async: poll for the expected condition with a
-    // bounded deadline instead of a fixed sleep (a fixed sleep is flaky
-    // in BOTH directions — too short for a loaded host on the positive
-    // control, and any length proves nothing for the q104 empty check,
-    // where the positive control's observed delivery bounds the bus lag)
+    // listener delivery is async: poll with a bounded deadline
     def awaitOrTimeout(cond: => Boolean, ms: Long = 30000): Boolean = {
       val deadline = System.nanoTime() + ms * 1000000L
       while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
       cond
     }
+    SessionMemo.clear(spark)
     spark.streams.addListener(listener)
     try {
       // positive control FIRST: q177's keyed state must arrive — this
-      // also measures that the listener bus is live and drained
-      ops.clear()
+      // also proves the listener bus is live. The bus is FIFO per
+      // listener, so once the control's fMGWS progress is visible its
+      // started event already arrived, and the snapshot taken AFTER the
+      // assertion is complete.
       SparkEntry.queries("q177_funnel_stream")(spark, sfDir).count()
-      assert(awaitOrTimeout(
-        ops.keys.exists(_.contains("flatMapGroupsWithState"))),
-        s"positive control: q177 must report its keyed state, got ${ops.keys}")
-      ops.clear()
+      assert(awaitOrTimeout(started.keySet.exists(r =>
+          opsByRun.getOrElse(r, Set.empty)
+            .exists(_.contains("flatMapGroupsWithState")))),
+        s"positive control: q177 must report its keyed state, got $opsByRun")
+      val afterControl = started.keySet.toSet
       SparkEntry.queries("q104_incdedup_stream")(spark, sfDir).count()
-      // same drain window the control needed, then the emptiness claim
-      awaitOrTimeout(ops.nonEmpty, 5000)
-      assert(ops.isEmpty,
-        s"q104 must stay stateless, found state operators: ${ops.keys}")
-    } finally spark.streams.removeListener(listener)
+      // the q104 build's own run(s): started after the control snapshot.
+      // Wait for their TERMINATED events — FIFO delivery means every
+      // progress event of a run precedes its termination, so once
+      // terminated arrives the run's state record is complete.
+      assert(awaitOrTimeout((started.keySet.toSet -- afterControl).nonEmpty),
+        "q104 cleared-memo build must have started a streaming query")
+      val q104Runs = started.keySet.toSet -- afterControl
+      assert(awaitOrTimeout(q104Runs.forall(terminated.contains)),
+        "q104's streaming run must terminate")
+      val q104Ops = q104Runs.flatMap(r => opsByRun.getOrElse(r, Set.empty))
+      assert(q104Ops.isEmpty,
+        s"q104 must stay stateless, found state operators: $q104Ops")
+    } finally {
+      spark.streams.removeListener(listener)
+      SessionMemo.clear(spark)
+    }
   }
 }
