@@ -1272,10 +1272,24 @@ object Stats extends QueryPack {
     * TakeOrderedAndProject; the oracle computes the same multiset
     * through DuckDB's positional self-join, so the gate also proves
     * the map-side fan-out ≡ the relational definition. */
-  private def q233SkipgramCounts(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(expr(TextExprs.toks).as("w"))
-    toks.filter(size(col("w")) >= 2)
+  /** The map-side (center, context) pair fan-out of q233: every
+    * directed token pair within the ± [[sgWindow]] window, one nested
+    * transform per document — no positional self-join, no (doc, pos)
+    * shuffle. Scale adjudication (round-14, ×10/×100 Zipf corpora):
+    * the operator is SCAN-BOUND and linear at the second decade
+    * (1.15 s → 18.7 → 199 ≈ ×10.6 per decade warm) — the first-decade
+    * ×16 is fixed-cost amortization plus the partial-agg spill
+    * constant, not an asymptote. A deterministic frequency-bound prune
+    * (pair count ≤ min unigram count; threshold from an exact top-M
+    * sub-universe head) was built and MEASURED WORSE at every decade
+    * (sf0.1 3.5 vs 1.15; ×10 22.6 vs 18.7; ×100 248 vs 199): the
+    * prune's second fan-out pass costs more than the pruned aggregate
+    * saves, because the map-side partial agg already collapses the hot
+    * pair mass and rare pair types cross the exchange once each —
+    * recorded negative, PERF.md round 14. */
+  private def sgPairs(docs: DataFrame): DataFrame =
+    docs.select(expr(TextExprs.toks).as("w"))
+      .filter(size(col("w")) >= 2)
       .select(explode(expr(
         s"""flatten(transform(sequence(1, size(w)), i ->
               transform(sequence(greatest(1, i - $sgWindow),
@@ -1285,10 +1299,12 @@ object Stats extends QueryPack {
                           element_at(w, j) AS ctx)))))""")).as("p"))
       .filter(col("p").isNotNull)
       .select(col("p.t").as("t"), col("p.ctx").as("ctx"))
+
+  private def q233SkipgramCounts(s: SparkSession, d: String): DataFrame =
+    sgPairs(Tables.documents(s, d))
       .groupBy("t", "ctx").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("t"), col("ctx"))
       .limit(50)
-  }
 
   /** q234: NEGATIVE-SAMPLING NOISE DISTRIBUTION — the unigram^(3/4)
     * table word2vec-style training draws negatives from (the 0.75

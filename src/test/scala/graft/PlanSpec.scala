@@ -60,7 +60,12 @@ class PlanSpec extends SparkTestBase {
       // guard + the memoized pair-core localCheckpoint)
       "q205_mixture_plan", "q207_quality_disagree", "q216_pagerank",
       "q246_triangles",
-      "q220_mixture_sample", "q221_negative_sample", "q235_triplets",
+      // q292 rides q205's shared effective-tokens core — same memoized
+      // cluster-chain one-off when it is the first consumer built
+      // (latent since r13; exposed when a registry edit reshuffled the
+      // map's iteration order)
+      "q220_mixture_sample", "q292_mixture_sweep",
+      "q221_negative_sample", "q235_triplets",
       "q238_family_contamination", "q243_takedown_closure",
       "q259_dataset_card",
       // the pipelineFlags memo lazily checkpoints on first touch, and
