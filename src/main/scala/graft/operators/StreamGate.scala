@@ -66,6 +66,50 @@ object StreamGate extends QueryPack {
     s.table(name)
   }
 
+  /** Run a bounded streaming query to a PARQUET sink (partitioned by
+    * `tag` when present) and return the read-back relation — the sink
+    * for the CONSOLIDATED feed streams, whose unioned output is
+    * corpus-sized: a memory sink collects every row into the driver
+    * (the ×100 feed study OOM'd the 16 GiB bench driver exactly there —
+    * `maxResultSize` on ~50 M q118 window rows), while the file sink
+    * streams through the executors and the per-gate tag slice reads
+    * back with partition pruning. Also the production shape: a feed
+    * pass lands in the lake, per-metric consumers read their slice. */
+  private def runToBatchParquet(s: SparkSession, out: DataFrame,
+                                name: String): DataFrame = {
+    val dir = graft.TempDirs.register(
+      java.nio.file.Files.createTempDirectory(s"graft_sink_$name").toString)
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.get(pKey)
+    s.conf.set(pKey, "8")
+    try {
+      val w = out.writeStream.format("parquet")
+        .option("path", s"$dir/data")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+      val q = (if (out.columns.contains("tag")) w.partitionBy("tag") else w)
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(pKey, prevP)
+    s.read.parquet(s"$dir/data")
+  }
+
+  /** [[runToBatchParquet]] with the RocksDB provider (the
+    * [[runToBatchRocks]] wrapper at the file sink). */
+  private def runToBatchParquetRocks(s: SparkSession, out: DataFrame,
+                                     name: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToBatchParquet(s, out, name)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** [[runToBatch]] with the RocksDB state-store provider set for the
     * pass (transformWithState requires multiple column families, which
     * the default HDFS-backed provider lacks), restored after. */
@@ -238,7 +282,7 @@ object StreamGate extends QueryPack {
                     col("rep_ratio")))
         .unionByName(shape("q182", b182, col("vec_id"), nullS,
                     col("n_extreme"), col("z4max"), nullL, nullD))
-      runToBatch(s, u).localCheckpoint()
+      runToBatchParquet(s, u, "docFeed")
     })
 
   /** Streaming incremental exact dedup vs the static existing corpus,
@@ -367,9 +411,8 @@ object StreamGate extends QueryPack {
         .parquet(staged)
       val out = StreamOps.nearDupPairsStream(stream, "ts", "1 hour",
         delayMs = 3600000L, threshold = 0.8, maxResidents = 1000000)
-      runToBatchRocks(s, out)
+      runToBatchParquetRocks(s, out, "evict")
         .select(col("a_id"), col("b_id"), col("jaccard"))
-        .localCheckpoint()
     }).orderBy("a_id", "b_id")
 
   /** Streaming QUALITY-MODEL scoring gate — the q93 classifier running
@@ -549,7 +592,9 @@ object StreamGate extends QueryPack {
       val out = graft.streaming.StreamOps.userTimelineStream(tagged,
         stages = Seq("view", "signup", "purchase"), gapMs = 3600000L,
         horizonMs = 30L * 24 * 3600 * 1000, watermarkDelay = "1 minute")
-      runToBatch(s, out.toDF()).localCheckpoint()
+      // file sink: the tagged output is corpus-sized (the path branch
+      // emits ~one trigram fact per event) — see runToBatchParquet
+      runToBatchParquet(s, out.toDF(), "userTimeline")
     })
 
   private def q167SessionizeStream(s: SparkSession, d: String): DataFrame =
