@@ -56,6 +56,18 @@ object SessionMemo {
   def getOrElse[T](s: SparkSession, ns: String, d: String)(default: => T): T =
     get[T](s, ns, d).getOrElse(default)
 
+  /** Drop ONE memo entry (tests that must force a specific stream or
+    * relation to re-run under instrumentation). The wholesale [[clear]]
+    * invalidated every unrelated write-once session artifact — persisted
+    * index builds, checkpointed cores — forcing rebuilds and bumping
+    * index version dirs mid-session (ADVICE r14); keyed removal leaves
+    * them standing. */
+  def remove(s: SparkSession, ns: String, d: String): Unit =
+    perSession.synchronized {
+      val m = perSession.get(s)
+      if (m != null) m.remove((ns, d))
+    }
+
   /** Drop every memo of one session (tests; deliberate session cycling). */
   def clear(s: SparkSession): Unit =
     perSession.synchronized { perSession.remove(s) }

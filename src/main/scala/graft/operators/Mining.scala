@@ -754,8 +754,11 @@ object Mining extends QueryPack {
   def mineIndexStale(s: SparkSession, dirA: String, dirB: String,
                      skewRatio: Double = Similarity.retrainSkew)
       : (Boolean, Boolean) =
-    (Similarity.indexSkew(s, dirA) >= skewRatio,
-     Similarity.indexSkew(s, dirB) >= skewRatio)
+    // strict >, matching [[Similarity.ivfPqRetrain]]'s rebuild test
+    // exactly: "monitor fires" must imply "retrain rebuilds" at every
+    // ratio, including exact threshold equality (ADVICE r14)
+    (Similarity.indexSkew(s, dirA) > skewRatio,
+     Similarity.indexSkew(s, dirB) > skewRatio)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_triangles" -> q246Triangles _,

@@ -1126,7 +1126,13 @@ object Stats extends QueryPack {
       .select(col("source"), col("v"), col("n"),
               coalesce(col("c"), lit(0L)).as("c"))
       .withColumn("cum", sum("c").over(w))
-    ecdf.as("a").join(ecdf.as("b"),
+    // the pair join's right side is the |V|·S grid itself —
+    // value-domain-sized BY CONSTRUCTION (the binWidth knob caps |V| at
+    // any corpus scale), so broadcasting it is safe at 100 TB and
+    // collapses what the stats-free register sink otherwise plans as a
+    // sort-merge join (two extra shuffles + sorts on a tiny relation —
+    // measured as most of q240's 1.6 s steady-state tail)
+    ecdf.as("a").join(broadcast(ecdf.as("b")),
         col("a.v") === col("b.v") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
                col("a.n").as("n_a"), col("b.n").as("n_b"))

@@ -92,7 +92,10 @@ object StreamGate extends QueryPack {
         .start()
       q.awaitTermination()
     } finally s.conf.set(pKey, prevP)
-    s.read.parquet(s"$dir/data")
+    // read back under the KNOWN schema: a feed that produced zero rows
+    // (tiny/empty dataset) leaves no files, and schema inference would
+    // throw where an empty relation is the correct answer (ADVICE r14)
+    s.read.schema(out.schema).parquet(s"$dir/data")
   }
 
   /** [[runToBatchParquet]] with the RocksDB provider (the

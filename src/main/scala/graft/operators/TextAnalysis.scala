@@ -363,6 +363,7 @@ object TextAnalysis extends QueryPack {
         .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
         .localCheckpoint(eager = false))
 
+
   /** q174's scale plan: PREFIX FILTERING IN THE CONTAINMENT DIRECTION.
     * The prefix principle composes with the directed measure because the
     * containment overlap ceiling uses ONLY the contained side's size:
@@ -391,7 +392,13 @@ object TextAnalysis extends QueryPack {
     // the posting relation comes from the shared session store (one
     // shingle+explode pass serves q174 and q183); the full arrays for
     // exact verification stay on the raw scan — they join candidate ids
-    // only, and doc-id joins carry none of the posting-key skew risk
+    // only, and doc-id joins carry none of the posting-key skew risk.
+    // The prefix stays INLINE deliberately: session-memoizing it was
+    // measured WORSE at both grains on the same host/reps (full ranked
+    // postings 3.12 s, filtered prefix 2.47 s, vs 1.90 s inline, r15
+    // A/B) — the candidate probe + exact verify dominate this plan, and
+    // cached-block re-reads cost more than the df+rank recompute they
+    // replace (PERF.md negative-results ledger).
     val ex = shinglePostingsCore(s, d)
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val pref = ex.join(dfTab, "s")

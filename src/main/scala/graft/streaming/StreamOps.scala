@@ -494,27 +494,61 @@ object StreamOps extends Serializable {
   /** The funnel min-chain finalize over buffered (epochUs, stageIdx)
     * facts: t_k = min ts of stage k with ts strictly after t_{k−1};
     * returns the deepest stage reached (1-based; 0 = none). */
-  private[graft] def funnelReached(buf: List[(Long, Int)], nStages: Int): Long = {
-    var prev = Long.MinValue
-    var reached = 0L
-    var k = 0
+  private[graft] def funnelReached(buf: List[(Long, Int)], nStages: Int): Long =
+    funnelChainFold(buf, nStages, 0L, Long.MinValue)._1
+
+  /** The min-chain CONTINUATION fold behind [[funnelReached]] and the
+    * whale-key compaction: run the chain over `buf` starting from stage
+    * `startStage` with the previous step's timestamp `prev0`, returning
+    * the final (reached, prev). WHY the (reached, prev) pair is a
+    * sufficient compact prefix for SETTLED events (ts below the current
+    * watermark — every event absorbed later is ≥ the watermark, because
+    * the late filter drops the rest): t_j values established by the
+    * settled-only fold are FINAL — a later arrival has a larger ts than
+    * every settled candidate, so it can never lower an established
+    * stage minimum; and a settled event at a stage the settled chain
+    * did NOT reach can never qualify later, because the chain's prev at
+    * that stage will be ≥ the watermark > its ts, failing the strict
+    * `ts > prev`. So folding settled events here and keeping only the
+    * unsettled tail computes exactly the finalize-over-everything
+    * answer (StreamingSpec pins it against the buffer-all form). */
+  private[graft] def funnelChainFold(buf: List[(Long, Int)], nStages: Int,
+                                     startStage: Long, prev0: Long)
+      : (Long, Long) = {
+    var prev = prev0
+    var reached = startStage
+    var k = startStage.toInt
     var open = true
     while (open && k < nStages) {
       val cands = buf.collect {
-        case (us, c) if c == k && (k == 0 || us > prev) => us }
+        case (us, c) if c == k && us > prev => us }
       if (cands.isEmpty) open = false
       else { prev = cands.min; reached = k + 1 }
       k += 1
     }
-    reached
+    (reached, prev)
   }
 
   /** Timeline trigram assembly over buffered (epochUs, event_id,
     * event_type) facts: sort by the (ts, event_id) total order, slide a
     * width-3 window over the type sequence. */
   private[graft] def pathTrigrams(buf: List[(Long, Long, String)])
+      : Iterator[(String, String, String)] =
+    pathTrigramsFrom(Nil, buf)
+
+  /** Trigram assembly CONTINUATION — `boundary` is the ≤ 2-element type
+    * suffix of the already-emitted (settled) timeline prefix, `buf` the
+    * remaining events. Sound because settled events (ts below the
+    * watermark) sort strictly before every event absorbed later (late
+    * rows are dropped, so later ts ≥ watermark > settled ts): the
+    * timeline is frozen-prefix ++ sorted(buf), and every width-3 window
+    * not yet emitted contains ≥ 1 element beyond the prefix — i.e. it
+    * starts within the last 2 prefix elements or later, exactly what
+    * `boundary` preserves. */
+  private[graft] def pathTrigramsFrom(boundary: List[String],
+                                      buf: List[(Long, Long, String)])
       : Iterator[(String, String, String)] = {
-    val seq = buf.sortBy(e => (e._1, e._2)).map(_._3)
+    val seq = boundary ++ buf.sortBy(e => (e._1, e._2)).map(_._3)
     if (seq.lengthCompare(3) < 0) Iterator.empty
     else seq.sliding(3).map(s => (s(0), s(1), s(2)))
   }
@@ -523,7 +557,13 @@ object StreamOps extends Serializable {
                            event_id: Long, event_type: String, value: Double)
   final case class TlState(evs: List[(Long, Long, String)],
                            sStart: Long, sEnd: Long, sN: Long, sTotal: Double,
-                           lastUs: Long)
+                           lastUs: Long,
+                           // settled-prefix compaction registers: the
+                           // funnel's folded (reached, prev) and the
+                           // path's ≤ 2-type boundary (evs then holds
+                           // only the unsettled tail — whale-key bound)
+                           fReached: Long, fPrevUs: Long,
+                           boundary: List[String])
   final case class TlOut(tag: String, user_id: Long, l1: Long, l2: Long,
                          l3: Long, d1: Double, s1: String, s2: String,
                          s3: String)
@@ -569,10 +609,11 @@ object StreamOps extends Serializable {
               SessionAgg(st.sStart, st.sEnd, st.sN, st.sTotal)))
           case "funl" =>
             Iterator.single(TlOut("funl", uid,
-              funnelReached(st.evs.map(e => (e._1, e._2.toInt)), stages.length),
+              funnelChainFold(st.evs.map(e => (e._1, e._2.toInt)),
+                stages.length, st.fReached, st.fPrevUs)._1,
               0L, 0L, 0.0, null, null, null))
           case _ =>
-            pathTrigrams(st.evs).map { case (a, b, c) =>
+            pathTrigramsFrom(st.boundary, st.evs).map { case (a, b, c) =>
               TlOut("path", uid, 0L, 0L, 0L, 0.0, a, b, c) }
         }
       } else tag match {
@@ -582,13 +623,15 @@ object StreamOps extends Serializable {
           val (closed, open) = sessionAbsorb(open0,
             events.map(e => (e.ts.getTime, e.value)).toSeq, gapMs)
           open.foreach { s =>
-            state.update(TlState(Nil, s.start, s.end, s.n, s.total, 0L))
+            state.update(TlState(Nil, s.start, s.end, s.n, s.total, 0L,
+                                 0L, Long.MinValue, Nil))
             state.setTimeoutTimestamp(s.end + gapMs)
           }
           closed.iterator.map(sessOut(uid, _))
         case "funl" =>
           val prev = state.getOption.getOrElse(
-            TlState(Nil, 0L, 0L, 0L, 0.0, Long.MinValue))
+            TlState(Nil, 0L, 0L, 0L, 0.0, Long.MinValue,
+                    0L, Long.MinValue, Nil))
           var evs = prev.evs
           var last = prev.lastUs
           events.foreach { e =>
@@ -596,12 +639,20 @@ object StreamOps extends Serializable {
             stageIdx.get(e.event_type).foreach(c => evs = (us, c.toLong, "") :: evs)
             last = math.max(last, us)
           }
-          state.update(TlState(evs, 0L, 0L, 0L, 0.0, last))
+          // settled-prefix compaction (the funnelStageStream discipline)
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (settled, tail) = evs.partition(_._1 < wmUs)
+          val (r2, p2) =
+            if (settled.isEmpty) (prev.fReached, prev.fPrevUs)
+            else funnelChainFold(settled.map(e => (e._1, e._2.toInt)),
+                                 stages.length, prev.fReached, prev.fPrevUs)
+          state.update(TlState(tail, 0L, 0L, 0L, 0.0, last, r2, p2, Nil))
           state.setTimeoutTimestamp(last / 1000 + horizonMs)
           Iterator.empty
         case _ =>
           val prev = state.getOption.getOrElse(
-            TlState(Nil, 0L, 0L, 0L, 0.0, Long.MinValue))
+            TlState(Nil, 0L, 0L, 0L, 0.0, Long.MinValue,
+                    0L, Long.MinValue, Nil))
           var evs = prev.evs
           var last = prev.lastUs
           events.foreach { e =>
@@ -609,9 +660,24 @@ object StreamOps extends Serializable {
             evs = (us, e.event_id, e.event_type) :: evs
             last = math.max(last, us)
           }
-          state.update(TlState(evs, 0L, 0L, 0L, 0.0, last))
+          // settled-prefix emission (the eventPathsStream discipline)
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (settled, tail) = evs.partition(_._1 < wmUs)
+          val (out, boundary) =
+            if (settled.isEmpty) (Iterator.empty[TlOut], prev.boundary)
+            else {
+              val seq = prev.boundary ++
+                settled.sortBy(e => (e._1, e._2)).map(_._3)
+              val trigs =
+                if (seq.lengthCompare(3) < 0) Iterator.empty[TlOut]
+                else seq.sliding(3).map(s =>
+                  TlOut("path", uid, 0L, 0L, 0L, 0.0, s(0), s(1), s(2)))
+              (trigs, seq.takeRight(2))
+            }
+          state.update(TlState(tail, 0L, 0L, 0L, 0.0, last,
+                               0L, Long.MinValue, boundary))
           state.setTimeoutTimestamp(last / 1000 + horizonMs)
-          Iterator.empty
+          out
       }
     }
 
@@ -665,7 +731,10 @@ object StreamOps extends Serializable {
 
   final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
                                event_type: String)
-  final case class FunnelBuf(events: List[(Long, Int)], lastUs: Long)
+  /** `reached`/`prevUs` carry the settled prefix's folded min-chain
+    * ([[funnelChainFold]]); `events` holds only the unsettled tail. */
+  final case class FunnelBuf(events: List[(Long, Int)], lastUs: Long,
+                             reached: Long, prevUs: Long)
   final case class FunnelUserStage(user_id: Long, stage: Long)
 
   /** Streaming CONVERSION-FUNNEL attribution — the event-time twin of
@@ -680,12 +749,16 @@ object StreamOps extends Serializable {
     * early-ts stage-0 event lowers t_1 and can re-qualify earlier
     * stage-1 events, so keeping only (t1..tk) is wrong. The correct
     * streaming design — what attribution systems do — buffers the
-    * user's STAGE events (only those whose type is in the chain: the
-    * funnel's own selectivity bounds state) inside the attribution
-    * horizon and computes the chain once, at event-time finalization.
-    * State per user = stage events within the horizon (a few (long,
-    * int) pairs), GC'd by the timer; at 100 TB/day the store scales
-    * with users active inside the horizon, not history. */
+    * user's STAGE events inside the attribution horizon, COMPACTING the
+    * settled prefix on every batch: events with ts below the current
+    * watermark can never be reordered by a future arrival (late rows
+    * are dropped), so their chain contribution folds into the compact
+    * (reached, prev) pair ([[funnelChainFold]] — the proof there) and
+    * only the unsettled tail stays buffered. State per user is the
+    * WATERMARK-DELAY window's stage events plus two longs — bounded for
+    * an always-active whale key too, not just for users who go quiet
+    * (the r14 unbounded-buffer caveat, closed); GC'd by the timer once
+    * the user goes quiet past the horizon. */
   def funnelStageStream(ds: Dataset[FunnelEvent], stages: Seq[String],
                         horizonMs: Long, watermarkDelay: String)
                        (implicit spark: SparkSession): Dataset[FunnelUserStage] = {
@@ -697,11 +770,13 @@ object StreamOps extends Serializable {
     def update(uid: Long, events: Iterator[FunnelEvent],
                state: GroupState[FunnelBuf]): Iterator[FunnelUserStage] = {
       if (state.hasTimedOut) {
-        val buf = state.get.events
+        val st = state.get
         state.remove()
-        Iterator.single(FunnelUserStage(uid, funnelReached(buf, stages.length)))
+        Iterator.single(FunnelUserStage(uid,
+          funnelChainFold(st.events, stages.length, st.reached, st.prevUs)._1))
       } else {
-        val prevBuf = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
+        val prevBuf = state.getOption.getOrElse(
+          FunnelBuf(Nil, Long.MinValue, 0L, Long.MinValue))
         var evs = prevBuf.events
         var last = prevBuf.lastUs
         events.foreach { e =>
@@ -709,7 +784,15 @@ object StreamOps extends Serializable {
           stageIdx.get(e.event_type).foreach(c => evs = (us, c) :: evs)
           last = math.max(last, us)
         }
-        state.update(FunnelBuf(evs, last))
+        // compact the settled prefix: fold events below the watermark
+        // into (reached, prev), keep only the unsettled tail
+        val wmUs = state.getCurrentWatermarkMs() * 1000
+        val (settled, tail) = evs.partition(_._1 < wmUs)
+        val (r2, p2) =
+          if (settled.isEmpty) (prevBuf.reached, prevBuf.prevUs)
+          else funnelChainFold(settled, stages.length,
+                               prevBuf.reached, prevBuf.prevUs)
+        state.update(FunnelBuf(tail, last, r2, p2))
         state.setTimeoutTimestamp(last / 1000 + horizonMs)
         Iterator.empty
       }
@@ -723,7 +806,11 @@ object StreamOps extends Serializable {
 
   final case class PathEvent(user_id: Long, ts: java.sql.Timestamp,
                              event_id: Long, event_type: String)
-  final case class PathBuf(events: List[(Long, Long, String)], lastUs: Long)
+  /** `boundary` is the ≤ 2-element type suffix of the settled (already
+    * emitted) timeline prefix ([[pathTrigramsFrom]]); `events` holds
+    * only the unsettled tail. */
+  final case class PathBuf(events: List[(Long, Long, String)], lastUs: Long,
+                           boundary: List[String])
   final case class PathTrigram(user_id: Long, t1: String, t2: String,
                                t3: String)
 
@@ -734,13 +821,19 @@ object StreamOps extends Serializable {
     * solve that batch gets free from its sort: trigrams depend on the
     * (ts, event_id) TOTAL ORDER of the timeline, and out-of-order
     * arrival can insert an event BETWEEN two already-seen neighbors,
-    * changing every trigram that spanned the gap — so, exactly like the
-    * funnel's min-chain, the assembly is not incrementally foldable and
-    * the correct design buffers the user's in-horizon events and
-    * assembles once, at event-time finalization. State per user = the
-    * horizon's events (GC'd by the timer); the downstream trigram COUNT
-    * is deliberately left to the warehouse side (the q118 split) — the
-    * emitted rows are the per-user sequence facts. */
+    * changing every trigram that spanned the gap — so the buffer holds
+    * the user's REORDERABLE events only: events below the watermark are
+    * SETTLED (no in-watermark arrival can sort before them), so each
+    * batch emits the settled prefix's trigrams immediately and keeps
+    * just a 2-element type boundary to span the next window
+    * ([[pathTrigramsFrom]] — the proof there). State per user is the
+    * watermark-delay window's events plus two strings — bounded for an
+    * always-active whale key too (the r14 unbounded-buffer caveat,
+    * closed). The emitted SET is identical to finalize-at-timeout
+    * assembly, rows just appear as their windows settle — the correct
+    * production behavior for a timeline feed (downstream sees facts
+    * earlier); the downstream trigram COUNT stays on the warehouse side
+    * (the q118 split). */
   def eventPathsStream(ds: Dataset[PathEvent], horizonMs: Long,
                        watermarkDelay: String)
                       (implicit spark: SparkSession): Dataset[PathTrigram] = {
@@ -751,11 +844,13 @@ object StreamOps extends Serializable {
     def update(uid: Long, events: Iterator[PathEvent],
                state: GroupState[PathBuf]): Iterator[PathTrigram] = {
       if (state.hasTimedOut) {
-        val buf = state.get.events
+        val st = state.get
         state.remove()
-        pathTrigrams(buf).map { case (a, b, c) => PathTrigram(uid, a, b, c) }
+        pathTrigramsFrom(st.boundary, st.events)
+          .map { case (a, b, c) => PathTrigram(uid, a, b, c) }
       } else {
-        val prev = state.getOption.getOrElse(PathBuf(Nil, Long.MinValue))
+        val prev = state.getOption.getOrElse(
+          PathBuf(Nil, Long.MinValue, Nil))
         var evs = prev.events
         var last = prev.lastUs
         events.foreach { e =>
@@ -763,9 +858,22 @@ object StreamOps extends Serializable {
           evs = (us, e.event_id, e.event_type) :: evs
           last = math.max(last, us)
         }
-        state.update(PathBuf(evs, last))
+        // emit the settled prefix's trigrams now; buffer only the tail
+        val wmUs = state.getCurrentWatermarkMs() * 1000
+        val (settled, tail) = evs.partition(_._1 < wmUs)
+        val (out, boundary) =
+          if (settled.isEmpty) (Iterator.empty[PathTrigram], prev.boundary)
+          else {
+            val seq = prev.boundary ++
+              settled.sortBy(e => (e._1, e._2)).map(_._3)
+            val trigs =
+              if (seq.lengthCompare(3) < 0) Iterator.empty[PathTrigram]
+              else seq.sliding(3).map(s => PathTrigram(uid, s(0), s(1), s(2)))
+            (trigs, seq.takeRight(2))
+          }
+        state.update(PathBuf(tail, last, boundary))
         state.setTimeoutTimestamp(last / 1000 + horizonMs)
-        Iterator.empty
+        out
       }
     }
 

@@ -616,6 +616,69 @@ class StreamingSpec extends SparkTestBase {
       s"no-stage-event user finalizes at stage 0, got $got")
   }
 
+  test("whale-key compaction: an always-active user's settled prefix " +
+       "folds each batch, and the answers match buffer-all semantics") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    // FUNNEL: user 1 stays active every batch with a SHORT watermark
+    // (10 s), so earlier stage events settle and fold mid-stream —
+    // the compaction path runs, not just the timeout path.
+    val fm = MemoryStream[StreamOps.FunnelEvent]
+    val fq = StreamOps.funnelStageStream(fm.toDS(),
+        stages = Seq("view", "cart", "buy"),
+        horizonMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("whale_funnel")
+      .outputMode("append").start()
+    def fe(u: Long, t: String, ty: String) =
+      StreamOps.FunnelEvent(u, Timestamp.valueOf(t), ty)
+    fm.addData(Seq(fe(1L, "2024-01-01 10:00:00", "view"),
+                   fe(9L, "2024-01-01 10:00:30", "tick")))
+    fq.processAllAvailable() // wm → 10:00:20: the view is now settled
+    fm.addData(Seq(fe(1L, "2024-01-01 10:00:25", "cart"),
+                   fe(9L, "2024-01-01 10:01:00", "tick")))
+    fq.processAllAvailable() // user 1 folds {view} into (reached=1, t1)
+    fm.addData(Seq(fe(1L, "2024-01-01 10:00:55", "buy"),
+                   fe(9L, "2024-01-01 10:05:00", "tick")))
+    fq.processAllAvailable() // folds {cart}; buy stays in the tail
+    fm.addData(Seq(fe(9L, "2024-01-01 10:30:00", "tick")))
+    fq.processAllAvailable() // timeout finalizes from the compact prefix
+    fq.stop()
+    val fgot = spark.table("whale_funnel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fgot.get(1L).contains(3L),
+      s"compacted chain must equal the buffer-all chain (3), got $fgot")
+
+    // PATHS: trigrams emitted AS their windows settle across three
+    // compaction rounds (boundary carry) must equal batch sliding(3).
+    val pm = MemoryStream[StreamOps.PathEvent]
+    val pq = StreamOps.eventPathsStream(pm.toDS(),
+        horizonMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("whale_paths")
+      .outputMode("append").start()
+    def pe(u: Long, t: String, id: Long, ty: String) =
+      StreamOps.PathEvent(u, Timestamp.valueOf(t), id, ty)
+    pm.addData(Seq(pe(1L, "2024-01-01 10:00:00", 1L, "a"),
+                   pe(1L, "2024-01-01 10:00:02", 2L, "b"),
+                   pe(1L, "2024-01-01 10:00:04", 3L, "c"),
+                   pe(9L, "2024-01-01 10:00:30", 90L, "z")))
+    pq.processAllAvailable() // wm → 10:00:20
+    pm.addData(Seq(pe(1L, "2024-01-01 10:00:25", 4L, "d"),
+                   pe(9L, "2024-01-01 10:01:00", 91L, "z")))
+    pq.processAllAvailable() // a,b,c settle → emit (a,b,c); boundary [b,c]
+    pm.addData(Seq(pe(1L, "2024-01-01 10:00:55", 5L, "e"),
+                   pe(9L, "2024-01-01 10:05:00", 92L, "z")))
+    pq.processAllAvailable() // d settles → emit (b,c,d); boundary [c,d]
+    pm.addData(Seq(pe(9L, "2024-01-01 10:30:00", 93L, "z")))
+    pq.processAllAvailable() // timeout: (c,d,e) from boundary + tail
+    pq.stop()
+    val pgot = spark.table("whale_paths").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(pgot == Set(("a", "b", "c"), ("b", "c", "d"), ("c", "d", "e")),
+      s"compacted emission must equal batch sliding(3), got $pgot")
+  }
+
   test("stream-stream banded join matches in-band rows and evicts state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -735,7 +798,10 @@ class StreamingSpec extends SparkTestBase {
         e.progress.stateOperators.foreach(so =>
           removed.addAndGet(so.numRowsRemoved))
     }
-    SessionMemo.clear(spark)
+    // keyed removal (ADVICE r14): force only the evict stream to re-run
+    // under the listener — the staged input files and every unrelated
+    // write-once artifact (indexes, checkpointed cores) stay memoized
+    SessionMemo.remove(spark, "stream.evictGate", sfDir)
     spark.streams.addListener(listener)
     val rows = try {
       SparkEntry.queries("q293_minhash_evict")(spark, sfDir)
@@ -875,7 +941,10 @@ class StreamingSpec extends SparkTestBase {
       while (!cond && System.nanoTime() < deadline) Thread.sleep(200)
       cond
     }
-    SessionMemo.clear(spark)
+    // keyed removal (ADVICE r14): only the two feeds this test must
+    // observe re-run; unrelated session artifacts stay memoized
+    SessionMemo.remove(spark, "stream.docFeed", sfDir)
+    SessionMemo.remove(spark, "stream.userTimeline", sfDir)
     spark.streams.addListener(listener)
     try {
       // positive control FIRST: q177's keyed state must arrive — this
@@ -904,7 +973,8 @@ class StreamingSpec extends SparkTestBase {
         s"q104 must stay stateless, found state operators: $q104Ops")
     } finally {
       spark.streams.removeListener(listener)
-      SessionMemo.clear(spark)
+      // the feeds built under the listener are complete, valid runs —
+      // leave them memoized for later consumers (keyed discipline)
     }
   }
 }
