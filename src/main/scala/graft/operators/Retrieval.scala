@@ -123,9 +123,24 @@ object Retrieval extends QueryPack {
               col("cos"), col("doc_id"), topK)
   }
 
-  private def q102HybridSearch(s: SparkSession, d: String): DataFrame =
-    rrfFuse(lexicalRanks(s, d).select("q_id", "doc_id", "rnk"),
-            vectorRanks(s, d).select("q_id", "doc_id", "rnk"))
+  /** The two ranked halves, session-memoized: q102 (RRF) and q110
+    * (weighted fusion) are two FUSION REPORTS over the IDENTICAL
+    * (lexical, vector) top-k lists — the register-consolidation
+    * discipline at the retrieval tier (a release eval materializes its
+    * ranked lists once, then fans out fusion variants); re-running the
+    * BM25 scorer and the cosine scan per fusion report is the
+    * anti-pattern. Lazy localCheckpoint; ≤ topK rows per query each. */
+  private def rankedHalves(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.SessionMemo.getOrElseUpdate[(DataFrame, DataFrame)](
+      s, "retrieval.rankedHalves", d)(
+      (lexicalRanks(s, d).localCheckpoint(eager = false),
+       vectorRanks(s, d).localCheckpoint(eager = false)))
+
+  private def q102HybridSearch(s: SparkSession, d: String): DataFrame = {
+    val (lex, vec) = rankedHalves(s, d)
+    rrfFuse(lex.select("q_id", "doc_id", "rnk"),
+            vec.select("q_id", "doc_id", "rnk"))
+  }
 
   /** The OTHER standard fusion: per-list min-max score normalization +
     * a fixed-weight sum (0.6 lexical, 0.4 vector — the convention when
@@ -162,8 +177,10 @@ object Retrieval extends QueryPack {
       .orderBy("q_id", "rnk")
   }
 
-  private def q110HybridWeighted(s: SparkSession, d: String): DataFrame =
-    weightedFuse(lexicalRanks(s, d), vectorRanks(s, d))
+  private def q110HybridWeighted(s: SparkSession, d: String): DataFrame = {
+    val (lex, vec) = rankedHalves(s, d)
+    weightedFuse(lex, vec)
+  }
 
   // ---- q103 semantic dedup ------------------------------------------------
 

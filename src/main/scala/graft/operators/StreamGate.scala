@@ -405,18 +405,35 @@ object StreamGate extends QueryPack {
     * (dropDuplicatesWithinWatermark inside the operator, all emissions
     * in the later doc's batch). */
   private def q293MinhashEvictStream(s: SparkSession, d: String): DataFrame =
-    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.evictGate", d)( {
-      implicit val sp: SparkSession = s
-      val staged = evictStaged(s, d)
-      val stream = s.readStream
-        .schema(s.read.parquet(staged).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-      val out = StreamOps.nearDupPairsStream(stream, "ts", "1 hour",
-        delayMs = 3600000L, threshold = 0.8, maxResidents = 1000000)
-      runToBatchParquetRocks(s, out, "evict")
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-    }).orderBy("a_id", "b_id")
+    graft.SessionMemo.getOrElseUpdate[DataFrame](s, "stream.evictGate", d)(
+      evictPairsRun(s, d, maxResidents = 1000000)).orderBy("a_id", "b_id")
+
+  /** One hourly-sliced eviction replay at a given `maxResidents` cap —
+    * the un-memoized runner behind [[q293MinhashEvictStream]]. The
+    * declared gate runs it UNCAPPED (1 M — exactness against the
+    * horizon SQL is its contract; under a Zipf corpus the uncapped
+    * arrival-vs-residents verify is quadratic in hot buckets, the
+    * PERF.md r14 fixture caveat). The CAPPED form is the production
+    * 100 TB configuration — per-bucket state/work bounded at the cap,
+    * trading recall exactly in degenerate hot buckets where the oldest
+    * residents rotate out before a true partner arrives (the
+    * [[StreamOps]] BucketPairProcessor contract) — and is executed and
+    * asserted every round by StreamingSpec's capped-eviction pin at two
+    * scales: emitted ⊆ the exact horizon set, every pair sharing a
+    * sub-cap bucket present, state rows bounded by cap × buckets. */
+  private[graft] def evictPairsRun(s: SparkSession, d: String,
+                                   maxResidents: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    val staged = evictStaged(s, d)
+    val stream = s.readStream
+      .schema(s.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val out = StreamOps.nearDupPairsStream(stream, "ts", "1 hour",
+      delayMs = 3600000L, threshold = 0.8, maxResidents = maxResidents)
+    runToBatchParquetRocks(s, out, "evict")
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
 
   /** Streaming QUALITY-MODEL scoring gate — the q93 classifier running
     * as a stream transform. The scoring core is the SAME function object

@@ -383,9 +383,20 @@ object TextAnalysis extends QueryPack {
     * qualifies both ways, arriving as two candidate rows), each verified
     * EXACTLY from the two full shingle arrays with its own divisor.
     * Output ≡ the inverted-index [[containmentDfCut]] (ScaleSpec asserts
-    * set equality); the declared oracle is unchanged. */
+    * set equality); the declared oracle is unchanged.
+    *
+    * `fullMaxDf` is the hot-shingle bound on the FULL index side — the
+    * q127/q79 df-cut composed into this direction, ready to tighten at
+    * corpus scales where one boilerplate shingle's posting list
+    * dominates the probe. The declared gate runs UNCAPPED: the r15
+    * CapProbe sweep measured every cap (16–128) value-neutral at sf0.1
+    * AND slower (2.49 s → 4.8–5.3 s — the cap's semi-join costs more
+    * than the candidate volume it trims at this corpus), so the cap is
+    * a 100 TB knob, not a test-scale win; ScaleSpec pins the
+    * value-neutrality so tightening it later is a measured one-liner. */
   private[graft] def prefixContainmentJoin(s: SparkSession, d: String,
-                                           tnum: Int = 9, tden: Int = 10): DataFrame = {
+                                           tnum: Int = 9, tden: Int = 10,
+                                           fullMaxDf: Long = -1L): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
               graft.functions.NativeExprs.word_shingles(col("text")).as("sh"))
@@ -407,8 +418,17 @@ object TextAnalysis extends QueryPack {
       .filter(col("rn") <=
         col("sz") - expr(s"(sz * $tnum + $tden - 1) div $tden") + lit(1))
       .select(col("s"), col("doc_id"))
+    // optional df cap on the FULL index side (the q127/q79 df-cut shape
+    // in the containment direction): candidate volume is
+    // Σ df_pref(s)·min(df(s), cap) instead of Σ df_pref(s)·df(s) — a
+    // recall trade in hot shingles only (a pair whose EVERY shared
+    // prefix shingle is hotter than the cap is missed)
+    val exFull =
+      if (fullMaxDf > 0)
+        ex.join(dfTab.filter(col("df") <= fullMaxDf).select("s"), "s")
+      else ex
     val cand = pref.select(col("s"), col("doc_id").as("a_id"))
-      .join(ex.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+      .join(exFull.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     cand

@@ -247,9 +247,13 @@ class PlanSpec extends SparkTestBase {
     // repartition on (band, k) puts an identical shuffle under both
     // self-join branches, and the second branch must read the reused
     // exchange (without it the signature pass runs twice — measured as
-    // q242's dominant cost in round 10)
+    // q242's dominant cost in round 10). Pinned on the COMPUTE form —
+    // the declared gate memoizes the flagged relation (r15), so its
+    // executed plan is the sweep over checkpointed blocks and the
+    // exchange contract lives in the build that runs once per session.
     val plan = executed(
-      graft.operators.Dedup.queries("q242_lsh_recall")(spark, sfDir))
+      graft.operators.Dedup.lshRecallCore(
+        graft.operators.Dedup.shingledCore(spark, sfDir)))
     val reused = plan.collect {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
     }.toSeq

@@ -183,6 +183,17 @@ class ScaleSpec extends SparkTestBase {
     val incFull = pairs(TextAnalysis.queries("q183_inc_containment")(spark, sfDir))
     assert(incCut.subsetOf(incFull),
       "df-cut incremental containment must be a subset of the uncut form")
+    // the PREFIX plan's full-index df cap (fullMaxDf — the hot-shingle
+    // bound that lives in the plan, capBuckets-style): a cap only LOSES
+    // pairs whose every shared prefix shingle is hotter than it; at this
+    // corpus a rarest-first prefix always shares a sub-cap shingle, so
+    // the capped run is value-identical (measured at sf0.1 too — the r15
+    // CapProbe sweep: 0 diff at caps 16/32/64/128, and SLOWER, which is
+    // why the declared gate stays uncapped)
+    val prefCapped = pairs(TextAnalysis.prefixContainmentJoin(spark, sfDir,
+                                                              fullMaxDf = 16L))
+    assert(prefCapped == declared,
+      "fullMaxDf=16 must be value-neutral on this corpus")
   }
 
   test("IVF: constant-k quantizer, broadcast assignment, pruned probe scan") {

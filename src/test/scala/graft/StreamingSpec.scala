@@ -821,6 +821,81 @@ class StreamingSpec extends SparkTestBase {
       s"pairs beyond the 3-slice horizon leaked: $rows")
   }
 
+  test("q293 capped eviction — the production maxResidents shape: " +
+       "emitted ⊆ exact horizon set, sub-cap-bucket pairs all present, " +
+       "state bounded by cap × buckets, at two scales") {
+    // The declared gate runs UNCAPPED (exactness vs the horizon SQL is
+    // its contract); this pin executes the CAPPED form — the actual
+    // 100 TB configuration — every round (VERDICT r14 task 4). The
+    // recall trade is structural and asserted structurally: the cap
+    // only ever DROPS pairs (subset), and only in buckets that exceed
+    // the cap (every pair sharing a never-above-cap bucket survives).
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val cap = 2
+    // sf0.01 and sf0.1 are the two DISTINCT document corpora (500 and
+    // 5000 docs — sf0.001's documents table is sf0.01's, fixture fact)
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val uncapped = SparkEntry.queries("q293_minhash_evict")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val maxRows = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit =
+          e.progress.stateOperators
+            .filter(_.operatorName.contains("transformWithState"))
+            .foreach(so => maxRows.updateAndGet(r => math.max(r, so.numRowsTotal)))
+      }
+      spark.streams.addListener(listener)
+      val capped = try {
+        graft.operators.StreamGate.evictPairsRun(spark, d, cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally spark.streams.removeListener(listener)
+      assert(capped.subsetOf(uncapped),
+        s"$d: the cap must only DROP pairs, found extras: ${capped -- uncapped}")
+      // batch twin of the stream's banding: bucket occupancy
+      val occ = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.word_shingles(col("text")).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .select(col("doc_id"),
+          explode(graft.functions.NativeExprs.minhash_band_keys(col("shs")))
+            .as("bucket"))
+      val bsz = occ.groupBy("bucket").agg(count(lit(1)).as("n"))
+      val nBuckets = bsz.count()
+      val nHot = bsz.filter(col("n") > cap).count()
+      // a pair sharing a bucket that NEVER exceeds the cap cannot lose
+      // to rotation — all such in-horizon true pairs must be present
+      val cold = occ.join(bsz.filter(col("n") <= cap), "bucket")
+      val coldPairs = cold.select(col("bucket"), col("doc_id").as("a_id"))
+        .join(cold.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mustHave = uncapped.intersect(coldPairs)
+      assert(mustHave.subsetOf(capped),
+        s"$d: pairs in sub-cap buckets must survive the cap, " +
+          s"missing: ${mustHave -- capped}")
+      assert(nHot > 0,
+        s"$d: fixture must contain a hot bucket so the cap executes")
+      // the state-bound certificate: residents ≤ cap per bucket (timer
+      // rows ≤ 1 per bucket ride the same key space — 2× slack)
+      // drain async listener delivery before reading the max
+      val deadline = System.nanoTime() + 10000000000L
+      while (maxRows.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(maxRows.get() > 0 && maxRows.get() <= (cap + 1) * nBuckets,
+        s"$d: capped state rows ${maxRows.get()} must stay within " +
+          s"(cap+1) × $nBuckets buckets")
+      info(s"$d: uncapped=${uncapped.size} capped=${capped.size} " +
+           s"mustHave=${mustHave.size} hotBuckets=$nHot " +
+           s"maxStateRows=${maxRows.get()} buckets=$nBuckets")
+    }
+  }
+
   test("q223 streaming paths: a late middle event reorders the trigrams") {
     import spark.implicits._
     implicit val s = spark
