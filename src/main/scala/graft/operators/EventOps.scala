@@ -595,6 +595,53 @@ object EventOps extends QueryPack {
       .orderBy("event_type", "p_mille")
   }
 
+  /** q296: CONTINUOUS-BATCHING QUEUE DEPTH — the serving-side admission
+    * analytics q294's spec-decode gate left on the table (VERDICT r14
+    * task 5): a continuous-batching server admits up to S requests per
+    * scheduler tick and queues the rest, so the per-tick queue depth is
+    * the Lindley recursion q_t = max(0, q_{t−1} + a_t − S). The
+    * recursion LOOKS sequential, but has the classic closed form
+    * q_t = cum_t − min(0, min_{g≤t} cum_g) over the running sum
+    * cum_t = Σ(a_i − S) — two windows over the TICK GRID, so the plan
+    * is: one corpus-sized partial-agg pass (arrivals per hour), then
+    * everything lives on the time-domain-sized grid (720 rows for the
+    * 30-day fixture; hours-sized at ANY corpus scale — the q215
+    * value-domain argument). Missing hours matter (the queue DRAINS
+    * through quiet ticks), hence the dense sequence() grid, not the
+    * observed hours. S is the ceil-average arrival rate — the critical
+    * operating point where queueing is most informative (util ≈ 1,
+    * depth oscillates but returns to 0): S = ⌈N / ticks⌉, integer,
+    * derivable by both engines. Integer arithmetic end-to-end:
+    * arrivals/depth/admitted are exact counts, utilization a floored
+    * ppm division. admitted_t = q_{t−1} + a_t − q_t (conservation). */
+  private def q296QueueDepth(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+    val arr = ev.groupBy("h").agg(count(lit(1)).as("arrivals"))
+    val grid = ev.agg(min("h").as("h0"), max("h").as("h1"),
+                      count(lit(1)).as("n"))
+      .select(explode(expr("sequence(h0, h1)")).as("h"),
+              expr("(n + (h1 - h0 + 1) - 1) div (h1 - h0 + 1)").as("slots"))
+    val run = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagW = Window.orderBy("h")
+    grid.join(arr, Seq("h"), "left")
+      .select(col("h"), col("slots"),
+              coalesce(col("arrivals"), lit(0L)).as("arrivals"))
+      .withColumn("cum", sum(col("arrivals") - col("slots")).over(run))
+      .withColumn("queue_depth",
+        col("cum") - least(lit(0L), min("cum").over(run)))
+      .withColumn("admitted",
+        coalesce(lag("queue_depth", 1).over(lagW), lit(0L))
+          + col("arrivals") - col("queue_depth"))
+      .select(
+        date_format(expr("timestamp_seconds(h * 3600)"),
+                    "yyyy-MM-dd HH:00:00").as("tick"),
+        col("arrivals"), col("queue_depth"), col("admitted"),
+        expr("admitted * 1000000 div slots").as("util_ppm"))
+      .orderBy("tick")
+  }
+
   /** PEAK CONCURRENCY — the sweep-line interval-overlap aggregate the
     * interval tier (q27 as-of, q63 range join, q144 SCD2, q219/q227
     * interval joins) was still missing: how many sessions are open AT
@@ -959,6 +1006,7 @@ object EventOps extends QueryPack {
     "q247_quantile_sketch" -> q247QuantileSketch _,
     "q250_k_anonymity" -> q250KAnonymity _,
     "q253_peak_concurrency" -> q253PeakConcurrency _,
+    "q296_queue_depth" -> q296QueueDepth _,
     "q258_multi_touch" -> q258MultiTouch _,
     "q262_quantile_rollup" -> q262QuantileRollup _,
     "q264_lateness_audit" -> q264LatenessAudit _,
@@ -1106,6 +1154,42 @@ object EventOps extends QueryPack {
                 FROM run GROUP BY 1)
          SELECT ns.day_idx, ns.n_sessions, pk.peak
          FROM ns JOIN pk USING (day_idx) ORDER BY ns.day_idx""",
+    // q296: the Lindley closed form replayed verbatim — integer hour
+    // grid (missing hours drain the queue, hence generate_series), the
+    // same ceil-average slots constant, running sum + running min, one
+    // floored ppm division; tick formatted from the tz-free
+    // make_timestamp twin of Spark's UTC date_format
+    "q296_queue_depth" ->
+      """WITH ev AS (SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h
+                     FROM events),
+         arr AS (SELECT h, CAST(count(*) AS BIGINT) AS arrivals
+                 FROM ev GROUP BY h),
+         b AS (SELECT min(h) AS h0, max(h) AS h1, count(*) AS n FROM ev),
+         grid AS (SELECT unnest(range(b.h0, b.h1 + 1)) AS h,
+                         CAST((b.n + (b.h1 - b.h0 + 1) - 1)
+                              // (b.h1 - b.h0 + 1) AS BIGINT) AS slots
+                  FROM b),
+         j AS (SELECT g.h, g.slots,
+                      coalesce(a.arrivals, 0) AS arrivals
+               FROM grid g LEFT JOIN arr a USING (h)),
+         c AS (SELECT h, slots, arrivals,
+                      sum(arrivals - slots) OVER (ORDER BY h
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM j),
+         qd AS (SELECT h, slots, arrivals,
+                       CAST(cum - least(0, min(cum) OVER (ORDER BY h
+                         ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+                         AS queue_depth
+                FROM c),
+         f AS (SELECT h, slots, arrivals, queue_depth,
+                      CAST(coalesce(lag(queue_depth) OVER (ORDER BY h), 0)
+                           + arrivals - queue_depth AS BIGINT) AS admitted
+               FROM qd)
+         SELECT strftime(make_timestamp(h * 3600000000),
+                         '%Y-%m-%d %H:00:00') AS tick,
+                arrivals, queue_depth, admitted,
+                CAST(admitted * 1000000 // slots AS BIGINT) AS util_ppm
+         FROM f ORDER BY tick""",
     // q250: identical integer QI tuple (positive-epoch hour, len(bin)
     // value bin clamped to >= 1); group then rollup, one floored share
     "q250_k_anonymity" ->

@@ -281,4 +281,29 @@ class FunnelSpec extends SparkTestBase {
     assert(out("a") == ((5L, 11L * M, 2L, 1L)), s"a ${out("a")}")
     assert(out("b") == ((3L, 0L, 0L, 0L)), s"b ${out("b")}")
   }
+
+  test("q296 queue depth: the window closed form equals the sequential " +
+       "Lindley recursion, and admissions conserve") {
+    // the plan computes q_t = cum_t − min(0, min_{g≤t} cum_g); the
+    // ground truth is the definitional q_t = max(0, q_{t−1} + a_t − S)
+    // folded sequentially over the SAME dense hour grid
+    val rows = SparkEntry.queries("q296_queue_depth")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)), "tick-ordered")
+    val n = rows.map(_._2).sum
+    val slots = (n + rows.length - 1) / rows.length
+    var q = 0L
+    rows.foreach { case (tick, a, depth, admitted, util) =>
+      val expect = math.max(0L, q + a - slots)
+      assert(depth == expect, s"$tick: depth $depth != Lindley $expect")
+      assert(admitted == q + a - expect, s"$tick: admissions must conserve")
+      assert(admitted <= slots && util == admitted * 1000000L / slots)
+      q = expect
+    }
+    assert(rows.exists(_._3 > 0), "critical load must actually queue")
+    assert(rows.exists(_._3 == 0), "the queue must also fully drain")
+  }
 }
