@@ -90,7 +90,7 @@ object Retrieval extends QueryPack {
   /** Lexical half: q97's BM25 scorer (same idf-sans-log deviation, same
     * constants, same broadcast corpus stats), restricted to each query's
     * single term by a broadcast join against the literal query table. */
-  private def lexicalRanks(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lexicalRanks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qt = queryTerms.toDF("q_id", "term")
     val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
@@ -112,7 +112,7 @@ object Retrieval extends QueryPack {
 
   /** Vector half: q98's broadcast-query cosine scan (sans metadata
     * filter), query vectors = embeddings with vec_id = q_id. */
-  private def vectorRanks(s: SparkSession, d: String): DataFrame = {
+  private[graft] def vectorRanks(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < queryTerms.size)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))

@@ -94,6 +94,13 @@ class PlanSpec extends SparkTestBase {
       // q288 joins BOTH record memos (prefMargins ⋈ prefVerdicts) —
       // same one-off when it is the first consumer built
       "q288_reward_calibration",
+      // r15: q102/q110 compose the rankedHalves memo (lazy checkpoint
+      // of the BM25/cosine top-k lists; toRdd physical planning fires
+      // the halves' broadcast-exchange futures async), and q242
+      // composes the flagged-relation memo (same lazy-checkpoint
+      // one-off on its prefix-verify + banding join) — whichever
+      // consumer builds first pays it
+      "q102_hybrid_search", "q110_hybrid_weighted", "q242_lsh_recall",
       // q224 trains the constant-size coarse codebook at build (the
       // q45/q86 FAISS training step) for its probed-candidate kNN graph;
       // q286 trains one per side for its two probed mining directions;
@@ -316,7 +323,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q102: both retrieval halves broadcast their small side; no corpus-wide window") {
-    val plan = executed(SparkEntry.queries("q102_hybrid_search")(spark, sfDir))
+    // pinned on the COMPUTE form: the declared gate reads the memoized
+    // rankedHalves (r15) whose executed plan is the fusion over
+    // checkpointed blocks — the broadcast/window contracts live in the
+    // halves build that runs once per session
+    val plan = executed(graft.operators.Retrieval.rrfFuse(
+      graft.operators.Retrieval.lexicalRanks(spark, sfDir)
+        .select("q_id", "doc_id", "rnk"),
+      graft.operators.Retrieval.vectorRanks(spark, sfDir)
+        .select("q_id", "doc_id", "rnk")))
     // lexical qterms + corpus stats and the vector query set all ride
     // broadcasts — the corpus scans are never shuffled for scoring
     assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
