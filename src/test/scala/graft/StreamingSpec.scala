@@ -679,6 +679,74 @@ class StreamingSpec extends SparkTestBase {
       s"compacted emission must equal batch sliding(3), got $pgot")
   }
 
+  test("compaction folds: randomized equivalence with buffer-all over " +
+       "200 arrival/watermark schedules (the settled-prefix proofs, " +
+       "exercised)") {
+    // Pure-function pin for the r15 settled-prefix compaction: for ANY
+    // event set, ANY batch assignment and ANY non-decreasing watermark
+    // schedule consistent with the late filter (an event absorbed at
+    // batch b has us >= w_b), folding each batch's settled prefix must
+    // give the same final answer as buffering everything. Deterministic
+    // seed; 200 schedules x (funnel + paths).
+    val rnd = new scala.util.Random(1515)
+    val stages = 4
+    for (iter <- 0 until 200) {
+      val nEv = rnd.nextInt(40)
+      val nBatches = 1 + rnd.nextInt(6)
+      // non-decreasing watermark per batch, starting at MinValue-ish 0
+      val wms = Iterator.iterate(0L)(w => w + rnd.nextInt(30))
+        .take(nBatches).toVector
+      // events: us in [0, 100); assign each to a batch whose wm <= us
+      // (drop events no batch can legally carry — the late filter)
+      val evs = (0 until nEv).flatMap { i =>
+        val us = rnd.nextInt(100).toLong
+        val ok = wms.zipWithIndex.filter(_._1 <= us)
+        if (ok.isEmpty) None
+        else Some((us, i.toLong, "t" + rnd.nextInt(5),
+                   rnd.nextInt(stages), ok(rnd.nextInt(ok.size))._2))
+      }
+      // ---- funnel: incremental settled fold vs buffer-all ----
+      var fBuf = List.empty[(Long, Int)]
+      var fReached = 0L
+      var fPrev = Long.MinValue
+      for (b <- 0 until nBatches) {
+        fBuf = evs.filter(_._5 == b).map(e => (e._1, e._4)).toList ::: fBuf
+        val (settled, tail) = fBuf.partition(_._1 < wms(b))
+        if (settled.nonEmpty) {
+          val (r2, p2) = StreamOps.funnelChainFold(settled, stages,
+                                                   fReached, fPrev)
+          fReached = r2; fPrev = p2
+        }
+        fBuf = tail
+      }
+      val gotF = StreamOps.funnelChainFold(fBuf, stages, fReached, fPrev)._1
+      val expF = StreamOps.funnelReached(
+        evs.map(e => (e._1, e._4)).toList, stages)
+      assert(gotF == expF, s"iter $iter: funnel $gotF != $expF " +
+        s"(wms=$wms evs=$evs)")
+      // ---- paths: emitted-at-compaction ++ finalize == sliding(3) ----
+      var pBuf = List.empty[(Long, Long, String)]
+      var boundary = List.empty[String]
+      val emitted = Seq.newBuilder[(String, String, String)]
+      for (b <- 0 until nBatches) {
+        pBuf = evs.filter(_._5 == b).map(e => (e._1, e._2, e._3)).toList ::: pBuf
+        val (settled, tail) = pBuf.partition(_._1 < wms(b))
+        if (settled.nonEmpty) {
+          val seq = boundary ++ settled.sortBy(e => (e._1, e._2)).map(_._3)
+          if (seq.lengthCompare(3) >= 0)
+            seq.sliding(3).foreach(s => emitted += ((s(0), s(1), s(2))))
+          boundary = seq.takeRight(2)
+        }
+        pBuf = tail
+      }
+      StreamOps.pathTrigramsFrom(boundary, pBuf).foreach(emitted += _)
+      val expP = StreamOps.pathTrigrams(
+        evs.map(e => (e._1, e._2, e._3)).toList).toList
+      assert(emitted.result() == expP,
+        s"iter $iter: path emission order/content diverged (wms=$wms)")
+    }
+  }
+
   test("stream-stream banded join matches in-band rows and evicts state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
