@@ -679,6 +679,64 @@ class StreamingSpec extends SparkTestBase {
       s"compacted emission must equal batch sliding(3), got $pgot")
   }
 
+  test("consolidated timeline whale key: the userTimelineStream branch " +
+       "compactions trigger mid-stream and answers match batch semantics") {
+    // the gate fixtures replay one data micro-batch (wm = 0 while keys
+    // have data), so the CONSOLIDATED stream's inline compaction blocks
+    // never run there — this drives multi-batch activity per key with
+    // an advancing watermark so they do, and pins the three branch
+    // answers (standalone-op equivalence is pinned separately)
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.TlEvent]
+    val q = StreamOps.userTimelineStream(mem.toDS(),
+        stages = Seq("view", "cart", "buy"),
+        gapMs = 1800000L, horizonMs = 60000L, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("whale_tl")
+      .outputMode("append").start()
+    def ev(tag: String, u: Long, t: String, id: Long, ty: String, v: Double) =
+      StreamOps.TlEvent(tag, u, Timestamp.valueOf(t), id, ty, v)
+    // same schedule as the standalone whale test, all three tags live
+    mem.addData(Seq(
+      ev("funl", 1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      ev("path", 1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      ev("path", 1L, "2024-01-01 10:00:02", 2L, "b", 0.0),
+      ev("path", 1L, "2024-01-01 10:00:04", 3L, "c", 0.0),
+      ev("sess", 1L, "2024-01-01 10:00:00", 1L, "x", 2.0),
+      ev("sess", 9L, "2024-01-01 10:00:30", 90L, "tick", 0.0)))
+    q.processAllAvailable() // wm -> 10:00:20
+    mem.addData(Seq(
+      ev("funl", 1L, "2024-01-01 10:00:25", 4L, "cart", 0.0),
+      ev("path", 1L, "2024-01-01 10:00:25", 4L, "d", 0.0),
+      ev("sess", 1L, "2024-01-01 10:00:25", 4L, "x", 3.0),
+      ev("sess", 9L, "2024-01-01 10:01:00", 91L, "tick", 0.0)))
+    q.processAllAvailable() // settled prefixes fold/emit
+    mem.addData(Seq(
+      ev("funl", 1L, "2024-01-01 10:00:55", 5L, "buy", 0.0),
+      ev("path", 1L, "2024-01-01 10:00:55", 5L, "e", 0.0),
+      ev("sess", 9L, "2024-01-01 10:05:00", 92L, "tick", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(ev("sess", 9L, "2024-01-01 10:30:00", 93L, "tick", 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(ev("sess", 9L, "2024-01-01 12:30:00", 94L, "tick", 0.0)))
+    q.processAllAvailable() // everything finalizes
+    q.stop()
+    val rows = spark.table("whale_tl").collect()
+    val funl = rows.filter(r => r.getString(0) == "funl" && r.getLong(1) == 1L)
+      .map(_.getLong(2))
+    assert(funl.toSeq == Seq(3L),
+      s"consolidated funnel must reach stage 3 via the folded prefix, got ${funl.toSeq}")
+    val path = rows.filter(r => r.getString(0) == "path" && r.getLong(1) == 1L)
+      .map(r => (r.getString(6), r.getString(7), r.getString(8))).toSet
+    assert(path == Set(("a", "b", "c"), ("b", "c", "d"), ("c", "d", "e")),
+      s"consolidated path emission must equal sliding(3), got $path")
+    val sess = rows.filter(r => r.getString(0) == "sess" && r.getLong(1) == 1L)
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(sess.length == 1 && sess(0)._3 == 2L && sess(0)._4 == 5.0,
+      s"one closed session with 2 events totaling 5.0 expected, got ${sess.toSeq}")
+  }
+
   test("compaction folds: randomized equivalence with buffer-all over " +
        "200 arrival/watermark schedules (the settled-prefix proofs, " +
        "exercised)") {
