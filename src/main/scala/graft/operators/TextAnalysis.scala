@@ -412,24 +412,43 @@ object TextAnalysis extends QueryPack {
     // replace (PERF.md negative-results ledger).
     val ex = shinglePostingsCore(s, d)
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val pref = ex.join(dfTab, "s")
+    // BOTH candidate-join sides read the one ranked subtree (the doc-
+    // grain rank window's exchange is reused; AQE broadcasts one side —
+    // the prefixVerifiedPairs discipline), so ranking the full side too
+    // is free and buys the POSITIONAL bound below
+    val ranked = ex.join(dfTab, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-      .filter(col("rn") <=
-        col("sz") - expr(s"(sz * $tnum + $tden - 1) div $tden") + lit(1))
-      .select(col("s"), col("doc_id"))
+      .select(col("s"), col("doc_id"), col("sz"), col("rn"))
     // optional df cap on the FULL index side (the q127/q79 df-cut shape
     // in the containment direction): candidate volume is
     // Σ df_pref(s)·min(df(s), cap) instead of Σ df_pref(s)·df(s) — a
     // recall trade in hot shingles only (a pair whose EVERY shared
     // prefix shingle is hotter than the cap is missed)
-    val exFull =
+    val rankedFull =
       if (fullMaxDf > 0)
-        ex.join(dfTab.filter(col("df") <= fullMaxDf).select("s"), "s")
-      else ex
-    val cand = pref.select(col("s"), col("doc_id").as("a_id"))
-      .join(exFull.select(col("s"), col("doc_id").as("b_id")), Seq("s"))
+        ranked.join(dfTab.filter(col("df") <= fullMaxDf).select("s"), "s")
+      else ranked
+    val cand = ranked
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz * $tnum + $tden - 1) div $tden") + lit(1))
+      .select(col("s"), col("doc_id").as("a_id"),
+              col("sz").as("asz"), col("rn").as("arn"))
+      .join(rankedFull.select(col("s"), col("doc_id").as("b_id"),
+                              col("sz").as("bsz"), col("rn").as("brn")),
+            Seq("s"))
       .filter(col("a_id") =!= col("b_id"))
+      // PPJoin's positional upper bound COMPOSES into the containment
+      // direction (lossless): the intersection's elements sorted by the
+      // global (df, s) order occupy ranks ≥ (arn, brn) of the meeting
+      // row in A and B respectively, so common ≤ 1 + min(asz − arn,
+      // bsz − brn); C(A→B) ≥ τ forces common ≥ o = ⌈τ·asz⌉. A
+      // qualifying pair always passes at its EARLIEST common shingle —
+      // which the prefix pigeonhole puts inside A's prefix, where
+      // asz − arn ≥ o − 1 — so per-row filter + distinct keeps exactly
+      // the qualifying-attainable pairs and the verify set shrinks
+      .filter(expr(s"1 + least(asz - arn, bsz - brn) >= " +
+        s"(asz * $tnum + $tden - 1) div $tden"))
       .select("a_id", "b_id").distinct()
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")

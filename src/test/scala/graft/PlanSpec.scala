@@ -490,8 +490,15 @@ class PlanSpec extends SparkTestBase {
         "shared, not rebuilt per branch")
   }
 
-  test("q174: the candidate join is prefix-vs-full — exactly one branch " +
-       "carries the prefix rank window (no full posting self-join)") {
+  test("q174: both candidate-join branches read ONE ranked posting " +
+       "subtree (reused rank-window exchange), prefix filter on the " +
+       "contained side only") {
+    // r15: the full side is ranked TOO (the containment positional
+    // bound needs brn), but through the SAME doc-grain rank window —
+    // the join must reuse that exchange, never compute the rank twice
+    // (the prefixVerifiedPairs discipline). The prefix FILTER stays
+    // asymmetric: containment's overlap ceiling uses only the
+    // contained doc's size.
     val plan = executed(SparkEntry.queries("q174_containment")(spark, sfDir))
     val sJoins = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
@@ -499,15 +506,16 @@ class PlanSpec extends SparkTestBase {
           .forall(_.references.exists(_.name == "s")) => j
     }
     assert(sJoins.nonEmpty, "the shingle-keyed candidate join is missing")
-    // the contained-side branch is window-ranked (prefix); the container
-    // side is the full posting list — asymmetric BY DESIGN: containment's
-    // overlap ceiling uses only the contained doc's size
     val windowSides = sJoins.map { j =>
       Seq(j.children.head, j.children(1)).count(side => allNodes(side).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
     }
-    assert(windowSides.exists(_ == 1),
-      s"expected exactly one prefix-ranked side on the candidate join, got $windowSides")
+    assert(windowSides.exists(_ == 2),
+      s"both candidate sides must be rank-window-fed, got $windowSides")
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+      "the shared rank-window exchange must be REUSED by the second " +
+        "branch, not rebuilt")
   }
 
   test("q175: stats come back as ONE broadcast row — the corpus side " +
