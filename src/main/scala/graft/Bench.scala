@@ -58,8 +58,14 @@ object Bench {
     // contention that inflated all three consecutive reps of q7/q68/q72)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // bench-demoted brute baselines (SparkEntry.benchDemoted) are
+    // skipped unless SPARK_GRAFT_BENCH_ALL=1 (the z10 protocol) or an
+    // explicit SPARK_GRAFT_BENCH_ONLY names them (targeted A/B)
+    val includeAll = only.isDefined ||
+      sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(n => SparkEntry.benchDemoted(n) && !includeAll)
     val runsByQuery = scala.collection.mutable.Map
       .empty[String, Vector[(Double, Boolean)]].withDefaultValue(Vector.empty)
     // host-load samples bracketing every rep round: a driver-vs-builder
@@ -115,7 +121,9 @@ object Bench {
       try StreamBench.measure(spark, sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toLong)
       catch { case _: Throwable => (0L, 0.0) }
     val sRate = if (sSec > 0) sRows / sSec else 0.0
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":${f3(warmupSec)},"stream_rows_per_sec":${f3(sRate)},"stream_rows":$sRows,"stream_sec":${f3(sSec)},"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val demotedJson = SparkEntry.benchDemoted.toSeq.sorted
+      .filterNot(names.contains).map(n => s"\"$n\"").mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"warmup_sec":${f3(warmupSec)},"stream_rows_per_sec":${f3(sRate)},"stream_rows":$sRows,"stream_sec":${f3(sSec)},"failed":$failed,"demoted":$demotedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar with EVERYTHING (full per-query map + raw reps): the stdout
     // channel is capture-limited, this file is not.
     // default the sidecar INTO the repo checkout (user.dir = the repo root

@@ -1228,6 +1228,74 @@ object Dedup extends QueryPack {
       .orderBy("anchor_id", "positive_id")
   }
 
+  /** Docs per batch targeted by q297 — the device-batch grain a
+    * data-parallel trainer reads; the batch COUNT K = max(1, N div
+    * [[epochBatchDocs]]) scales with the corpus (the q221 in-plan-B
+    * pattern), which is exactly what the separation guarantee needs:
+    * family sizes are corpus-constant while K grows linearly. */
+  private val epochBatchDocs = 50L
+
+  /** Epochs the declared gate emits — two is enough to exercise the
+    * per-epoch REshuffle (same constraint, different order). */
+  private val epochCount = 2L
+
+  /** q297: DEDUP-AWARE TRAINING ORDER — the final step of the
+    * plan→sample→order chain (q205 plans the mixture, q220 realizes the
+    * admission list, q297 orders what a run RETAINS into epochs of
+    * batches): a deterministic epoch shuffle under the constraint that
+    * two members of the same near-dup family (q73's transitive-closure
+    * clusters) never co-occur in a batch — in-batch co-occurrence of
+    * near-dups is the training-time twin of q221's false-negative
+    * poisoning (for contrastive runs they collide as anchor/negative;
+    * for LM runs gradient-correlated repeats concentrate instead of
+    * spreading).
+    *
+    * CONSTRUCTION (separation by modular arithmetic, not rejection):
+    * member j (the doc's 0-indexed per-epoch hash rank WITHIN its
+    * family) lands in batch (j + h_fam) mod K, where h_fam is the
+    * family's per-epoch hash and K the batch count. Same-family members
+    * have distinct j ∈ [0, m); m ≤ K ⇒ distinct residues mod K ⇒
+    * DISTINCT BATCHES — a proof, not a retry loop. If a family ever
+    * exceeded K (family larger than the whole epoch's batch count),
+    * pigeonhole forces co-occurrence for ANY scheduler, and this
+    * construction degrades to the optimum: consecutive-j wraps spread
+    * the family exactly evenly (≤ ⌈m/K⌉ per batch). Batch fill is
+    * hash-uniform across families, so sizes concentrate at N/K.
+    *
+    * Plan shape at 100 TB: one id-keyed join with the session-memoized
+    * assignment, one family-partitioned window for j (family-sized
+    * partitions), the lazy one-row K broadcast, one batch-partitioned
+    * window for the slot (~[[epochBatchDocs]] rows each) — id-grain
+    * rows only, no text or vectors anywhere; a production run writes
+    * the result `partitionBy(epoch, batch_id)` — the trainer's read
+    * pattern. Epochs fan out ×E with E a small constant. Determinism:
+    * md5-hash order with doc_id tiebreaks (the q120/q124 bucket-
+    * function family), so the schedule is rerun-stable and the oracle
+    * replays it value-exactly. */
+  private def q297EpochOrder(s: SparkSession, d: String): DataFrame = {
+    val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
+    val nb = broadcast(Tables.documents(s, d).agg(expr(
+      s"greatest(1L, count(1) div $epochBatchDocs)").as("__k")))
+    def h(c: String) = expr(
+      s"cast(conv(substr(md5(concat(cast($c as string), ':', " +
+      s"cast(epoch as string))), 1, 15), 16, 10) as bigint)")
+    val famW = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "cluster_id").orderBy(col("hd"), col("doc_id"))
+    val batW = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "batch_id").orderBy(col("hd"), col("doc_id"))
+    assign
+      .withColumn("epoch", explode(expr(s"sequence(0L, ${epochCount - 1}L)")))
+      .withColumn("hd", h("doc_id"))
+      .withColumn("hf", h("cluster_id"))
+      .withColumn("j", (row_number().over(famW) - 1).cast("long"))
+      .crossJoin(nb)
+      .withColumn("batch_id", (col("j") + col("hf")) % col("__k"))
+      .withColumn("slot", row_number().over(batW).cast("long"))
+      .select(col("epoch"), col("batch_id"), col("slot"), col("doc_id"),
+              col("cluster_id"))
+      .orderBy("epoch", "batch_id", "slot")
+  }
+
   /** DEDUP REPORT — the aggregate view of q73 every curation run logs:
     * the histogram of duplicate-family sizes (how many clusters of each
     * size, how many docs they hold, how many would be dropped keeping
@@ -1476,6 +1544,7 @@ object Dedup extends QueryPack {
     "q292_mixture_sweep" -> q292MixtureSweep _,
     "q221_negative_sample" -> q221NegativeSample _,
     "q235_triplets" -> q235Triplets _,
+    "q297_epoch_order" -> q297EpochOrder _,
     "q242_lsh_recall" -> q242LshRecall _,
     "q101_cluster_sizes" -> q101ClusterSizes _,
     "q164_priority_survivor" -> q164PrioritySurvivor _,
@@ -1992,6 +2061,28 @@ object Dedup extends QueryPack {
          SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, cand_id AS neg_id,
                 CAST(r AS BIGINT) AS r
          FROM rk WHERE rnk <= $negK ORDER BY anchor_id, rnk""",
+    // q297: q73's closure + the same md5 epoch hashes; (j + h_fam) mod K
+    // replayed verbatim, row_number in identical (hd, doc_id) order
+    "q297_epoch_order" ->
+      s"""WITH cl AS ($q73ClustersOracleSql),
+         nb AS (SELECT greatest(1, count(*) // $epochBatchDocs) AS k
+                FROM documents),
+         e AS (SELECT unnest(range(0, $epochCount)) AS epoch),
+         x AS (SELECT cl.doc_id, cl.cluster_id, e.epoch,
+                      ('0x' || substr(md5(cl.doc_id::VARCHAR || ':'
+                         || e.epoch::VARCHAR), 1, 15))::BIGINT AS hd,
+                      ('0x' || substr(md5(cl.cluster_id::VARCHAR || ':'
+                         || e.epoch::VARCHAR), 1, 15))::BIGINT AS hf
+               FROM cl CROSS JOIN e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY epoch, cluster_id
+                           ORDER BY hd, doc_id) - 1 AS j
+               FROM x),
+         b AS (SELECT r.*, (r.j + r.hf) % nb.k AS batch_id FROM r, nb)
+         SELECT epoch, batch_id,
+                CAST(row_number() OVER (PARTITION BY epoch, batch_id
+                       ORDER BY hd, doc_id) AS BIGINT) AS slot,
+                doc_id, cluster_id
+         FROM b ORDER BY epoch, batch_id, slot""",
     // q76: NOT EXISTS ≡ Spark left_anti (incl. null semantics).
     "q76_incremental_dedup" ->
       """WITH e AS (SELECT md5(text) AS sig FROM documents WHERE doc_id < 250),

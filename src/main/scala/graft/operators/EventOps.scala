@@ -635,8 +635,15 @@ object EventOps extends QueryPack {
         coalesce(lag("queue_depth", 1).over(lagW), lit(0L))
           + col("arrivals") - col("queue_depth"))
       .select(
-        date_format(expr("timestamp_seconds(h * 3600)"),
-                    "yyyy-MM-dd HH:00:00").as("tick"),
+        // tz-INDEPENDENT tick render (ADVICE r15): date_format on a
+        // TIMESTAMP reads spark.sql.session.timeZone, so the oracle
+        // equivalence would silently depend on every entrypoint forcing
+        // UTC. DATE-typed arithmetic is tz-free: epoch-day + hour-of-day
+        // from the integer hour directly (h ≥ 0 for the fixture epochs).
+        expr("""concat(cast(date_add(date'1970-01-01',
+                                     cast(h div 24 as int)) as string),
+                       ' ', lpad(cast(h % 24 as string), 2, '0'),
+                       ':00:00')""").as("tick"),
         col("arrivals"), col("queue_depth"), col("admitted"),
         expr("admitted * 1000000 div slots").as("util_ppm"))
       .orderBy("tick")

@@ -1104,7 +1104,18 @@ object Stats extends QueryPack {
     * max's evaluation points: D_binned ≤ D_exact always, with the gap
     * bounded by the largest per-bin mass (the DKW-style argument);
     * ScaleSpec asserts both the subset bound and that binWidth = 1
-    * reproduces the declared query exactly. */
+    * reproduces the declared query exactly.
+    *
+    * BROADCAST INVARIANT (ADVICE r15): [[lengthKsFromCounts]] force-
+    * broadcasts the |V|·S ECDF grid, and |V| ≤ max(n_chars)/binWidth —
+    * the knob's value IS the broadcast-safety bound. A caller widening
+    * the value domain (raw byte lengths, token counts, a new fixture)
+    * must raise binWidth so |V|·S stays in the low millions of rows;
+    * binWidth = 1 is safe here only because n_chars is capped by the
+    * document generator (max ~10⁴ distinct lengths at any corpus
+    * scale). Misconfiguring the knob risks a driver/executor OOM, not
+    * a graceful sort-merge fallback — the hint bypasses AQE's size
+    * check by design (the register sink is stats-free). */
   private[graft] def lengthKsCore(docsIn: DataFrame,
                                   binWidth: Long): DataFrame =
     lengthKsFromCounts(docsIn

@@ -732,7 +732,17 @@ object StreamOps extends Serializable {
   final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
                                event_type: String)
   /** `reached`/`prevUs` carry the settled prefix's folded min-chain
-    * ([[funnelChainFold]]); `events` holds only the unsettled tail. */
+    * ([[funnelChainFold]]); `events` holds only the unsettled tail.
+    *
+    * CHECKPOINT COMPATIBILITY (ADVICE r15): the round-15 settled-prefix
+    * compaction ADDED fields to [[FunnelBuf]]/[[PathBuf]]/[[TlState]],
+    * which changes the flatMapGroupsWithState state encoding — a
+    * long-lived deployment restarting a pre-r15 streaming checkpoint
+    * against this code fails Spark's state schema check and must
+    * discard the checkpoint (re-ingest from the source's retained
+    * offsets). The repo's gate runs use ephemeral checkpoints, so the
+    * break is latent here; it is stated so an upgrade across this
+    * change is planned as a state reset, not a rolling restart. */
   final case class FunnelBuf(events: List[(Long, Int)], lastUs: Long,
                              reached: Long, prevUs: Long)
   final case class FunnelUserStage(user_id: Long, stage: Long)

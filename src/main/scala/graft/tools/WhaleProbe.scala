@@ -22,6 +22,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * bounded (flat) byte curve across batches is the compaction
   * certificate, a linear one is the bug.
   *
+  * Round 16 (VERDICT r15 task 3): the probe also drives the
+  * consolidated [[StreamOps.userTimelineStream]] (sess+funl+path
+  * branches under one state store) and scales the intra-batch event
+  * spacing with `perBatch`, so the ×100 decade (perBatch 50 → 5,000;
+  * whale lifetime 1.5k → 150k events per op) runs without event-time
+  * overlap between batches — at any perBatch the batch's events stay
+  * inside its minute, so the watermark advances monotonically and
+  * "flat state while lifetime grows ×100" is measured, not argued.
+  *
   * Usage: WhaleProbe [batches] [perBatch]
   * Output: one `[whale]` TSV line per (op, batch) — append to PERF.md.
   */
@@ -66,7 +75,11 @@ object WhaleProbe {
 
     println("[whale]\top\tbatch\tlifetime_events\tstate_rows\tstate_mem_bytes")
 
-    def drain(op: String): Unit = {
+    // intra-batch event spacing (ms): the whole batch must fit inside
+    // its minute or later batches plant pre-watermark (dropped) events
+    val stepMs = math.max(1L, 55000L / perBatch)
+
+    def drain(op: String, mult: Int = 1): Unit = {
       // listener delivery is async: poll until quiet
       var quiet = 0; var prev = samples.toMap; var waited = 0
       while (quiet < 2 && waited < 40) {
@@ -75,7 +88,7 @@ object WhaleProbe {
         if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
       }
       samples.toSeq.sortBy(_._1).foreach { case (b, (r, m)) =>
-        println(s"[whale]\t$op\t$b\t${(b + 1) * perBatch}\t$r\t$m") }
+        println(s"[whale]\t$op\t$b\t${(b + 1) * perBatch * mult}\t$r\t$m") }
       samples.clear()
     }
 
@@ -88,7 +101,7 @@ object WhaleProbe {
     for (i <- 0 until batches) {
       val b0 = base + i * 60000L
       val evs = (0 until perBatch).map { j =>
-        StreamOps.FunnelEvent(1L, ts(b0 + j * 100L),
+        StreamOps.FunnelEvent(1L, ts(b0 + j * stepMs),
           Seq("view", "cart", "buy")(j % 3))
       } :+ StreamOps.FunnelEvent(9L, ts(b0 + 59000L), "tick")
       fm.addData(evs)
@@ -104,13 +117,36 @@ object WhaleProbe {
     for (i <- 0 until batches) {
       val b0 = base + i * 60000L
       val evs = (0 until perBatch).map { j =>
-        StreamOps.PathEvent(1L, ts(b0 + j * 100L), i.toLong * perBatch + j,
+        StreamOps.PathEvent(1L, ts(b0 + j * stepMs), i.toLong * perBatch + j,
           ("ev" + (j % 5)))
       } :+ StreamOps.PathEvent(9L, ts(b0 + 59000L), -1L, "tick")
       pm.addData(evs)
       pq.processAllAvailable()
     }
     pq.stop(); drain("paths")
+
+    // ---- consolidated timeline (sess + funl + path under ONE store) ----
+    val tm = MemoryStream[StreamOps.TlEvent]
+    val tq = StreamOps.userTimelineStream(tm.toDS(),
+        stages = Seq("view", "cart", "buy"),
+        gapMs = 3600000L, horizonMs = 3600000L,
+        watermarkDelay = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    for (i <- 0 until batches) {
+      val b0 = base + i * 60000L
+      val evs = (0 until perBatch).flatMap { j =>
+        val t = ts(b0 + j * stepMs)
+        val eid = i.toLong * perBatch + j
+        Seq(
+          StreamOps.TlEvent("funl", 1L, t, eid,
+            Seq("view", "cart", "buy")(j % 3), 0.0),
+          StreamOps.TlEvent("path", 1L, t, eid, "ev" + (j % 5), 0.0),
+          StreamOps.TlEvent("sess", 1L, t, eid, "x", 1.0))
+      } :+ StreamOps.TlEvent("path", 9L, ts(b0 + 59000L), -1L, "tick", 0.0)
+      tm.addData(evs)
+      tq.processAllAvailable()
+    }
+    tq.stop(); drain("timeline", mult = 3)
 
     spark.streams.removeListener(listener)
     spark.stop()

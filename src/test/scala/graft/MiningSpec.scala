@@ -355,6 +355,47 @@ class MiningSpec extends SparkTestBase {
     assert(got.forall(t => assign(t._3) != assign(t._1)))
   }
 
+  test("q297 epoch order: family-separated batches, exact hash replay") {
+    val got = SparkEntry.queries("q297_epoch_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    val assign = SparkEntry.queries("q73_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = assign.size
+    val k = math.max(1L, n / 50L)
+    def md5h(sx: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    // full value replay of the modular construction (the q220/q221 bar)
+    val want = (0L until 2L).flatMap { e =>
+      val rows = assign.toSeq.map { case (doc, cl) =>
+        (doc, cl, md5h(s"$doc:$e"), md5h(s"$cl:$e")) }
+      val withBatch = rows.groupBy(_._2).values.flatMap { fam =>
+        fam.sortBy(t => (t._3, t._1)).zipWithIndex.map { case (t, j) =>
+          (t._1, t._2, t._3, (j + t._4) % k) }
+      }
+      withBatch.groupBy(_._4).flatMap { case (b, ds) =>
+        ds.toSeq.sortBy(t => (t._3, t._1)).zipWithIndex.map { case (t, i) =>
+          (e, b, (i + 1).toLong, t._1, t._2) }
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == want)
+    // the headline guarantee: same-family docs never share (epoch, batch)
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._5).distinct.length == rows.length,
+        s"family co-occurrence inside a batch: ${rows.mkString(", ")}") }
+    // each doc appears exactly once per epoch; batch ids live in [0, K)
+    assert(got.length == 2 * n)
+    assert(got.count(_._1 == 0L) == n)
+    assert(got.forall(t => t._2 >= 0 && t._2 < k))
+    // the epoch REshuffle is real: the two epochs' batch maps differ
+    val b0 = got.filter(_._1 == 0L).map(t => t._4 -> t._2).toMap
+    val b1 = got.filter(_._1 == 1L).map(t => t._4 -> t._2).toMap
+    assert(b0 != b1)
+  }
+
   test("q224 hub audit: probed graph matches a codebook replay; brute " +
        "certificate matches the exact replay") {
     import graft.operators.Mining

@@ -66,6 +66,8 @@ class PlanSpec extends SparkTestBase {
       // map's iteration order)
       "q220_mixture_sample", "q292_mixture_sweep",
       "q221_negative_sample", "q235_triplets",
+      // q297 composes the memoized cluster assignment (the CC loop)
+      "q297_epoch_order",
       "q238_family_contamination", "q243_takedown_closure",
       "q259_dataset_card",
       // the pipelineFlags memo lazily checkpoints on first touch, and
@@ -266,6 +268,26 @@ class PlanSpec extends SparkTestBase {
     }.toSeq
     assert(reused.nonEmpty,
       "the banded md5-signature exchange must be shared by both join branches")
+  }
+
+  test("q102/q110/q242 declared gates: steady state reads the memoized blocks, never a corpus scan") {
+    // ADVICE r15: the compute-form pins above leave the DECLARED
+    // (memoized) read path's executed plan unpinned. The declared
+    // gates' contract is that steady state is the fusion/sweep over
+    // checkpointed blocks — a regression that re-derives a half (a
+    // dropped localCheckpoint, a memo key miss) would re-scan the
+    // corpus parquet every rep. Pin: the executed plan contains ZERO
+    // FileSourceScanExec — every leaf is the memoized RDD (plus
+    // driver-literal relations), so no corpus-side shuffle or
+    // corpus-wide window can exist below the fusion stage either.
+    for (q <- Seq("q102_hybrid_search", "q110_hybrid_weighted",
+                  "q242_lsh_recall")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sfDir))
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.isEmpty,
+        s"$q declared gate re-scans the corpus: " +
+          scans.map(_.tableIdentifier.toString).mkString(", "))
+    }
   }
 
   test("q286: forced broadcasts are driver-literal codebooks only — density joins are AQE's call") {
