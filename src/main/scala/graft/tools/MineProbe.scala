@@ -57,8 +57,9 @@ object MineProbe {
       asgB.unionByName(asgA)
     }
     val tCores = time { () =>
+      // positional union: the per-side id columns are named a_id / b_id
       val (_, (fwd, bwd)) = graft.operators.Mining.q289Legs(spark, sfDir)
-      fwd.unionByName(bwd)
+      fwd.union(bwd)
     }
     val tFull = time { () =>
       graft.SparkEntry.queries("q289_mining_index_lifecycle")(spark, sfDir) }
