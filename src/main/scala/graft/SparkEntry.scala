@@ -46,22 +46,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap
 
-  /** BENCH-DEMOTED queries (round 16 — the VERDICT r15 task-1 standing
-    * decision, taken after the round's quiet-draw attempt read 162 s
-    * under mid-run ambient load): the three declared BRUTE-EXACT
-    * baselines are excluded from the recorded per-round bench because
-    * each is quadratic/corpus-cross BY DESIGN and exists only to
-    * certify its gated scale twin — q44's all-pairs cosine (twin:
-    * q41/q42's bucketed LSH family), q78's brute document cosine
-    * (twin: the df-pruned index path), q126's exact margin mining
-    * (twins: q286 probed / q289 persisted-index). They REMAIN registry
-    * queries: Verify still dumps them and the driver's DuckDB oracle
-    * still hash-gates all three every round, the SimilaritySpec /
-    * MiningSpec exact-verify pins keep running, and the z10 scale
-    * protocol runs with SPARK_GRAFT_BENCH_ALL=1 so the brute block
-    * stays measured at ×10 where its growth curve is the documented
-    * point. Only the per-round wall-clock ledger stops charging ~6 s
-    * for operators no production run would execute at bench scale. */
+  /** The three declared BRUTE-EXACT baselines — each quadratic /
+    * corpus-cross BY DESIGN, existing to certify its gated scale twin:
+    * q44's all-pairs cosine (twin: q41/q42's bucketed LSH family),
+    * q78's brute document cosine (twin: the df-pruned index path),
+    * q126's exact margin mining (twins: q286 probed / q289
+    * persisted-index). The recorded bench TIMES them like every other
+    * registry query (the driver contract: bench entries are never
+    * removed — the round-16 default-skip was reverted in the
+    * optimization round); this set only names them so local iteration
+    * can skip them via SPARK_GRAFT_BENCH_SKIP_DEMOTED=1 and so docs /
+    * tools can refer to the block by one definition. */
   val benchDemoted: Set[String] =
     Set("q44_cosine_neardup", "q78_doc_cosine", "q126_margin_mine")
 

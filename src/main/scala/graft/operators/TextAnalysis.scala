@@ -585,20 +585,24 @@ object TextAnalysis extends QueryPack {
               explode(graft.functions.NativeExprs
                 .word_shingles(col("text"), 3, distinct = false)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // maxDf = -1: corpus-size cut as a lazy broadcast scalar (value-
-    // neutral, no plan-build job — same form as ngramJaccardDfCut)
-    val keep =
-      if (maxDf > 0) dfTab.filter(col("df") <= maxDf).select("token")
-      else dfTab
-        .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("__cap"))))
-        .filter(col("df") <= col("__cap")).select("token")
-    // repartition on the join key BEFORE the self-join aliases so both
-    // branches share ONE canonical shuffle exchange (ReusedExchange) —
-    // unhinted, AQE broadcast-joins one side and the whole tf/df chain
-    // (shingle explode + two aggregates) computes twice (the q242
-    // banding fix applied to the tf index)
-    val pruned = tf.join(keep, "token").repartition(col("token"))
+    // maxDf = -1 applies NO df cut: df ≤ n_docs holds for every token by
+    // construction (df counts docs containing the token), so the former
+    // lazy-broadcast corpus-size filter was a provable no-op paid in plan
+    // size — the r16 executed-plan audit showed the whole tf/df chain
+    // (explode + two aggregates) computed FOUR times (8 Generate nodes,
+    // zero ReusedExchange: the r15 repartition-for-reuse fix no longer
+    // fires under AQE here), once per consumer branch. Dropping the no-op
+    // join and materializing the tf index ONCE per invocation (lazy
+    // localCheckpoint, the dedupClusterAssignment in-query pattern) makes
+    // norms and both self-join sides read the same blocks — guide §2.4
+    // (remove shuffles/recompute outright). Results are byte-identical
+    // (the oracle's df filter is the same tautology).
+    val prunedBase =
+      if (maxDf > 0) {
+        val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(dfTab.filter(col("df") <= maxDf).select("token"), "token")
+      } else tf
+    val pruned = prunedBase.localCheckpoint(eager = false)
     val norms = pruned.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nn"))
     val dots = pruned.select(col("token"), col("doc_id").as("a_id"), col("tf").as("atf"))
       .join(pruned.select(col("token"), col("doc_id").as("b_id"), col("tf").as("btf")),
