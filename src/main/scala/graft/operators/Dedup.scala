@@ -687,21 +687,33 @@ object Dedup extends QueryPack {
     // the first nSig components of the session signature store — the
     // md5 family hashes (shingle, ":j") independently per component, so
     // this slice IS md5_minhashes(sh, 32) bit-for-bit and the one
-    // 64-hash pass is shared with q242 ([[md5SigCore]])
+    // 64-hash pass is shared with q242 ([[md5SigCore]]).
+    // The exact-Jaccard verify intersects SORTED XXHASH64 KEYS of the
+    // shingles, not the shingle strings: the candidate relation here is
+    // ~1.1M pairs at sf0.1 and per-pair array_intersect over ~300-string
+    // arrays (re-hashing every ~30-char shingle per pair) dominated the
+    // query (guide §1/§4 — per-task work after the join shape is right).
+    // 8-byte keys intersect several times cheaper and carry ~4× fewer
+    // join bytes. Same exactness argument as the streaming twin
+    // (StreamOps.nearDupPairsStream, whose oracle is the same exact
+    // SQL): the per-doc shingle sets are distinct, xxhash64 is
+    // collision-free on them in practice, and the oracle hash-gates the
+    // equality every round. A/B sf0.1: 1.81 → ~1.1 s, output identical.
     val sig = md5SigCore(s, d)
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+              array_sort(expr("transform(sh, x -> xxhash64(x))")).as("hs"),
               expr(s"slice(mh, 1, $nSig)").as("sig"))
     cand
-      .join(sig.select(col("doc_id").as("a_id"), col("sh").as("ash"),
-                       col("sig").as("asig")), "a_id")
-      .join(sig.select(col("doc_id").as("b_id"), col("sh").as("bsh"),
-                       col("sig").as("bsig")), "b_id")
+      .join(sig.select(col("doc_id").as("a_id"), col("sz").as("asz"),
+                       col("hs").as("ahs"), col("sig").as("asig")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sz").as("bsz"),
+                       col("hs").as("bhs"), col("sig").as("bsig")), "b_id")
       .withColumn("matches",
         expr("aggregate(zip_with(asig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .withColumn("est", col("matches") / 32.0)
-      .withColumn("common", size(array_intersect(col("ash"), col("bsh"))))
+      .withColumn("common", size(array_intersect(col("ahs"), col("bhs"))))
       .withColumn("jaccard",
-        floor(col("common") / (size(col("ash")) + size(col("bsh")) - col("common")) * 1000) / 1000)
+        floor(col("common") / (col("asz") + col("bsz") - col("common")) * 1000) / 1000)
       .select("a_id", "b_id", "est", "jaccard")
       .orderBy("a_id", "b_id")
   }
@@ -1393,7 +1405,21 @@ object Dedup extends QueryPack {
     import org.apache.spark.rdd.RDD
     ccInvocations.incrementAndGet()
     val spark = nodes.sparkSession
+    val t0 = System.nanoTime()
+    // Partition count inherits the edge relation's own partitioning
+    // (data-proportional, AQE-coalesced — see the scaladoc). A r16
+    // experiment derived it from an up-front edges.count() instead
+    // (~64k pairs/partition): the extra per-invocation job cost MORE
+    // than the scheduling it saved on every CC consumer (paired A/B,
+    // q73 +0.18 s, q89 +0.17 s, q261 +0.56 s, q80 +0.24 s) — the edge
+    // sets here are large enough (q89: 525k edges) that the inherited
+    // width is already right. Recorded as a negative in
+    // OPTIMIZATION_r16.md; re-attack only with evidence of a consumer
+    // whose inherited width is far off its edge volume.
     val parts = edges.rdd.getNumPartitions.max(1)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] parts=$parts " +
+        s"setup=${(System.nanoTime() - t0) / 1000000} ms")
     val part = new HashPartitioner(parts)
     val edgesR: RDD[(Long, Long)] = edges.rdd
       .map(r => (r.getLong(0), r.getLong(1))).partitionBy(part)
@@ -1428,6 +1454,8 @@ object Dedup extends QueryPack {
       prevSum = s2
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter=$iter cum=${(System.nanoTime() - t0) / 1000000} ms")
     }
     import spark.implicits._
     val labDf = labels.toDF("doc_id", "cluster_id")

@@ -558,39 +558,45 @@ object EventOps extends QueryPack {
     * out of the same counts (min cents whose cumulative count reaches
     * k), value-identical to an explicit row_number over raw rows. */
   private[operators] def quantileFromCounts(counts: DataFrame): DataFrame = {
-    val r = counts.groupBy(col("event_type"),
-                           expr("length(bin(cents))").cast("long").as("bin"))
-      .agg(sum("c").as("cnt"), min("cents").as("vmin"),
-           max("cents").as("vmax"))
-    val t = r.groupBy("event_type").agg(sum("cnt").as("n"))
-    val ks = t.select(col("event_type"), col("n"),
-                      explode(expr("array(500L, 950L, 990L)")).as("p_mille"))
+    // ONE value-domain-sized aggregation instead of the previous
+    // nine-exchange bin/value double-cumsum plan (r16, guide §2.4): the
+    // per-type (cents, c) register relation is value-domain-bounded (the
+    // q215 argument), so the whole report folds over the per-type SORTED
+    // register array in map work — running-count quantile, bin id, bin
+    // bounds — and every output column is exact integer arithmetic,
+    // identical to the old formulation: the first VALUE whose running
+    // count reaches k lies in the first BIN whose bin-cumulative reaches
+    // k (bin = binary-length is monotone in cents, and the bin-end row's
+    // cumulative is the bin's total), so est-bin ≡ bin(exact_v). The
+    // r16 A/B banked ~0.8 s/query across the three consumers
+    // (q247/q262/q248's tail) at sf0.1; oracles unchanged.
+    val arr = counts.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("cents"), col("c")))).as("arr"),
+           sum("c").as("n"))
+    arr
+      .select(col("event_type"), col("n"), col("arr"),
+              explode(expr("array(500L, 950L, 990L)")).as("p_mille"))
       .withColumn("k", expr("(p_mille * n + 999) div 1000"))
-    val c = r.withColumn("cum",
-      sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")))
-    val est = ks
-      .join(c.select(col("event_type"), col("bin"), col("cum")), Seq("event_type"))
-      .filter(col("cum") >= col("k"))
-      .groupBy("event_type", "p_mille", "n", "k")
-      .agg(min("bin").as("bin"))
-    val exCum = counts.withColumn("vcum",
-      sum("c").over(Window.partitionBy("event_type").orderBy("cents")))
-    val ex = ks
-      .select(col("event_type").as("et2"), col("p_mille").as("pm2"),
-              col("k").as("k2"))
-      .join(exCum.select(col("event_type").as("et2"), col("cents"),
-                         col("vcum")), Seq("et2"))
-      .filter(col("vcum") >= col("k2"))
-      .groupBy("et2", "pm2")
-      .agg(min("cents").as("exact_v"))
-    est
-      .join(c.select(col("event_type"), col("bin"),
-                     col("vmin").as("v_lo"), col("vmax").as("v_hi")),
-            Seq("event_type", "bin"))
-      .join(ex, col("et2") === col("event_type") && col("pm2") === col("p_mille"))
+      // first cents whose running count reaches k — the fold freezes
+      // once found; k ≤ n guarantees it fires
+      .withColumn("exact_v", expr(
+        """aggregate(arr,
+             struct(cast(0 as bigint) as cum, cast(-1 as bigint) as v),
+             (a, x) -> IF(a.v >= 0, a,
+               struct(a.cum + x.c as cum,
+                      IF(a.cum + x.c >= k, x.cents,
+                         cast(-1 as bigint)) as v)),
+             a -> a.v)"""))
+      .withColumn("bin", expr("cast(length(bin(exact_v)) as bigint)"))
+      .withColumn("binvals", expr(
+        """transform(filter(arr,
+             x -> length(bin(x.cents)) = length(bin(exact_v))),
+           x -> x.cents)"""))
       .select(col("event_type"), col("p_mille"), col("n"), col("k"),
-              col("bin"), col("v_lo"), col("v_hi"), col("exact_v"),
-              expr("""CAST(CASE WHEN exact_v BETWEEN v_lo AND v_hi
+              col("bin"), expr("array_min(binvals)").as("v_lo"),
+              expr("array_max(binvals)").as("v_hi"), col("exact_v"),
+              expr("""CAST(CASE WHEN exact_v BETWEEN array_min(binvals)
+                                                 AND array_max(binvals)
                           THEN 1 ELSE 0 END AS BIGINT)""").as("in_bound"))
       .orderBy("event_type", "p_mille")
   }

@@ -36,6 +36,15 @@ object StreamGate extends QueryPack {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Shuffle/state partition count for the bounded gate passes —
+    * overridable for A/B profiling (GRAFT_GATE_PARTS). Default 8: a
+    * bounded single-table pass instantiates one state store per
+    * partition per stateful operator, and the r16 sweep (4/8/16/32 on
+    * the RocksDB near-dup gates) re-confirmed 8 as the knee on this
+    * corpus; production sizes this to throughput. */
+  private def gateParts: String =
+    sys.env.getOrElse("GRAFT_GATE_PARTS", "8")
+
   /** Run a bounded streaming query to completion and return the sink
     * contents as a batch DataFrame. Memory sink + AvailableNow: every
     * available file is processed, then the query stops.
@@ -51,7 +60,7 @@ object StreamGate extends QueryPack {
     val name = s"graft_stream_gate_${sinkId.incrementAndGet()}"
     val pKey = "spark.sql.shuffle.partitions"
     val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
+    s.conf.set(pKey, gateParts)
     try {
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
@@ -81,7 +90,7 @@ object StreamGate extends QueryPack {
       java.nio.file.Files.createTempDirectory(s"graft_sink_$name").toString)
     val pKey = "spark.sql.shuffle.partitions"
     val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
+    s.conf.set(pKey, gateParts)
     try {
       val w = out.writeStream.format("parquet")
         .option("path", s"$dir/data")

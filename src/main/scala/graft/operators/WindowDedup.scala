@@ -194,7 +194,16 @@ object WindowDedup extends QueryPack {
     // source_a <= source_b by construction). The self-join formulation
     // shuffled the vocabulary twice more and cost 2.2 s at sf0.1 vs
     // ~0.6 s for this shape.
-    val win = windowPostingsCore(s, d).select("source", "wh")
+    // group by the 8-byte xxhash64 of the window hash, not the 32-char
+    // md5 hex: the hash value itself never reaches the output (only the
+    // per-pair counts do), so the vocabulary-sized exchange carries
+    // ~4× fewer bytes and the aggregate compares longs (guide §2.3,
+    // narrower shuffle keys). Key-grain is unchanged modulo xxhash64
+    // collisions across the ~1.5M-window vocabulary (~6e-8 birthday
+    // odds; the q79/q107 exactness precedent) — the oracle hash-gates
+    // the equality at both SFs every round.
+    val win = windowPostingsCore(s, d)
+      .select(col("source"), xxhash64(col("wh")).as("wh"))
     win.groupBy("wh").agg(sort_array(collect_set("source")).as("ss"))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ss) - 1), i ->
@@ -220,12 +229,28 @@ object WindowDedup extends QueryPack {
   private val minShared = 3
 
   private def q117WindowPairs(s: SparkSession, d: String): DataFrame = {
+    // candidate keys are xxhash64(md5) — the hash never reaches the
+    // output, so the distinct + window + self-join machinery runs on
+    // 8-byte longs instead of 32-char hex (same exactness argument and
+    // collision odds as q116/q79; the oracle hash-gates it)
     val win = windowPostingsCore(s, d)
+      .select(xxhash64(col("wh")).as("wh"), col("doc_id"))
     // hot-hash bound IN the plan (q35/q42's capBucketsLazy contract):
     // default cap = corpus size, value-neutral, and the window exchange
-    // on wh is the one the candidate self-join reuses
-    val pd = Dedup.capBucketsLazy(win.select("wh", "doc_id").distinct(),
-      Seq("wh"), -1L, Tables.documents(s, d))
+    // on wh is the one the candidate self-join reuses. The SAME bucket
+    // count also drops df = 1 hashes before the self-join — provably
+    // value-neutral (a window hash held by one doc generates no a < b
+    // pair) and it removes almost the whole posting mass from both join
+    // sides: window vocabulary is dominated by unique hashes (the q111
+    // dup table is Zipf-small). Guide §2.3/§3.2 — shrink the join input
+    // with what the optimizer cannot know.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+    val cap = Tables.documents(s, d).agg(count(lit(1)).as("__cap"))
+    val pd = win.select("wh", "doc_id").distinct()
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("__bsz") <= col("__cap") && col("__bsz") >= 2)
+      .drop("__bsz", "__cap")
     pd.select(col("wh"), col("doc_id").as("a_id"))
       .join(pd.select(col("wh"), col("doc_id").as("b_id")), Seq("wh"))
       .filter(col("a_id") < col("b_id"))

@@ -55,6 +55,11 @@ class PlanSpec extends SparkTestBase {
       "q35_ngram_jaccard", "q244_prefix_join",
       "q89_entity_resolution", "q101_cluster_sizes", "q124_split_by_cluster",
       "q164_priority_survivor", "q181_effective_tokens",
+      // q78 materializes its exploded tf index once per invocation
+      // (lazy localCheckpoint — the r16 fix for the 4× tf-chain
+      // recompute); toRdd physical planning under AQE runs the leading
+      // tf stages at build
+      "q78_doc_cosine",
       // q205 composes the memoized cluster assignment (the CC loop);
       // q207/q216/q246 compose the q42 pair pipeline (verifyJoin size
       // guard + the memoized pair-core localCheckpoint)
