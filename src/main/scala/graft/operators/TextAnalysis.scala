@@ -410,7 +410,18 @@ object TextAnalysis extends QueryPack {
     // A/B) — the candidate probe + exact verify dominate this plan, and
     // cached-block re-reads cost more than the df+rank recompute they
     // replace (PERF.md negative-results ledger).
+    // Candidate machinery keyed by xxhash64 of the shingle (r16, guide
+    // §2.3): the shingle string never reaches the output — candidates
+    // are verified from the full arrays by doc id — so the df
+    // aggregate, the rank window's (df, s) sort and the posting join
+    // all run on 8-byte longs instead of ~30-char strings. The prefix
+    // pigeonhole needs only A FIXED per-doc order and the positional
+    // bound only A CONSISTENT GLOBAL total order; (df, xxhash64(s)) is
+    // both (collisions would only make two shingles share a key —
+    // merging postings, a superset of candidates — and are ~2^-64·|V|²
+    // anyway; the oracle hash-gates the output every round).
     val ex = shinglePostingsCore(s, d)
+      .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("s"))
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // BOTH candidate-join sides read the one ranked subtree (the doc-
     // grain rank window's exchange is reused; AQE broadcasts one side —
