@@ -307,11 +307,16 @@ object Curation2 extends QueryPack {
 
   private def q97Bm25(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
-    val t = Tables.documents(s, d).select(col("doc_id"), expr(toks).as("w"))
-    val stats = t.agg(count(lit(1)).as("n"), sum(size(col("w"))).as("sl"))
-    val tf = t.select(col("doc_id"), size(col("w")).as("len"),
-                      explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
+    // one tokenize pass (r16): corpus stats and the query-term postings
+    // both read the same projected relation, and only the QUERY TERMS
+    // explode (the array filter runs before Generate instead of
+    // fanning out every corpus token and filtering rows after)
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(expr(toks)).as("len"),
+              expr(s"filter($toks, t -> t IN ($termList))").as("qw"))
+    val stats = t.agg(count(lit(1)).as("n"), sum(col("len")).as("sl"))
+    val tf = t.select(col("doc_id"), col("len"), explode(col("qw")).as("term"))
       .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
     bm25TopK(tf, stats)
   }
