@@ -694,9 +694,14 @@ object TextAnalysis extends QueryPack {
   private def q39Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tokenize ONCE per row: the explode and the length read the same
+    // materialized array column (the inline form evaluated the regex
+    // split twice per document — Generate's generator and the projected
+    // size() are separate expression trees)
     val perDoc = docs
-      .select(col("doc_id"), explode(expr(toksExpr)).as("token"),
-              expr(s"size($toksExpr)").as("doc_len"))
+      .select(col("doc_id"), expr(toksExpr).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("token"),
+              size(col("tk")).as("doc_len"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("cnt"), first("doc_len").as("doc_len"))
     val dfTab = perDoc.groupBy("token").agg(countDistinct("doc_id").as("df"))
